@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001 (smoke).
+``queries()`` exposes every implemented operator from SURVEY.md §2 as
+``(spark, sf_dir) -> DataFrame`` callables; ``oracle_sql()`` gives the
+DuckDB-dialect SQL twin for each oracle-checkable query (same column
+names, bit-identical values — see
+``sql_database_engine_spark/functions/exact.py`` for how float
+aggregates are made order-independent and engine-reproducible).
+Queries without an oracle entry (probabilistic LSH, engine-private
+hashing, pandas-UDF pipelines) get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +17,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sql_database_engine_spark import operators
+from sql_database_engine_spark.operators import QUERIES, ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    operators.load_all()
+    return QUERIES["flagship_revenue_by_region"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    operators.load_all()
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twin SQL for each oracle-checkable query."""
+    operators.load_all()
+    return dict(ORACLES)

@@ -1,0 +1,239 @@
+"""Event-time analytics over the `events` table (batch semantics).
+
+The same logical operations run as Structured Streaming plans in
+``streaming/``; here they are batch DataFrame plans with DuckDB
+oracles. Time semantics: ``events.ts`` is nanosecond-precision at
+rest; the catalog truncates to microseconds (Spark's native
+resolution), and every oracle applies the same ``CAST(ts AS
+TIMESTAMP)`` truncation so both engines see identical instants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+_CENTS = "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST({_CENTS} AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type.
+
+    Uses Spark's native ``window()`` (the same operator the streaming
+    path uses with a watermark); the struct is flattened to
+    window_start so the schema is oracle-comparable. Hour-aligned
+    tumbling windows are exactly date_trunc buckets.
+    """
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0)
+             .alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH grid AS (
+        SELECT user_id,
+               (epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000 AS slot_us
+        FROM events
+    ), expanded AS (
+        SELECT unnest([make_timestamp(slot_us),
+                       make_timestamp(slot_us - 1800000000)]) AS window_start,
+               user_id
+        FROM grid
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM expanded GROUP BY window_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide — each event
+    belongs to exactly 2 windows. Spark's window() enumerates the
+    copies natively; the oracle reproduces the expansion with an
+    explicit 30-minute grid + unnest."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n", "n_users")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           min(CAST(ts AS TIMESTAMP)) AS session_start,
+           max(CAST(ts AS TIMESTAMP)) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute inactivity gap splits sessions.
+
+    Classic lag + cumulative-sum session assignment — one shuffle on
+    user_id, then two window passes over the same partitioning (Spark
+    reuses the exchange). The streaming twin uses session_window().
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap in exact integer microseconds — casting ts to whole seconds
+    # would truncate and disagree with the oracle at 30:00.xx gaps.
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sess = (
+        ev.withColumn("new_session",
+                      F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0))
+        .withColumn("session_idx",
+                    F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "events_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+        FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+              FROM events)
+    ) WHERE rn = 1
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the deterministic first occurrence.
+
+    dropDuplicates() keeps an *arbitrary* row per key — fine for
+    at-most-once semantics, wrong for reproducible pipelines. The
+    scalable deterministic form is argmin via row_number over
+    (ts, event_id). The streaming twin is dropDuplicates with a
+    watermark over the same key."""
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.col("ts").alias("first_ts"),
+                F.col("event_id").alias("first_event_id"))
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           s.ts AS signup_ts, s.event_id AS signup_event_id
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events WHERE event_type <> 'signup') e
+    ASOF JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent
+    signup at-or-before it (inner: unmatched events drop).
+
+    Spark lacks a native ASOF JOIN; the scalable composition is
+    union-tag-and-carry: union both sides tagged, sort within user by
+    time, carry the last signup forward with last(..., ignorenulls)
+    over an unbounded-preceding frame, keep event rows with a match.
+    One shuffle on user_id, no range explosion, no per-key driver
+    loop — this survives arbitrarily long histories per user.
+
+    Tie rule: a signup at exactly the event's ts matches (>=), so
+    within equal ts signup rows sort first (is_event ASC).
+    """
+    ev = Catalog(spark, sf_dir).events
+    events_side = (ev.filter(F.col("event_type") != "signup")
+                   .select("event_id", "user_id", "ts", "event_type",
+                           F.lit(None).cast("timestamp").alias("s_ts"),
+                           F.lit(None).cast("long").alias("s_id"),
+                           F.lit(1).alias("is_event")))
+    signup_side = (ev.filter(F.col("event_type") == "signup")
+                   .select("event_id", "user_id", "ts",
+                           F.lit(None).cast("string").alias("event_type"),
+                           F.col("ts").alias("s_ts"),
+                           F.col("event_id").alias("s_id"),
+                           F.lit(0).alias("is_event")))
+    unioned = events_side.unionByName(signup_side)
+    w = (W.partitionBy("user_id")
+         .orderBy("ts", "is_event", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    carried = (
+        unioned
+        .withColumn("signup_ts", F.last("s_ts", ignorenulls=True).over(w))
+        .withColumn("signup_event_id", F.last("s_id", ignorenulls=True).over(w))
+    )
+    return (
+        carried.filter((F.col("is_event") == 1) & F.col("signup_ts").isNotNull())
+        .select("event_id", "user_id", "ts", "event_type", "signup_ts", "signup_event_id")
+    )
+
+
+@query(
+    "events_type_value_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST({_CENTS} AS DOUBLE) / 100.0 AS total_value,
+           CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_value,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event statistics (count, distinct users, exact value
+    sum / min / max)."""
+    ev = Catalog(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.sum(cents).cast("double") / 100.0).alias("total_value"),
+        (F.min(cents).cast("double") / 100.0).alias("min_value"),
+        (F.max(cents).cast("double") / 100.0).alias("max_value"),
+    )

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats images/audio/video as ``binary`` columns with a
+metadata struct, processed by Arrow-batched pandas functions via
+``mapInPandas``. The container has no image/audio codecs, so the
+decode kernel is a clearly-marked STUB (deterministic fake features);
+everything Spark-side — schema, batch iteration, partitioning, UDF
+signatures — is real and tested (tests/test_multimodal.py).
+
+The testdata ships no binary table, so ``multimodal_features``
+manufactures blobs from ``documents.text`` (utf-8 bytes) — which also
+makes the *plumbing* oracle-checkable: byte length and sha256 of the
+blob are string-derivable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+#: Output schema of the feature-extraction stage.
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, "
+    "content_hash string, feat_mean double, feat_dim int"
+)
+
+
+def decode_and_featurize(blob: bytes, media_type: str) -> dict:
+    """STUB decode kernel.
+
+    A real deployment plugs Pillow/torchaudio/pyav in here; this
+    container has none of them, so we compute a deterministic fake
+    feature (mean byte value) and keep the exact I/O contract a real
+    decoder would have. Raises on unknown media types like a real
+    decoder would.
+    """
+    if media_type not in {"image", "audio", "video", "text"}:
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    if not blob:
+        return {"feat_mean": 0.0, "feat_dim": 0}
+    # Deterministic fake "embedding" statistic over raw bytes.
+    return {"feat_mean": float(sum(blob)) / len(blob), "feat_dim": 8}
+
+
+def featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batch in → feature rows out.
+
+    Batch-at-a-time (never row-at-a-time serde); each batch stays
+    executor-local, so the stage scales with partition count and the
+    decode library's throughput, not with driver anything.
+    """
+    import hashlib
+
+    for pdf in batches:
+        feats = [decode_and_featurize(b, m)
+                 for b, m in zip(pdf["payload"], pdf["media_type"])]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "media_type": pdf["media_type"].values,
+            "n_bytes": [len(b) for b in pdf["payload"]],
+            "content_hash": [hashlib.sha256(b).hexdigest() for b in pdf["payload"]],
+            "feat_mean": [f["feat_mean"] for f in feats],
+            "feat_dim": [f["feat_dim"] for f in feats],
+        })
+
+
+def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-materialized as an opaque binary column with
+    typed metadata — the canonical multimodal table shape."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text").alias("media_type"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").alias("declared_size"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash,
+           'text' AS media_type
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction (length + content hash) —
+    pure JVM expressions over the blob, no decode needed. This is the
+    oracle-checkable half of the multimodal path."""
+    b = binary_table(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("content_hash"),
+        F.col("media_type"),
+    )
+
+
+@query("multimodal_features")  # rows-only: the decode stub is engine-private
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline: binary table → mapInPandas decode/
+    featurize (Arrow batches) → typed feature rows. The decode itself
+    is stubbed (module docstring); the distributed plumbing is real.
+    """
+    b = binary_table(spark, sf_dir).select("doc_id", "payload", "media_type")
+    return b.mapInPandas(featurize_batches, schema=FEATURE_SCHEMA)

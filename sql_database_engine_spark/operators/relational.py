@@ -1,0 +1,499 @@
+"""Core relational operators: scan, filter, project, join, aggregate.
+
+Everything here is a declarative DataFrame plan — Catalyst applies
+predicate pushdown, column pruning, join selection (broadcast vs
+sort-merge), and partial/final aggregation. Scale notes per query in
+the docstrings; the guiding rules at 100 TB:
+
+- fact-fact joins (lineitem ⋈ orders) shuffle on the join key — that
+  is unavoidable and correct; we never *force* a repartition Catalyst
+  would not choose.
+- bounded dimensions (region, nation, supplier) are broadcast
+  explicitly: at any scale factor they stay tiny, so the hint is safe
+  and removes a shuffle of the big side.
+- aggregates on double measures use the exact integer-cents path
+  (``functions.exact``) — order-independent, hence both cluster-safe
+  and oracle-reproducible.
+
+Reference parity: the reference's only query is a full scan in
+insertion order (`/root/reference/db.cpp:487-502`); ``full_scan``
+covers it over the testdata, and the REPL layer (``repl.py``) keeps
+the byte-exact version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import Catalog
+from ..functions.exact import money_sum, money_avg, MONEY_SUM_SQL, MONEY_AVG_SQL
+from . import query
+
+def REVENUE():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+# ---------------------------------------------------------------------------
+# scan / filter / project
+# ---------------------------------------------------------------------------
+
+@query(
+    "full_scan",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference parity: return every row of a table (db.cpp:487-502).
+
+    At scale this is a pure parquet scan — no shuffle, no exchange.
+    """
+    return Catalog(spark, sf_dir).region.select("r_regionkey", "r_name")
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(ROUND(({rev}) * 100) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+    """.format(rev=REVENUE_SQL),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection, both pushed to the parquet scan.
+
+    `.explain` shows PushedFilters on l_shipdate/l_discount and a
+    4-column ReadSchema — at 100 TB this reads a fraction of the
+    table's bytes and zero irrelevant columns.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+                  & (F.col("l_discount") > 0.05))
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            F.round(REVENUE() * 100).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {MONEY_SUM_SQL('l_quantity')} AS sum_qty,
+           {MONEY_SUM_SQL('l_extendedprice')} AS sum_base_price,
+           {MONEY_SUM_SQL(REVENUE_SQL)} AS sum_disc_price,
+           {MONEY_SUM_SQL(REVENUE_SQL + ' * (1 + l_tax)')} AS sum_charge,
+           {MONEY_AVG_SQL('l_quantity')} AS avg_qty,
+           {MONEY_AVG_SQL('l_extendedprice')} AS avg_price,
+           {MONEY_AVG_SQL('l_discount')} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (8 aggregates over 2 keys).
+
+    Catalyst runs this as partial hash-agg per scan partition →
+    exchange on (returnflag, linestatus) [4 groups] → final agg; the
+    shuffle moves only 4 rows × partials per task regardless of SF.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(REVENUE()).alias("sum_disc_price"),
+            money_sum(REVENUE() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            money_avg(F.col("l_quantity")).alias("avg_qty"),
+            money_avg(F.col("l_extendedprice")).alias("avg_price"),
+            money_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_forecast",
+    oracle=f"""
+    SELECT {MONEY_SUM_SQL('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no join, no group.
+
+    The ideal 100 TB plan: pushed filters prune row groups via parquet
+    min/max stats; a single global aggregate reduces map-side first.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct aggregation.
+
+    Catalyst rewrites multiple COUNT(DISTINCT) into an expand +
+    two-phase aggregate; at scale prefer approx_count_distinct (see
+    ``agg_approx_distinct``) when 2% error is acceptable.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches are implementation-defined
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB-scale answer to
+    COUNT(DISTINCT): one pass, fixed memory, no expand. No oracle:
+    DuckDB's approx_count_distinct uses a different sketch."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {MONEY_SUM_SQL(REVENUE_SQL)} AS revenue
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping id (disambiguates subtotal rows from NULL
+    group keys). Catalyst expands grouping sets map-side; the shuffle
+    carries one partial per (set, keys) — still tiny at any SF."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            money_sum(REVENUE()).alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "revenue")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           (GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {MONEY_SUM_SQL('o_totalprice')} AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("o_totalprice")).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {MONEY_SUM_SQL('o_totalprice')} AS spend
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             money_sum(F.col("o_totalprice")).alias("spend"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "flagship_revenue_by_region",
+    oracle=f"""
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+           {MONEY_SUM_SQL(REVENUE_SQL)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: revenue per region — 5-way join + aggregate.
+
+    Plan at scale: lineitem ⋈ orders shuffles both on orderkey (the
+    one unavoidable big shuffle), orders ⋈ customer shuffles on
+    custkey; nation and region are broadcast (bounded size at every
+    SF), so the two dimension joins add no exchange. The final
+    group-by has 5 groups — the agg shuffle is negligible. AQE
+    coalesces the post-join partitions at small SF.
+    """
+    cat = Catalog(spark, sf_dir)
+    joined = (
+        cat.lineitem
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.broadcast("nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(cat.broadcast("region"), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum(REVENUE()).alias("revenue"),
+    )
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level inner equi-join (fact ⋈ dimension-that-scales).
+
+    customer grows with SF, so no broadcast hint: Catalyst picks
+    sort-merge/shuffled-hash at scale and AQE may downgrade to
+    broadcast when the filtered side turns out small at runtime.
+    """
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.filter(F.col("o_totalprice") > 400000)
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderstatus", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_left_nulls",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders
+    (COUNT(col) skips the all-NULL right side → 0)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer
+        .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT n_name, s_suppkey, s_name
+    FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — nations with no suppliers surface with NULL
+    supplier columns. (Outer joins suppress broadcast of the
+    preserved side; both inputs here are bounded dims anyway.)"""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.nation
+        .join(cat.supplier, F.col("n_nationkey") == F.col("s_nationkey"), "full_outer")
+        .select("n_name", "s_suppkey", "s_name")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having a finished order.
+    Semi joins shuffle only the distinct keys of the right side."""
+    cat = Catalog(spark, sf_dir)
+    finished = cat.orders.filter(F.col("o_orderstatus") == "F")
+    return (
+        cat.customer
+        .join(finished, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer
+        .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join — only ever used between bounded dims (here 5 × 25);
+    a cross join with a fact table would be a plan bug at any scale."""
+    cat = Catalog(spark, sf_dir)
+    return cat.region.crossJoin(cat.nation).select("r_name", "n_name")
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT p_partkey, p_retailprice, s_suppkey
+    FROM part JOIN supplier
+      ON p_size = CAST(s_suppkey AS INT) AND p_retailprice > s_acctbal / 2
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi-condition + range residual. Catalyst keys the
+    hash join on the equi part and evaluates the inequality as a
+    post-join residual filter — the scalable shape for theta joins
+    (pure-inequality joins degrade to nested loop; always give the
+    planner an equi component)."""
+    cat = Catalog(spark, sf_dir)
+    p, s = cat.part, cat.supplier
+    return (
+        p.join(s, (p.p_size == s.s_suppkey.cast("int"))
+               & (p.p_retailprice > s.s_acctbal / 2))
+        .select("p_partkey", "p_retailprice", "s_suppkey")
+    )
+
+
+@query(
+    "subquery_scalar_filter",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_acctbal > (
+        SELECT {MONEY_SUM_SQL('c_acctbal')} / COUNT(*) FROM customer)
+    """,
+)
+def subquery_scalar_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate: customers above the mean balance.
+
+    The mean is computed with the exact integer path so the predicate
+    threshold is bit-identical to the oracle's (a float-averaged
+    threshold could flip rows at the boundary). The single-row
+    aggregate is cross-joined — Catalyst broadcasts it."""
+    c = Catalog(spark, sf_dir).customer
+    mean = c.agg(money_avg(F.col("c_acctbal")).alias("__mean"))
+    return (
+        c.crossJoin(F.broadcast(mean))
+        .filter(F.col("c_acctbal") > F.col("__mean"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "top_spenders_per_nation",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               {MONEY_SUM_SQL('o_totalprice')} AS total_spend
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name, c_nationkey
+    )
+    SELECT n_name, c_custkey, c_name, total_spend
+    FROM (
+        SELECT s.*, n_name,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n_name
+                   ORDER BY total_spend DESC, c_custkey) AS rn
+        FROM spend s JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rn <= 3
+    """,
+)
+def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + top-k per group: the canonical composed
+    pipeline. Ties broken by c_custkey so the top-3 set is total-order
+    deterministic on any cluster."""
+    from pyspark.sql import Window as W
+    cat = Catalog(spark, sf_dir)
+    spend = (
+        cat.customer
+        .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(money_sum(F.col("o_totalprice")).alias("total_spend"))
+        .join(cat.broadcast("nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+    return (
+        spend.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", "c_name", "total_spend")
+    )

@@ -1,0 +1,220 @@
+"""Scalar-function surface: string / date / math / conditional / JSON /
+array expressions.
+
+All row-level, all built-in ``pyspark.sql.functions`` — these stay
+inside whole-stage codegen (no Python in the loop), so at 100 TB they
+run at scan speed. Oracle notes where Spark and DuckDB semantics need
+aligning (1-based substring in both; regexp empty-string on no-match;
+transcendentals avoided — libm last-ulp differences across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+
+@query(
+    "scalar_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substring(p_type, 1, 5) AS type_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           split_part(p_type, ' ', 1) AS type_first_word,
+           replace(p_name, ' ', '_') AS name_snake,
+           trim(p_name) AS name_trim,
+           CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS has_gold,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    """,
+)
+def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over part."""
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.when(F.col("p_name").contains("gold"), 1).otherwise(0).alias("has_gold"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "scalar_date_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS due_ts,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT) AS days_since_1995
+    FROM orders
+    """,
+)
+def scalar_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery over orders (midnight-aligned ms
+    timestamps; both engines evaluated in UTC)."""
+    o = Catalog(spark, sf_dir).orders
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.quarter(d).alias("order_quarter"),
+        F.date_trunc("month", d).cast("date").alias("order_month_start"),
+        (d.cast("date") + F.expr("INTERVAL 90 DAYS")).cast("timestamp").alias("due_ts"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_1995"),
+    )
+
+
+@query(
+    "scalar_math_fns",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           abs(c_acctbal) AS bal_abs,
+           CAST(ROUND(c_acctbal * 10) AS BIGINT) / 10.0 AS bal_round1,
+           floor(c_acctbal) AS bal_floor,
+           ceil(c_acctbal) AS bal_ceil,
+           sqrt(abs(c_acctbal)) AS bal_sqrt,
+           c_acctbal * c_acctbal AS bal_sq,
+           CAST(c_custkey % 7 AS BIGINT) AS key_mod7,
+           CASE WHEN c_acctbal < 0 THEN -1 WHEN c_acctbal = 0 THEN 0 ELSE 1 END
+               AS bal_sign
+    FROM customer
+    """,
+)
+def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery over customer. sqrt is IEEE-exact (bit-reproducible
+    across engines); x*x replaces pow(x,2) because libm pow differs in
+    last ulps between runtimes. floor/ceil of double return double in
+    both engines."""
+    c = Catalog(spark, sf_dir).customer
+    b = F.col("c_acctbal")
+    return c.select(
+        "c_custkey", "c_acctbal",
+        F.abs(b).alias("bal_abs"),
+        # round-to-1-decimal via integer scaling: decimal-scale ROUND on
+        # raw doubles diverges between engines at halfway points; after
+        # an explicit *10 both engines round the same binary double.
+        (F.round(b * 10).cast("long") / 10.0).alias("bal_round1"),
+        F.floor(b).cast("double").alias("bal_floor"),
+        F.ceil(b).cast("double").alias("bal_ceil"),
+        F.sqrt(F.abs(b)).alias("bal_sqrt"),
+        (b * b).alias("bal_sq"),
+        (F.col("c_custkey") % 7).alias("key_mod7"),
+        F.when(b < 0, -1).when(b == 0, 0).otherwise(1).alias("bal_sign"),
+    )
+
+
+@query(
+    "scalar_case_bucketing",
+    oracle="""
+    SELECT
+        CASE WHEN o_totalprice < 100000 THEN 'small'
+             WHEN o_totalprice < 300000 THEN 'medium'
+             ELSE 'large' END AS price_band,
+        o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def scalar_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing feeding an aggregate."""
+    o = Catalog(spark, sf_dir).orders
+    band = (F.when(F.col("o_totalprice") < 100000, "small")
+            .when(F.col("o_totalprice") < 300000, "medium")
+            .otherwise("large"))
+    return (o.groupBy(band.alias("price_band"), F.col("o_orderstatus"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column.
+
+    get_json_object evaluates JVM-side; at scale prefer parsing once
+    with from_json into a struct column over repeated path extraction
+    (see json_parse_struct)."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.select(
+        "event_id", "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@query(
+    "json_parse_struct",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_parse_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct, then aggregate by the extracted
+    field — parse once, use many times."""
+    ev = Catalog(spark, sf_dir).events
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "struct<k: bigint>"))
+    return (parsed.groupBy(F.col("p.k").alias("prop_k"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents")))
+
+
+@query(
+    "array_fns_embeddings",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(embedding[64] AS DOUBLE) AS last_elem,
+           CAST(list_sum(list_transform(embedding[1:8],
+                x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+                AS BIGINT) AS head_sum_micros
+    FROM embeddings
+    """,
+)
+def array_fns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function battery over the embedding column:
+    size, element_at, slice + transform + aggregate — all JVM-side
+    (no UDF). Float elements are cast to double (bit-exact widening)
+    before any arithmetic so values hash-match the oracle."""
+    e = Catalog(spark, sf_dir).embeddings
+    emb = F.col("embedding")
+    head = F.slice(emb, 1, 8)
+    return e.select(
+        "vec_id", "label",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_elem"),
+        F.element_at(emb, 64).cast("double").alias("last_elem"),
+        F.aggregate(
+            F.transform(head, lambda x: F.round(x.cast("double") * 1000000).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("head_sum_micros"),
+    )

@@ -1,0 +1,196 @@
+"""Vector similarity search over the `embeddings` table.
+
+Embeddings are ``array<float>`` columns; all arithmetic casts to
+double first (float→double widening is bit-exact) and runs through
+JVM-side higher-order functions — ``zip_with`` for the elementwise
+product, ``aggregate`` for the sequential sum. The sequential
+(left-fold) sum over a 64-element array is deterministic, and DuckDB's
+list functions fold the same way, so cosine values round-trip the
+oracle after a guard rounding to 6 decimals — a quantum wide enough
+to absorb the ~1e-12 accumulation differences between our fold and
+DuckDB's list kernels; thresholds always compare the ROUNDED value so
+set membership agrees whenever the rounded scores do.
+
+Scale story:
+- brute-force top-k vs ONE query vector is a broadcast of 64 floats +
+  a map-side TopK (TakeOrderedAndProject): no shuffle of the corpus,
+  perfectly scalable.
+- all-pairs near-dup restricts to a bucketing key (label) so the join
+  is bucket-quadratic, never corpus-quadratic.
+- the LSH variant buckets by random-hyperplane sign bits: candidate
+  generation becomes an equi-join on the bucket key — the 100 TB
+  path; its recall/precision is probabilistic, so it's a rows-only
+  check with the brute-force twin as the oracle-checked baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+#: DuckDB twin of :func:`cosine` (list_cosine_similarity folds the
+#: same dot/norm shape over DOUBLE lists).
+COSINE_SQL = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({COSINE_SQL.format(a='embedding', b='qv')}, 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 nearest neighbors of vec_id=0 by cosine.
+
+    The baseline ANN oracle: broadcast the query vector, score every
+    row map-side, TakeOrderedAndProject keeps 10 per partition then
+    10 global — no shuffle of the embedding corpus at any scale.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv")))
+    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "embedding_norms_per_label",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(ROUND(
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) * 1000000)
+                AS BIGINT)) AS BIGINT) AS total_norm_micros
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count and exact-summed L2 norms (micro-units so the
+    cross-partition sum is integer-exact). sqrt is IEEE-correctly
+    rounded — bit-identical across engines."""
+    e = Catalog(spark, sf_dir).embeddings
+    v = _as_double(F.col("embedding"))
+    norm_micros = F.round(F.sqrt(dot(v, v)) * 1_000_000).cast("long")
+    return (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum(norm_micros).alias("total_norm_micros"))
+    )
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.25
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a label bucket.
+
+    The equi-join on label keys the shuffle; the quadratic blowup is
+    per-bucket only. (At 100 TB the bucket key would be an LSH code —
+    see ann_lsh_topk — but the pairing skeleton is identical.)
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(F.round(sim, 6) >= 0.25)
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.label").alias("label"),
+                F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+@query("ann_lsh_topk")  # rows-only: LSH candidate recall is probabilistic
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k neighbors via random-hyperplane LSH.
+
+    8 fixed hyperplanes (deterministic seed) → 8 sign bits → 256
+    buckets. Query vectors probe only their own bucket, so candidate
+    scoring touches ~1/256 of the corpus; the bucket join is a plain
+    equi-join on the bucket code. Returns top-3 in-bucket neighbors
+    for each of the first 20 query vectors, exact-cosine-scored.
+
+    This is the scale path for similarity search: candidate
+    generation cost is O(corpus/buckets) per query instead of
+    O(corpus), and multi-probe (flipping low-margin bits) trades
+    recall for cost without changing the plan shape.
+    """
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).embeddings
+    rng = np.random.RandomState(13)
+    planes = rng.randn(8, 64)  # fixed literal hyperplanes
+
+    def bucket_code(vec: Column) -> Column:
+        code = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(vec,
+                           F.array(*[F.lit(float(x)) for x in p]),
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x)
+            code = code.bitwiseOR(
+                F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), i))
+        return code
+
+    coded = e.select("vec_id", "label", "embedding",
+                     bucket_code(F.col("embedding")).alias("bucket"))
+    queries_df = coded.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"))
+    cands = (
+        queries_df.join(coded, F.col("q_bucket") == F.col("bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id",
+                F.round(cosine(_as_double(F.col("q_vec")),
+                               _as_double(F.col("embedding"))), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (cands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("q_id", "vec_id", "cos_sim"))

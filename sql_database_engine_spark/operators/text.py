@@ -1,0 +1,395 @@
+"""Text-analysis and deduplication operators over `documents`.
+
+The LLM-training-data-pipeline surface: exact dedup, fingerprinting,
+token statistics, quality scoring, language-ID heuristics, n-gram
+Jaccard near-dup, MinHash/SimHash near-dup. Everything row-level is
+built-in column expressions (codegen'd, scan-speed at 100 TB); the
+pairwise near-dup operators bucket before they pair so no worker ever
+materializes a cross product of the corpus.
+
+Determinism notes: quality/ratio scores divide exact integer counts
+(bit-reproducible); hashing uses md5/sha2 (identical hex in Spark and
+DuckDB) — never engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+# Whitespace tokenization shared by every operator: documents use
+# single-space separators (verified in FIXTURES probing); a production
+# corpus would normalize whitespace first.
+def _tokens():
+    # built lazily: Column construction needs an active SparkContext
+    return F.split(F.col("text"), " ")
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
+
+
+@query(
+    "text_stats_per_lang",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source) stratum."""
+    d = Catalog(spark, sf_dir).documents
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document (total + distinct) —
+    the `wc` of the pipeline, pure column expressions."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id", "lang",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(F.array_distinct(_tokens())).alias("n_distinct_tokens"),
+        F.col("n_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN {_STOP_SQL})) AS INT)
+               AS n_stopwords,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN {_STOP_SQL})) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal features per document: stopword ratio (fluency
+    proxy), mean token length, distinct-token ratio (repetition
+    proxy). All ratios divide exact integer counts — deterministic.
+    These are the standard cheap filters (C4/Gopher-style) applied
+    before expensive dedup at corpus scale."""
+    d = Catalog(spark, sf_dir).documents
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(_tokens(), lambda t: F.array_contains(stops, t)))
+    n_tok = F.size(_tokens())
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        (F.size(F.array_distinct(_tokens())).cast("double") / n_tok).alias("distinct_ratio"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    SELECT doc_id, lang AS lang_true,
+           CASE
+             WHEN len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('stream', 'batch', 'window'))) >
+                  len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('table', 'row', 'column')))
+             THEN 'streamish' ELSE 'tablish'
+           END AS lang_guess
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-vote language-ID: count marker-word hits per class,
+    argmax wins. (The synthetic corpus shares one vocabulary, so the
+    marker sets are domain words; with real text these are per-language
+    stopword lists — same plan shape, still zero Python.)"""
+    d = Catalog(spark, sf_dir).documents
+    streamish = F.array(F.lit("stream"), F.lit("batch"), F.lit("window"))
+    tablish = F.array(F.lit("table"), F.lit("row"), F.lit("column"))
+    n_s = F.size(F.filter(_tokens(), lambda t: F.array_contains(streamish, t)))
+    n_t = F.size(F.filter(_tokens(), lambda t: F.array_contains(tablish, t)))
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_true"),
+        F.when(n_s > n_t, "streamish").otherwise("tablish").alias("lang_guess"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fingerprint,
+           sha256(text) AS content_hash,
+           substring(md5(lower(trim(text))), 1, 4) AS shard_bucket
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprints (md5 of casefolded text +
+    sha256 of raw bytes) and a 16-bit shard bucket — the primitive
+    under exact dedup and content-addressed storage. Hash functions
+    chosen for cross-engine identical output (never Spark's
+    xxhash/Murmur, which are engine-private)."""
+    d = Catalog(spark, sf_dir).documents
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+        F.substring(fp, 1, 4).alias("shard_bucket"),
+    )
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_dupes
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate census over content hashes. Hash-then-distinct
+    means the shuffle carries 32-byte digests, not document bodies —
+    the difference between feasible and not at 100 TB."""
+    d = Catalog(spark, sf_dir).documents
+    h = F.sha2(F.col("text"), 256)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_dupes"),
+    )
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT content_hash, doc_id AS kept_doc_id,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM (
+        SELECT sha256(text) AS content_hash, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY sha256(text)) AS n_copies
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per content hash,
+    reporting group multiplicity. One shuffle on the digest."""
+    d = Catalog(spark, sf_dir).documents
+    h = F.sha2(F.col("text"), 256)
+    w = W.partitionBy("content_hash")
+    return (
+        d.select("doc_id", h.alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("content_hash", F.col("doc_id").alias("kept_doc_id"),
+                F.col("n_copies").alias("n_copies"))
+    )
+
+
+@query(
+    "ngram_jaccard_neardup",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, source, unnest(list_distinct(g)) AS gram,
+               len(list_distinct(g)) AS n_grams
+        FROM (
+            SELECT doc_id, source,
+                   list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1]) AS g
+            FROM documents
+        )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(COUNT(*) AS DOUBLE)
+               / (any_value(a.n_grams) + any_value(b.n_grams) - COUNT(*)) AS jaccard
+    FROM grams a JOIN grams b
+      ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING CAST(COUNT(*) AS DOUBLE)
+               / (any_value(a.n_grams) + any_value(b.n_grams) - COUNT(*)) >= 0.5
+    """,
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-bigram Jaccard >= 0.5, candidates
+    restricted to the same source.
+
+    Scale shape: explode distinct bigrams → self-join on
+    (source, gram) → count common grams per pair → Jaccard from
+    inclusion-exclusion. The (source, gram) key bounds bucket size, so
+    the join never goes quadratic in the corpus — the same skeleton
+    MinHash-LSH uses, with exact grams instead of hashed bands.
+    Jaccard divides exact integers → deterministic vs the oracle.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = _tokens()
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    g = (d.select("doc_id", "source", grams.alias("grams"))
+         .withColumn("n_grams", F.size("grams"))
+         .select("doc_id", "source", "n_grams", F.explode("grams").alias("gram")))
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"),
+             F.first(F.col("a.n_grams")).alias("na"),
+             F.first(F.col("b.n_grams")).alias("nb"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+@query("minhash_lsh_neardup")  # rows-only: banding is probabilistic by design
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: 32 permutations, 8 bands × 4
+    rows. Pipeline: word-bigram shingles → per-permutation min of
+    (a_i * crc32(gram) + b_i mod p) → band signatures → exact-match
+    join on (band_id, band_signature) → candidate pairs verified by
+    signature agreement >= 0.5.
+
+    The band join is an equi-join on a short hash — at 100 TB the
+    shuffle carries (band_key, doc_id) pairs only, and bucket sizes
+    are capped by banding probability, not corpus size. No oracle:
+    candidate sets depend on the permutation family (still
+    deterministic across runs — the seeds are fixed literals).
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = _tokens()
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    # Permutation arithmetic stays within int64 under ANSI mode:
+    # crc32 < 2^32 and a,b < 2^30 keep h*a+b < 2^63 (no overflow).
+    P = 2_147_483_647  # Mersenne prime 2^31 - 1
+    N_PERM, BANDS = 32, 8
+    ROWS_PER_BAND = N_PERM // BANDS
+    # Fixed affine permutation family (deterministic literals, seed=7).
+    import random
+    rng = random.Random(7)
+    coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+              for _ in range(N_PERM)]
+
+    base = d.select("doc_id", grams.alias("grams")).filter(F.size("grams") > 0)
+    gh = F.transform(F.col("grams"), lambda t: F.crc32(t))
+    sig = F.array(*[
+        F.array_min(F.transform(gh, lambda h: (h * a + b) % P))
+        for a, b in coeffs
+    ])
+    signed = base.select("doc_id", sig.alias("sig"))
+
+    bands = signed.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.concat_ws("-", *[
+                    F.element_at(F.col("sig"), i * ROWS_PER_BAND + r + 1).cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ]).alias("band_key"),
+            )
+            for i in range(BANDS)
+        ])).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .distinct()
+    )
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1))
+    return (
+        cand.withColumn("est_jaccard", agree.cast("double") / N_PERM)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+@query("simhash_fingerprint")  # rows-only: bit-mixing constants are engine-private
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: each token votes its crc32-derived
+    bit pattern weighted ±1; the sign vector packs into a fingerprint.
+    Near-dup = small Hamming distance; here we emit the fingerprint
+    plus a 16-bit prefix block useful for banded Hamming search
+    (Manku et al., WWW'07). Pure column expressions — the 64 bit
+    positions unroll into an array comprehension, no UDF."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.array_distinct(_tokens())
+    # Two 32-bit CRCs with salts give 64 stable bits per token.
+    h1 = lambda t: F.crc32(t)                      # noqa: E731
+    h2 = lambda t: F.crc32(F.concat(t, F.lit("#"))) # noqa: E731
+    votes = [
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            (lambda bit, hf: lambda acc, t: acc + F.when(
+                hf(t).bitwiseAND(F.lit(1 << (bit % 32))) != 0, 1).otherwise(-1))(
+                    i, h1 if i < 32 else h2),
+        )
+        for i in range(64)
+    ]
+    fp = None
+    for i, v in enumerate(votes):
+        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return d.select(
+        "doc_id",
+        fp.alias("simhash64"),
+        F.shiftrightunsigned(fp, 48).alias("band_prefix16"),
+    )

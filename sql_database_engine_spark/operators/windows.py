@@ -1,0 +1,147 @@
+"""Window-function operators.
+
+Windows shuffle once on their partition key, then sort within
+partitions; every window here partitions on a real entity key
+(customer, supplier, brand) so state per partition stays bounded at
+100 TB. All ORDER BYs include a unique tiebreaker column — without a
+total order, distributed window results are nondeterministic.
+
+Running sums over double measures use integer-cents accumulation
+(exact, order-independent within the frame) — see ``functions.exact``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_idx,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+               AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend over order history."""
+    o = Catalog(spark, sf_dir).orders
+    w = (W.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.row_number().over(
+            W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).cast("long").alias("order_idx"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
+         .cast("double") / 100.0).alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_orderdate)  OVER w AS prev_orderdate,
+           LEAD(o_orderdate) OVER w AS next_orderdate,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gaps per customer via lag/lead."""
+    o = Catalog(spark, sf_dir).orders
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        prev.alias("prev_orderdate"),
+        F.lead("o_orderdate").over(w).alias("next_orderdate"),
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+    )
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(RANK()       OVER w AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+           CAST(NTILE(4) OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice, p_partkey) AS BIGINT)
+               AS price_quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile within brand by price."""
+    p = Catalog(spark, sf_dir).part
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    wq = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand", "p_partkey", "p_retailprice",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(wq).cast("long").alias("price_quartile"),
+    )
+
+
+@query(
+    "window_first_last_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+           FIRST_VALUE(l_shipdate) OVER w AS first_ship,
+           LAST_VALUE(l_shipdate)  OVER w AS latest_ship_so_far,
+           CAST(COUNT(*) OVER (PARTITION BY l_suppkey) AS BIGINT) AS supp_items
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_first_last_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame with first/last over a supplier's ship
+    history, plus an unbounded partition count."""
+    li = Catalog(spark, sf_dir).lineitem
+    w = (W.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
+        F.first("l_shipdate").over(w).alias("first_ship"),
+        F.last("l_shipdate").over(w).alias("latest_ship_so_far"),
+        F.count(F.lit(1)).over(W.partitionBy("l_suppkey")).alias("supp_items"),
+    )
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark runs ORDER BY + LIMIT as TakeOrderedAndProject
+    — per-partition heaps of k rows, no full sort, no full shuffle.
+    Deterministic via the unique (orderkey, linenumber) tiebreak."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
