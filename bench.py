@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced to full materialization with the `noop` sink
+(executes the complete plan on the executors, no driver collect — the
+fair way to time a distributed plan). One warm-up run of a tiny query
+first so JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    # one per operator family — the queries whose plans matter at scale
+    "flagship_revenue_by_region",   # multi-join + agg
+    "pricing_summary",              # wide aggregation
+    "revenue_forecast",             # scan-filter-agg (pushdown)
+    "agg_count_distinct",           # distinct aggregation
+    "top_spenders_per_nation",      # join + agg + window top-k
+    "window_running_total",         # window frames
+    "sort_limit_topk",              # global top-k
+    "events_sessionize",            # event-time sessionization
+    "events_asof_join",             # as-of join composition
+    "json_parse_struct",            # JSON parse + agg
+    "dedup_exact_keep_first",       # content-hash dedup
+    "ngram_jaccard_neardup",        # pairwise near-dup (bucketed)
+    "minhash_lsh_neardup",          # MinHash LSH banding
+    "cosine_topk_bruteforce",       # vector top-k
+    "embedding_neardup_pairs",      # bucketed all-pairs cosine
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from sql_database_engine_spark.session import get_spark
+    import __spark_entry__ as contract
+
+    spark = get_spark("bench", cpus=int(cpus))
+    qs = contract.queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # Warm-up: JVM + codegen + parquet footer caches.
+    qs["full_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        timings[name] = run(name)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
