@@ -129,17 +129,23 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     see ann_lsh_topk — but the pairing skeleton is identical.)
     """
     e = Catalog(spark, sf_dir).embeddings
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = cosine(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+    # Per-row norms precomputed BEFORE the self-join: the pair stage
+    # then folds one dot product instead of three — same arithmetic
+    # (hence still bit-identical to the oracle's cosine), 3× cheaper.
+    base = (e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+            .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))))
+    a = base.alias("a")
+    b = base.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(F.round(sim, 6) >= 0.25)
+        .withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim") >= 0.25)
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
                 F.col("a.label").alias("label"),
-                F.round(sim, 6).alias("cos_sim"))
+                "cos_sim")
     )
 
 
