@@ -79,6 +79,7 @@ def get_spark(app_name: str = "sql-database-engine-spark",
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
