@@ -1,0 +1,118 @@
+"""Structured Streaming over the `events` table.
+
+The batch operators in ``operators/events.py`` have streaming twins
+here: same logical aggregation, incremental execution with watermarks
+bounding state. Tests (tests/test_streaming.py) prove *batch
+equivalence*: the streaming query drained with
+``trigger(availableNow=True)`` over the static parquet produces
+exactly the batch result — the Dataflow-model property that makes a
+backfill and a live pipeline interchangeable.
+
+State-at-scale notes:
+- every stateful op (window agg, session window, dedup) carries a
+  watermark so state is evicted; an unbounded-state streaming query
+  is a memory leak with a schedule.
+- keys are user_id/event_type — real entity keys, so state shards
+  across executors with the shuffle; nothing accumulates per-driver.
+- the parquet file source is the test stand-in; a production deploy
+  swaps in Kafka by changing only ``events_stream``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..session import tune
+
+#: Physical schema of events.parquet — ts is an INT64 ns epoch (the
+#: file's TIMESTAMP(NANOS) needs nanosAsLong, exactly like the batch
+#: catalog path).
+_RAW = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory* to monitor; the
+    testdata ships single files. Stage a symlink dir under /tmp
+    (read-only testdata must not be touched)."""
+    import hashlib
+    import os
+    d = os.path.join("/tmp", "spark_graft_stream",
+                     hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as an unbounded stream (file source)."""
+    tune(spark)
+    raw = spark.readStream.schema(_RAW).parquet(_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event type; 2-hour watermark admits
+    late data up to 2h behind the max seen event time, then the
+    window's state is dropped. Streaming twin of
+    ``events_tumbling_window``."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("value") * 100).cast("long"))
+              .cast("double") / 100.0).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "total_value")
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Native session windows (30-minute gap) per user — the streaming
+    engine merges/extends sessions as events arrive; state closes once
+    the watermark passes a session's end."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events")
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Stateful exactly-once-per-key dedup on event_id within the
+    watermark horizon (dropDuplicatesWithinWatermark keeps state only
+    for the 2-hour window instead of forever)."""
+    return (events.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      output_mode: str = "append") -> DataFrame:
+    """Drain everything currently available through the streaming
+    engine into an in-memory table; return it as a DataFrame.
+
+    availableNow processes the full backlog with real incremental
+    state machinery then stops — the batch-equivalence test harness
+    and also the production backfill pattern.
+    """
+    spark = stream_df.sparkSession
+    q = (stream_df.writeStream
+         .outputMode(output_mode)
+         .format("memory")
+         .queryName(query_name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,74 @@
+"""Batch-equivalence tests for the Structured Streaming twins
+(SURVEY.md §5.2: streaming has no DuckDB oracle, so the oracle is the
+engine's own batch plan over the same data).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sql_database_engine_spark.streaming import events_stream as es
+from .conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return es.events_stream(spark, SF_SMOKE)
+
+
+def test_tumbling_counts_matches_batch(spark, stream):
+    from sql_database_engine_spark import operators
+    operators.load_all()
+    QUERIES = operators.QUERIES
+    got = es.run_available_now(es.tumbling_counts(stream),
+                               "t_tumbling", output_mode="complete")
+    want = QUERIES["events_tumbling_window"](spark, SF_SMOKE)
+    cols = ["window_start", "event_type", "n", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_windows_match_batch(spark, stream):
+    from sql_database_engine_spark import operators
+    operators.load_all()
+    QUERIES = operators.QUERIES
+    got = es.run_available_now(es.session_windows(stream),
+                               "t_sessions", output_mode="complete")
+    # Batch twin: compare (user_id, session_start, n_events); the
+    # native session_window's end = last_ts + gap, the batch plan's
+    # end = last_ts, so end is definitionally different.
+    want = (QUERIES["events_sessionize"](spark, SF_SMOKE)
+            .select("user_id", F.col("session_start"), "n_events"))
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dedup_stream_removes_duplicates(spark, stream):
+    # Duplicate the stream by unioning it with itself: every event_id
+    # arrives twice; watermark-scoped dedup must keep exactly one.
+    doubled = stream.union(es.events_stream(spark, SF_SMOKE))
+    got = es.run_available_now(es.dedup_stream(doubled), "t_dedup")
+    n_unique = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+                .select("event_id").distinct().count())
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stateful_user_profiles_match_batch(spark, stream):
+    from sql_database_engine_spark.streaming.stateful import user_profiles
+    got = es.run_available_now(user_profiles(stream), "t_profiles",
+                               output_mode="update")
+    # Last update per user is the complete profile (single availableNow
+    # batch over static data → exactly one emission per user).
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    want = (ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .cast("double") / 100.0).alias("total_value")))
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
