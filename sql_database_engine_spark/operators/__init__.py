@@ -33,4 +33,5 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every operator module (side effect: registry fills)."""
-    from . import relational, windows, setops, scalar, events, text, similarity, multimodal  # noqa: F401
+    from . import (relational, analytics, windows, setops, scalar, events,  # noqa: F401
+                   text, similarity, multimodal)

@@ -1,0 +1,443 @@
+"""Second-wave analytics operators: pivot/unpivot, correlated
+aggregates, argmax, ordered string aggregation, exact percentiles,
+RANGE window frames, FILTER-ed aggregates, lateral explode, and the
+TPC-H classic query shapes (Q3/Q4/Q10/Q15 adapted to the testdata
+columns).
+
+Also exercises the SQL front door: one query is authored as
+``spark.sql`` over the registered catalog views — Catalyst produces
+the same plan either way, and the engine supports both entry points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import Catalog, register_views
+from ..functions.exact import money_sum, MONEY_SUM_SQL
+from . import query
+
+REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, {MONEY_SUM_SQL(REV_SQL)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-way join → grouped revenue →
+    global top-10. Both fact joins shuffle on their keys; the top-10
+    is a TakeOrdered, not a full sort."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(_rev()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q4_late_shipment_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated date predicate →
+    left-semi join, then priority counts. (The testdata lineitem has
+    no commitdate; 'late' is ship > order + 60 days.)"""
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = cat.lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >
+           F.date_add(F.col("o_orderdate").cast("date"), 60).cast("timestamp")),
+        "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name, {MONEY_SUM_SQL(REV_SQL)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items, top-20
+    customers. Nation broadcast; fact joins shuffle."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.broadcast("nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(_rev()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q15_top_suppliers",
+    oracle=f"""
+    WITH srev AS (
+        SELECT l_suppkey, {MONEY_SUM_SQL(REV_SQL)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM srev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM srev)
+    """,
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, return the
+    max (all of them on ties — the scalar-subquery formulation, not
+    LIMIT 1). The one-row max aggregate broadcasts."""
+    cat = Catalog(spark, sf_dir)
+    srev = (
+        cat.lineitem
+        .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(money_sum(_rev()).alias("total_revenue"))
+    )
+    mx = srev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(cat.broadcast("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "correlated_above_brand_avg",
+    oracle="""
+    WITH b AS (
+        SELECT *, CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                       OVER (PARTITION BY p_brand) AS DOUBLE) / 100.0
+                  / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+        FROM part
+    )
+    SELECT p_partkey, p_brand, p_retailprice, brand_avg
+    FROM b WHERE p_retailprice > brand_avg
+    """,
+)
+def correlated_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate predicate (parts above their brand's mean
+    price), decorrelated into a window — one shuffle on brand instead
+    of a per-row subquery. Mean uses the exact-cents path so the
+    comparison threshold is engine-reproducible."""
+    p = Catalog(spark, sf_dir).part
+    w = W.partitionBy("p_brand")
+    brand_avg = (F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).over(w)
+                 .cast("double") / 100.0 / F.count(F.lit(1)).over(w))
+    return (
+        p.withColumn("brand_avg", brand_avg)
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+    )
+
+
+@query(
+    "argmax_customer_per_nation",
+    oracle="""
+    SELECT n_name, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+    FROM (
+        SELECT n_name, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rn = 1
+    """,
+)
+def argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax via lexicographic struct-max: one aggregate, no window,
+    no second pass — max(struct(bal, key)) picks the row with the
+    highest balance (key as deterministic tiebreak). At scale this
+    beats the row_number window: partial maxes combine map-side."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.join(cat.broadcast("nation"),
+                          F.col("c_nationkey") == F.col("n_nationkey"))
+    top = (c.groupBy("n_name")
+           .agg(F.max(F.struct("c_acctbal", "c_custkey")).alias("top")))
+    return top.select(
+        "n_name",
+        F.col("top.c_custkey").alias("top_custkey"),
+        F.col("top.c_acctbal").alias("top_acctbal"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by status across priority rows. Explicit
+    pivot values — at scale never let pivot() run its distinct-scan
+    to discover columns."""
+    o = Catalog(spark, sf_dir).orders
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, ["O", "F", "P"]))
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+    FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) via the native unpivot operator — wide measures
+    to long (metric, value) rows, a map-side-only transform."""
+    p = Catalog(spark, sf_dir).part
+    return (
+        p.select("p_partkey",
+                 F.col("p_size").cast("double").alias("size"),
+                 F.col("p_retailprice").alias("retailprice"))
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+    )
+
+
+@query(
+    "listagg_nations_per_region",
+    oracle="""
+    SELECT r_name,
+           list_aggregate(list_sort(list(n_name)), 'string_agg', ',')
+               AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+)
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect → sort → join ensures a
+    deterministic result (collect_list order is partition-dependent;
+    never emit it unsorted)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.region.join(cat.nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "percentile_exact_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_exact_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (same linear interpolation in both
+    engines; quantities are integral so interpolated values are exact
+    halves — no float drift). At 100 TB swap to approx_percentile and
+    accept sketch error; the exact form sorts per group."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, day_no,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY day_no
+               RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS orders_last_90d
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) AS day_no
+        FROM orders
+    )
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over a numeric day index: orders in the
+    trailing 90 days per customer — value-based frames (vs ROWS)
+    handle gaps and duplicate days correctly."""
+    o = Catalog(spark, sf_dir).orders
+    day_no = F.datediff(F.col("o_orderdate").cast("date"),
+                        F.lit("1992-01-01").cast("date"))
+    w = (W.partitionBy("o_custkey").orderBy("day_no")
+         .rangeBetween(-90, W.currentRow))
+    return (
+        o.select("o_custkey", "o_orderkey", day_no.alias("day_no"))
+        .withColumn("orders_last_90d", F.count(F.lit(1)).over(w))
+    )
+
+
+@query(
+    "filtered_aggregates",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+           {MONEY_SUM_SQL(REV_SQL)} AS revenue_all,
+           CAST(CAST(SUM(CAST(ROUND(({REV_SQL}) * 100) AS BIGINT))
+                FILTER (WHERE l_quantity >= 25) AS BIGINT) AS DOUBLE) / 100.0
+               AS revenue_bulk
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-ed aggregates (conditional aggregation in one pass —
+    the alternative to N self-joins)."""
+    li = Catalog(spark, sf_dir).lineitem
+    rev_cents = F.round(_rev() * 100).cast("long")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        (F.sum(rev_cents).cast("double") / 100.0).alias("revenue_all"),
+        (F.sum(F.when(F.col("l_quantity") >= 25, rev_cents)).cast("double") / 100.0)
+        .alias("revenue_bulk"),
+    )
+
+
+@query(
+    "explode_tokens_lateral",
+    oracle="""
+    SELECT doc_id, u.pos - 1 AS pos, u.tok
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents WHERE doc_id < 10
+    ) u(doc_id, tok, pos)
+    """,
+)
+def explode_tokens_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with ordinality (posexplode ↔ unnest WITH
+    ORDINALITY): the row-generating side of the engine."""
+    d = Catalog(spark, sf_dir).documents
+    return (d.filter(F.col("doc_id") < 10)
+            .select("doc_id",
+                    F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"))
+            .select("doc_id", "pos", "tok"))
+
+
+@query(
+    "sql_api_revenue_by_year",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           {MONEY_SUM_SQL(REV_SQL)} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def sql_api_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: authored as spark.sql over the registered
+    catalog views — same Catalyst plan as the DataFrame API."""
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               COUNT(DISTINCT o_orderkey) AS n_orders,
+               CAST(SUM(CAST(ROUND(({REV_SQL}) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1
+    """)
+
+
+@query("map_column_ops")  # rows-only: Spark MapType has no DuckDB hash twin
+def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a per-user map of event_type → exact
+    value cents, then map_keys / map_filter / transform_values —
+    all JVM-side map expressions."""
+    ev = Catalog(spark, sf_dir).events
+    per_type = (ev.groupBy("user_id", "event_type")
+                .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")))
+    mapped = (per_type.groupBy("user_id")
+              .agg(F.map_from_entries(
+                  F.sort_array(F.collect_list(F.struct("event_type", "cents"))))
+                  .alias("by_type")))
+    return mapped.select(
+        "user_id",
+        F.map_keys("by_type").alias("types"),
+        F.size(F.map_filter("by_type", lambda k, v: v > 100000)).alias("n_big_types"),
+        F.transform_values("by_type", lambda k, v: v.cast("double") / 100.0)
+        .alias("by_type_dollars"),
+    )
+
+
+@query("table_sample")  # rows-only: sampling RNG is engine-private
+def table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli TABLESAMPLE with a fixed seed — deterministic within
+    Spark (same seed → same rows) but not across engines."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (li.sample(fraction=0.01, seed=42)
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
