@@ -200,3 +200,72 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cands.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("q_id", "vec_id", "cos_sim"))
+
+
+@query("ann_ivf_topk")  # rows-only: IVF recall is probe-width-dependent
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index built with
+    one Lloyd iteration of k-means, entirely as DataFrame plans:
+
+    1. seed 16 centroids deterministically (vec_id < 16),
+    2. assign every vector to its nearest centroid (broadcast the
+       centroid table, argmin via lexicographic struct-min),
+    3. refine centroids: per-(centroid, dimension) mean via posexplode
+       + hash aggregate — the distributed element-wise average,
+    4. re-assign to refined centroids → inverted lists,
+    5. each query probes ONLY its own list: candidate scoring touches
+       corpus/k vectors per query.
+
+    The index build is two scans + one shuffle on (centroid, dim);
+    at 100 TB the inverted lists would persist partitioned by
+    centroid so probes prune to one partition — the plan shape is
+    identical.
+    """
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).embeddings
+    base = (e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+            .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))))
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        """Nearest centroid per vector (cosine; argmin via struct-min)."""
+        scored = (vecs.crossJoin(F.broadcast(cents))
+                  .withColumn("sim", dot(F.col("v"), F.col("cv"))
+                              / (F.col("norm") * F.col("cnorm"))))
+        best = (scored.groupBy("vec_id")
+                .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("negcid")))
+                     .alias("top")))
+        return (vecs.join(best, "vec_id")
+                .withColumn("centroid", (-F.col("top.negcid")).cast("int"))
+                .drop("top"))
+
+    cents0 = (base.filter(F.col("vec_id") < 16)
+              .select(F.col("vec_id").cast("int").alias("cid"),
+                      F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+    assigned0 = assign(base, cents0)
+
+    # Lloyd refinement: element-wise mean per centroid.
+    dims = assigned0.select(
+        "centroid", F.posexplode("v").alias("dim", "x"))
+    means = (dims.groupBy("centroid", "dim").agg(F.avg("x").alias("mx")))
+    cents1 = (means.groupBy("centroid")
+              .agg(F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias("es"))
+              .select(F.col("centroid").alias("cid"),
+                      F.transform("es", lambda s: s["mx"]).alias("cv"))
+              .withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv")))))
+    inverted = assign(base, cents1)
+
+    queries_df = (inverted.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                          F.col("norm").alias("qnorm"),
+                          F.col("centroid").alias("q_centroid")))
+    cands = (
+        queries_df.join(inverted, F.col("q_centroid") == F.col("centroid"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos_sim", F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (cands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("q_id", "vec_id", "cos_sim"))

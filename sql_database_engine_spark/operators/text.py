@@ -414,3 +414,68 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("simhash64"),
         F.shiftrightunsigned(fp, 48).alias("band_prefix16"),
     )
+
+
+@query(
+    "token_count_bpe_regex",
+    oracle=r"""
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT)
+               AS n_bpe_tokens,
+           CAST(CAST(ceil(n_chars / 4.0) AS BIGINT) AS BIGINT) AS n_tokens_est
+    FROM documents
+    """,
+)
+def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (letter runs | digit runs | single punctuation) counts the units a
+    byte-pair encoder would start from, plus the chars/4 rule-of-thumb
+    estimate. The regex stays in RE2-compatible syntax so Spark (Java
+    regex) and DuckDB (RE2) agree."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id", "lang",
+        F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+        .alias("n_bpe_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("n_tokens_est"),
+    )
+
+
+@query("simhash_neardup_pairs")  # rows-only: crc32 bit-mixing is engine-private
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via banded Hamming search
+    (Manku et al., WWW'07): split each 64-bit fingerprint into 4
+    16-bit blocks; any pair within Hamming distance 3 agrees exactly
+    on at least one block (pigeonhole), so an equi-join per block
+    finds ALL such pairs without a quadratic scan. Candidates are then
+    verified with bit_count(xor) <= HAMMING_MAX.
+
+    At 100 TB: 4 equi-joins on 16-bit keys + dedup — bucket sizes are
+    bounded by fingerprint entropy, never corpus size."""
+    HAMMING_MAX = 3
+    fps = simhash_fingerprint(spark, sf_dir).select("doc_id", "simhash64")
+    blocks = fps.select(
+        "doc_id", "simhash64",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftrightunsigned(F.col("simhash64"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF)).alias("block_key"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "simhash64", "b.block_id", "b.block_key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.block_id") == F.col("b.block_id"))
+               & (F.col("a.block_key") == F.col("b.block_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash64").alias("fp_a"),
+                F.col("b.simhash64").alias("fp_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .select("doc_a", "doc_b", "hamming"))
