@@ -441,3 +441,98 @@ def table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
     return (li.sample(fraction=0.01, seed=42)
             .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+@query(
+    "q7_nation_trade_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           {MONEY_SUM_SQL(REV_SQL)} AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name < sn.n_name
+    GROUP BY cn.n_name, sn.n_name, 3
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between distinct nation pairs by
+    ship year — six joins, two of them the same broadcast dim under
+    different roles."""
+    cat = Catalog(spark, sf_dir)
+    cn = cat.broadcast("nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = cat.broadcast("nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        cat.lineitem
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat.broadcast("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(money_sum(_rev()).alias("volume"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           {MONEY_SUM_SQL('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 200 * 100
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (per-order quantity sum
+    over a HAVING threshold), top-100. The having predicate compares
+    exact integer cents so threshold membership is reproducible."""
+    cat = Catalog(spark, sf_dir)
+    qty_cents = F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+    return (
+        cat.customer
+        .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg((qty_cents.cast("double") / 100.0).alias("total_qty"),
+             qty_cents.alias("__cents"))
+        .filter(F.col("__cents") > 200 * 100)
+        .drop("__cents")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist: distribution position within brand.
+    Both are exact rational divisions of ranks — deterministic."""
+    p = Catalog(spark, sf_dir).part
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand", "p_partkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
