@@ -35,8 +35,14 @@ HEADLINE = [
     "dedup_exact_keep_first",       # content-hash dedup
     "ngram_jaccard_neardup",        # pairwise near-dup (bucketed)
     "minhash_lsh_neardup",          # MinHash LSH banding
+    "simhash_neardup_pairs",        # banded Hamming near-dup
     "cosine_topk_bruteforce",       # vector top-k
     "embedding_neardup_pairs",      # bucketed all-pairs cosine
+    "ann_ivf_topk",                 # IVF index build + probe
+    "q3_shipping_priority",         # filter-join-agg-topk
+    "q7_nation_trade_volume",       # 6-way join
+    "q18_large_orders",             # group-having-topk
+    "stream_tumbling_counts",       # incremental windowed agg
 ]
 
 

@@ -1,0 +1,68 @@
+"""Engine facade: the one object a user needs.
+
+A user of the reference interacts through its REPL; a user of this
+engine gets the same surface plus the full analytical API:
+
+    from sql_database_engine_spark.engine import Engine
+
+    eng = Engine.open(sf_dir="/root/testdata/sf0.1")
+    eng.table("lineitem")                    # catalog DataFrame
+    eng.sql("SELECT count(*) FROM orders")   # SQL front door
+    eng.query("pricing_summary")             # named operator inventory
+    eng.users("/tmp/my.db")                  # reference-parity table
+    eng.stream_events()                      # unbounded events stream
+
+Everything delegates to the focused modules; this class only wires a
+session + catalog together and keeps the import surface to one name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import operators
+from .catalog import DEFAULT_SF_DIR, Catalog, register_views
+from .session import get_spark, tune
+from .storage import UsersTable
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = tune(spark)
+        self.sf_dir = sf_dir
+        self.catalog = Catalog(self.spark, sf_dir)
+        operators.load_all()
+
+    @classmethod
+    def open(cls, sf_dir: str = DEFAULT_SF_DIR,
+             spark: SparkSession | None = None) -> "Engine":
+        return cls(spark or get_spark("sql-database-engine"), sf_dir)
+
+    # --- tables & SQL ---
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)
+
+    def sql(self, statement: str) -> DataFrame:
+        """SQL over the registered catalog views."""
+        register_views(self.spark, self.sf_dir)
+        return self.spark.sql(statement)
+
+    # --- named operator inventory ---
+
+    def queries(self) -> tuple[str, ...]:
+        return tuple(sorted(operators.QUERIES))
+
+    def query(self, name: str) -> DataFrame:
+        return operators.QUERIES[name](self.spark, self.sf_dir)
+
+    # --- reference-parity users table ---
+
+    def users(self, path: str) -> UsersTable:
+        return UsersTable(self.spark, path)
+
+    # --- streaming ---
+
+    def stream_events(self) -> DataFrame:
+        from .streaming.events_stream import events_stream
+        return events_stream(self.spark, self.sf_dir)

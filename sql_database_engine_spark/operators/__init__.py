@@ -35,3 +35,72 @@ def load_all() -> None:
     """Import every operator module (side effect: registry fills)."""
     from . import (relational, analytics, windows, setops, scalar, events,  # noqa: F401
                    text, similarity, multimodal)
+    _register_streaming()
+
+
+def _register_streaming() -> None:
+    """Streaming twins surfaced as rows-only driver queries: each
+    drains the full backlog through the real incremental engine
+    (availableNow) and returns the materialized result."""
+    from ..streaming import events_stream as es
+
+    def stream_tumbling_counts(spark, sf_dir):
+        s = es.events_stream(spark, sf_dir)
+        return es.run_available_now(es.tumbling_counts(s),
+                                    "q_stream_tumbling", output_mode="complete")
+
+    def stream_session_windows(spark, sf_dir):
+        s = es.events_stream(spark, sf_dir)
+        return es.run_available_now(es.session_windows(s),
+                                    "q_stream_sessions", output_mode="complete")
+
+    def stream_user_profiles(spark, sf_dir):
+        from ..streaming.stateful import user_profiles
+        s = es.events_stream(spark, sf_dir)
+        return es.run_available_now(user_profiles(s),
+                                    "q_stream_profiles", output_mode="update")
+
+    QUERIES.setdefault("stream_tumbling_counts", stream_tumbling_counts)
+    QUERIES.setdefault("stream_session_windows", stream_session_windows)
+    QUERIES.setdefault("stream_user_profiles", stream_user_profiles)
+
+    # The drained streaming results are deterministic aggregates, so
+    # they get full oracles — the driver verifies the incremental
+    # engine's output, not just that it ran.
+    ORACLES.setdefault("stream_tumbling_counts", """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """)
+    ORACLES.setdefault("stream_session_windows", """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM ordered
+    )
+    SELECT user_id,
+           min(CAST(ts AS TIMESTAMP)) AS session_start,
+           max(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """)
+    ORACLES.setdefault("stream_user_profiles", """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100.0 AS total_value,
+           CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_ts_micros
+    FROM events GROUP BY user_id
+    """)

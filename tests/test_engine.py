@@ -1,0 +1,18 @@
+"""Engine facade smoke tests."""
+
+from __future__ import annotations
+
+from sql_database_engine_spark.engine import Engine
+from .conftest import SF_SMOKE
+
+
+def test_engine_facade(spark, tmp_path):
+    eng = Engine(spark, SF_SMOKE)
+    assert eng.table("region").count() == 5
+    assert eng.sql("SELECT count(*) AS n FROM region").first().n == 5
+    assert len(eng.queries()) >= 80
+    assert eng.query("full_scan").count() == 5
+    users = eng.users(str(tmp_path / "u.db"))
+    users.insert(1, "u", "e@x")
+    assert users.select_rows() == [(1, "u", "e@x")]
+    assert eng.stream_events().isStreaming
