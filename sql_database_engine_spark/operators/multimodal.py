@@ -115,3 +115,63 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     b = binary_table(spark, sf_dir).select("doc_id", "payload", "media_type")
     return b.mapInPandas(featurize_batches, schema=FEATURE_SCHEMA)
+
+
+def typed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A mixed-modality table: documents' bytes re-labeled round-robin
+    as image/audio/video/text with per-type metadata, standing in for
+    a real multimodal corpus (no codecs ship in this container). The
+    schema — binary payload + discriminator + typed meta struct — is
+    the real contract a production pipeline would use."""
+    d = Catalog(spark, sf_dir).documents
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("text")),
+        (F.col("doc_id") % 4 + 1).cast("int"))
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        mt.alias("media_type"),
+        F.struct(
+            F.col("n_chars").alias("declared_size"),
+            (F.col("doc_id") % 30 + 1).cast("int").alias("duration_s"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def sample_frames(batches):
+    """mapInPandas kernel: video frame sampling STUB.
+
+    Real implementation would pyav-decode and keep 1 frame/sec; the
+    stub slices the payload into `duration_s` pseudo-frames and keeps
+    every 5th — the batch shapes, explode-like fan-out, and schema are
+    exactly what the real kernel produces.
+    """
+    import hashlib
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+        for doc_id, payload, duration in zip(
+                pdf["doc_id"], pdf["payload"], pdf["duration_s"]):
+            n_frames = max(int(duration), 1)
+            step = max(len(payload) // n_frames, 1)
+            for idx in range(0, n_frames, 5):  # sample every 5th frame
+                chunk = payload[idx * step:(idx + 1) * step]
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["frame_hash"].append(
+                    hashlib.sha256(bytes(chunk)).hexdigest()[:16])
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_frame_sample")  # rows-only: decode stub is engine-private
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline: filter to video rows (pushed-down discriminator
+    predicate), repartition by doc_id so one worker owns one asset's
+    frames, then Arrow-batched frame sampling. Output is one row per
+    kept frame — the fan-out shape that feeds frame-level dedup or
+    embedding stages downstream."""
+    media = typed_media_table(spark, sf_dir)
+    videos = (media.filter(F.col("media_type") == "video")
+              .select("doc_id", "payload", F.col("meta.duration_s").alias("duration_s")))
+    return videos.repartition("doc_id").mapInPandas(
+        sample_frames, schema="doc_id bigint, frame_idx int, frame_hash string")

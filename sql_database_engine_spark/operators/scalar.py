@@ -218,3 +218,37 @@ def array_fns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("head_sum_micros"),
     )
+
+
+@query(
+    "scalar_null_comparison_fns",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_other,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 1000.0) AS bal_cap1000,
+           CASE WHEN c_acctbal BETWEEN 0 AND 5000 THEN 1 ELSE 0 END AS bal_mid,
+           CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY') THEN 1 ELSE 0 END
+               AS seg_flag,
+           CASE WHEN c_name LIKE '%0' THEN 1 ELSE 0 END AS name_ends_0,
+           CAST(c_nationkey IS NOT NULL AS INT) AS nation_known
+    FROM customer
+    """,
+)
+def scalar_null_comparison_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling and comparison battery: coalesce/nullif/greatest/
+    least/between/in/like/is-not-null — all codegen'd predicates."""
+    c = Catalog(spark, sf_dir).customer
+    b = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                   F.lit("OTHER")).alias("segment_other"),
+        F.greatest(b, F.lit(0.0)).alias("bal_floor0"),
+        F.least(b, F.lit(1000.0)).alias("bal_cap1000"),
+        F.when(b.between(0, 5000), 1).otherwise(0).alias("bal_mid"),
+        F.when(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"), 1)
+        .otherwise(0).alias("seg_flag"),
+        F.when(F.col("c_name").like("%0"), 1).otherwise(0).alias("name_ends_0"),
+        F.col("c_nationkey").isNotNull().cast("int").alias("nation_known"),
+    )

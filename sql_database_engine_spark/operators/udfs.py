@@ -1,0 +1,74 @@
+"""The Python-UDF surface, used the way the engine prescribes:
+Arrow-vectorized pandas UDFs only, never row-at-a-time, and only where
+demonstrating the escape hatch — each query here has a pure-JVM twin
+elsewhere in the inventory that is the production path.
+
+Both queries are deterministic (integer outputs / exact string ops),
+so even the UDF path is DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+
+@query(
+    "pandas_udf_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_udf,
+           md5(lower(trim(text))) AS fp_udf
+    FROM documents
+    """,
+)
+def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-batched): tokenize + fingerprint in
+    vectorized pandas. Exists to pin the UDF contract — the same
+    results as the codegen twin (`token_counts`/`doc_fingerprint`),
+    ~batch-speed Python instead of per-row serde."""
+    import hashlib
+
+    @F.pandas_udf("int")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int32")
+
+    @F.pandas_udf("string")
+    def fingerprint(texts: pd.Series) -> pd.Series:
+        return texts.str.strip().str.lower().map(
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        n_tokens(F.col("text")).alias("n_tokens_udf"),
+        fingerprint(F.col("text")).alias("fp_udf"),
+    )
+
+
+@query(
+    "applyinpandas_rank_chars",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT)
+               AS chars_rank
+    FROM documents
+    """,
+)
+def applyinpandas_rank_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-language rank of document length
+    computed inside pandas (method='min' == SQL RANK tie semantics).
+    One shuffle on the group key; each group is a plain pandas frame —
+    the UDTF-shaped escape hatch for per-group logic Spark lacks."""
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["chars_rank"] = pdf["n_chars"].rank(method="min").astype("int64")
+        return pdf
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
+    return d.groupBy("lang").applyInPandas(
+        rank_group, schema="doc_id long, lang string, n_chars long, chars_rank long")
