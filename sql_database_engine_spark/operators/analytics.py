@@ -536,3 +536,27 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "grouping_sets_explicit",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)) AS gid,
+           {MONEY_SUM_SQL(REV_SQL)} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube) via the SQL
+    front door — the DataFrame API has no grouping-sets verb."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+               CAST(SUM(CAST(ROUND(({REV_SQL}) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)

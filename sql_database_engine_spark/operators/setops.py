@@ -80,3 +80,36 @@ def union_by_name_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("s_suppkey").alias("acct_key"),
                  F.col("s_acctbal").alias("balance")))
     return c.unionByName(s)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: multiplicity = min of the two
+    sides) — distinct from the set variant above."""
+    cat = Catalog(spark, sf_dir)
+    a = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = cat.orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics: multiplicity subtraction)."""
+    cat = Catalog(spark, sf_dir)
+    a = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = cat.orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return a.exceptAll(b)

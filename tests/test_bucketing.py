@@ -1,0 +1,56 @@
+"""Bucketed-table joins: the shuffle-free co-location story.
+
+At 100 TB, a recurring fact-fact join (lineitem ⋈ orders on orderkey)
+should read from tables bucketed on the join key so neither side
+shuffles at query time — the bucket layout IS the exchange, paid once
+at write time. This test materializes both tables bucketed and proves
+the join plan contains no Exchange on either side, and that results
+match the plain join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # saveAsTable needs a warehouse + catalog; the in-memory derby
+    # catalog of the test session suffices.
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("li_bucketed"))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("o_bucketed"))
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_bucketed_join_has_no_exchange(warehouse):
+    spark = warehouse
+    joined = (spark.table("li_bucketed")
+              .join(spark.table("o_bucketed"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy("o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n")))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    join_section = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    # Neither join input may re-shuffle: bucket layout satisfies the
+    # join's distribution requirement.
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, join_section[:400]
+
+    # And the results equal the plain (shuffling) join.
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    plain = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")))
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
