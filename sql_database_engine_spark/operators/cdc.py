@@ -1,0 +1,98 @@
+"""CDC / warehouse-maintenance patterns: MERGE-style upsert and SCD2
+history, emulated with pure DataFrame ops (no Delta/Iceberg jars in
+this build — the guide's anti-join + union + window recipe).
+
+At scale both are one shuffle on the merge key; the SCD2 window pass
+reuses the same partitioning. With a table format present, `merge_`
+becomes MERGE INTO and the plans below are exactly what the format's
+engine executes underneath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+#: Split point: events before this instant form the base state,
+#: events after it are the incoming change stream.
+_SPLIT = "2024-02-01 00:00:00"
+
+
+@query(
+    "merge_upsert_latest_state",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_SPLIT}'
+                    THEN 1 ELSE 0 END AS from_update
+        FROM events
+    )
+    SELECT user_id, event_type, value AS latest_value, ts AS latest_ts,
+           CAST(from_update AS INT) AS was_updated
+    FROM ranked WHERE rn = 1
+    """,
+)
+def merge_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) emulation: a base state table (events < split)
+    merged with a change batch (events >= split); the newest row per
+    (user_id, event_type) wins, flagged with whether an update
+    replaced the base row.
+
+    Plan: tag both sides, union, one window argmax on the merge key —
+    the standard no-table-format upsert. A true MERGE INTO produces
+    the same shuffle + dedup underneath."""
+    ev = Catalog(spark, sf_dir).events
+    split = F.lit(_SPLIT).cast("timestamp")
+    tagged = ev.select(
+        "user_id", "event_type", "value", "ts", "event_id",
+        F.when(F.col("ts") >= split, 1).otherwise(0).alias("from_update"))
+    w = (W.partitionBy("user_id", "event_type")
+         .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.col("value").alias("latest_value"),
+                F.col("ts").alias("latest_ts"),
+                F.col("from_update").cast("int").alias("was_updated"))
+    )
+
+
+@query(
+    "scd2_user_value_history",
+    oracle="""
+    SELECT user_id, event_id AS version_id,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+           value,
+           CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: each change becomes a versioned row
+    with [valid_from, valid_to) derived from the next change via
+    lead(); the open-ended row is flagged current. One shuffle on the
+    dimension key; appending tomorrow's changes only rewrites each
+    key's last row."""
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "value",
+            F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0)
+            .cast("int").alias("is_current"),
+        )
+    )

@@ -72,3 +72,14 @@ def test_stateful_user_profiles_match_batch(spark, stream):
                   .cast("double") / 100.0).alias("total_value")))
     cols = ["user_id", "n_events", "total_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_queries_are_rerunnable(spark):
+    # The driver may invoke a registered streaming query repeatedly in
+    # one session; memory-sink names must not collide.
+    from sql_database_engine_spark import operators
+    operators.load_all()
+    q = operators.QUERIES["stream_tumbling_counts"]
+    n1 = q(spark, SF_SMOKE).count()
+    n2 = q(spark, SF_SMOKE).count()
+    assert n1 == n2 > 0
