@@ -560,3 +560,65 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+                  THEN {REV_SQL} ELSE 0 END * 100) AS BIGINT)) AS DOUBLE)
+           / SUM(CAST(ROUND(({REV_SQL}) * 100) AS BIGINT)) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share for one month —
+    conditional aggregate over a fact⋈dimension join, single-row
+    result. Exact-cents numerator and denominator make the ratio a
+    single deterministic double division."""
+    cat = Catalog(spark, sf_dir)
+    rev_cents = F.round(_rev() * 100).cast("long")
+    promo_cents = F.round(
+        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0) * 100).cast("long")
+    return (
+        cat.lineitem
+        .filter((F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+        .join(cat.part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * F.sum(promo_cents).cast("double")
+              / F.sum(rev_cents)).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {MONEY_SUM_SQL(REV_SQL)} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    extracts the common l_partkey=p_partkey equi-condition for the
+    hash join and evaluates the disjunction as a residual; the
+    per-side conjuncts (quantity / size ranges) are pushed beneath
+    the join where possible."""
+    cat = Catalog(spark, sf_dir)
+    li, p = cat.lineitem, cat.part
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .filter(cond)
+            .agg(money_sum(_rev()).alias("revenue")))

@@ -1,0 +1,94 @@
+"""Quality checks for the probabilistic near-dup / ANN operators.
+
+These have no DuckDB oracle (banding and bucketing are
+engine-private), so correctness is pinned by *statistical* contracts
+against the exact operators: estimates must track exact similarity,
+and approximate search must find what exhaustive search finds when
+the candidate lands in the same bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def _queries():
+    from sql_database_engine_spark import operators
+    operators.load_all()
+    return operators.QUERIES
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    qs = _queries()
+    # Exact bigram Jaccard for every same-source pair (recomputed at a
+    # low threshold via the exact operator's internals).
+    from sql_database_engine_spark.operators.text import _word_bigrams
+    from sql_database_engine_spark.catalog import Catalog
+    from pyspark.sql import Window as W
+    d = Catalog(spark, SF_SMOKE).documents
+    g = (_word_bigrams(d)
+         .withColumn("n_grams", F.count(F.lit(1)).over(W.partitionBy("doc_id"))))
+    a, b = g.alias("a"), g.alias("b")
+    exact = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"),
+             F.first("a.n_grams").alias("na"), F.first("b.n_grams").alias("nb"))
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    est = qs["minhash_lsh_neardup"](spark, SF_SMOKE)
+    joined = est.join(exact, ["doc_a", "doc_b"], "left").collect()
+    assert joined, "minhash produced no candidates at sf0.001"
+    # Every banded candidate with est >= 0.5 must have real overlap,
+    # and the 32-perm estimate must sit within 0.35 of exact Jaccard
+    # (3-sigma for 32 permutations is ~0.27).
+    for r in joined:
+        assert r.jaccard is not None and r.jaccard > 0
+        assert abs(r.est_jaccard - r.jaccard) < 0.35, (r.doc_a, r.doc_b, r.est_jaccard, r.jaccard)
+
+
+def test_lsh_in_bucket_results_are_true_neighbors(spark):
+    qs = _queries()
+    lsh = {(r.q_id, r.vec_id): r.cos_sim
+           for r in qs["ann_lsh_topk"](spark, SF_SMOKE).collect()}
+    assert lsh, "LSH produced no candidates"
+    # LSH-reported cosine must equal the exact cosine (it scores
+    # candidates exactly); check against an independent computation.
+    from sql_database_engine_spark.operators.similarity import dot, _as_double
+    from sql_database_engine_spark.catalog import Catalog
+    e = Catalog(spark, SF_SMOKE).embeddings
+    base = (e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))))
+    qids = {q for q, _ in lsh}
+    pairs = (base.alias("a").crossJoin(base.alias("b"))
+             .filter(F.col("a.vec_id").isin(*qids))
+             .select(F.col("a.vec_id").alias("q_id"), F.col("b.vec_id").alias("vec_id"),
+                     F.round(dot(F.col("a.v"), F.col("b.v"))
+                             / (F.col("a.norm") * F.col("b.norm")), 6).alias("sim")))
+    truth = {(r.q_id, r.vec_id): r.sim for r in pairs.collect()}
+    for k, sim in lsh.items():
+        assert abs(truth[k] - sim) < 1e-9
+
+
+def test_ivf_probe_finds_in_list_neighbors(spark):
+    qs = _queries()
+    got = qs["ann_ivf_topk"](spark, SF_SMOKE).collect()
+    assert got
+    # Scores ordered per query, top-3 per query at most.
+    from collections import defaultdict
+    per_q = defaultdict(list)
+    for r in got:
+        per_q[r.q_id].append(r.cos_sim)
+    for sims in per_q.values():
+        assert len(sims) <= 3 and sims == sorted(sims, reverse=True)
+
+
+def test_simhash_pairs_have_small_hamming(spark):
+    qs = _queries()
+    rows = qs["simhash_neardup_pairs"](spark, SF_SMOKE).collect()
+    # Word-salad corpus: near-identical fingerprints are rare; the
+    # contract is only that reported pairs honor the bound.
+    assert all(r.hamming <= 3 for r in rows)
