@@ -61,8 +61,28 @@ class Engine:
     def users(self, path: str) -> UsersTable:
         return UsersTable(self.spark, path)
 
+    # --- materialization ---
+
+    def create_table(self, name: str, df: DataFrame, path: str,
+                     partition_by: tuple[str, ...] = ()) -> DataFrame:
+        """CTAS: persist a query result as a parquet table and register
+        it as a view. Partition columns are the pruning lever — pick
+        the column queries filter on."""
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        out = self.spark.read.parquet(path)
+        out.createOrReplaceTempView(name)
+        return out
+
     # --- streaming ---
 
     def stream_events(self) -> DataFrame:
         from .streaming.events_stream import events_stream
         return events_stream(self.spark, self.sf_dir)
+
+    def continuous_rollup(self, store_path: str, checkpoint: str):
+        """Hypertable-style incrementally-maintained time rollup."""
+        from .streaming.rollup import continuous_rollup
+        return continuous_rollup(self.spark, self.sf_dir, store_path, checkpoint)

@@ -16,3 +16,11 @@ def test_engine_facade(spark, tmp_path):
     users.insert(1, "u", "e@x")
     assert users.select_rows() == [(1, "u", "e@x")]
     assert eng.stream_events().isStreaming
+
+
+def test_engine_ctas(spark, tmp_path):
+    eng = Engine(spark, SF_SMOKE)
+    summary = eng.query("pricing_summary")
+    out = eng.create_table("pricing_rollup", summary, str(tmp_path / "ctas"))
+    assert out.count() == summary.count()
+    assert eng.sql("SELECT count(*) AS n FROM pricing_rollup").first().n == out.count()

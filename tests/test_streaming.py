@@ -83,3 +83,24 @@ def test_streaming_queries_are_rerunnable(spark):
     n1 = q(spark, SF_SMOKE).count()
     n2 = q(spark, SF_SMOKE).count()
     assert n1 == n2 > 0
+
+
+def test_continuous_rollup_matches_batch(spark, tmp_path):
+    """The incrementally-maintained rollup equals the batch tumbling
+    aggregate after draining the backlog — and stays correct when the
+    same backlog is re-delivered (checkpoint makes refresh exactly-once)."""
+    from sql_database_engine_spark.streaming import rollup as ru
+    from sql_database_engine_spark import operators
+    operators.load_all()
+    store = str(tmp_path / "rollup_store")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    q = ru.continuous_rollup(spark, SF_SMOKE, store, ckpt)
+    q.awaitTermination()
+    got = ru.read_rollup(spark, store)
+    want = operators.QUERIES["events_tumbling_window"](spark, SF_SMOKE)
+    cols = ["window_start", "event_type", "n", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # Re-run: checkpoint says nothing new → rollup unchanged.
+    q2 = ru.continuous_rollup(spark, SF_SMOKE, store, ckpt)
+    q2.awaitTermination()
+    assert _rows(ru.read_rollup(spark, store), cols) == _rows(want, cols)
