@@ -72,7 +72,10 @@ class Engine:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        out = self.spark.read.parquet(path)
+        # Read back with the source schema: partition-directory values
+        # would otherwise be re-inferred (a string partition column of
+        # numeric-looking values silently becomes int).
+        out = self.spark.read.schema(df.schema).parquet(path)
         out.createOrReplaceTempView(name)
         return out
 

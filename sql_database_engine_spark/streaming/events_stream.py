@@ -64,12 +64,13 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     late data up to 2h behind the max seen event time, then the
     window's state is dropped. Streaming twin of
     ``events_tumbling_window``."""
+    from ..functions.exact import cents
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             (F.sum(F.round(F.col("value") * 100).cast("long"))
-              .cast("double") / 100.0).alias("total_value"))
+             (F.sum(cents(F.col("value"))).cast("double") / 100.0)
+             .alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n", "total_value")
     )

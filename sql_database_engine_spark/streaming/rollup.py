@@ -8,50 +8,92 @@ and merged into the rollup store via foreachBatch — the
 TimescaleDB-continuous-aggregate / materialized-rollup pattern on
 Spark primitives.
 
-Merge strategy: the store is parquet partitioned by bucket date; each
-micro-batch overwrites only the date partitions it touches (dynamic
-partition overwrite) after merging new partials with the existing
-rows — append-mostly, bounded rewrite, no global recompute. At
-100 TB the bucket-date partitioning keeps each refresh proportional
-to the data that actually arrived, not to history.
+Merge mechanics (each one load-bearing):
+- the store is parquet partitioned by bucket date; a refresh rewrites
+  only the date partitions the batch touched (dynamic partition
+  overwrite) — cost proportional to arriving data, not to history.
+- read-merge-overwrite of the SAME path is illegal in one Spark job
+  (the writer would delete partitions the plan is still reading), so
+  the merged rows are staged to a scratch directory first, then
+  re-read and committed to the store.
+- foreachBatch delivers at-least-once: an epoch marker recorded in
+  the store directory makes replayed batches no-ops instead of
+  double-counts.
+- a missing store means "first refresh"; any OTHER read error must
+  fail the batch (the checkpoint will retry) — swallowing it would
+  silently replace accumulated history with one batch's partials.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.exact import cents
 from .events_stream import events_stream
+
+
+def _epoch_marker(store_path: str, epoch_id: int) -> str:
+    return os.path.join(store_path, "_applied_epochs", str(epoch_id))
+
+
+def _store_has_data(store_path: str) -> bool:
+    if not os.path.isdir(store_path):
+        return False
+    for root, _dirs, files in os.walk(store_path):
+        if "_applied_epochs" in root:
+            continue
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def _merge_partials(store_path: str):
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if os.path.exists(_epoch_marker(store_path, epoch_id)):
+            return  # replayed batch (at-least-once delivery): no-op
         partials = (
             batch_df
             .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"))
+                 F.sum(cents(F.col("value"))).alias("value_cents"))
             .withColumn("bucket_date", F.to_date("window_start"))
+            .persist()  # tiny post-aggregation frame, read twice below
         )
         try:
-            existing = spark.read.parquet(store_path)
-        except Exception:
-            existing = None
-        if existing is not None:
-            touched = [r.bucket_date for r in
-                       partials.select("bucket_date").distinct().collect()]
-            merged = (
-                existing.filter(F.col("bucket_date").isin(touched))
-                .unionByName(partials)
-                .groupBy("window_start", "event_type", "bucket_date")
-                .agg(F.sum("n").alias("n"), F.sum("value_cents").alias("value_cents"))
-            )
-        else:
-            merged = partials
-        (merged.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket_date")
-         .parquet(store_path))
+            if _store_has_data(store_path):
+                existing = spark.read.parquet(store_path)
+                touched = [r.bucket_date for r in
+                           partials.select("bucket_date").distinct().collect()]
+                merged = (
+                    existing.filter(F.col("bucket_date").isin(touched))
+                    .unionByName(partials)
+                    .groupBy("window_start", "event_type", "bucket_date")
+                    .agg(F.sum("n").alias("n"),
+                         F.sum("value_cents").alias("value_cents"))
+                )
+                # Stage: the merged plan reads store_path, so it cannot
+                # overwrite store_path in the same job.
+                scratch = os.path.join(store_path, "_scratch_epoch", str(epoch_id))
+                merged.write.mode("overwrite").parquet(scratch)
+                commit_df = spark.read.parquet(scratch)
+            else:
+                scratch = None
+                commit_df = partials
+            (commit_df.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket_date")
+             .parquet(store_path))
+            if scratch:
+                shutil.rmtree(scratch, ignore_errors=True)
+            os.makedirs(os.path.dirname(_epoch_marker(store_path, epoch_id)),
+                        exist_ok=True)
+            open(_epoch_marker(store_path, epoch_id), "w").close()
+        finally:
+            partials.unpersist()
     return merge
 
 

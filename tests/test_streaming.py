@@ -104,3 +104,21 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
     q2 = ru.continuous_rollup(spark, SF_SMOKE, store, ckpt)
     q2.awaitTermination()
     assert _rows(ru.read_rollup(spark, store), cols) == _rows(want, cols)
+
+    # Merge path: deliver the same events as a NEW epoch — the store
+    # must read-merge-commit (staged, not in-place) and double every
+    # count exactly once.
+    batch = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+             .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    ru._merge_partials(store)(batch, epoch_id=99)
+    doubled = {(r.window_start, r.event_type): (r.n, r.total_value)
+               for r in ru.read_rollup(spark, store).collect()}
+    for r in want.collect():
+        n, v = doubled[(r.window_start, r.event_type)]
+        assert n == 2 * r.n and abs(v - 2 * r.total_value) < 1e-9
+
+    # At-least-once replay of that same epoch is a no-op.
+    ru._merge_partials(store)(batch, epoch_id=99)
+    again = {(r.window_start, r.event_type): (r.n, r.total_value)
+             for r in ru.read_rollup(spark, store).collect()}
+    assert again == doubled
