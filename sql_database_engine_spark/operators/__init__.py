@@ -34,7 +34,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module (side effect: registry fills)."""
     from . import (relational, analytics, windows, setops, scalar, events,  # noqa: F401
-                   text, similarity, multimodal, udfs, cdc)
+                   text, similarity, multimodal, udfs, cdc, timeseries)
     _register_streaming()
 
 

@@ -1,0 +1,205 @@
+"""Time-series and behavioral analytics over the event stream:
+conversion funnels, gap-filled regular series with forward fill, and
+retention cohorts. All window/sequence compositions — no UDFs, one
+shuffle on the entity key each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_signup,
+               min(CASE WHEN event_type = 'click'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT)
+               AS n_signed_up,
+           CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL
+                                 AND t_click > t_signup) AS BIGINT)
+               AS n_clicked_after,
+           CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL
+                                 AND t_click > t_signup
+                                 AND t_purchase > t_click) AS BIGINT)
+               AS n_purchased_after
+    FROM firsts
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first signup precedes
+    their first click precedes their first purchase. One conditional-
+    min aggregation per user, then three funnel counts — a single
+    shuffle regardless of funnel depth (contrast with the naive
+    N-way self-join per stage)."""
+    ev = Catalog(spark, sf_dir).events
+    us = F.unix_micros(F.col("ts"))
+
+    def first_of(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, us))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"))
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.when(signed, 1)).alias("n_signed_up"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after"),
+        F.count(F.when(purchased, 1)).alias("n_purchased_after"))
+
+
+@query(
+    "gapfill_daily_forward_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    )
+    SELECT g.user_id, g.day,
+           CAST(COALESCE(d.day_cents IS NOT NULL, FALSE) AS INT) AS observed,
+           CAST(last_value(d.day_cents IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled_cents
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def gapfill_daily_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: densify each user's sparse daily totals onto a
+    complete calendar grid (sequence + explode generates the grid
+    distributed — no driver loop), then forward-fill with
+    last(..., ignorenulls) over an unbounded-preceding frame.
+
+    The hypertable `time_bucket_gapfill + locf` operation as a pure
+    DataFrame plan. Restricted to user_id < 5 to keep the oracle
+    comparison small; the plan itself is corpus-wide safe (grid size
+    = users × days, generated executor-side)."""
+    ev = Catalog(spark, sf_dir).events
+    daily = (
+        ev.filter(F.col("user_id") < 5)
+        .groupBy("user_id",
+                 F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents"))
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"),
+                                          F.max("day").alias("d1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"))
+    w = (W.partitionBy("user_id").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.col("day_cents").isNotNull().cast("int").alias("observed"),
+            F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"))
+    )
+
+
+@query(
+    "retention_weekly_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('week', cohort_week, active_week) AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM firsts JOIN activity USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted per weekly activity offset. Two aggregations + one join
+    on user_id."""
+    ev = Catalog(spark, sf_dir).events
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    firsts = (ev.groupBy("user_id")
+              .agg(week(F.min("ts")).alias("cohort_week")))
+    activity = (ev.select("user_id", week(F.col("ts")).alias("active_week"))
+                .distinct())
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week",
+                 (F.datediff("active_week", "cohort_week") / 7)
+                 .cast("int").alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "profile_documents_table",
+    oracle="""
+    SELECT 'doc_id' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT), CAST(COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT), CAST(COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT), CAST(COUNT(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column row/null/distinct counts and
+    min/max, built programmatically from the schema (here over 4
+    columns of documents). One pass per column batch; at scale swap
+    COUNT(DISTINCT) for approx_count_distinct — same generated plan."""
+    d = Catalog(spark, sf_dir).documents
+    profiles = []
+    for col in ("doc_id", "lang", "source", "n_chars"):
+        profiles.append(d.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        ))
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
