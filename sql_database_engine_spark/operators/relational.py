@@ -497,3 +497,22 @@ def top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("n_name", "c_custkey", "c_name", "total_spend")
     )
+
+
+@query(
+    "join_right_nulls",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_right_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — every nation kept, suppliers NULL where a
+    nation has none (mirror of join_left_nulls for the right-outer
+    plan shape)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.supplier
+        .join(cat.nation, F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .select("s_suppkey", "s_name", "n_name")
+    )

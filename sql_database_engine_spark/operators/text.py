@@ -453,6 +453,11 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: 4 equi-joins on 16-bit keys + dedup — bucket sizes are
     bounded by fingerprint entropy, never corpus size."""
     HAMMING_MAX = 3
+    # NOTE: both self-join sides recompute the fingerprint lineage;
+    # persisting it was measured SLOWER in the end-to-end query (cache
+    # population sits on the critical path and breaks codegen fusion),
+    # so recomputation is deliberate. At 100 TB the answer is a
+    # materialized fingerprint table, not an executor cache.
     fps = simhash_fingerprint(spark, sf_dir).select("doc_id", "simhash64")
     blocks = fps.select(
         "doc_id", "simhash64",
