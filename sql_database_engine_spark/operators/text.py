@@ -14,6 +14,8 @@ DuckDB) — never engine-private hash functions.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import Catalog
@@ -489,48 +491,72 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_winnowing_fingerprints")  # rows-only: rolling-hash family is engine-private
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints via winnowing (Schleimer,
-    Wilkerson, Aiken — MOSS, SIGMOD'03): Rabin-Karp rolling hashes
-    over k-byte windows, then the minimum hash in each w-window of
-    consecutive hashes is kept, guaranteeing any shared substring of
-    length >= k+w-1 contributes a shared fingerprint.
+    Wilkerson, Aiken — MOSS, SIGMOD'03): polynomial hashes over k-byte
+    windows, then the minimum hash in each w-window of consecutive
+    hashes is kept — *rightmost* on ties, per the paper's robust rule,
+    so runs of equal hashes (boilerplate text) select one fingerprint
+    per run instead of one per position. Any shared substring of
+    length >= k+w-1 still contributes a shared fingerprint.
 
-    The rolling recurrence is inherently sequential per document, so
-    this is mapInPandas (Arrow batches, vectorized numpy polynomial
-    evaluation per window — no per-byte Python loop): the sanctioned
-    escape hatch for genuinely non-relational per-row algorithms.
-    Output is (doc_id, fingerprint, position) — the join key for a
-    plagiarism/near-dup pass is the fingerprint."""
+    The per-document recurrence is genuinely non-relational, so this
+    is mapInPandas: numpy evaluation in bounded CHUNKs (memory stays
+    O(chunk·k) per document regardless of document size — a 50 MB doc
+    must not allocate 50M×k temporaries at once). NULL texts are
+    filtered Spark-side, matching the null-propagation of the column-
+    expression operators in this module. Output is (doc_id,
+    fingerprint, position); a near-dup pass joins on fingerprint."""
     import numpy as np
 
     K, WIN, B, P = 8, 4, 257, 1_000_000_007
+    CHUNK = 1 << 16  # windows hashed per numpy slab: caps temporaries
 
     def winnow(batches):
-        # Precomputed base powers for a k-window polynomial hash.
         powers = np.array([pow(B, K - 1 - i, P) for i in range(K)], dtype=np.int64)
+
+        def kgram_hashes(data: "np.ndarray") -> "np.ndarray":
+            n_win = len(data) - K + 1
+            parts = []
+            for s in range(0, n_win, CHUNK):
+                e = min(s + CHUNK, n_win)
+                idx = np.arange(s, e)[:, None] + np.arange(K)[None, :]
+                parts.append((data[idx] * powers[None, :] % P).sum(axis=1) % P)
+            return np.concatenate(parts)
+
         for pdf in batches:
             out = {"doc_id": [], "fingerprint": [], "position": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
                 if len(data) < K:
                     continue
-                n_win = len(data) - K + 1
-                # Vectorized k-gram hashes: stride view × powers mod P.
-                idx = np.arange(n_win)[:, None] + np.arange(K)[None, :]
-                hashes = (data[idx] * powers[None, :] % P).sum(axis=1) % P
+                hashes = kgram_hashes(data)
                 if len(hashes) < WIN:
-                    picks = {int(hashes.argmin())}
+                    picks = [int(hashes.argmin())]
                 else:
-                    # Winnowing: min position per sliding window of WIN.
-                    from numpy.lib.stride_tricks import sliding_window_view
-                    wv = sliding_window_view(hashes, WIN)
-                    mins = wv.argmin(axis=1) + np.arange(len(wv))
-                    picks = set(map(int, np.unique(mins)))
-                for pos in sorted(picks):
+                    # Robust winnowing (the paper's stateful rule): keep
+                    # the previous selection while it stays in-window and
+                    # is not strictly beaten; otherwise select the
+                    # RIGHTMOST minimum of the current window. An
+                    # equal-hash run thus yields ~1 pick per WIN windows,
+                    # not one per position — fingerprint density stays
+                    # ~2/(WIN+1) even on boilerplate text. The scan is a
+                    # per-window loop over precomputed vectorized hashes
+                    # (windows are tiny; the O(n·WIN) bound is fine —
+                    # a segmented-scan vectorization exists if ever hot).
+                    picks = []
+                    r = -1  # position of the current selection
+                    for i in range(len(hashes) - WIN + 1):
+                        w = hashes[i:i + WIN]
+                        m = int(w.min())
+                        if r < i or int(hashes[r]) > m:
+                            r = i + WIN - 1 - int(w[::-1].argmin())
+                            picks.append(r)
+                for pos in picks:
                     out["doc_id"].append(doc_id)
                     out["fingerprint"].append(int(hashes[pos]))
                     out["position"].append(pos)
             yield pd.DataFrame(out)
 
-    import pandas as pd  # noqa: F811 — local for the closure pickle
-    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", "text"))
     return d.mapInPandas(winnow, schema="doc_id long, fingerprint long, position int")
