@@ -560,3 +560,100 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("text").isNotNull())
          .select("doc_id", "text"))
     return d.mapInPandas(winnow, schema="doc_id long, fingerprint long, position int")
+
+
+@query(
+    "clean_corpus_pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source, text, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    ), quality AS (
+        SELECT * FROM toks
+        WHERE n_tokens >= 20
+          AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.15
+    ), exact_kept AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                         ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ), grams AS (
+        SELECT doc_id, source, unnest(list_distinct(g)) AS gram,
+               len(list_distinct(g)) AS n_grams
+        FROM (
+            SELECT doc_id, source,
+                   list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1]) AS g
+            FROM exact_kept
+        )
+    ), neardup_losers AS (
+        SELECT DISTINCT b.doc_id
+        FROM grams a JOIN grams b
+          ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE)
+               / (any_value(a.n_grams) + any_value(b.n_grams) - COUNT(*)) >= 0.5
+    ), survivors AS (
+        SELECT * FROM exact_kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM neardup_losers)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM survivors GROUP BY lang
+    """,
+)
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end in one plan:
+
+    1. quality gate (length + repetition filters — C4-style),
+    2. exact dedup on content hash (keep lowest doc_id),
+    3. near-dup removal by word-bigram Jaccard >= 0.5 within source
+       (keep the lower doc_id of each pair),
+    4. clean-corpus statistics per language.
+
+    Each stage consumes the previous DataFrame — Catalyst fuses the
+    whole thing into one optimized plan; no intermediate
+    materialization. This is the query shape a 100 TB curation run
+    executes, with MinHash banding substituted for the exact Jaccard
+    stage (same pipeline topology).
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = _tokens()
+    n_tok = F.size(toks)
+    quality = (
+        d.withColumn("n_tokens", n_tok)
+        .withColumn("n_distinct", F.size(F.array_distinct(toks)))
+        .filter((F.col("n_tokens") >= 20)
+                & (F.col("n_distinct").cast("double") / F.col("n_tokens") > 0.15))
+    )
+    w = W.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    exact_kept = (quality.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).drop("rn"))
+
+    g = (_word_bigrams(exact_kept, "source")
+         .withColumn("n_grams", F.count(F.lit(1)).over(W.partitionBy("doc_id"))))
+    a, b = g.alias("a"), g.alias("b")
+    losers = (
+        a.join(b, (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("inter"),
+             F.first("a.n_grams").alias("na"), F.first("b.n_grams").alias("nb"))
+        .filter(F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.5)
+        .select("doc_id").distinct()
+    )
+    survivors = exact_kept.join(losers, "doc_id", "left_anti")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
