@@ -269,3 +269,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cands.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("q_id", "vec_id", "cos_sim"))
+
+
+@query(
+    "neardup_cluster_assignment",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS v FROM edges
+    ), reach (v, r) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    )
+    SELECT v AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY v
+    """,
+)
+def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate graph: every
+    vector in a near-dup pair is assigned the minimum vec_id reachable
+    through near-dup edges — the cluster id a dedup pass keeps one
+    canonical member of.
+
+    Algorithm: iterative min-label propagation (the Pregel/GraphX
+    shape as plain DataFrame joins): each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    graph-diameter rounds, checked by an exact driver-side convergence
+    test per round. Each round is one shuffle join on the node id;
+    the edge list is reused across rounds. The DuckDB oracle computes
+    the same components with a recursive CTE — an independent
+    algorithm (transitive closure) reaching the same fixpoint.
+    """
+    pairs = embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    # Materialize the (small) edge list once: every propagation round
+    # reads it, and recomputing the cosine pair join per round would
+    # dominate. Edges are plain longs — cheap to cache, unlike the
+    # array-typed frames deliberately left uncached elsewhere.
+    # localCheckpoint: iterative algorithms MUST truncate lineage per
+    # round — without it round N re-executes all N-1 predecessor plans
+    # (including the cosine pair join) and runtime goes exponential.
+    edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("src").alias("v")).distinct()
+              .withColumn("cluster_id", F.col("v"))
+              .localCheckpoint())
+    for _ in range(64):  # diameter bound; exact convergence check below
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src").agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
+            .select(
+                "v",
+                F.least(F.col("cluster_id"),
+                        F.coalesce(F.col("nmin"), F.col("cluster_id")))
+                .alias("cluster_id"),
+                (F.col("nmin") < F.col("cluster_id")).alias("__changed"))
+        ).localCheckpoint()
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("vec_id"), "cluster_id")
