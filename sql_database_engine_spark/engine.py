@@ -44,7 +44,10 @@ class Engine:
         return self.catalog.table(name)
 
     def sql(self, statement: str) -> DataFrame:
-        """SQL over the registered catalog views."""
+        """SQL over the registered catalog views, with the engine's
+        SQL macros (cosine_sim, vec_dot, token_count, ...) installed."""
+        from .functions.sql_macros import install_sql_functions
+        install_sql_functions(self.spark)
         register_views(self.spark, self.sf_dir)
         return self.spark.sql(statement)
 

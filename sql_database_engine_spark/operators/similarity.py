@@ -342,3 +342,35 @@ def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("v").alias("vec_id"), "cluster_id")
+
+
+@query(
+    "sql_macro_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id,
+           ROUND({COSINE_SQL.format(a='embedding', b='qv')}, 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 1
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """,
+)
+def sql_macro_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door using the engine's registered SQL macros
+    (cosine_sim inlines into Catalyst as pure expressions — same plan
+    as the DataFrame twin, authored entirely in SQL)."""
+    from ..catalog import register_views
+    from ..functions.sql_macros import install_sql_functions
+    install_sql_functions(spark)
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql("""
+        WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
+                   FROM embeddings WHERE vec_id = 1)
+        SELECT vec_id,
+               ROUND(cosine_sim(CAST(embedding AS ARRAY<DOUBLE>), qv), 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 1
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 5
+    """)

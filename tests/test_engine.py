@@ -24,3 +24,14 @@ def test_engine_ctas(spark, tmp_path):
     out = eng.create_table("pricing_rollup", summary, str(tmp_path / "ctas"))
     assert out.count() == summary.count()
     assert eng.sql("SELECT count(*) AS n FROM pricing_rollup").first().n == out.count()
+
+
+def test_engine_sql_macros(spark):
+    eng = Engine(spark, SF_SMOKE)
+    row = eng.sql("""
+        SELECT cosine_sim(CAST(ARRAY(1.0, 0.0) AS ARRAY<DOUBLE>),
+                          CAST(ARRAY(1.0, 0.0) AS ARRAY<DOUBLE>)) AS c,
+               token_count('a b c') AS t,
+               money_cents(12.34) AS m
+    """).first()
+    assert row.c == 1.0 and row.t == 3 and row.m == 1234
