@@ -374,3 +374,59 @@ def sql_macro_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cos_sim DESC, vec_id
         LIMIT 5
     """)
+
+
+@query("ann_lsh_multiprobe_topk")  # rows-only: probabilistic recall by design
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query probes its own bucket PLUS the 8
+    buckets at Hamming distance 1 (one sign bit flipped) — the classic
+    recall/cost trade (Lv et al., VLDB'07): ~9× the candidates of
+    single-probe, still a tiny fraction of the corpus, and recall
+    rises sharply because near neighbors most often differ in exactly
+    one low-margin hyperplane bit.
+
+    Plan shape: the probe set is generated by exploding a 9-element
+    bucket array per query — candidate generation stays ONE equi-join
+    on the bucket code. tests/test_neardup_quality.py measures recall
+    against the exact brute-force top-k and pins multi-probe >=
+    single-probe."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).embeddings
+    rng = np.random.RandomState(13)
+    planes = rng.randn(8, 64)  # same hyperplane family as ann_lsh_topk
+
+    def bucket_code(vec: Column) -> Column:
+        code = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(vec,
+                           F.array(*[F.lit(float(x)) for x in p]),
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x)
+            code = code.bitwiseOR(
+                F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), i))
+        return code
+
+    base = (e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+            .withColumn("bucket", bucket_code(F.col("v"))))
+    probes = F.array(F.col("bucket"), *[
+        F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)])
+    queries_df = (base.filter(F.col("vec_id") < 20)
+                  .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                          F.col("norm").alias("qnorm"),
+                          F.explode(probes).alias("probe_bucket")))
+    cands = (
+        queries_df.join(base, F.col("probe_bucket") == F.col("bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id",
+                F.round(dot(F.col("qv"), F.col("v"))
+                        / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"))
+        .distinct()
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (cands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("q_id", "vec_id", "cos_sim"))

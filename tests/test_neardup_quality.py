@@ -92,3 +92,42 @@ def test_simhash_pairs_have_small_hamming(spark):
     # Word-salad corpus: near-identical fingerprints are rare; the
     # contract is only that reported pairs honor the bound.
     assert all(r.hamming <= 3 for r in rows)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe must find neighbors at least as close as single-
+    probe for every query, and strictly improve recall@3 overall
+    against the exact brute-force ranking."""
+    qs = _queries()
+    from sql_database_engine_spark.operators.similarity import dot, _as_double
+    from sql_database_engine_spark.catalog import Catalog
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, SF_SMOKE).embeddings
+    base = (e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))))
+    q = base.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"))
+    exact = (q.crossJoin(base)
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .select("q_id", "vec_id",
+                     F.round(dot(F.col("qv"), F.col("v"))
+                             / (F.col("qnorm") * F.col("norm")), 6).alias("s")))
+    w = W.partitionBy("q_id").orderBy(F.col("s").desc(), "vec_id")
+    truth = (exact.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 3).collect())
+    truth_set = {(r.q_id, r.vec_id) for r in truth}
+
+    def recall(name):
+        got = {(r.q_id, r.vec_id) for r in qs[name](spark, SF_SMOKE).collect()}
+        return len(got & truth_set) / len(truth_set)
+
+    r1, r9 = recall("ann_lsh_topk"), recall("ann_lsh_multiprobe_topk")
+    assert r9 >= r1, (r1, r9)
+    # Theory bound for THIS corpus: true top-3 neighbors sit at cosine
+    # ~0.3-0.4 (angle ~70°, no real near-dups in the synthetic data),
+    # so P(bit agrees) ≈ 1 - θ/π ≈ 0.61 and expected recall@3 with 8
+    # bits + 1-bit probes is p^8 + 8p^7(1-p) ≈ 0.10. Assert the
+    # measured recall is in that regime, not a collapsed 0.
+    assert r9 >= 0.05, f"multi-probe recall@3 below theoretical regime: {r9}"
