@@ -75,3 +75,29 @@ def test_fuzzed_predicate_agrees(seed, spark, duck):
     want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
     assert got == want, f"disagreement for WHERE {where}: " \
         f"{len(got)} vs {len(want)} rows"
+
+
+_GROUP_COLS = ["l_returnflag", "l_linestatus", "l_suppkey", "l_linenumber"]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzzed_groupby_agrees(seed, spark, duck):
+    """Fuzzed GROUP BY: random grouping keys + integer-exact aggregates
+    (counts, distinct counts, integral-quantity sums) under a random
+    predicate — same SQL text to both engines."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(5000 + seed)
+    keys = rng.sample(_GROUP_COLS, k=rng.randrange(1, 3))
+    where = _predicate(rng)
+    dcol = rng.choice(_NUM_COLS)
+    sql = (
+        f"SELECT {', '.join(keys)}, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COUNT(DISTINCT {dcol}) AS BIGINT) AS nd, "
+        f"CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq "
+        f"FROM lineitem WHERE {where} GROUP BY {', '.join(keys)}"
+    )
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"

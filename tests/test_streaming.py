@@ -122,3 +122,66 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
     again = {(r.window_start, r.event_type): (r.n, r.total_value)
              for r in ru.read_rollup(spark, store).collect()}
     assert again == doubled
+
+
+def test_incremental_arrival_and_late_data(spark, tmp_path):
+    """Two-drain scenario: an early file is processed, then a second
+    file with the remaining events arrives; the second availableNow
+    drain must process only the new file (checkpointed offsets) and
+    the rollup store must accumulate to exactly the batch aggregate.
+    This is the live-pipeline shape: files land, the query wakes,
+    state carries."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as FF
+
+    from sql_database_engine_spark.catalog import load_table
+    from sql_database_engine_spark.streaming import rollup as ru
+    import sql_database_engine_spark.streaming.events_stream as esm
+
+    src = tmp_path / "arriving"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    canon = load_table(spark, SF_SMOKE, "events").orderBy("event_id")
+    early = canon.limit(600)
+    late = canon.subtract(early)
+
+    def stage(df, name):
+        # File stream sources list FILES, not subdirectories — write a
+        # single part file and move it into the watched dir.
+        tmp = str(tmp_path / f"_stage_{name}")
+        (df.withColumn("ts", FF.unix_micros("ts") * 1000)
+         .select("event_id", "ts", "user_id", "event_type", "value", "props")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, str(src / name))
+        shutil.rmtree(tmp)
+
+    def drain():
+        raw = spark.readStream.schema(esm._RAW).parquet(str(src))
+        stream = raw.withColumn("ts", FF.timestamp_micros(FF.expr("ts div 1000")))
+        q = (stream.writeStream.foreachBatch(ru._merge_partials(store))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    stage(early, "batch0.parquet")
+    drain()
+    n_first = ru.read_rollup(spark, store).agg(F.sum("n").alias("t")).first().t
+    assert n_first == 600
+
+    stage(late, "batch1.parquet")
+    drain()
+    total = ru.read_rollup(spark, store).agg(F.sum("n").alias("t")).first().t
+    assert total == canon.count()
+
+    # Final store equals the batch aggregate over ALL events.
+    want = (canon.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                          "event_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+    got = ru.read_rollup(spark, store).select("window_start", "event_type", "n")
+    cols = ["window_start", "event_type", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
