@@ -237,3 +237,48 @@ def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(cents).cast("double") / 100.0).alias("min_value"),
         (F.max(cents).cast("double") / 100.0).alias("max_value"),
     )
+
+
+@query(
+    "events_asof_join_left",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           s.ts AS signup_ts, s.event_id AS signup_event_id
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events WHERE event_type <> 'signup') e
+    ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def events_asof_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join: like events_asof_join but events with no prior
+    signup are preserved with NULL match columns — the enrichment
+    variant that never drops fact rows. Same union-tag-carry plan,
+    minus the match filter."""
+    ev = Catalog(spark, sf_dir).events
+    events_side = (ev.filter(F.col("event_type") != "signup")
+                   .select("event_id", "user_id", "ts", "event_type",
+                           F.lit(None).cast("timestamp").alias("s_ts"),
+                           F.lit(None).cast("long").alias("s_id"),
+                           F.lit(1).alias("is_event")))
+    signup_side = (ev.filter(F.col("event_type") == "signup")
+                   .select("event_id", "user_id", "ts",
+                           F.lit(None).cast("string").alias("event_type"),
+                           F.col("ts").alias("s_ts"),
+                           F.col("event_id").alias("s_id"),
+                           F.lit(0).alias("is_event")))
+    unioned = events_side.unionByName(signup_side)
+    w = (W.partitionBy("user_id")
+         .orderBy("ts", "is_event", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    carried = (
+        unioned
+        .withColumn("signup_ts", F.last("s_ts", ignorenulls=True).over(w))
+        .withColumn("signup_event_id", F.last("s_id", ignorenulls=True).over(w))
+    )
+    return (
+        carried.filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "ts", "event_type",
+                "signup_ts", "signup_event_id")
+    )
