@@ -622,3 +622,57 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
             .filter(cond)
             .agg(money_sum(_rev()).alias("revenue")))
+
+
+@query(
+    "agg_variance_exact",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(ROUND(l_quantity * 100) AS BIGINT) AS q
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(COUNT(*) AS BIGINT) * CAST(SUM(q * q) AS BIGINT)
+                - CAST(SUM(q) AS BIGINT) * CAST(SUM(q) AS BIGINT) AS DOUBLE)
+           / (CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) - 1))
+           / 10000.0 AS var_qty,
+           sqrt(CAST(CAST(COUNT(*) AS BIGINT) * CAST(SUM(q * q) AS BIGINT)
+                - CAST(SUM(q) AS BIGINT) * CAST(SUM(q) AS BIGINT) AS DOUBLE)
+           / (CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) - 1))
+           / 10000.0) AS stddev_qty
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev with exact integer arithmetic:
+    var = (n·Σx² − (Σx)²) / (n·(n−1)) over integer cents, divided
+    back at the end. Built-in var_samp accumulates doubles (Welford)
+    whose partial-merge order differs between engines; the integer
+    formulation is order-independent, hence cluster-deterministic and
+    oracle-reproducible. Bounds: cents² ≤ 25e6, × 6e6 rows at sf=1
+    stays ≪ 2^63."""
+    li = Catalog(spark, sf_dir).lineitem
+    cents_q = F.round(F.col("l_quantity") * 100).cast("long")
+    q = F.col("q")
+    n = F.count(F.lit(1))
+    var = ((n * F.sum(q * q) - F.sum(q) * F.sum(q)).cast("double")
+           / (n * (n - F.lit(1))) / 10000.0)
+    return li.select("l_returnflag", cents_q.alias("q")).groupBy("l_returnflag").agg(
+        n.alias("n"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+@query("agg_sketch_percentiles")  # rows-only: sketch internals are engine-private
+def agg_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL-style sketch
+    (approx_percentile): one pass, fixed memory, mergeable partials —
+    the 100 TB replacement for exact percentile's per-group sort.
+    No oracle: DuckDB's approx_quantile uses t-digest (different
+    sketch, different error)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        .alias("price_percentiles"))
