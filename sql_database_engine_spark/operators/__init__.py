@@ -34,7 +34,8 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module (side effect: registry fills)."""
     from . import (relational, analytics, windows, setops, scalar, events,  # noqa: F401
-                   text, similarity, multimodal, udfs, cdc, timeseries)
+                   text, similarity, multimodal, udfs, cdc, timeseries,
+                   tpch_extra)
     _register_streaming()
 
 
