@@ -516,3 +516,32 @@ def join_right_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cat.nation, F.col("s_nationkey") == F.col("n_nationkey"), "right")
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {MONEY_SUM_SQL(REVENUE_SQL)} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring fact-fact join read from bucketed tables: both
+    sides bucketed (and sorted) on orderkey, so the sort-merge join
+    needs no Exchange and no Sort — the write-time layout is the
+    shuffle, paid once (``sources/bucketed.py``). ``bench.py`` stages
+    the layout untimed and times this query; at 100 TB this is the
+    difference between re-shuffling two fact tables per query and
+    never shuffling them."""
+    from ..sources.bucketed import ensure_bucketed_facts
+    names = ensure_bucketed_facts(spark, sf_dir)
+    li, o = spark.table(names["lineitem"]), spark.table(names["orders"])
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             money_sum(REVENUE()).alias("revenue"))
+        .orderBy("o_orderpriority")
+    )

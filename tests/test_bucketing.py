@@ -54,3 +54,22 @@ def test_bucketed_join_has_no_exchange(warehouse):
     plain = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
              .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")))
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_registered_bucketed_query_plan_and_oracle_shape(spark):
+    """The registry's join_bucketed_colocated must actually ride the
+    bucket layout: no exchange on either join input even with
+    broadcast disabled (AQE would otherwise hide the question by
+    broadcasting the small test-SF orders side)."""
+    from sql_database_engine_spark.operators import load_all, QUERIES
+    load_all()
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["join_bucketed_colocated"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -59,6 +59,39 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Catalyst's InjectRuntimeFilter must Bloom-prune the fact side
+    of a shuffle join whose other side carries a selective filter.
+
+    At 100 TB this fires with stock thresholds (creation side < 10 MB
+    after filtering, application-side scan > 10 GB): the orders that
+    survive ``o_orderpriority = '1-URGENT'`` build a Bloom filter that
+    drops ~all lineitem rows *before* they are shuffled. Locally the
+    scans are far below the 10 GB gate, so the test lowers it to prove
+    the rule itself still fires on our plan shape."""
+    from pyspark.sql import functions as F
+    from sql_database_engine_spark.catalog import Catalog
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        cat = Catalog(spark, SF_SMOKE)
+        j = (cat.lineitem
+             .join(cat.orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("l_returnflag").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "no Bloom runtime filter on the fact scan"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_dedup_shuffles_digests_not_documents(spark):
     # The exact-dedup shuffle must carry the sha256 digest, not text.
     plan = _plan(spark, "dedup_exact_keep_first")
