@@ -1,0 +1,149 @@
+"""Training-pipeline operators: dataset splitting, stratified
+sampling, and sequence packing over the documents corpus.
+
+These are the steps between "clean corpus" (see
+``analytics.clean_corpus_pipeline`` and the dedup family in ``text``/
+``similarity``) and "tokens on the training cluster". The common
+design rule at 100 TB: **every assignment is a pure function of the
+row** (a salted hash of a stable key), never of an RNG stream or of
+partition layout — so splits are reproducible across reruns, engines,
+and cluster sizes, membership can be recomputed row-side to audit
+leakage, and no shuffle is needed to assign (only to summarize).
+
+That determinism is also what makes these oracle-checkable: DuckDB
+computes the same md5-derived buckets bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+#: md5-derived bucket in [0, 1000): stable per doc_id, uniform enough
+#: for splitting (md5 avalanche), engine-independent.
+_BUCKETS = 1000
+
+
+def _bucket():
+    hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (F.conv(hex4, 16, 10).cast("int") % _BUCKETS).alias("bucket")
+
+
+_BUCKET_SQL = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER"
+    f" % {_BUCKETS})"
+)
+
+
+@query(
+    "train_val_test_split_hash",
+    oracle=f"""
+    SELECT doc_id, lang, {_BUCKET_SQL} AS bucket,
+           CASE WHEN {_BUCKET_SQL} < 800 THEN 'train'
+                WHEN {_BUCKET_SQL} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_val_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by hashed doc_id. No RNG, no
+    shuffle: the split is a projection, evaluated where the row lives;
+    re-running on a different cluster (or engine) yields the identical
+    assignment, and a doc's split never changes as the corpus grows —
+    the properties a training pipeline needs for leakage audits."""
+    d = Catalog(spark, sf_dir).documents
+    b = d.select("doc_id", "lang", _bucket())
+    return b.withColumn(
+        "split",
+        F.when(F.col("bucket") < 800, "train")
+         .when(F.col("bucket") < 900, "val")
+         .otherwise("test"))
+
+
+#: Per-language keep-rates for the stratified sample: downsample the
+#: dominant language, keep the tail. Rates are in buckets-of-1000.
+STRATA_RATES = {"en": 250, "de": 800, "es": 800, "fr": 800, "zh": 800}
+
+
+@query(
+    "stratified_sample_exact",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents)
+    SELECT doc_id, lang, bucket
+    FROM b
+    WHERE bucket < CASE lang
+        WHEN 'en' THEN 250 WHEN 'de' THEN 800 WHEN 'es' THEN 800
+        WHEN 'fr' THEN 800 WHEN 'zh' THEN 800 ELSE 0 END
+    """,
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language via hash thresholds, not
+    ``sampleBy``: the RNG version draws a different sample per run and
+    per partitioning, this one is a deterministic per-row predicate —
+    reproducible, auditable, and pushed down to the scan (no shuffle,
+    no sampling pass). Rebalancing language mix is the canonical
+    pretraining-corpus operation."""
+    d = Catalog(spark, sf_dir).documents
+    rate = F.lit(0)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", _bucket())
+        .filter(F.col("bucket") < rate)
+    )
+
+
+#: Token budget per packed training sequence (whitespace tokens; the
+#: bpe-ish regex variant is ``text.token_count_bpe_regex``).
+PACK_BUDGET = 2048
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents
+    ), c AS (
+        SELECT lang, n_toks,
+               COALESCE(SUM(n_toks) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cum_before
+        FROM t
+    )
+    SELECT lang, cum_before // {PACK_BUDGET} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM c GROUP BY lang, bin ORDER BY lang, bin
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: walk each language's docs in
+    doc_id order and cut a new bin every {PACK_BUDGET} tokens (the
+    exclusive running sum decides the bin, so a doc straddling the
+    boundary starts its bin — the tokenizer pads/truncates downstream).
+
+    The running sum is a window per language — the packing unit IS the
+    parallelism unit, which is how a real pipeline shards this (pack
+    within output shard, shards in parallel); there is no global
+    sequential state. Window sums run in frame order, so the integral
+    token counts make every bin boundary deterministic."""
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        "lang", "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    return (
+        toks.withColumn("cum_before",
+                        F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+        .withColumn("bin", F.expr(f"cum_before div {PACK_BUDGET}"))
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_toks").alias("total_tokens"))
+        .orderBy("lang", "bin")
+    )
