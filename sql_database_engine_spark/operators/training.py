@@ -147,3 +147,80 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_toks").alias("total_tokens"))
         .orderBy("lang", "bin")
     )
+
+
+#: Shingle width for the cross-split contamination audit.
+_CONTAM_N = 5
+
+
+def _word_ngrams(d: DataFrame, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per document, codegen-shaped
+    (posexplode + window leads — see ``text._word_bigrams`` for why
+    HOFs are avoided). concat_ws silently skips NULLs, so the tail
+    positions are dropped by filtering on the *last* lead, not by
+    letting short grams form."""
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    return (
+        toks.select("doc_id", F.col("tok").alias("t0"), *leads)
+        .filter(F.col(f"t{n-1}").isNotNull())
+        .select("doc_id",
+                F.concat_ws(" ", *[f"t{i}" for i in range(n)]).alias("gram"))
+        .distinct()
+    )
+
+
+@query(
+    "split_contamination_check",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, {_BUCKET_SQL} AS bucket FROM documents
+    ), toks AS (
+        SELECT doc_id, bucket, string_split(text, ' ') AS ts FROM b
+    ), grams AS (
+        SELECT doc_id, bucket,
+               unnest(list_distinct([array_to_string(ts[i:i+{_CONTAM_N - 1}], ' ')
+                                     for i in range(1, len(ts) - {_CONTAM_N - 1} + 1)]))
+                   AS gram
+        FROM toks
+    ), train AS (
+        SELECT DISTINCT gram FROM grams WHERE bucket < 800
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS contamination
+    FROM grams g LEFT JOIN train t USING (gram)
+    WHERE g.bucket >= 900
+    GROUP BY g.doc_id
+    """,
+)
+def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test leakage audit over the hash split: per test
+    document, the share of its distinct {5}-gram shingles that also
+    occur anywhere in the train split. The join key is the shingle
+    itself after per-side dedup, so the shuffle carries each distinct
+    gram once — gram frequency skew (stopword runs) never reaches the
+    join. At 100 TB the train side is the big one; this is a plain
+    shuffle join on a high-cardinality key, exactly the shape AQE
+    handles, and the audit runs before any training job does."""
+    d = Catalog(spark, sf_dir).documents
+    b = d.select("doc_id", "text", _bucket())
+    grams = _word_ngrams(b.select("doc_id", "text"), _CONTAM_N).join(
+        b.select("doc_id", "bucket"), "doc_id")
+    train = grams.filter(F.col("bucket") < 800).select("gram").distinct()
+    test = grams.filter(F.col("bucket") >= 900)
+    hit = F.sum(F.when(F.col("t_gram").isNotNull(), 1).otherwise(0))
+    return (
+        test.join(train.select(F.col("gram").alias("t_gram")),
+                  test["gram"] == F.col("t_gram"), "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             hit.cast("long").alias("n_contaminated"),
+             (hit.cast("double") / F.count(F.lit(1)).cast("double"))
+                 .alias("contamination"))
+    )

@@ -98,3 +98,21 @@ def test_dedup_shuffles_digests_not_documents(spark):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchanges and all("content_hash" in l for l in exchanges)
     assert all("text" not in l for l in exchanges)
+
+
+def test_decorrelated_queries_scan_lineitem_once(spark):
+    """Q17's correlated AVG and Q21's EXISTS/NOT-EXISTS pair must
+    decorrelate into windows over a single lineitem scan — the
+    textbook aggregate-then-rejoin plan reads the fact table twice,
+    which at 100 TB doubles the dominant I/O."""
+    for name in ("q17_small_quantity_revenue", "q21_waiting_suppliers"):
+        plan = _plan(spark, name)
+        scans = [l for l in plan.splitlines()
+                 if "FileScan parquet" in l and "lineitem" in l]
+        assert len(scans) == 1, f"{name}: lineitem scanned {len(scans)}×"
+
+
+def test_q5_broadcasts_all_bounded_dims(spark):
+    # supplier, nation, region all broadcast: the only shuffles left
+    # are the two fact joins and the final aggregation.
+    assert _plan(spark, "q5_local_supplier_volume").count("BroadcastHashJoin") >= 3
