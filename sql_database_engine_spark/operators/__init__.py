@@ -61,6 +61,12 @@ def _register_streaming() -> None:
         return es.run_available_now(user_profiles(s),
                                     "q_stream_profiles", output_mode="update")
 
+    def stream_click_purchase_join(spark, sf_dir):
+        s = es.events_stream(spark, sf_dir)
+        return es.run_available_now(es.click_purchase_join(s),
+                                    "q_stream_cp_join", output_mode="append")
+
+    QUERIES.setdefault("stream_click_purchase_join", stream_click_purchase_join)
     QUERIES.setdefault("stream_tumbling_counts", stream_tumbling_counts)
     QUERIES.setdefault("stream_session_windows", stream_session_windows)
     QUERIES.setdefault("stream_user_profiles", stream_user_profiles)
@@ -68,6 +74,17 @@ def _register_streaming() -> None:
     # The drained streaming results are deterministic aggregates, so
     # they get full oracles — the driver verifies the incremental
     # engine's output, not just that it ran.
+    ORACLES.setdefault("stream_click_purchase_join", """
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """)
     ORACLES.setdefault("stream_tumbling_counts", """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,

@@ -61,6 +61,17 @@ def tune(spark: SparkSession) -> SparkSession:
             # A static conf on some future Spark — never fail a query
             # over a tuning knob.
             pass
+    try:
+        # Initial shuffle parallelism ≈ local cores, not the 200
+        # default: AQE re-coalesces batch shuffles either way, but
+        # *streaming state stores* shard at exactly this number — 200
+        # near-empty state partitions is pure task overhead on the
+        # driver's vanilla session. On a real cluster: 2-3× total
+        # executor cores.
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(default_parallelism()))
+    except Exception:
+        pass
     return spark
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, types as T
 
 from ..session import tune
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_source(spark: SparkSession, fmt: str, path: str,

@@ -117,3 +117,34 @@ def run_available_now(stream_df: DataFrame, query_name: str,
          .start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same
+    user's purchases within the following hour.
+
+    Both sides carry a watermark AND the join condition bounds
+    purchase time relative to click time — together they let the
+    engine compute how long a buffered click can still match (1h join
+    range + 2h lateness) and evict state past that horizon. A
+    stream-stream join without both is unbounded state. The join key
+    includes user_id, so state shards across executors."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+        .select(F.col("c_user").alias("user_id"), "click_id", "click_ts",
+                "purchase_id", "purchase_ts")
+    )

@@ -11,7 +11,7 @@ from sql_database_engine_spark.sources.readers import read_source, write_sink
 from .conftest import SF_SMOKE
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_documents_roundtrip(spark, tmp_path, fmt):
     src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     out = str(tmp_path / f"docs_{fmt}")

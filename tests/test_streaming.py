@@ -185,3 +185,30 @@ def test_incremental_arrival_and_late_data(spark, tmp_path):
     got = ru.read_rollup(spark, store).select("window_start", "event_type", "n")
     cols = ["window_start", "event_type", "n"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_join_matches_batch(spark, stream):
+    """The watermarked stream-stream join drains to exactly the batch
+    range-join over the same events."""
+    from sql_database_engine_spark.catalog import load_table
+    got = es.run_available_now(es.click_purchase_join(stream),
+                               "t_cp_join", output_mode="append")
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    want = (clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+        .select(F.col("c_user").alias("user_id"), "click_id", "click_ts",
+                "purchase_id", "purchase_ts"))
+    cols = ["user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"]
+    assert got.count() > 0
+    assert _rows(got, cols) == _rows(want, cols)
