@@ -41,6 +41,8 @@ HEADLINE = [
     "ann_ivf_topk",                 # IVF index build + probe
     "join_bucketed_colocated",      # shuffle-free fact join (bucketed)
     "q3_shipping_priority",         # filter-join-agg-topk
+    "q5_local_supplier_volume",     # 6-way join, same-nation equi-key
+    "split_contamination_check",    # cross-split n-gram leakage audit
     "q7_nation_trade_volume",       # 6-way join
     "q18_large_orders",             # group-having-topk
     "stream_tumbling_counts",       # incremental windowed agg
