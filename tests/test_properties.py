@@ -8,6 +8,7 @@ from __future__ import annotations
 from hypothesis import given, strategies as st
 
 from sql_database_engine_spark.errors import PrepareError
+from .conftest import SF_ORACLE
 from sql_database_engine_spark.plans.statement import Statement, StatementType, prepare
 
 # --- statement parser properties (no Spark needed) ---
@@ -97,3 +98,72 @@ def test_results_invariant_under_partitioning(spark):
         spark.conf.set("spark.sql.shuffle.partitions", base_parts)
         spark.conf.set("spark.sql.files.maxPartitionBytes", base_bytes)
     assert few == many
+
+
+def test_training_split_properties(spark):
+    """Statistical + structural contracts of the hash split: exact
+    partition of the corpus, stable under re-evaluation, proportions
+    near 80/10/10 (binomial tolerance at n=500)."""
+    from sql_database_engine_spark import operators
+    operators.load_all()
+    df = operators.QUERIES["train_val_test_split_hash"](spark, SF_ORACLE)
+    rows = df.collect()
+    n = len(rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    # exact partition: every doc in exactly one split
+    assert sum(len(v) for v in by.values()) == n
+    # ~80/10/10 within 5 sigma of binomial
+    import math
+    for split, p in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+        got = len(by.get(split, ()))
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(got - n * p) < 5 * sigma, (split, got, n)
+    # determinism: second evaluation identical
+    again = operators.QUERIES["train_val_test_split_hash"](spark, SF_ORACLE)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_sequence_packing_invariants(spark):
+    """Bins are dense per language, every bin holds ≥1 doc, token
+    totals are conserved, and no bin except a straddler's exceeds the
+    budget by more than one document's tokens."""
+    from sql_database_engine_spark import operators
+    from sql_database_engine_spark.operators.training import PACK_BUDGET
+    operators.load_all()
+    rows = operators.QUERIES["pack_sequences_greedy"](spark, SF_ORACLE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, bins in by_lang.items():
+        idx = sorted(b["bin"] for b in bins)
+        assert idx == list(range(len(idx))), f"{lang}: bins not dense {idx[:5]}"
+        assert all(b["n_docs"] >= 1 for b in bins)
+        # every bin but the last must have reached the budget (the doc
+        # that crossed the boundary is counted in the bin it started in)
+        ordered = sorted(bins, key=lambda b: b["bin"])
+        cum = 0
+        for b in ordered[:-1]:
+            cum += b["total_tokens"]
+            assert cum >= (b["bin"] + 1) * PACK_BUDGET, (lang, b["bin"])
+
+
+def test_stratified_sample_rates(spark):
+    """Per-language keep-rates land within binomial tolerance of the
+    configured thresholds."""
+    import math
+    from sql_database_engine_spark import operators
+    from sql_database_engine_spark.operators.training import STRATA_RATES, _BUCKETS
+    operators.load_all()
+    base = operators.QUERIES["train_val_test_split_hash"](spark, SF_ORACLE)
+    totals = {r["lang"]: r["n"] for r in
+              base.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    got = {r["lang"]: r["n"] for r in
+           operators.QUERIES["stratified_sample_exact"](spark, SF_ORACLE)
+           .groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, rate in STRATA_RATES.items():
+        p = rate / _BUCKETS
+        n = totals[lang]
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(got.get(lang, 0) - n * p) <= 5 * sigma + 1, (lang, got.get(lang), n)
