@@ -106,6 +106,15 @@ class Engine:
         shutil.rmtree(backup)
         return len(glob.glob(os.path.join(path, "*.parquet")))
 
+    def zorder_table(self, df: DataFrame, path: str, cols: tuple[str, str],
+                     files: int = 8) -> DataFrame:
+        """Rewrite a table Z-order-clustered on two columns so parquet
+        min/max footer stats prune files for predicates on either (or
+        both) — see ``sources/clustering.py``."""
+        from .sources.clustering import zorder_write
+        zorder_write(df, path, cols, files=files)
+        return self.spark.read.schema(df.schema).parquet(path)
+
     # --- streaming ---
 
     def stream_events(self) -> DataFrame:

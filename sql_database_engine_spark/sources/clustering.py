@@ -1,0 +1,71 @@
+"""Z-order (Morton) clustering: multi-column data layout for min/max
+file skipping.
+
+A table sorted on one column skips files well for predicates on that
+column and not at all for a second column. Interleaving the bits of
+two quantized keys (Morton order) and range-partition-sorting on the
+interleaved key gives every file a tight min/max envelope on BOTH
+columns — each of N files spans ~1/sqrt(N) of each dimension instead
+of one dimension perfectly and the other fully. Parquet readers prune
+row groups from exactly these footer stats, so at 100 TB this turns
+two-column point/range predicates into reads of a few files. (Same
+layout idea Delta/Iceberg expose as ``OPTIMIZE ... ZORDER BY``; here
+it is plain Spark: quantize → interleave → repartitionByRange → sorted
+write.)
+
+Everything stays in whole-stage codegen: the Morton key is a fixed
+chain of shift/mask/or column expressions, the quantization a min/max
+affine map (two driver-side scalars per column from one aggregate).
+The range partitioner samples the key like any repartitionByRange —
+no driver-side data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Bits per dimension: 8 → 65,536 Z-cells, plenty to order files by;
+#: file envelopes are set by file count, not by key resolution.
+DEFAULT_BITS = 8
+
+
+def _quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Affine map of [lo, hi] onto the integer grid [0, 2^bits)."""
+    cells = (1 << bits) - 1
+    if hi <= lo:  # constant column: one cell
+        return F.lit(0).cast("long")
+    scaled = (col.cast("double") - F.lit(float(lo))) * cells / (float(hi) - float(lo))
+    return F.least(F.greatest(F.round(scaled).cast("long"), F.lit(0)),
+                   F.lit(cells))
+
+
+def morton_key(qa: Column, qb: Column, bits: int = DEFAULT_BITS) -> Column:
+    """Bit-interleave two quantized keys (a even bits, b odd bits)."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i)
+        bbit = F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        key = key.bitwiseOR(abit).bitwiseOR(bbit)
+    return key
+
+
+def zorder_write(df: DataFrame, path: str, cols: tuple[str, str],
+                 files: int = 8, bits: int = DEFAULT_BITS) -> None:
+    """Write ``df`` as parquet clustered in Z-order on two columns.
+
+    One pass for per-column min/max (driver gets 4 scalars, never
+    rows), one shuffle (the range partition on the Morton key), sorted
+    files out. ``files`` should track data volume — at cluster scale,
+    total size / target file size (~1 GB).
+    """
+    a, b = cols
+    stats = df.agg(F.min(a).alias("la"), F.max(a).alias("ha"),
+                   F.min(b).alias("lb"), F.max(b).alias("hb")).first()
+    key = morton_key(
+        _quantize(F.col(a), stats["la"], stats["ha"], bits),
+        _quantize(F.col(b), stats["lb"], stats["hb"], bits), bits)
+    (df.withColumn("__z", key)
+     .repartitionByRange(files, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode("overwrite").parquet(path))

@@ -1,0 +1,58 @@
+"""Z-order clustering: per-file min/max envelopes must tighten on
+BOTH clustered columns versus a layout sorted on an unrelated key —
+the footer-stats property parquet row-group pruning feeds on."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def _avg_relative_span(path: str, col: str) -> float:
+    spans, glo, ghi = [], None, None
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                    hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+        assert lo is not None, f"no stats for {col} in {f}"
+        spans.append(hi - lo)
+        glo = lo if glo is None else min(glo, lo)
+        ghi = hi if ghi is None else max(ghi, hi)
+    assert len(spans) > 1, "need multiple files to measure locality"
+    return (sum(spans) / len(spans)) / (ghi - glo)
+
+
+def test_zorder_tightens_both_columns(spark, tmp_path):
+    from sql_database_engine_spark.sources.clustering import zorder_write
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    zpath = str(tmp_path / "li_z")
+    bpath = str(tmp_path / "li_base")
+    zorder_write(li, zpath, ("l_partkey", "l_suppkey"), files=8)
+    # Baseline: same file count, ordered by an unrelated key — each
+    # file spans ~the full range of both clustered columns.
+    (li.repartitionByRange(8, "l_orderkey").sortWithinPartitions("l_orderkey")
+     .write.mode("overwrite").parquet(bpath))
+
+    for col in ("l_partkey", "l_suppkey"):
+        z = _avg_relative_span(zpath, col)
+        base = _avg_relative_span(bpath, col)
+        assert z < 0.6 * base, (col, z, base)
+
+    # Clustering must not change the data.
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    a = back.agg(F.sum("l_extendedprice")).first()[0]
+    b = li.agg(F.sum("l_extendedprice")).first()[0]
+    assert abs(a - b) < 1e-6
