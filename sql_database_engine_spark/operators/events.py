@@ -282,3 +282,57 @@ def events_asof_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "event_type",
                 "signup_ts", "signup_event_id")
     )
+
+
+@query(
+    "events_interval_join_binned",
+    oracle="""
+    SELECT e.user_id, e.event_id AS error_id,
+           CAST(e.ts AS TIMESTAMP) AS error_ts,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <  CAST(e.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+)
+def events_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (purchases inside the 30 minutes after an
+    error, per user), executed as a *binned* join — the scalable shape
+    for range predicates with no natural equi key.
+
+    A naive formulation joins on user_id alone and filters, making
+    the candidate space per-user-quadratic (one hot user = one hot
+    task). Here both sides get a 30-minute time-bin key: each interval
+    emits its (at most two) covering bins, each probe event its single
+    bin, and the join runs on (user_id, bin) with the range predicate
+    as residual. Candidates are bounded by co-occurrence in a real
+    time window, the shuffle key is (user, bin) so hot users spread
+    over bins, and no pair can match twice (a probe has exactly one
+    bin). This is the same decomposition the as-of join family uses
+    (`events_asof_join`), generalized to overlap predicates."""
+    _BIN_US = 30 * 60 * 1_000_000
+    ev = Catalog(spark, sf_dir).events
+    err = (ev.filter(F.col("event_type") == "error")
+           .select(F.col("user_id").alias("e_user"),
+                   F.col("event_id").alias("error_id"),
+                   F.col("ts").alias("error_ts")))
+    # the interval [ts, ts+30min) always lies inside bins {b, b+1}
+    err = (err.withColumn("b0", F.expr(f"unix_micros(error_ts) div {_BIN_US}"))
+           .withColumn("bin", F.explode(F.array("b0", F.col("b0") + 1)))
+           .drop("b0"))
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .select(F.col("user_id").alias("user_id"),
+                   F.col("event_id").alias("purchase_id"),
+                   F.col("ts").alias("purchase_ts"))
+           .withColumn("bin", F.expr(f"unix_micros(purchase_ts) div {_BIN_US}")))
+    return (
+        err.join(pur, (F.col("e_user") == F.col("user_id"))
+                 & (err["bin"] == pur["bin"]))
+        .filter((F.col("purchase_ts") >= F.col("error_ts"))
+                & (F.col("purchase_ts") <
+                   F.col("error_ts") + F.expr("INTERVAL 30 MINUTE")))
+        .select("user_id", "error_id", "error_ts", "purchase_id", "purchase_ts")
+    )
