@@ -657,3 +657,35 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 25
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: top-25 tokens by occurrence with
+    document frequency. Explode + count is two shuffles (token agg,
+    then TakeOrdered top-k on the driver-bound 25); at 100 TB the
+    partial aggregation absorbs the token zipf-skew map-side, so the
+    shuffle carries one row per (partition, distinct token) — this is
+    the exact pass; a count-min/``freqItems`` sketch would be the
+    single-pass approximate variant when the vocabulary itself doesn't
+    fit."""
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(25)
+    )
