@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .conftest import SF_SMOKE
+from .conftest import SF_SMOKE, SF_ORACLE
 
 
 def _queries():
@@ -131,3 +131,23 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # bits + 1-bit probes is p^8 + 8p^7(1-p) ≈ 0.10. Assert the
     # measured recall is in that regime, not a collapsed 0.
     assert r9 >= 0.05, f"multi-probe recall@3 below theoretical regime: {r9}"
+
+
+def test_cms_estimates_bounded(spark):
+    """Count-min contract: never undercounts; overshoot within the
+    e·N/w Markov bound (×3 slack over 4 rows)."""
+    import math
+    from sql_database_engine_spark import operators
+    from sql_database_engine_spark.operators.sketches import CMS_WIDTH
+    from sql_database_engine_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+    operators.load_all()
+    rows = operators.QUERIES["cms_token_count_estimates"](spark, SF_ORACLE).collect()
+    assert len(rows) == 25
+    toks = (Catalog(spark, SF_ORACLE).documents
+            .select(F.explode(F.split(F.col("text"), " ")).alias("t")))
+    total = toks.count()
+    bound = 3 * math.e * total / CMS_WIDTH
+    for r in rows:
+        assert r["n_est"] >= r["n_exact"], r
+        assert r["n_est"] - r["n_exact"] <= bound, (r, bound)
