@@ -66,6 +66,16 @@ def _register_streaming() -> None:
         return es.run_available_now(es.click_purchase_join(s),
                                     "q_stream_cp_join", output_mode="append")
 
+    def stream_click_purchase_left_join(spark, sf_dir):
+        s = es.events_stream(spark, sf_dir)
+        return es.run_available_now(es.click_purchase_left_join(s),
+                                    "q_stream_cp_left", output_mode="append")
+
+    # rows-only: the null-extended subset depends on watermark-eviction
+    # boundaries (see click_purchase_left_join docstring), which a SQL
+    # oracle cannot pin portably.
+    QUERIES.setdefault("stream_click_purchase_left_join",
+                       stream_click_purchase_left_join)
     QUERIES.setdefault("stream_click_purchase_join", stream_click_purchase_join)
     QUERIES.setdefault("stream_tumbling_counts", stream_tumbling_counts)
     QUERIES.setdefault("stream_session_windows", stream_session_windows)

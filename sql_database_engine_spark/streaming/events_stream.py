@@ -148,3 +148,38 @@ def click_purchase_join(events: DataFrame) -> DataFrame:
         .select(F.col("c_user").alias("user_id"), "click_id", "click_ts",
                 "purchase_id", "purchase_ts")
     )
+
+
+def click_purchase_left_join(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its purchases
+    within the following hour or NULLs if none.
+
+    Outer semantics on two streams is watermark-driven: a click can
+    only be declared purchase-less once the watermark passes its whole
+    match window (1h range + 2h lateness), so null-extended rows emit
+    *late by design*. Consequence under ``availableNow`` drains: the
+    watermark ends at max(event_time) − 2h, so clicks younger than
+    watermark − 1h remain buffered in state and never emit their null
+    row in that run — the batch-equivalence test pins exactly this
+    horizon. A live pipeline keeps the state and emits them as the
+    watermark advances; that is correct streaming behavior, not loss."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer")
+        .select(F.col("c_user").alias("user_id"), "click_id", "click_ts",
+                "purchase_id", "purchase_ts")
+    )

@@ -212,3 +212,51 @@ def test_stream_stream_join_matches_batch(spark, stream):
     cols = ["user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"]
     assert got.count() > 0
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_left_join_watermark_horizon(spark, stream):
+    """Outer-join rows emit only once the watermark clears their match
+    window: matched rows equal the batch inner join exactly; the
+    null-extended rows equal the batch anti-join *restricted to clicks
+    the final watermark could adjudicate* (older than max_ts − 3h:
+    2h lateness + 1h join range). Younger unmatched clicks stay in
+    state — the documented availableNow behavior."""
+    from sql_database_engine_spark.catalog import load_table
+    got = es.run_available_now(es.click_purchase_left_join(stream),
+                               "t_cp_left", output_mode="append")
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+    inner = clicks.join(purchases, cond).select(
+        F.col("c_user").alias("user_id"), "click_id", "click_ts",
+        "purchase_id", "purchase_ts")
+    cols = ["user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"]
+    got_matched = got.filter(F.col("purchase_id").isNotNull())
+    assert _rows(got_matched, cols) == _rows(inner, cols)
+
+    # The global watermark is the MIN across both input streams
+    # (multipleWatermarkPolicy=min), so the adjudication horizon keys
+    # off the slower side: min(max click, max purchase) − 2h lateness,
+    # and a click needs its whole 1h match range below that.
+    import datetime
+    mc = clicks.agg(F.max("click_ts")).first()[0]
+    mp = purchases.agg(F.max("purchase_ts")).first()[0]
+    cutoff = min(mc, mp) - datetime.timedelta(hours=3)
+    unmatched_batch = (clicks.join(purchases, cond, "left_anti")
+                       .filter(F.col("click_ts") <= F.lit(cutoff))
+                       .select(F.col("c_user").alias("user_id"),
+                               "click_id", "click_ts"))
+    got_nulls = (got.filter(F.col("purchase_id").isNull())
+                 .filter(F.col("click_ts") <= F.lit(cutoff))
+                 .select("user_id", "click_id", "click_ts"))
+    c3 = ["user_id", "click_id", "click_ts"]
+    assert _rows(got_nulls, c3) == _rows(unmatched_batch, c3)
