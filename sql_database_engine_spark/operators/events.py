@@ -336,3 +336,47 @@ def events_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("error_ts") + F.expr("INTERVAL 30 MINUTE")))
         .select("user_id", "error_id", "error_ts", "purchase_id", "purchase_ts")
     )
+
+
+@query(
+    "events_asof_join_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           e.event_type, CAST(p.ts AS TIMESTAMP) AS next_purchase_ts
+    FROM (SELECT event_id, user_id, ts, event_type
+          FROM events WHERE event_type <> 'purchase') e
+    ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) <= p.ts
+    """,
+)
+def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the user's *next*
+    purchase at-or-after it (inner). Mirror of ``events_asof_join``
+    with the carry reversed: first(..., ignorenulls) over the
+    [current, unbounded following] frame instead of last(...) over
+    the preceding frame — still one shuffle on user_id, still no
+    range explosion. Tie rule: a purchase at exactly the event's ts
+    matches (<=), so at equal ts event rows sort first (is_event
+    DESC) and see the purchase inside their frame."""
+    ev = Catalog(spark, sf_dir).events
+    events_side = (ev.filter(F.col("event_type") != "purchase")
+                   .select("event_id", "user_id", "ts", "event_type",
+                           F.lit(None).cast("timestamp").alias("p_ts"),
+                           F.lit(1).alias("is_event")))
+    purchase_side = (ev.filter(F.col("event_type") == "purchase")
+                     .select("event_id", "user_id", "ts",
+                             F.lit(None).cast("string").alias("event_type"),
+                             F.col("ts").alias("p_ts"),
+                             F.lit(0).alias("is_event")))
+    unioned = events_side.unionByName(purchase_side)
+    w = (W.partitionBy("user_id")
+         .orderBy("ts", F.col("is_event").desc(), "event_id")
+         .rowsBetween(0, W.unboundedFollowing))
+    carried = unioned.withColumn(
+        "next_purchase_ts", F.first("p_ts", ignorenulls=True).over(w))
+    return (
+        carried.filter((F.col("is_event") == 1)
+                       & F.col("next_purchase_ts").isNotNull())
+        .select("event_id", "user_id", "ts", "event_type", "next_purchase_ts")
+    )
