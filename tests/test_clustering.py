@@ -56,3 +56,22 @@ def test_zorder_tightens_both_columns(spark, tmp_path):
     a = back.agg(F.sum("l_extendedprice")).first()[0]
     b = li.agg(F.sum("l_extendedprice")).first()[0]
     assert abs(a - b) < 1e-6
+
+
+def test_hilbert_at_least_as_tight_as_zorder(spark, tmp_path):
+    from sql_database_engine_spark.sources.clustering import (
+        hilbert_write, zorder_write)
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    hpath, zpath = str(tmp_path / "li_h"), str(tmp_path / "li_z")
+    hilbert_write(li, hpath, ("l_partkey", "l_suppkey"), files=8)
+    zorder_write(li, zpath, ("l_partkey", "l_suppkey"), files=8)
+    spans_h = [_avg_relative_span(hpath, c) for c in ("l_partkey", "l_suppkey")]
+    spans_z = [_avg_relative_span(zpath, c) for c in ("l_partkey", "l_suppkey")]
+    # Hilbert's no-diagonal-jump property shows up as (a) smaller
+    # combined envelope and (b) better balance: the worst dimension's
+    # span shrinks (Z-order concentrates its error in one dimension;
+    # Hilbert spreads it). Per-dimension spans may individually trade.
+    assert sum(spans_h) <= sum(spans_z) * 1.05, (spans_h, spans_z)
+    assert max(spans_h) < max(spans_z), (spans_h, spans_z)
+    assert spark.read.parquet(hpath).count() == li.count()
