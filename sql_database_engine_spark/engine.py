@@ -107,12 +107,15 @@ class Engine:
         return len(glob.glob(os.path.join(path, "*.parquet")))
 
     def zorder_table(self, df: DataFrame, path: str, cols: tuple[str, str],
-                     files: int = 8) -> DataFrame:
-        """Rewrite a table Z-order-clustered on two columns so parquet
-        min/max footer stats prune files for predicates on either (or
-        both) — see ``sources/clustering.py``."""
-        from .sources.clustering import zorder_write
-        zorder_write(df, path, cols, files=files)
+                     files: int = 8, curve: str = "zorder") -> DataFrame:
+        """Rewrite a table space-filling-curve-clustered on two columns
+        so parquet min/max footer stats prune files for predicates on
+        either (or both). ``curve='hilbert'`` gives tighter, balanced
+        envelopes at the same file count — see ``sources/clustering.py``
+        and PERF.md for measurements."""
+        from .sources.clustering import hilbert_write, zorder_write
+        write = {"zorder": zorder_write, "hilbert": hilbert_write}[curve]
+        write(df, path, cols, files=files)
         return self.spark.read.schema(df.schema).parquet(path)
 
     # --- streaming ---

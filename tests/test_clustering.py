@@ -75,3 +75,13 @@ def test_hilbert_at_least_as_tight_as_zorder(spark, tmp_path):
     assert sum(spans_h) <= sum(spans_z) * 1.05, (spans_h, spans_z)
     assert max(spans_h) < max(spans_z), (spans_h, spans_z)
     assert spark.read.parquet(hpath).count() == li.count()
+
+
+def test_engine_cluster_api_both_curves(spark, tmp_path):
+    from sql_database_engine_spark.engine import Engine
+    e = Engine(spark, SF_SMOKE)
+    li = e.table("lineitem")
+    for curve in ("zorder", "hilbert"):
+        out = e.zorder_table(li, str(tmp_path / curve),
+                             ("l_partkey", "l_suppkey"), files=4, curve=curve)
+        assert out.count() == li.count()
