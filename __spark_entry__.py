@@ -28,9 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered family-interleaved (see ``operators.ordered_queries``) so a
+    driver sampling any prefix exercises every operator family.
+    """
     operators.load_all()
-    return dict(QUERIES)
+    return operators.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
