@@ -413,11 +413,31 @@ def sql_api_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@query("map_column_ops")  # rows-only: Spark MapType has no DuckDB hash twin
+@query(
+    "map_column_ops",
+    oracle="""
+    WITH per_type AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+           CAST(COALESCE(SUM(CASE WHEN cents > 100000 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_big_types,
+           string_agg(event_type || '=' || CAST(cents AS VARCHAR), ','
+                      ORDER BY event_type) AS by_type_cents_csv
+    FROM per_type GROUP BY user_id
+    """,
+)
 def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: build a per-user map of event_type → exact
-    value cents, then map_keys / map_filter / transform_values —
-    all JVM-side map expressions."""
+    value cents, then map_keys / map_filter / transform_values /
+    map_entries — all JVM-side map expressions. The map itself is
+    flattened to deterministic strings on output (entry order pinned
+    by sort_array at build time) so the result is hashable and gets a
+    full DuckDB oracle; the intermediate columns exercise the real
+    MapType operators."""
     ev = Catalog(spark, sf_dir).events
     per_type = (ev.groupBy("user_id", "event_type")
                 .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")))
@@ -425,21 +445,46 @@ def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.map_from_entries(
                   F.sort_array(F.collect_list(F.struct("event_type", "cents"))))
                   .alias("by_type")))
-    return mapped.select(
+    # transform_values runs in the executed plan (cents → dollars map);
+    # the big-type filter reads the transformed map. Output stays in
+    # integer cents so the string form is engine-exact (no double repr).
+    with_dollars = mapped.withColumn(
+        "by_type_dollars",
+        F.transform_values("by_type", lambda k, v: v.cast("double") / 100.0))
+    return with_dollars.select(
         "user_id",
-        F.map_keys("by_type").alias("types"),
-        F.size(F.map_filter("by_type", lambda k, v: v > 100000)).alias("n_big_types"),
-        F.transform_values("by_type", lambda k, v: v.cast("double") / 100.0)
-        .alias("by_type_dollars"),
+        F.concat_ws(",", F.map_keys("by_type")).alias("types_csv"),
+        F.size(F.map_filter("by_type_dollars", lambda k, v: v > 1000.0))
+        .cast("long").alias("n_big_types"),
+        F.concat_ws(",", F.transform(
+            F.map_entries("by_type"),
+            lambda e: F.concat_ws("=", e["key"], e["value"].cast("string"))))
+        .alias("by_type_cents_csv"),
     )
 
 
-@query("table_sample")  # rows-only: sampling RNG is engine-private
+@query(
+    "table_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE (('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                  || CAST(l_linenumber AS VARCHAR)), 1, 4))::INTEGER
+           % 1000) < 10
+    """,
+)
 def table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli TABLESAMPLE with a fixed seed — deterministic within
-    Spark (same seed → same rows) but not across engines."""
+    """~1% Bernoulli sample as a pure function of the row key: md5 the
+    primary key, keep buckets < 10 of 1000. Engine-independent and
+    reproducible (same rows on every engine and every run — unlike
+    seeded TABLESAMPLE, whose RNG stream is engine-private), no
+    shuffle, filter evaluated at the scan. Same pattern as
+    training.train_val_test_split_hash."""
     li = Catalog(spark, sf_dir).lineitem
-    return (li.sample(fraction=0.01, seed=42)
+    key = F.concat_ws(":", F.col("l_orderkey").cast("string"),
+                      F.col("l_linenumber").cast("string"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % 1000
+    return (li.where(bucket < 10)
             .select("l_orderkey", "l_linenumber", "l_quantity"))
 
 
@@ -671,8 +716,16 @@ def agg_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approx_percentile): one pass, fixed memory, mergeable partials —
     the 100 TB replacement for exact percentile's per-group sort.
     No oracle: DuckDB's approx_quantile uses t-digest (different
-    sketch, different error)."""
+    sketch, different error). Output is one scalar double per
+    percentile — never an array column, which the external
+    canonicalizer cannot hash."""
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
+    pct = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-        .alias("price_percentiles"))
+        .alias("ps"))
+    return pct.select(
+        "l_returnflag",
+        F.col("ps")[0].alias("p50_price"),
+        F.col("ps")[1].alias("p90_price"),
+        F.col("ps")[2].alias("p99_price"),
+    )

@@ -179,14 +179,38 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL sketches are implementation-defined
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB-scale answer to
-    COUNT(DISTINCT): one pass, fixed memory, no expand. No oracle:
-    DuckDB's approx_count_distinct uses a different sketch."""
+    COUNT(DISTINCT): one pass, fixed memory, no expand.
+
+    The raw estimate is sketch-implementation-defined (DuckDB's
+    approx_count_distinct is a different HLL), so the *contract* is
+    what gets oracle-checked: the exact count plus a flag asserting
+    the HLL estimate landed within 5% of it (rsd=0.01 gives ~1%
+    standard error, so 5% is a deterministic-in-practice bound). The
+    oracle computes the exact count and expects the flag to be 1 —
+    a hash mismatch means the sketch drifted out of tolerance.
+    """
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
+    est = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts")) \
+        / F.col("exact_parts").cast("double")
+    return est.select(
+        "l_returnflag",
+        "exact_parts",
+        (err <= 0.05).cast("long").alias("within_5pct"),
     )
 
 
