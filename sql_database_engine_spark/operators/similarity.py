@@ -25,6 +25,8 @@ Scale story:
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..catalog import Catalog
@@ -111,41 +113,111 @@ def embedding_norms_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_neardup_pairs",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.25
-    """,
-)
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a label bucket.
+#: 16 fixed random hyperplanes (deterministic seed), split into 4
+#: bands of 4 sign bits each — the banded-LSH candidate scheme for
+#: all-pairs near-dup (same banding structure as text.minhash_lsh).
+#: Bits-per-band scales with log(corpus): at 100 TB you widen the
+#: bands (and the key space) — the plan shape is unchanged.
+_NEARDUP_PLANES = np.random.RandomState(29).randn(16, 64)
+_NEARDUP_BANDS = 4
+_NEARDUP_BAND_BITS = 4
 
-    The equi-join on label keys the shuffle; the quadratic blowup is
-    per-bucket only. (At 100 TB the bucket key would be an LSH code —
-    see ann_lsh_topk — but the pairing skeleton is identical.)
+
+def _neardup_code(vec: Column) -> Column:
+    """16 sign bits of the hyperplane projections (JVM-side fold —
+    same sequential dot product the DuckDB twin folds)."""
+    code = F.lit(0).cast("long")
+    for i, p in enumerate(_NEARDUP_PLANES):
+        proj = F.aggregate(
+            F.zip_with(vec,
+                       F.array(*[F.lit(float(x)) for x in p]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        code = code.bitwiseOR(
+            F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), i))
+    return code
+
+
+def _neardup_code_sql(embedding: str = "embedding") -> str:
+    """DuckDB twin of :func:`_neardup_code` — identical plane literals
+    (full repr so the parsed doubles are bit-exact), identical
+    sequential dot product via list_dot_product."""
+    terms = []
+    for i, p in enumerate(_NEARDUP_PLANES):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(CAST({embedding} AS DOUBLE[]), {lit}) > 0"
+            f" THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _neardup_pairs_sql() -> str:
+    """Oracle SQL for the banded-LSH near-dup pair set: same band
+    extraction ((code >> 2*b*2) & 15), same exact-cosine verify."""
+    band_match = " OR ".join(
+        f"(a.code >> {b * _NEARDUP_BAND_BITS}) & 15"
+        f" = (b.code >> {b * _NEARDUP_BAND_BITS}) & 15"
+        for b in range(_NEARDUP_BANDS))
+    cos = COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH coded AS (
+        SELECT vec_id, embedding, {_neardup_code_sql()} AS code
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({cos}, 6) AS cos_sim
+    FROM coded a JOIN coded b
+      ON a.vec_id < b.vec_id AND ({band_match})
+    WHERE ROUND({cos}, 6) >= 0.25
+    """
+
+
+@query("embedding_neardup_pairs", oracle=_neardup_pairs_sql())
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+
+    Candidate generation is an equi-join on (band, band_code) — a
+    high-cardinality key independent of any data column, so per-bucket
+    work stays sub-quadratic as the corpus grows (the round-1 version
+    keyed on `label`, whose fixed cardinality made buckets quadratic
+    in corpus size). Candidate id-pairs are deduped BEFORE the
+    vectors are re-joined for exact-cosine verification, so each
+    surviving pair folds one dot product once. The DuckDB oracle
+    computes the identical code/bands/verify, so the match is exact,
+    not probabilistic.
     """
     e = Catalog(spark, sf_dir).embeddings
-    # Per-row norms precomputed BEFORE the self-join: the pair stage
-    # then folds one dot product instead of three — same arithmetic
-    # (hence still bit-identical to the oracle's cosine), 3× cheaper.
-    base = (e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
-            .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))))
-    a = base.alias("a")
-    b = base.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    base = (e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+            .withColumn("code", _neardup_code(F.col("v"))))
+    bands = base.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("code"), b * _NEARDUP_BAND_BITS)
+                .bitwiseAND(F.lit(15)).alias("bcode"))
+            for b in range(_NEARDUP_BANDS)])).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bcode")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bcode") == F.col("y.bcode"))
+               & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("vec_a"),
+                F.col("y.vec_id").alias("vec_b"))
+        .distinct()  # id-only dedup before the vectors come back
+    )
+    va = base.select(F.col("vec_id").alias("vec_a"),
+                     F.col("v").alias("v_a"), F.col("norm").alias("n_a"))
+    vb = base.select(F.col("vec_id").alias("vec_b"),
+                     F.col("v").alias("v_b"), F.col("norm").alias("n_b"))
+    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        cand.join(va, "vec_a").join(vb, "vec_b")
         .withColumn("cos_sim", F.round(sim, 6))
         .filter(F.col("cos_sim") >= 0.25)
-        .select(F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                F.col("a.label").alias("label"),
-                "cos_sim")
+        .select("vec_a", "vec_b", "cos_sim")
     )
 
 
@@ -271,15 +343,96 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "vec_id", "cos_sim"))
 
 
+def _neardup_edges_sql() -> str:
+    """The banded-LSH pair set as (src, dst) edges — the same
+    candidate/verify shape as :func:`_neardup_pairs_sql`, usable as a
+    CTE body inside the recursive cluster oracle."""
+    band_match = " OR ".join(
+        f"(a.code >> {b * _NEARDUP_BAND_BITS}) & 15"
+        f" = (b.code >> {b * _NEARDUP_BAND_BITS}) & 15"
+        for b in range(_NEARDUP_BANDS))
+    cos = COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM coded a JOIN coded b
+          ON a.vec_id < b.vec_id AND ({band_match})
+        WHERE ROUND({cos}, 6) >= 0.25
+    """
+
+
+def connected_components(edges: DataFrame,
+                         max_rounds: int = 16,
+                         check_every: int = 2) -> tuple[DataFrame, int]:
+    """Min-label connected components with pointer jumping.
+
+    Each round does (1) neighbor-min propagation — every node takes
+    the min of its own and its neighbors' labels — and (2) path
+    compression — ``label[v] := label[label[v]]`` (valid because
+    ``label[u] <= u`` is an invariant: labels start as own ids and
+    only decrease, so a label is always a node whose own label is at
+    most it). Pointer jumping halves label-chain depth per round, so
+    convergence needs O(log diameter) rounds instead of the plain
+    propagation's O(diameter) — on a 64-node path graph, 7 rounds
+    instead of 63 driver-blocking iterations. The exact convergence
+    check (a driver count) runs every ``check_every`` rounds to halve
+    blocking round-trips further.
+
+    Each round is two key-partitioned shuffle joins; edges are
+    materialized once and reused. localCheckpoint per round truncates
+    lineage — without it round N re-executes all N-1 predecessor
+    plans and runtime goes exponential.
+
+    Returns (labels, rounds_run); labels has columns (v, cluster_id).
+    """
+    edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("src").alias("v")).distinct()
+              .withColumn("cluster_id", F.col("v"))
+              .localCheckpoint())
+    rounds = 0
+    for r in range(max_rounds):
+        rounds = r + 1
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src").agg(F.min("cluster_id").alias("nmin"))
+        )
+        propagated = (
+            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
+            .select(
+                "v",
+                F.least(F.col("cluster_id"),
+                        F.coalesce(F.col("nmin"), F.col("cluster_id")))
+                .alias("cluster_id"),
+                (F.col("nmin") < F.col("cluster_id")).alias("__changed"))
+        )
+        # Pointer jumping: follow the label one hop (label-of-label).
+        parent = propagated.select(F.col("v").alias("p_v"),
+                                   F.col("cluster_id").alias("p_label"))
+        updated = (
+            propagated.join(parent,
+                            propagated.cluster_id == parent.p_v, "left")
+            .select(
+                "v",
+                F.coalesce(F.col("p_label"), F.col("cluster_id"))
+                .alias("cluster_id"),
+                (F.col("__changed")
+                 | (F.coalesce(F.col("p_label"), F.col("cluster_id"))
+                    < F.col("cluster_id"))).alias("__changed"))
+        ).localCheckpoint()
+        labels = updated.drop("__changed")
+        if (r + 1) % check_every == 0 or r == max_rounds - 1:
+            if updated.filter(F.col("__changed")).limit(1).count() == 0:
+                break
+    return labels, rounds
+
+
 @query(
     "neardup_cluster_assignment",
-    oracle="""
-    WITH RECURSIVE pairs AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
+    oracle=f"""
+    WITH RECURSIVE coded AS (
+        SELECT vec_id, embedding, {_neardup_code_sql()} AS code
+        FROM embeddings
+    ), pairs AS (
+        {_neardup_edges_sql()}
     ), edges AS (
         SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
     ), nodes AS (
@@ -299,48 +452,17 @@ def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     through near-dup edges — the cluster id a dedup pass keeps one
     canonical member of.
 
-    Algorithm: iterative min-label propagation (the Pregel/GraphX
-    shape as plain DataFrame joins): each round, every node takes the
-    min of its own label and its neighbors' labels; converges in
-    graph-diameter rounds, checked by an exact driver-side convergence
-    test per round. Each round is one shuffle join on the node id;
-    the edge list is reused across rounds. The DuckDB oracle computes
-    the same components with a recursive CTE — an independent
-    algorithm (transitive closure) reaching the same fixpoint.
+    Algorithm: min-label propagation with pointer jumping (see
+    :func:`connected_components`) — O(log diameter) shuffle rounds.
+    The DuckDB oracle computes the same components with a recursive
+    CTE — an independent algorithm (transitive closure) reaching the
+    same fixpoint.
     """
     pairs = embedding_neardup_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     edges = pairs.union(pairs.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
-    # Materialize the (small) edge list once: every propagation round
-    # reads it, and recomputing the cosine pair join per round would
-    # dominate. Edges are plain longs — cheap to cache, unlike the
-    # array-typed frames deliberately left uncached elsewhere.
-    # localCheckpoint: iterative algorithms MUST truncate lineage per
-    # round — without it round N re-executes all N-1 predecessor plans
-    # (including the cosine pair join) and runtime goes exponential.
-    edges = edges.localCheckpoint()
-    labels = (edges.select(F.col("src").alias("v")).distinct()
-              .withColumn("cluster_id", F.col("v"))
-              .localCheckpoint())
-    for _ in range(64):  # diameter bound; exact convergence check below
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.v)
-            .groupBy("src").agg(F.min("cluster_id").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
-            .select(
-                "v",
-                F.least(F.col("cluster_id"),
-                        F.coalesce(F.col("nmin"), F.col("cluster_id")))
-                .alias("cluster_id"),
-                (F.col("nmin") < F.col("cluster_id")).alias("__changed"))
-        ).localCheckpoint()
-        changed = updated.filter(F.col("__changed")).limit(1).count()
-        labels = updated.drop("__changed")
-        if changed == 0:
-            break
+    labels, _ = connected_components(edges)
     return labels.select(F.col("v").alias("vec_id"), "cluster_id")
 
 

@@ -146,3 +146,33 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan, plan[:2000]
     assert j.count() > 0
+
+
+def test_neardup_pairs_join_on_band_code_not_label(spark):
+    """The all-pairs near-dup candidate join must key on the banded
+    LSH code — a key whose cardinality is independent of any data
+    column — not on `label` (fixed cardinality → per-bucket work grows
+    quadratically with the corpus; the round-1 scale-killer)."""
+    plan = _plan(spark, "embedding_neardup_pairs")
+    joins = [l for l in plan.splitlines()
+             if "Join" in l and "lambda" not in l.split("Join")[0]]
+    assert any("bcode" in l and "band" in l for l in joins), joins
+    assert not any("label" in l.split(", (")[0] for l in joins), joins
+
+
+def test_connected_components_pointer_jumping_rounds(spark):
+    """Pointer jumping must converge in O(log diameter) rounds: a
+    63-edge path graph (diameter 63) has to finish in <= 8 rounds,
+    where plain min-label propagation needs 63."""
+    from pyspark.sql import functions as F
+    from sql_database_engine_spark.operators.similarity import (
+        connected_components)
+
+    pairs = spark.range(63).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    labels, rounds = connected_components(edges)
+    assert rounds <= 8, rounds
+    rows = labels.collect()
+    assert len(rows) == 64 and all(r.cluster_id == 0 for r in rows)
