@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -118,11 +118,37 @@ def _register_streaming() -> None:
         return es.run_available_now(es.click_purchase_left_join(s),
                                     "q_stream_cp_left", output_mode="append")
 
+    def stream_click_purchase_left_join_settled(spark, sf_dir):
+        """The left-outer stream-stream join restricted to the settled
+        region: clicks whose whole match window the final watermark has
+        cleared (click_ts <= min(max click, max purchase) − 2h lateness
+        − 1h join range). Inside that region availableNow emission is
+        complete — matched AND null-extended rows — so the result is
+        deterministic and gets a full oracle; the unrestricted variant
+        above stays rows-only because younger unmatched clicks are
+        still buffered in state (correct streaming behavior)."""
+        from ..catalog import load_table
+        s = es.events_stream(spark, sf_dir)
+        drained = es.run_available_now(es.click_purchase_left_join(s),
+                                       "q_stream_cp_left_settled",
+                                       output_mode="append")
+        ev = load_table(spark, sf_dir, "events")
+        cut = (ev.agg(F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+            .alias("m"))
+            .select((F.col("m") - F.expr("INTERVAL 3 HOUR")).alias("cutoff")))
+        return (drained.crossJoin(F.broadcast(cut))
+                .filter(F.col("click_ts") <= F.col("cutoff"))
+                .drop("cutoff"))
+
     # rows-only: the null-extended subset depends on watermark-eviction
     # boundaries (see click_purchase_left_join docstring), which a SQL
     # oracle cannot pin portably.
     QUERIES.setdefault("stream_click_purchase_left_join",
                        stream_click_purchase_left_join)
+    QUERIES.setdefault("stream_click_purchase_left_join_settled",
+                       stream_click_purchase_left_join_settled)
     QUERIES.setdefault("stream_click_purchase_join", stream_click_purchase_join)
     QUERIES.setdefault("stream_tumbling_counts", stream_tumbling_counts)
     QUERIES.setdefault("stream_session_windows", stream_session_windows)
@@ -141,6 +167,27 @@ def _register_streaming() -> None:
      AND c.event_type = 'click' AND p.event_type = 'purchase'
      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """)
+    ORACLES.setdefault("stream_click_purchase_left_join_settled", """
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id AS p_user, event_id AS purchase_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), cut AS (
+        SELECT least((SELECT max(click_ts) FROM c),
+                     (SELECT max(purchase_ts) FROM p))
+               - INTERVAL 3 HOUR AS cutoff
+    )
+    SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id, p.purchase_ts
+    FROM c
+    LEFT JOIN p ON c.user_id = p.p_user
+               AND p.purchase_ts >= c.click_ts
+               AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR,
+         cut
+    WHERE c.click_ts <= cut.cutoff
     """)
     ORACLES.setdefault("stream_tumbling_counts", """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
