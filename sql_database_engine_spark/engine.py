@@ -83,28 +83,68 @@ class Engine:
         return out
 
     def compact_table(self, path: str, target_files: int = 1) -> int:
-        """Small-file compaction: rewrite a parquet table into
+        """Small-file compaction: rewrite a parquet table into at most
         `target_files` files per partition directory. Streaming sinks
         and frequent appends accrete small files whose per-file
         overhead (footers, open costs, task scheduling) eventually
         dominates scans; periodic compaction is the maintenance op
         that keeps read plans healthy. Returns the file count after.
 
-        The rewrite stages to a scratch path then swaps, so a reader
-        never sees a half-compacted table.
+        Hive-partitioned tables keep their layout: partition columns
+        are re-derived from the key=value directory levels and the
+        rewrite goes back through partitionBy, repartitioned on
+        (partition cols, row-hash bucket) so every directory gets at
+        most `target_files` files — each (value, bucket) pair maps to
+        one reduce task. A flat coalesce here would silently flatten
+        the table and lose partition pruning.
+
+        The rewrite stages to a scratch path then swaps. Stale scratch
+        dirs from a crashed prior run are recovered first (a backup
+        with no live table is renamed back; leftovers are removed).
+        The swap itself is two renames — POSIX has no directory
+        exchange — so there is a microsecond window where the path is
+        absent; concurrent readers should retry-on-missing, and the
+        crash-recovery above makes the window safe across restarts.
         """
         import glob
         import os
         import shutil
 
-        df = self.spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
         scratch = path.rstrip("/") + "__compacting"
-        df.coalesce(target_files).write.mode("overwrite").parquet(scratch)
         backup = path.rstrip("/") + "__precompact"
+        if os.path.exists(backup) and not os.path.exists(path):
+            os.rename(backup, path)  # crashed between the two renames
+        for stale in (scratch, backup):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+
+        df = self.spark.read.parquet(path)
+        # Partition columns live in directory names, not data files.
+        part_cols: list[str] = []
+        probe = path
+        while True:
+            subs = [d for d in os.listdir(probe)
+                    if "=" in d and os.path.isdir(os.path.join(probe, d))]
+            if not subs:
+                break
+            part_cols.append(subs[0].split("=", 1)[0])
+            probe = os.path.join(probe, subs[0])
+
+        if part_cols:
+            data_cols = [c for c in df.columns if c not in part_cols]
+            bucket = F.pmod(F.xxhash64(*data_cols), F.lit(target_files))
+            (df.repartition(*[F.col(c) for c in part_cols], bucket)
+             .write.mode("overwrite").partitionBy(*part_cols)
+             .parquet(scratch))
+        else:
+            df.coalesce(target_files).write.mode("overwrite").parquet(scratch)
         os.rename(path, backup)
         os.rename(scratch, path)
         shutil.rmtree(backup)
-        return len(glob.glob(os.path.join(path, "*.parquet")))
+        return len(glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True))
 
     def zorder_table(self, df: DataFrame, path: str, cols: tuple[str, str],
                      files: int = 8, curve: str = "zorder") -> DataFrame:

@@ -16,9 +16,14 @@ Merge mechanics (each one load-bearing):
   (the writer would delete partitions the plan is still reading), so
   the merged rows are staged to a scratch directory first, then
   re-read and committed to the store.
-- foreachBatch delivers at-least-once: an epoch marker recorded in
-  the store directory makes replayed batches no-ops instead of
-  double-counts.
+- foreachBatch delivers at-least-once: idempotency is carried IN the
+  data — every committed row stores the epoch that wrote it, and a
+  replayed batch skips any partition whose max(last_epoch) already
+  reached it, so the epoch check commits atomically with the rows
+  (a marker file is kept only as a fast path; a crash between commit
+  and marker is handled by the in-data check). Store and checkpoint
+  lifecycles are coupled: epoch ids restart with a fresh checkpoint,
+  so a new checkpoint requires a new (or truncated) store.
 - a missing store means "first refresh"; any OTHER read error must
   fail the batch (the checkpoint will retry) — swallowing it would
   silently replace accumulated history with one batch's partials.
@@ -61,6 +66,7 @@ def _merge_partials(store_path: str):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(cents(F.col("value"))).alias("value_cents"))
             .withColumn("bucket_date", F.to_date("window_start"))
+            .withColumn("last_epoch", F.lit(epoch_id))
             .persist()  # tiny post-aggregation frame, read twice below
         )
         try:
@@ -68,12 +74,28 @@ def _merge_partials(store_path: str):
                 existing = spark.read.parquet(store_path)
                 touched = [r.bucket_date for r in
                            partials.select("bucket_date").distinct().collect()]
+                ex_touched = existing.filter(F.col("bucket_date").isin(touched))
+                # In-data idempotency: a partition whose max(last_epoch)
+                # already reached this epoch absorbed this batch in a
+                # prior attempt that crashed after the commit but before
+                # the marker — merging it again would double-count.
+                done = {r.bucket_date for r in
+                        (ex_touched.groupBy("bucket_date")
+                         .agg(F.max("last_epoch").alias("me"))
+                         .filter(F.col("me") >= epoch_id).collect())}
+                todo = [d for d in touched if d not in done]
+                if not todo:
+                    os.makedirs(os.path.dirname(
+                        _epoch_marker(store_path, epoch_id)), exist_ok=True)
+                    open(_epoch_marker(store_path, epoch_id), "w").close()
+                    return
                 merged = (
-                    existing.filter(F.col("bucket_date").isin(touched))
-                    .unionByName(partials)
+                    ex_touched.filter(F.col("bucket_date").isin(todo))
+                    .unionByName(partials.filter(F.col("bucket_date").isin(todo)))
                     .groupBy("window_start", "event_type", "bucket_date")
                     .agg(F.sum("n").alias("n"),
-                         F.sum("value_cents").alias("value_cents"))
+                         F.sum("value_cents").alias("value_cents"),
+                         F.max("last_epoch").alias("last_epoch"))
                 )
                 # Stage: the merged plan reads store_path, so it cannot
                 # overwrite store_path in the same job.

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -44,8 +45,13 @@ def _update_profile(key: tuple, pdfs: Iterable[pd.DataFrame],
     for pdf in pdfs:
         n += len(pdf)
         # Match the engine-wide exact-money policy: per-row rounding to
-        # integer cents, then integer accumulation.
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # integer cents, then integer accumulation. Half-away-from-zero
+        # explicitly — pandas .round() is banker's (half-to-even), which
+        # would diverge from Spark's F.round and the DuckDB oracle on an
+        # exact .5 tie in value*100.
+        v100 = pdf["value"].mul(100)
+        away = np.sign(v100) * np.floor(np.abs(v100) + 0.5)
+        cents += int(away.astype("int64").sum())
         ts_us = (pdf["ts"].astype("int64") // 1000).max()
         last_us = max(last_us, int(ts_us))
     state.update((n, cents, last_us))

@@ -52,3 +52,43 @@ def test_engine_compaction(spark, tmp_path):
     after = eng.compact_table(out, target_files=2)
     assert after <= 2
     assert spark.read.parquet(out).count() == rows_before
+
+
+def test_engine_compaction_preserves_partitioning(spark, tmp_path):
+    """Compacting a Hive-partitioned table must keep the key=value
+    directory layout (and thus partition pruning), bounding each
+    directory at target_files files — not flatten it."""
+    import glob
+    from pyspark.sql import functions as F
+    eng = Engine(spark, SF_SMOKE)
+    out = str(tmp_path / "part_table")
+    li = (spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").limit(512)
+          .withColumn("rf", F.col("l_returnflag")))
+    for _ in range(3):
+        li.repartition(4).write.mode("append").partitionBy("rf").parquet(out)
+    rows_before = spark.read.parquet(out).count()
+    dirs_before = sorted(d for d in glob.glob(f"{out}/rf=*"))
+    assert len(dirs_before) >= 2
+    eng.compact_table(out, target_files=2)
+    assert sorted(d for d in glob.glob(f"{out}/rf=*")) == dirs_before
+    for d in dirs_before:
+        assert len(glob.glob(f"{d}/*.parquet")) <= 2
+    assert spark.read.parquet(out).count() == rows_before
+
+
+def test_engine_compaction_recovers_stale_dirs(spark, tmp_path):
+    """A crashed prior compaction (backup exists, live path gone, or
+    leftover scratch) must be recovered, not fail the next run."""
+    import os
+    import shutil
+    eng = Engine(spark, SF_SMOKE)
+    out = str(tmp_path / "crashy")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").limit(64)
+    li.repartition(4).write.parquet(out)
+    rows = spark.read.parquet(out).count()
+    # Simulate a crash mid-swap: table renamed away, scratch leftover.
+    os.rename(out, out + "__precompact")
+    shutil.copytree(out + "__precompact", out + "__compacting")
+    after = eng.compact_table(out, target_files=1)
+    assert after == 1
+    assert spark.read.parquet(out).count() == rows
