@@ -46,6 +46,10 @@ HEADLINE = [
     "q7_nation_trade_volume",       # 6-way join
     "q18_large_orders",             # group-having-topk
     "stream_tumbling_counts",       # incremental windowed agg
+    # round-2 additions (r01's 24 queries above stay unchanged so the
+    # round-over-round delta is apples-to-apples)
+    "stream_click_purchase_join",   # stream-stream join drain
+    "neardup_cluster_assignment",   # iterative connected components
 ]
 
 
