@@ -50,6 +50,8 @@ HEADLINE = [
     # round-over-round delta is apples-to-apples)
     "stream_click_purchase_join",   # stream-stream join drain
     "neardup_cluster_assignment",   # iterative connected components
+    "clustered_range_scan",         # Hilbert-layout 2-column file pruning
+    "q9_product_profit",            # TPC-H Q9 shape (part-cost profit)
 ]
 
 
@@ -81,6 +83,12 @@ def main() -> None:
     # billing it to the first query would time the wrong thing.
     from sql_database_engine_spark.sources.bucketed import ensure_bucketed_facts
     ensure_bucketed_facts(spark, sf_dir)
+
+    # Same deal for the Hilbert-clustered layout: the clustering write
+    # is the once-paid pass; the benched query times the pruned scan.
+    from sql_database_engine_spark.sources.clustering import (
+        ensure_clustered_lineitem)
+    ensure_clustered_lineitem(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

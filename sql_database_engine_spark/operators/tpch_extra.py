@@ -357,3 +357,52 @@ def q22_dormant_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              money_sum(F.col("c_acctbal")).alias("totacctbal"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
+           {MONEY_SUM_SQL("l_extendedprice * (1 - l_discount)"
+                          " - 0.6 * p_retailprice * l_quantity")} AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by supplier nation and
+    year), adapted for the partsupp-less testdata: unit supply cost is
+    proxied as 60% of p_retailprice — a pure function of the part row,
+    keeping Q9's defining structure intact (selective LIKE on part,
+    two fact joins, profit expression mixing lineitem and part
+    measures, nation x year rollup).
+
+    Scale: part is filtered by the LIKE *before* its join (Catalyst
+    pushes the predicate to the part scan), then joins the fact on
+    l_partkey — at 100 TB this is a shuffle join whose build side was
+    pre-pruned; supplier/nation broadcast. The profit expression goes
+    through the engine-wide exact-cents policy so the nation x year
+    sums hash-match the oracle bit-for-bit.
+    """
+    cat = Catalog(spark, sf_dir)
+    red_parts = cat.part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice")
+    profit = (_rev()
+              - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        cat.lineitem
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(cat.broadcast("supplier").select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.broadcast("nation").select("n_nationkey", "n_name"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(money_sum(profit).alias("profit"))
+    )

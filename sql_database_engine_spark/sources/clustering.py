@@ -116,3 +116,26 @@ def hilbert_write(df: DataFrame, path: str, cols: tuple[str, str],
      .sortWithinPartitions("__h")
      .drop("__hx", "__hy", "__h")
      .write.mode("overwrite").parquet(path))
+
+
+def ensure_clustered_lineitem(spark, sf_dir: str, files: int = 16) -> str:
+    """Materialize a Hilbert-clustered copy of lineitem on
+    (l_orderkey, l_extendedprice), idempotent per path — the staged
+    physical-design twin of ``sources/bucketed.py``. Returns the
+    parquet path. The write is the once-paid clustering pass every
+    two-column range scan then prunes against via parquet min/max
+    footer stats."""
+    import os
+    import re
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    path = os.path.join(repo_root, "spark-warehouse", "clustered",
+                        f"lineitem_hilbert_{tag}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        from ..catalog import load_table
+        hilbert_write(load_table(spark, sf_dir, "lineitem"), path,
+                      ("l_orderkey", "l_extendedprice"), files=files)
+    return path
