@@ -102,6 +102,19 @@ def _register_streaming() -> None:
         return es.run_available_now(es.session_windows(s),
                                     "q_stream_sessions", output_mode="complete")
 
+    def stream_dedup_events(spark, sf_dir):
+        """Watermark-scoped stateful dedup on event_id, drained through
+        the incremental engine. event_id is unique in the testdata, so
+        the deduped drain equals the full table — which is exactly what
+        the oracle pins (any dropped or duplicated row hash-mismatches);
+        tests/test_streaming.py additionally proves a true duplicate is
+        dropped."""
+        s = es.events_stream(spark, sf_dir)
+        deduped = es.dedup_stream(s).select(
+            "event_id", "user_id", "event_type", "value", "ts")
+        return es.run_available_now(deduped, "q_stream_dedup",
+                                    output_mode="append")
+
     def stream_user_profiles(spark, sf_dir):
         from ..streaming.stateful import user_profiles
         s = es.events_stream(spark, sf_dir)
@@ -151,6 +164,7 @@ def _register_streaming() -> None:
                        stream_click_purchase_left_join_settled)
     QUERIES.setdefault("stream_click_purchase_join", stream_click_purchase_join)
     QUERIES.setdefault("stream_tumbling_counts", stream_tumbling_counts)
+    QUERIES.setdefault("stream_dedup_events", stream_dedup_events)
     QUERIES.setdefault("stream_session_windows", stream_session_windows)
     QUERIES.setdefault("stream_user_profiles", stream_user_profiles)
 
@@ -188,6 +202,11 @@ def _register_streaming() -> None:
                AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR,
          cut
     WHERE c.click_ts <= cut.cutoff
+    """)
+    ORACLES.setdefault("stream_dedup_events", """
+    SELECT event_id, user_id, event_type, value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events
     """)
     ORACLES.setdefault("stream_tumbling_counts", """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

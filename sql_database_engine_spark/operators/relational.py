@@ -600,3 +600,33 @@ def clustered_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"),
              money_sum(REVENUE()).alias("revenue"))
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {MONEY_SUM_SQL(REVENUE_SQL)} AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew salting (``functions/skew.py``): the big side
+    scatters each row across 8 salt buckets by a row hash, the small
+    side replicates x8, and the join key becomes (key, salt) — a hot
+    supplier's rows spread over 8 tasks instead of one. Semantics are
+    identical to the plain join (each big row matches exactly its own
+    salt replica), which is what the oracle checks. AQE's skew split
+    handles most real skew at runtime; explicit salting is the lever
+    when one power-law key overwhelms even a split partition."""
+    from ..functions.skew import salted_join
+    cat = Catalog(spark, sf_dir)
+    big = cat.lineitem.withColumnRenamed("l_suppkey", "s_suppkey")
+    small = cat.supplier.select("s_suppkey", "s_nationkey")
+    return (
+        salted_join(big, small, "s_suppkey")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             money_sum(REVENUE()).alias("revenue"))
+    )

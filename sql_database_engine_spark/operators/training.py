@@ -224,3 +224,83 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              (hit.cast("double") / F.count(F.lit(1)).cast("double"))
                  .alias("contamination"))
     )
+
+
+@query(
+    "train_shard_manifest",
+    oracle=f"""
+    SELECT ({_BUCKET_SQL} % 64) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assignment + manifest for a training-data export: every
+    document maps to one of 64 shards as a pure function of its id
+    (the md5 bucket — engine-independent, reproducible, no shuffle to
+    assign), and the manifest aggregates per-shard document/token/char
+    totals — the metadata a downstream loader needs to plan epochs.
+    At 100 TB the shard column is also the write partitionBy key, so
+    the export is one pass and each shard is one file group."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.size(F.split(F.col("text"), " "))
+    hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    bucket = F.conv(hex4, 16, 10).cast("int") % _BUCKETS
+    return (
+        d.select((bucket % 64).alias("shard"),
+                 F.col("doc_id"), F.col("n_chars"), toks.alias("n_tokens"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("doc_id").alias("min_doc_id"),
+             F.max("doc_id").alias("max_doc_id"))
+    )
+
+
+@query(
+    "token_budget_pack",
+    oracle="""
+    WITH counted AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), running AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM counted
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(MAX(cum_tokens) AS BIGINT) AS tokens_kept,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
+    FROM running WHERE cum_tokens <= 20000
+    GROUP BY lang
+    """,
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: per language, keep documents in id
+    order until the cumulative token count reaches the budget — the
+    'fill N tokens per language' step of corpus construction. A
+    running-sum window + filter; one shuffle on lang, no iteration.
+    The budget boundary is exact (the doc that crosses it is cut),
+    deterministic via the doc_id ordering."""
+    d = Catalog(spark, sf_dir).documents
+    counted = d.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    running = counted.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        running.filter(F.col("cum_tokens") <= 20000)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_kept"),
+             F.max("cum_tokens").alias("tokens_kept"),
+             F.max("doc_id").alias("last_doc_id"))
+    )

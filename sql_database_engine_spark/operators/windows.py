@@ -145,3 +145,28 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey)
+                AS INT) AS balance_quartile
+    FROM customer
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: each customer's balance quartile within its
+    market segment. Deterministic via the unique c_custkey tiebreak
+    (NTILE over a non-unique ordering is engine-dependent). One
+    shuffle on the partition key, sort within partitions — the
+    standard windowed-rank plan."""
+    c = Catalog(spark, sf_dir).customer
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey", "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
