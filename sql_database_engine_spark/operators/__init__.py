@@ -115,6 +115,28 @@ def _register_streaming() -> None:
         return es.run_available_now(deduped, "q_stream_dedup",
                                     output_mode="append")
 
+    def stream_static_enrich(spark, sf_dir):
+        """Stream-static join: the event stream enriched against the
+        static customer dimension (no state, no watermark needed — the
+        static side is a plain broadcast per micro-batch), then a
+        complete-mode aggregate per market segment. The third join
+        flavor next to the two stream-stream joins: at scale this is
+        THE pattern for dimension enrichment, and its statelessness is
+        the point — nothing accumulates."""
+        from ..catalog import load_table
+        from ..functions.exact import cents
+        s = es.events_stream(spark, sf_dir)
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_mktsegment"))
+        enriched = (s.join(F.broadcast(dim),
+                           s.user_id == dim.c_custkey)
+                    .groupBy("c_mktsegment")
+                    .agg(F.count(F.lit(1)).alias("n_events"),
+                         (F.sum(cents(F.col("value"))).cast("double") / 100.0)
+                         .alias("total_value")))
+        return es.run_available_now(enriched, "q_stream_enrich",
+                                    output_mode="complete")
+
     def stream_user_profiles(spark, sf_dir):
         from ..streaming.stateful import user_profiles
         s = es.events_stream(spark, sf_dir)
@@ -165,6 +187,7 @@ def _register_streaming() -> None:
     QUERIES.setdefault("stream_click_purchase_join", stream_click_purchase_join)
     QUERIES.setdefault("stream_tumbling_counts", stream_tumbling_counts)
     QUERIES.setdefault("stream_dedup_events", stream_dedup_events)
+    QUERIES.setdefault("stream_static_enrich", stream_static_enrich)
     QUERIES.setdefault("stream_session_windows", stream_session_windows)
     QUERIES.setdefault("stream_user_profiles", stream_user_profiles)
 
@@ -202,6 +225,14 @@ def _register_streaming() -> None:
                AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR,
          cut
     WHERE c.click_ts <= cut.cutoff
+    """)
+    ORACLES.setdefault("stream_static_enrich", """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100.0 AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
     """)
     ORACLES.setdefault("stream_dedup_events", """
     SELECT event_id, user_id, event_type, value,

@@ -689,3 +689,101 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "tok")
         .limit(25)
     )
+
+
+@query(
+    "doc_chunk_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), idx AS (
+        SELECT doc_id, ts,
+               unnest(generate_series(
+                   0, CAST(ceil(len(ts) / 32.0) AS BIGINT) - 1)) AS i
+        FROM toks
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(len(ts[i * 32 + 1 : i * 32 + 32]) AS INT) AS n_chunk_tokens,
+           array_to_string(ts[i * 32 + 1 : i * 32 + 32], ' ') AS chunk_text
+    FROM idx
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into fixed
+    32-token windows (the pre-tokenizer pass that turns a corpus into
+    training sequences). One explode over a per-doc index sequence +
+    array slices — no shuffle at all until someone aggregates; the
+    chunk count per row is bounded by doc length, so task skew follows
+    document length (at 100 TB, pair with a length-aware repartition
+    or let AQE split the stragglers)."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(32.0)).cast("long")
+    return (
+        d.select("doc_id", toks.alias("ts"),
+                 F.explode(F.sequence(F.lit(0).cast("long"),
+                                      n_chunks - 1)).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int"),
+            F.size(F.slice(F.col("ts"),
+                           (F.col("chunk_idx") * 32 + 1).cast("int"), 32))
+            .alias("n_chunk_tokens"),
+            F.array_join(F.slice(F.col("ts"),
+                                 (F.col("chunk_idx") * 32 + 1).cast("int"), 32),
+                         " ").alias("chunk_text"))
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), stats AS (
+        SELECT lang, token,
+               CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY lang, token
+    ), nd AS (
+        SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM tok GROUP BY lang
+    ), scored AS (
+        SELECT s.lang, token, tf, df,
+               CAST(tf * n_docs AS DOUBLE) / df AS score,
+               ROW_NUMBER() OVER (PARTITION BY s.lang
+                                  ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC,
+                                           token) AS rn
+        FROM stats s JOIN nd ON s.lang = nd.lang
+    )
+    SELECT lang, token, tf, df, score
+    FROM scored WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style term ranking per language, libm-free: the rank
+    order of tf * log(N/df) equals the rank order of tf * N / df at
+    fixed tf monotonicity needs only the rational score, so the score
+    is one exact-integer product divided once (a single deterministic
+    double op — bit-identical across engines), never a transcendental.
+    Explode → two-level aggregate → broadcast-join the per-lang doc
+    count → windowed top-5. The token stats shuffle carries one row
+    per distinct (lang, token), not per occurrence."""
+    from pyspark.sql import Window as W
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select("doc_id", "lang",
+                   F.explode(F.split(F.col("text"), " ")).alias("token"))
+    stats = (tok.groupBy("lang", "token")
+             .agg(F.count(F.lit(1)).alias("tf"),
+                  F.countDistinct("doc_id").alias("df")))
+    nd = tok.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = W.partitionBy("lang").orderBy(F.col("score").desc(), "token")
+    return (
+        stats.join(F.broadcast(nd), "lang")
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "tf", "df", "score")
+    )
