@@ -55,6 +55,9 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first-class) jump the within-family queue so they are guaranteed
     # inside any plausible sample window.
     priority = [
+        # flagship representatives first; within each family, queries
+        # that have never had a hard-signal row outrank ones already
+        # green in a prior round's sample
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",
@@ -62,10 +65,15 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join", "events_tumbling_window",
         "map_column_ops", "agg_sketch_percentiles", "table_sample",
         "train_val_test_split_hash", "stratified_sample_exact",
+        "train_shard_manifest",
         "stream_tumbling_counts", "stream_click_purchase_join",
+        "stream_click_purchase_left_join_settled", "stream_static_enrich",
         "q5_local_supplier_volume", "q17_small_quantity_revenue",
-        "q21_waiting_suppliers", "q22_dormant_value_customers",
+        "q9_product_profit", "q21_waiting_suppliers",
+        "q22_dormant_value_customers",
         "merge_upsert_latest_state", "funnel_signup_click_purchase",
+        "join_skew_salted", "clustered_range_scan",
+        "window_ntile_quartiles", "pii_mask_redaction",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}
