@@ -145,6 +145,26 @@ def _register_streaming() -> None:
         return es.run_available_now(enriched, "q_stream_enrich",
                                     output_mode="complete")
 
+    def stream_user_event_type_sets(spark, sf_dir):
+        """Per-user distinct-event-type set via custom set-valued
+        state (applyInPandasWithState; the transformWithState twin is
+        implemented in streaming/stateful.py but the TWS python driver
+        worker cannot run in this container — see its docstring).
+        Update mode re-emits a user's row per micro-batch; the set
+        only grows, so the final state is the struct-max over the
+        drain — deterministic under any batch split."""
+        from ..streaming.stateful import user_event_type_sets
+        s = es.events_stream(spark, sf_dir)
+        drained = es.run_available_now(user_event_type_sets(s),
+                                       "q_stream_type_sets",
+                                       output_mode="update")
+        return (drained.groupBy("user_id")
+                .agg(F.max(F.struct("n_event_types", "event_types_csv"))
+                     .alias("m"))
+                .select("user_id",
+                        F.col("m.n_event_types").alias("n_event_types"),
+                        F.col("m.event_types_csv").alias("event_types_csv")))
+
     def stream_user_profiles(spark, sf_dir):
         from ..streaming.stateful import user_profiles
         s = es.events_stream(spark, sf_dir)
@@ -196,6 +216,8 @@ def _register_streaming() -> None:
     QUERIES.setdefault("stream_tumbling_counts", stream_tumbling_counts)
     QUERIES.setdefault("stream_dedup_events", stream_dedup_events)
     QUERIES.setdefault("stream_static_enrich", stream_static_enrich)
+    QUERIES.setdefault("stream_user_event_type_sets",
+                       stream_user_event_type_sets)
     QUERIES.setdefault("stream_session_windows", stream_session_windows)
     QUERIES.setdefault("stream_user_profiles", stream_user_profiles)
 
@@ -233,6 +255,13 @@ def _register_streaming() -> None:
                AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR,
          cut
     WHERE c.click_ts <= cut.cutoff
+    """)
+    ORACLES.setdefault("stream_user_event_type_sets", """
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS event_types_csv
+    FROM events GROUP BY user_id
     """)
     ORACLES.setdefault("stream_static_enrich", """
     SELECT c_mktsegment,

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor, StatefulProcessorHandle)
 from pyspark.sql import types as T
 
 STATE_SCHEMA = T.StructType([
@@ -72,6 +74,110 @@ def user_profiles(events: DataFrame) -> DataFrame:
             _update_profile,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState: the Spark 4.x arbitrary-state processor API
+# ---------------------------------------------------------------------------
+
+TYPES_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_event_types", T.LongType()),
+    T.StructField("event_types_csv", T.StringType()),
+])
+
+
+class DistinctTypesProcessor(StatefulProcessor):
+    """StatefulProcessor tracking the distinct event types seen per
+    user — the transformWithStateInPandas successor to
+    applyInPandasWithState: named state variables (ValueState here;
+    ListState/MapState/timers available), RocksDB-backed, evolvable
+    schema. The tracked set is emitted as a sorted CSV so the result
+    is deterministic regardless of arrival order.
+
+    NOT registered as a driver query: in this container the
+    TransformWithStateInPySpark *driver worker* process crashes during
+    state-schema validation even on the minimal upstream example
+    (rate source + ValueState counter, RocksDB provider set), so the
+    API cannot execute here — an environment limitation, not an
+    operator one. The implementation is kept as the documented
+    transformWithState surface; ``user_profiles`` above is the
+    executable stateful path and covers the same semantics under
+    applyInPandasWithState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._types = handle.getValueState("types", "types STRING")
+
+    def handleInputRows(self, key, rows, timerValues):
+        seen = set()
+        prev = self._types.get()
+        if prev is not None and prev[0]:
+            seen.update(prev[0].split(","))
+        for pdf in rows:
+            seen.update(pdf["event_type"].tolist())
+        csv = ",".join(sorted(seen))
+        self._types.update((csv,))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_event_types": [len(seen)],
+            "event_types_csv": [csv],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def user_event_type_sets_tws(events: DataFrame) -> DataFrame:
+    """Per-user distinct-event-type set as a transformWithState
+    stream (see DistinctTypesProcessor for why this variant is not
+    driver-registered here)."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=DistinctTypesProcessor(),
+            outputStructType=TYPES_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+_TYPES_STATE_SCHEMA = T.StructType([T.StructField("types", T.StringType())])
+
+
+def _update_type_set(key: tuple, pdfs: Iterable[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    seen: set = set()
+    if state.exists and state.get[0]:
+        seen.update(state.get[0].split(","))
+    for pdf in pdfs:
+        seen.update(pdf["event_type"].tolist())
+    csv = ",".join(sorted(seen))
+    state.update((csv,))
+    yield pd.DataFrame({
+        "user_id": [user_id],
+        "n_event_types": [len(seen)],
+        "event_types_csv": [csv],
+    })
+
+
+def user_event_type_sets(events: DataFrame) -> DataFrame:
+    """The same distinct-type-set operator on the executable stateful
+    API (applyInPandasWithState): per-user set state carried as a
+    sorted CSV — order-insensitive, deterministic output."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_type_set,
+            outputStructType=TYPES_OUTPUT_SCHEMA,
+            stateStructType=_TYPES_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
