@@ -72,3 +72,46 @@ def applyinpandas_rank_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
     return d.groupBy("lang").applyInPandas(
         rank_group, schema="doc_id long, lang string, n_chars long, chars_rank long")
+
+
+@query(
+    "udtf_doc_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), idx AS (
+        SELECT doc_id, ts,
+               unnest(generate_series(
+                   0, CAST(ceil(len(ts) / 32.0) AS BIGINT) - 1)) AS i
+        FROM toks
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(ts[i * 32 + 1 : i * 32 + 32], ' ') AS chunk_text
+    FROM idx
+    """,
+)
+def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined *table* function, Spark 4.x): one
+    input row → many output rows, invoked via LATERAL in SQL. Same
+    semantics as ``text.doc_chunk_windows`` — which is the production
+    path (sequence explode + array slices, all codegen); this exists
+    to prove the UDTF escape hatch and is oracle-checked against the
+    same SQL, so the two surfaces are pinned identical. Python runs
+    per row here — at 100 TB use the built-in twin unless the
+    expansion logic genuinely needs Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx INT, chunk_text STRING")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 32):
+                yield i // 32, " ".join(toks[i:i + 32])
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    from ..catalog import register_views
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        SELECT doc_id, c.chunk_idx, c.chunk_text
+        FROM documents, LATERAL chunk_doc(text) c
+    """)
