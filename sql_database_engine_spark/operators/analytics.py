@@ -729,3 +729,34 @@ def agg_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ps")[1].alias("p90_price"),
         F.col("ps")[2].alias("p99_price"),
     )
+
+
+@query(
+    "numeric_histogram",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(least(floor((l_extendedprice - 900.0) / 10500.0), 9)
+                AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS bucket_min,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS bucket_max
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 fixed buckets over the price domain)
+    per group — the profiling/visualization workhorse. Bucket
+    assignment is a pure row expression (one subtract, one divide,
+    one floor — identical IEEE ops in both engines), so the whole
+    histogram is one partial-aggregated shuffle of O(groups x buckets)
+    rows regardless of N. Fixed bounds keep it deterministic; a
+    data-driven variant computes min/max in a first pass and feeds
+    them as literals (two scans, still no sort — cheaper than
+    percentile bucketing when equi-width is acceptable)."""
+    li = Catalog(spark, sf_dir).lineitem
+    bucket = F.least(F.floor((F.col("l_extendedprice") - 900.0) / 10500.0),
+                     F.lit(9)).cast("int")
+    return (li.groupBy("l_returnflag", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("l_extendedprice").cast("double").alias("bucket_min"),
+                 F.max("l_extendedprice").cast("double").alias("bucket_max")))

@@ -96,3 +96,47 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("is_current"),
         )
     )
+
+
+@query(
+    "cdc_apply_deletes",
+    oracle=f"""
+    WITH changes AS (
+        SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+               event_id,
+               CASE WHEN event_type = 'click' AND value < 5.0 THEN 'D'
+                    ELSE 'U' END AS op
+        FROM events
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM changes
+    )
+    SELECT user_id, event_type, value AS latest_value, ts AS latest_ts
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed application WITH delete handling — the part that
+    separates a real CDC sink from an upsert toy: each change carries
+    an op (U upsert / D delete; here derived deterministically from
+    the row so the oracle can derive the same), the newest change per
+    key wins, and a key whose newest change is a delete disappears
+    from the state. Same single-shuffle window-argmax plan as the
+    upsert; the delete is a post-argmax filter, not a second pass.
+    With a table format this is MERGE ... WHEN MATCHED AND op = 'D'
+    THEN DELETE."""
+    ev = Catalog(spark, sf_dir).events
+    changes = ev.select(
+        "user_id", "event_type", "value", "ts", "event_id",
+        F.when((F.col("event_type") == "click") & (F.col("value") < 5.0), "D")
+        .otherwise("U").alias("op"))
+    w = (W.partitionBy("user_id", "event_type")
+         .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", "event_type",
+                F.col("value").alias("latest_value"),
+                F.col("ts").alias("latest_ts"))
+    )

@@ -304,3 +304,34 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("cum_tokens").alias("tokens_kept"),
              F.max("doc_id").alias("last_doc_id"))
     )
+
+
+@query(
+    "sample_k_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id FROM ranked WHERE rn <= 50
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: keep the 50 documents with
+    the smallest md5(doc_id) per language — a reproducible stand-in
+    for per-group reservoir sampling (uniform because the hash is
+    uniform on ids, identical on every engine/run because it is a pure
+    row function, unlike RNG reservoirs). One shuffle on lang; the
+    per-partition sort is bounded by a rank filter, and at 100 TB a
+    pre-aggregation trick (keep the k smallest hashes map-side) makes
+    the shuffle carry only candidate rows."""
+    d = Catalog(spark, sf_dir).documents
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (d.select("lang", "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 50)
+            .drop("rn"))
