@@ -747,8 +747,8 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
         FROM tok GROUP BY lang, token
     ), nd AS (
-        SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-        FROM tok GROUP BY lang
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
     ), scored AS (
         SELECT s.lang, token, tf, df,
                CAST(tf * n_docs AS DOUBLE) / df AS score,
@@ -769,7 +769,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     double op — bit-identical across engines), never a transcendental.
     Explode → two-level aggregate → broadcast-join the per-lang doc
     count → windowed top-5. The token stats shuffle carries one row
-    per distinct (lang, token), not per occurrence."""
+    per distinct (lang, token), not per occurrence; the per-lang doc
+    count comes straight off the documents table (one row per doc),
+    never re-exploding the corpus."""
     from pyspark.sql import Window as W
     d = Catalog(spark, sf_dir).documents
     tok = d.select("doc_id", "lang",
@@ -777,7 +779,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (tok.groupBy("lang", "token")
              .agg(F.count(F.lit(1)).alias("tf"),
                   F.countDistinct("doc_id").alias("df")))
-    nd = tok.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_docs"))
+    nd = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
     w = W.partitionBy("lang").orderBy(F.col("score").desc(), "token")
     return (

@@ -176,3 +176,29 @@ def test_connected_components_pointer_jumping_rounds(spark):
     assert rounds <= 8, rounds
     rows = labels.collect()
     assert len(rows) == 64 and all(r.cluster_id == 0 for r in rows)
+
+
+def test_chunking_explodes_without_shuffle(spark):
+    """Context-window chunking is a per-row expansion: the plan must
+    contain NO Exchange — at 100 TB the chunk pass is scan-speed."""
+    plan = _plan(spark, "doc_chunk_windows")
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_single_exchange_aggregations(spark):
+    """Histogram and shard manifest are one partial-aggregated shuffle
+    each — a second Exchange would mean the pre-aggregation combine
+    was lost."""
+    for name in ("numeric_histogram", "train_shard_manifest"):
+        plan = _plan(spark, name)
+        n = sum(1 for l in plan.splitlines()
+                if "Exchange" in l and "Broadcast" not in l)
+        assert n == 1, f"{name}: {n} shuffles"
+
+
+def test_tfidf_doc_counts_avoid_reexplode(spark):
+    """The per-language doc count must come from the documents table
+    (one row per doc), not from a second explode of the token stream:
+    exactly one Generate (explode) in the whole plan."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert sum(1 for l in plan.splitlines() if "Generate explode" in l) == 1
