@@ -300,16 +300,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))))
 
     def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        """Nearest centroid per vector (cosine; argmin via struct-min)."""
+        """Nearest centroid per vector (cosine; argmin via struct-max).
+
+        The vector and its norm ride INSIDE the max struct — (sim,
+        negcid) is already a unique ordering key (cid distinct per
+        candidate), so the trailing fields are never compared and the
+        argmax needs no join-back to recover them: one exchange per
+        assignment instead of three."""
         scored = (vecs.crossJoin(F.broadcast(cents))
                   .withColumn("sim", dot(F.col("v"), F.col("cv"))
                               / (F.col("norm") * F.col("cnorm"))))
         best = (scored.groupBy("vec_id")
-                .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("negcid")))
-                     .alias("top")))
-        return (vecs.join(best, "vec_id")
-                .withColumn("centroid", (-F.col("top.negcid")).cast("int"))
-                .drop("top"))
+                .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("negcid"),
+                                    F.col("v"), F.col("norm"))).alias("top")))
+        return best.select(
+            "vec_id",
+            F.col("top.v").alias("v"),
+            F.col("top.norm").alias("norm"),
+            (-F.col("top.negcid")).cast("int").alias("centroid"))
 
     cents0 = (base.filter(F.col("vec_id") < 16)
               .select(F.col("vec_id").cast("int").alias("cid"),
