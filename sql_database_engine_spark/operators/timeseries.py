@@ -184,22 +184,32 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-profiling operator: per-column row/null/distinct counts and
-    min/max, built programmatically from the schema (here over 4
-    columns of documents). One pass per column batch; at scale swap
-    COUNT(DISTINCT) for approx_count_distinct — same generated plan."""
+    """Data-profiling operator: per-column row/null/distinct counts
+    and min/max, built programmatically from the schema (here over 4
+    columns of documents) — in ONE scan: all columns' aggregates in a
+    single agg (Catalyst turns the multiple COUNT(DISTINCT)s into one
+    Expand, still one pass over the table), then the one-row result
+    explodes into a row per column. The union-of-four-aggs version
+    scanned the table once per column — 4x the dominant I/O at 100 TB.
+    At scale swap COUNT(DISTINCT) for approx_count_distinct to drop
+    the Expand too."""
     d = Catalog(spark, sf_dir).documents
-    profiles = []
-    for col in ("doc_id", "lang", "source", "n_chars"):
-        profiles.append(d.agg(
-            F.lit(col).alias("column_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(col).alias("n_nonnull"),
-            F.countDistinct(col).alias("n_distinct"),
-            F.min(col).cast("string").alias("min_value"),
-            F.max(col).cast("string").alias("max_value"),
-        ))
-    out = profiles[0]
-    for p in profiles[1:]:
-        out = out.unionByName(p)
-    return out
+    cols = ("doc_id", "lang", "source", "n_chars")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.count(c).alias(f"{c}__nn"),
+                 F.countDistinct(c).alias(f"{c}__nd"),
+                 F.min(c).cast("string").alias(f"{c}__mn"),
+                 F.max(c).cast("string").alias(f"{c}__mx")]
+    one = d.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col("n_rows"),
+                 F.col(f"{c}__nn").alias("n_nonnull"),
+                 F.col(f"{c}__nd").alias("n_distinct"),
+                 F.col(f"{c}__mn").alias("min_value"),
+                 F.col(f"{c}__mx").alias("max_value"))
+        for c in cols])
+    return (one.select(F.explode(per_col).alias("p"))
+            .select("p.column_name", "p.n_rows", "p.n_nonnull",
+                    "p.n_distinct", "p.min_value", "p.max_value"))

@@ -202,3 +202,11 @@ def test_tfidf_doc_counts_avoid_reexplode(spark):
     exactly one Generate (explode) in the whole plan."""
     plan = _plan(spark, "tfidf_top_terms")
     assert sum(1 for l in plan.splitlines() if "Generate explode" in l) == 1
+
+
+def test_profiler_scans_table_once(spark):
+    """The per-column profiler must read the table ONCE (all columns'
+    aggregates in one agg + explode), not once per profiled column."""
+    plan = _plan(spark, "profile_documents_table")
+    scans = sum(1 for l in plan.splitlines() if "FileScan parquet" in l)
+    assert scans == 1, f"documents scanned {scans}x"
