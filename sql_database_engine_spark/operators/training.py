@@ -210,8 +210,12 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles, and the audit runs before any training job does."""
     d = Catalog(spark, sf_dir).documents
     b = d.select("doc_id", "text", _bucket())
-    grams = _word_ngrams(b.select("doc_id", "text"), _CONTAM_N).join(
-        b.select("doc_id", "bucket"), "doc_id")
+    # The bucket is a pure function of doc_id — recompute it as a
+    # projection on the gram stream instead of joining it back (the
+    # recompute-don't-rejoin dividend of hash-deterministic splits).
+    hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    grams = _word_ngrams(b.select("doc_id", "text"), _CONTAM_N).withColumn(
+        "bucket", F.conv(hex4, 16, 10).cast("int") % _BUCKETS)
     train = grams.filter(F.col("bucket") < 800).select("gram").distinct()
     test = grams.filter(F.col("bucket") >= 900)
     hit = F.sum(F.when(F.col("t_gram").isNotNull(), 1).otherwise(0))
