@@ -789,3 +789,58 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "token", "tf", "df", "score")
     )
+
+
+@query(
+    "intra_doc_repetition",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1])) AS gram
+        FROM documents
+    ), c AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS total_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+           CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt)
+               AS dup_bigram_fraction,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_fraction
+    FROM c GROUP BY doc_id
+    """,
+)
+def intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality
+    filters): the fraction of word-bigram occurrences that are
+    repeats, and the share taken by the single most frequent bigram.
+    Boilerplate, SEO spam, and degenerate generations light up both.
+
+    Two hash aggregations, zero joins: explode bigrams (non-distinct,
+    unlike the dedup family's shingles), count per (doc, gram), then
+    roll up per doc. Both aggs partition by doc_id, so AQE coalesces
+    them onto one exchange; per-doc state is bounded by document
+    length, independent of corpus size. Ratios divide exact integer
+    counts — deterministic vs the oracle. Docs with < 2 tokens have
+    no bigrams and drop out (matching generate_series(1, 0) = []).
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("gram"))
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt")
+    distinct = F.count(F.lit(1))
+    return per_gram.groupBy("doc_id").agg(
+        total.alias("total_bigrams"),
+        distinct.alias("distinct_bigrams"),
+        ((total - distinct).cast("double") / total).alias("dup_bigram_fraction"),
+        (F.max("cnt").cast("double") / total).alias("top_bigram_fraction"),
+    )

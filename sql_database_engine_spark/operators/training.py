@@ -339,3 +339,152 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 50)
             .drop("rn"))
+
+
+#: Temperature-mix target: keep half the corpus overall, re-weighted
+#: toward small sources by sqrt (alpha = 0.5) — the multilingual
+#: rebalancing rule from the mT5/XLM-R lineage.
+MIX_KEEP_TOTAL = 0.5
+
+
+@query(
+    "temperature_mix_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(ROUND(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS sqrt_micros
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT source, n_docs,
+               CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total,
+               CAST(SUM(sqrt_micros) OVER () AS BIGINT) AS sum_sqrt,
+               sqrt_micros
+        FROM counts
+    ), thr AS (
+        SELECT source, n_docs,
+               LEAST(1000, CAST(FLOOR(
+                   (({MIX_KEEP_TOTAL} * CAST(n_total AS DOUBLE))
+                    * CAST(sqrt_micros AS DOUBLE)
+                    / CAST(sum_sqrt AS DOUBLE))
+                   / CAST(n_docs AS DOUBLE) * 1000) AS INT)) AS thr_buckets
+        FROM tot
+    )
+    SELECT t.source, t.n_docs, t.thr_buckets,
+           CAST(COUNT_IF({_BUCKET_SQL} < t.thr_buckets) AS BIGINT) AS n_sampled
+    FROM documents d JOIN thr t ON d.source = t.source
+    GROUP BY t.source, t.n_docs, t.thr_buckets
+    """,
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: per-source keep-rates
+    proportional to n_s^0.5 (downsampling dominant sources, keeping
+    the tail), realized as md5-bucket thresholds so membership is a
+    pure function of the row — reproducible across engines and runs.
+
+    Scale shape: the per-source count table is tiny (broadcast), the
+    threshold math happens once per source, and the per-row decision
+    is `bucket < thr` evaluated at the scan — no shuffle to sample,
+    one shuffle to summarize. Determinism: sqrt(n) is rounded to
+    integer micro-units before the cross-source sum (addition order
+    becomes irrelevant), and the remaining double arithmetic follows
+    the identical operation order as the oracle, so FLOOR lands
+    identically.
+    """
+    d = Catalog(spark, sf_dir).documents
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sqrt(F.count(F.lit(1))) * 1_000_000)
+        .cast("long").alias("sqrt_micros"),
+    )
+    w = W.partitionBy()
+    thr = counts.select(
+        "source", "n_docs",
+        F.least(F.lit(1000), F.floor(
+            ((F.lit(MIX_KEEP_TOTAL) * F.sum("n_docs").over(w).cast("double"))
+             * F.col("sqrt_micros").cast("double")
+             / F.sum("sqrt_micros").over(w).cast("double"))
+            / F.col("n_docs").cast("double") * 1000).cast("int")
+        ).alias("thr_buckets"),
+    )
+    return (
+        d.select("source", _bucket())
+        .join(F.broadcast(thr), "source")
+        .groupBy("source", "n_docs", "thr_buckets")
+        .agg(F.sum((F.col("bucket") < F.col("thr_buckets")).cast("long"))
+             .alias("n_sampled"))
+    )
+
+
+#: Per-source document cap for ``cap_docs_per_source``.
+SOURCE_CAP = 100
+
+
+@query(
+    "cap_docs_per_source",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= {SOURCE_CAP}
+    """,
+)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at SOURCE_CAP documents, selected by deterministic
+    hash rank (md5 of doc_id) rather than arrival order — the
+    per-domain cap that stops any one crawl host from dominating the
+    mix, reproducible because the "random" order is a pure function
+    of the key.
+
+    One shuffle (the per-source window). At 100 TB a hot source's
+    partition would be large; the production refinement is a
+    hash-threshold pre-filter (keep bucket < ~2*K/n_s, the pattern of
+    ``stratified_sample_exact``) so the exact rank only sees a small
+    superset — same result, bounded partition.
+    """
+    d = Catalog(spark, sf_dir).documents
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "source",
+                 F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= SOURCE_CAP)
+    )
+
+
+#: k-anonymity threshold: groups smaller than this leak identity.
+K_ANON = 5
+
+
+@query(
+    "k_anonymity_violations",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(n_chars // 200 AS BIGINT) AS size_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, source, n_chars // 200
+    HAVING COUNT(*) < {K_ANON}
+    """,
+)
+def k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: quasi-identifier groups (lang, source,
+    length-band) with fewer than k=K_ANON members — the rows a
+    release-gating pipeline must suppress or generalize before the
+    corpus ships. Complements ``pii_mask_redaction`` (row-level
+    masking) with the group-level re-identification check.
+
+    A single hash aggregation with a HAVING filter; the quasi-ID
+    tuple is low-cardinality so partial (map-side) aggregation
+    collapses almost everything before the shuffle.
+    """
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.groupBy("lang", "source",
+                  F.floor(F.col("n_chars") / 200).alias("size_band"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") < K_ANON)
+    )

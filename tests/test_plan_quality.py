@@ -210,3 +210,24 @@ def test_profiler_scans_table_once(spark):
     plan = _plan(spark, "profile_documents_table")
     scans = sum(1 for l in plan.splitlines() if "FileScan parquet" in l)
     assert scans == 1, f"documents scanned {scans}x"
+
+
+def test_temperature_mix_broadcasts_thresholds(spark):
+    """The per-source threshold table is tiny and must broadcast to
+    the corpus scan — a shuffled join here would repartition 100 TB
+    to meet a handful of rows."""
+    plan = _plan(spark, "temperature_mix_sample")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_single_doc_partitioning(spark):
+    """Intra-doc repetition partitions by doc_id at every stage
+    (window, per-gram agg, per-doc agg) — AQE must not need more than
+    the one hash exchange on doc_id plus the explode."""
+    plan = _plan(spark, "intra_doc_repetition")
+    shuffles = [l for l in plan.splitlines()
+                if "Exchange hashpartitioning" in l]
+    keys = {l.split("hashpartitioning(")[1].split(",")[0].split("#")[0]
+            for l in shuffles}
+    assert keys <= {"doc_id"}, shuffles
