@@ -760,3 +760,77 @@ def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("l_extendedprice").cast("double").alias("bucket_min"),
                  F.max("l_extendedprice").cast("double").alias("bucket_max")))
+
+
+@query(
+    "corr_value_hour_exact",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS x,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               AS corr_value_hour,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 100.0
+               AS cov_value_hour
+    FROM s
+    """,
+)
+def corr_value_hour_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / sample covariance of event value vs
+    hour-of-day per event type, with order-independent accumulation.
+
+    Built-in corr()/covar_samp() merge double partials (Welford)
+    whose result depends on partition merge order — fine numerically,
+    fatal for cross-engine hash comparison. Here every per-row term is
+    an exact integer (value in cents, hour in [0, 23]); the five sums
+    are exact BIGINTs (per-row x·y ≤ 56021·100·23 ≪ 2^63, and the
+    sums stay ≪ 2^63 through sf=1), so no accumulation order exists.
+    Only the final n·Σ-combination happens in doubles — cast first,
+    because n·Σx² overflows int64 at scale — as a fixed operation
+    dag, bit-identical in both engines. One partial-aggregated
+    shuffle; the same pattern extends to any exact second-moment
+    statistic (regression slopes, cosine between columns).
+    """
+    ev = Catalog(spark, sf_dir).events
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    s = c.groupBy("event_type").agg(
+        n.alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_num = (nd * F.col("sxy").cast("double")
+               - F.col("sx").cast("double") * F.col("sy").cast("double"))
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return s.select(
+        "event_type", "n",
+        (cov_num / F.sqrt(vx) / F.sqrt(vy)).alias("corr_value_hour"),
+        (cov_num / (nd * (nd - F.lit(1.0))) / 100.0).alias("cov_value_hour"),
+    )

@@ -560,3 +560,57 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cands.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("q_id", "vec_id", "cos_sim"))
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH u AS (
+        SELECT label,
+               unnest(list_transform(generate_series(1, len(embedding)),
+                   i -> {'pos': i - 1,
+                         'micros': CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                              * 1000000) AS BIGINT)})) AS e
+        FROM embeddings
+    )
+    SELECT label, CAST(e.pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(e.micros) AS BIGINT) AS sum_micros,
+           CAST(CAST(SUM(e.micros) AS BIGINT) AS DOUBLE) / COUNT(*)
+               AS mean_micros
+    FROM u GROUP BY label, e.pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per
+    (label, dimension) — the primitive under IVF coarse-quantizer
+    training (`ann_ivf_topk` runs it per Lloyd round) and
+    SemDeDup-style semantic clustering.
+
+    posexplode fans each vector into 64 dimension rows, but partial
+    aggregation collapses them map-side: the shuffle carries one
+    partial per (label, pos) per task — O(labels × dims × tasks),
+    independent of corpus size. Components are rounded to integer
+    micros before summing, so the cross-partition sum is exact and
+    order-free; the mean divides two exact integers. Output is scalar
+    rows, not an array column (the external canonicalizer cannot hash
+    arrays), and reassembling vectors is a downstream sort_array over
+    (pos, mean) structs when needed.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    u = e.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "comp"),
+    ).select(
+        "label", "pos",
+        F.round(F.col("comp").cast("double") * 1_000_000)
+        .cast("long").alias("micros"),
+    )
+    return (
+        u.groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum("micros").alias("sum_micros"))
+        .select("label", "pos", "n_vecs", "sum_micros",
+                (F.col("sum_micros").cast("double") / F.col("n_vecs"))
+                .alias("mean_micros"))
+    )
