@@ -35,7 +35,7 @@ def load_all() -> None:
     """Import every operator module (side effect: registry fills)."""
     from . import (relational, analytics, windows, setops, scalar, events,  # noqa: F401
                    text, similarity, multimodal, udfs, cdc, timeseries,
-                   tpch_extra, training, sketches)
+                   tpch_extra, training, sketches, quality)
     _register_streaming()
 
 
@@ -74,6 +74,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_latest_state", "funnel_signup_click_purchase",
         "join_skew_salted", "clustered_range_scan",
         "window_ntile_quartiles", "pii_mask_redaction",
+        "dq_constraint_audit",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

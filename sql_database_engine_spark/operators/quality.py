@@ -1,0 +1,180 @@
+"""Data-quality / constraint-audit operators.
+
+Spark has no declarative PK/FK/CHECK enforcement — at warehouse scale
+constraints are *audited*, not enforced: periodic queries that count
+violations per rule and gate downstream consumption. This module is
+that layer, the validation step an ingest pipeline runs before
+promoting a batch.
+
+Scale shape: per-table row rules are FUSED into one scan per table
+(one agg computing every count_if — the profiler's trick, not one
+pass per rule); referential rules are anti-join counts (dim side
+broadcast when bounded, shuffle on the key otherwise). The audit's
+total cost is one scan of each fact table plus the key joins —
+independent of how many row rules are registered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+
+def _checks_to_rows(df: DataFrame, **rules) -> DataFrame:
+    """One scan: aggregate every rule's violation count + the row
+    count, then explode to (check, n_bad, n_checked) rows."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [F.sum(c.cast("long")).alias(k) for k, c in rules.items()]
+    one = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(k).alias("check"), F.col(k).alias("n_bad"))
+        for k in rules
+    ])
+    return (one.select(F.explode(pairs).alias("p"), F.col("__n").alias("n_checked"))
+            .select("p.check", "p.n_bad", "n_checked"))
+
+
+@query(
+    "dq_constraint_audit",
+    oracle="""
+    SELECT 'lineitem_discount_range' AS check,
+           CAST(COUNT_IF(l_discount < 0 OR l_discount > 0.1) AS BIGINT) AS n_bad,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_positive_measures',
+           CAST(COUNT_IF(l_quantity <= 0 OR l_extendedprice <= 0 OR l_tax < 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(COUNT_IF(o_totalprice <= 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orderdate_not_null',
+           CAST(COUNT_IF(o_orderdate IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             (SELECT c_custkey FROM customer GROUP BY c_custkey
+              HAVING COUNT(*) > 1)),
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer
+    """,
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the warehouse: range/sign/null row rules,
+    FK orphan counts, PK uniqueness — one (check, n_bad, n_checked)
+    row per rule.
+
+    Row rules share one scan per table (`_checks_to_rows` fuses every
+    count_if into a single aggregate — adding a rule adds a column,
+    not a pass). The customer FK check broadcasts the key column of
+    the bounded dim; the lineitem→orders check is a fact-to-fact
+    left-anti on the join key, the one genuinely shuffle-bound rule —
+    at 100 TB you run it on the same bucketing/clustering layout the
+    join workload already uses (see `sources/bucketed.py`) and it
+    becomes co-located.
+    """
+    cat = Catalog(spark, sf_dir)
+    li, orders, cust = cat.lineitem, cat.orders, cat.customer
+
+    li_rows = _checks_to_rows(
+        li,
+        lineitem_discount_range=(F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        lineitem_positive_measures=(F.col("l_quantity") <= 0)
+        | (F.col("l_extendedprice") <= 0) | (F.col("l_tax") < 0),
+    )
+    ord_rows = _checks_to_rows(
+        orders,
+        orders_totalprice_positive=F.col("o_totalprice") <= 0,
+        orders_orderdate_not_null=F.col("o_orderdate").isNull(),
+    )
+    n_orders = orders.agg(F.count(F.lit(1)).alias("n_checked"))
+    orphan_orders = (
+        orders.join(F.broadcast(cust.select("c_custkey")),
+                    orders.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .crossJoin(n_orders)
+        .select(F.lit("orders_fk_customer").alias("check"), "n_bad", "n_checked")
+    )
+    n_li = li.agg(F.count(F.lit(1)).alias("n_checked"))
+    orphan_li = (
+        li.join(orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .crossJoin(n_li)
+        .select(F.lit("lineitem_fk_orders").alias("check"), "n_bad", "n_checked")
+    )
+    dup_cust = (
+        cust.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .crossJoin(cust.agg(F.count(F.lit(1)).alias("n_checked")))
+        .select(F.lit("customer_pk_unique").alias("check"), "n_bad", "n_checked")
+    )
+    return (li_rows.unionByName(ord_rows).unionByName(orphan_orders)
+            .unionByName(orphan_li).unionByName(dup_cust))
+
+
+@query(
+    "dq_null_ratio_profile",
+    oracle="""
+    SELECT 'o_orderdate' AS col,
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS n_null,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderdate) AS DOUBLE) / COUNT(*) AS null_ratio
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS DOUBLE) / COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE) / COUNT(*)
+    FROM orders
+    """,
+)
+def dq_null_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-ratio profile for selected columns — one scan (single agg,
+    exploded to rows), the completeness half of the DQ gate. The
+    documents-table twin with min/max/distinct is
+    ``profile_documents_table``; this one is the narrow per-batch
+    check an ingest gate runs on arrival.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    cols = ["o_orderdate", "o_orderpriority", "o_totalprice"]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(c).alias(c) for c in cols])
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 (F.col("__n") - F.col(c)).alias("n_null"))
+        for c in cols])
+    return (agg.select(F.explode(pairs).alias("p"), F.col("__n").alias("n_rows"))
+            .select("p.col", "p.n_null", "n_rows",
+                    (F.col("p.n_null").cast("double") / F.col("n_rows"))
+                    .alias("null_ratio")))
