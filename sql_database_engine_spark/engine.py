@@ -158,6 +158,28 @@ class Engine:
         write(df, path, cols, files=files)
         return self.spark.read.schema(df.schema).parquet(path)
 
+    # --- snapshot versioning (time travel) ---
+
+    def write_snapshot(self, df: DataFrame, path: str) -> int:
+        """Commit `df` as the next immutable version of a snapshot
+        table (metadata-pointer commit: the manifest rename is the
+        atomic commit point). See ``sources/snapshots.py``."""
+        from .sources.snapshots import write_snapshot
+        return write_snapshot(df, path)
+
+    def read_snapshot(self, path: str, version: int | None = None) -> DataFrame:
+        """Latest committed snapshot, or time-travel to `version`."""
+        from .sources.snapshots import read_snapshot
+        return read_snapshot(self.spark, path, version)
+
+    def snapshots(self, path: str) -> list[dict]:
+        from .sources.snapshots import snapshots
+        return snapshots(path)
+
+    def vacuum_snapshots(self, path: str, keep: int = 1) -> list[int]:
+        from .sources.snapshots import vacuum
+        return vacuum(path, keep)
+
     # --- streaming ---
 
     def stream_events(self) -> DataFrame:

@@ -92,3 +92,43 @@ def test_engine_compaction_recovers_stale_dirs(spark, tmp_path):
     after = eng.compact_table(out, target_files=1)
     assert after == 1
     assert spark.read.parquet(out).count() == rows
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Writes commit immutable versions; latest read tracks the head
+    while any past version stays readable bit-for-bit (time travel)."""
+    from pyspark.sql import functions as F
+    eng = Engine(spark, SF_SMOKE)
+    path = str(tmp_path / "versioned")
+    nat = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    v1 = eng.write_snapshot(nat, path)
+    v2 = eng.write_snapshot(nat.filter(F.col("n_regionkey") == 0), path)
+    assert (v1, v2) == (1, 2)
+    assert eng.read_snapshot(path).count() == eng.read_snapshot(path, 2).count()
+    assert eng.read_snapshot(path, 1).count() == nat.count()
+    hist = eng.snapshots(path)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["n_rows"] == nat.count()
+
+
+def test_snapshot_uncommitted_invisible_and_vacuumed(spark, tmp_path):
+    """A data dir without a manifest (crash before the commit rename)
+    must be invisible to readers and removed by vacuum; vacuum keeps
+    the newest `keep` committed versions."""
+    import os
+    eng = Engine(spark, SF_SMOKE)
+    path = str(tmp_path / "crashy_snap")
+    nat = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    eng.write_snapshot(nat, path)
+    eng.write_snapshot(nat.limit(5), path)
+    # simulate a crash: orphan data dir, no manifest
+    os.makedirs(os.path.join(path, "v00003"))
+    assert eng.read_snapshot(path).count() == 5  # head is v2, not the orphan
+    removed = eng.vacuum_snapshots(path, keep=1)
+    assert removed == [1]
+    assert not os.path.exists(os.path.join(path, "v00001"))
+    assert not os.path.exists(os.path.join(path, "v00003"))
+    assert eng.read_snapshot(path).count() == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.read_snapshot(path, 1)
