@@ -380,3 +380,93 @@ def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & F.col("next_purchase_ts").isNotNull())
         .select("event_id", "user_id", "ts", "event_type", "next_purchase_ts")
     )
+
+
+@query(
+    "events_asof_join_nearest",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type
+               FROM events WHERE event_type <> 'purchase'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT e.event_id, p.ts AS b_ts
+               FROM e ASOF JOIN p
+                 ON e.user_id = p.user_id AND e.ts >= p.ts),
+         f AS (SELECT e.event_id, p.ts AS f_ts
+               FROM e ASOF JOIN p
+                 ON e.user_id = p.user_id AND e.ts <= p.ts)
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           CASE WHEN b_ts IS NULL THEN f_ts
+                WHEN f_ts IS NULL THEN b_ts
+                WHEN epoch_us(e.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(e.ts) THEN b_ts
+                ELSE f_ts END AS purchase_ts,
+           CASE WHEN b_ts IS NULL THEN 'forward'
+                WHEN f_ts IS NULL THEN 'backward'
+                WHEN epoch_us(e.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(e.ts) THEN 'backward'
+                ELSE 'forward' END AS direction,
+           CAST(LEAST(COALESCE(epoch_us(e.ts) - epoch_us(b_ts), 9223372036854775807),
+                      COALESCE(epoch_us(f_ts) - epoch_us(e.ts), 9223372036854775807))
+                AS BIGINT) AS delta_us
+    FROM e
+    LEFT JOIN b ON e.event_id = b.event_id
+    LEFT JOIN f ON e.event_id = f.event_id
+    WHERE b_ts IS NOT NULL OR f_ts IS NOT NULL
+    """,
+)
+def events_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each event matched to the user's closest
+    purchase in either direction (tie → the earlier one, i.e.
+    backward wins). Completes the as-of family: backward
+    (``events_asof_join``), left, forward, nearest.
+
+    Both candidates come from ONE union-tag pass: the backward carry
+    (last purchase ts over the preceding frame) and the forward carry
+    (first over the following frame) are two window functions over the
+    same user_id partitioning — one shuffle, two in-partition sorts
+    (the tie rules need opposite is_event orderings). No range
+    explosion, no per-key loop; the oracle reproduces the semantics
+    with two DuckDB ASOF joins recombined.
+    """
+    ev = Catalog(spark, sf_dir).events
+    events_side = (ev.filter(F.col("event_type") != "purchase")
+                   .select("event_id", "user_id", "ts", "event_type",
+                           F.lit(None).cast("timestamp").alias("p_ts"),
+                           F.lit(1).alias("is_event")))
+    purchase_side = (ev.filter(F.col("event_type") == "purchase")
+                     .select("event_id", "user_id", "ts",
+                             F.lit(None).cast("string").alias("event_type"),
+                             F.col("ts").alias("p_ts"),
+                             F.lit(0).alias("is_event")))
+    unioned = events_side.unionByName(purchase_side)
+    w_back = (W.partitionBy("user_id")
+              .orderBy("ts", "is_event", "event_id")
+              .rowsBetween(W.unboundedPreceding, 0))
+    w_fwd = (W.partitionBy("user_id")
+             .orderBy("ts", F.col("is_event").desc(), "event_id")
+             .rowsBetween(0, W.unboundedFollowing))
+    carried = (
+        unioned
+        .withColumn("b_ts", F.last("p_ts", ignorenulls=True).over(w_back))
+        .withColumn("f_ts", F.first("p_ts", ignorenulls=True).over(w_fwd))
+    )
+    d_back = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    d_fwd = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    back_wins = (F.col("f_ts").isNull()
+                 | (F.col("b_ts").isNotNull() & (d_back <= d_fwd)))
+    big = F.lit(9223372036854775807).cast("long")
+    return (
+        carried.filter((F.col("is_event") == 1)
+                       & (F.col("b_ts").isNotNull() | F.col("f_ts").isNotNull()))
+        .select(
+            "event_id", "user_id", "ts", "event_type",
+            F.when(back_wins, F.col("b_ts")).otherwise(F.col("f_ts"))
+            .alias("purchase_ts"),
+            F.when(back_wins, F.lit("backward")).otherwise(F.lit("forward"))
+            .alias("direction"),
+            F.least(F.coalesce(d_back, big), F.coalesce(d_fwd, big))
+            .cast("long").alias("delta_us"),
+        )
+    )
