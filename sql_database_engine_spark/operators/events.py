@@ -470,3 +470,78 @@ def events_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("delta_us"),
         )
     )
+
+
+@query(
+    "winsorize_event_values",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events
+    ), r AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ), thr AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = CAST(FLOOR(0.05 * (n - 1)) AS BIGINT) + 1
+                        THEN x END) AS lo,
+               MIN(CASE WHEN rn = CAST(FLOOR(0.95 * (n - 1)) AS BIGINT) + 1
+                        THEN x END) AS hi
+        FROM r GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT_IF(c.x < t.lo) AS BIGINT) AS n_clipped_low,
+           CAST(COUNT_IF(c.x > t.hi) AS BIGINT) AS n_clipped_high,
+           CAST(CAST(t.lo AS DOUBLE) / 100.0 AS DOUBLE) AS p05_value,
+           CAST(CAST(t.hi AS DOUBLE) / 100.0 AS DOUBLE) AS p95_value,
+           CAST(CAST(SUM(GREATEST(t.lo, LEAST(t.hi, c.x))) AS BIGINT)
+                AS DOUBLE) / 100.0 AS winsorized_total
+    FROM c JOIN thr t ON c.event_type = t.event_type
+    GROUP BY c.event_type, t.lo, t.hi
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping to the [p05, p95] band) per
+    event type — the robust-statistics cleaning step before value
+    aggregates that a single fat-finger row would poison.
+
+    Percentiles are NEAREST-RANK (the value at row
+    floor(p·(n−1))+1 of the per-type sort), not interpolated:
+    interpolation mixes integers through g·(b−a) float arithmetic
+    whose last-ulp rounding can differ between engines, while a
+    ranked pick is an exact integer — the cents-scaling policy
+    extended to order statistics. One shuffle for the rank window;
+    the per-type thresholds re-join by broadcast; the clipped sum is
+    an exact integer aggregate.
+    """
+    ev = Catalog(spark, sf_dir).events
+    c = ev.select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"))
+    w = W.partitionBy("event_type")
+    r = c.select(
+        "event_type", "x",
+        F.row_number().over(w.orderBy("x", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"))
+    k = lambda p: F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1
+    thr = r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == k(0.05), F.col("x"))).alias("lo"),
+        F.min(F.when(F.col("rn") == k(0.95), F.col("x"))).alias("hi"))
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("x")))
+    return (
+        c.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum((F.col("x") < F.col("lo")).cast("long")).alias("n_clipped_low"),
+             F.sum((F.col("x") > F.col("hi")).cast("long")).alias("n_clipped_high"),
+             F.sum(clipped).alias("wt"))
+        .select("event_type", "n", "n_clipped_low", "n_clipped_high",
+                (F.col("lo").cast("double") / 100.0).alias("p05_value"),
+                (F.col("hi").cast("double") / 100.0).alias("p95_value"),
+                (F.col("wt").cast("double") / 100.0).alias("winsorized_total"))
+    )
