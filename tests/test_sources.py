@@ -43,3 +43,52 @@ def test_explicit_schema_enforced(spark, tmp_path):
     back = read_source(spark, "csv", out, schemas.REGION)
     assert [f.dataType for f in back.schema.fields] == \
         [f.dataType for f in schemas.REGION.fields]
+
+
+def test_schema_evolution_backfills_nulls(spark, tmp_path):
+    """Old files written before a column existed must read back under
+    the evolved schema with NULLs backfilled — the explicit-schema way
+    of schema evolution (the unified schema is declared, never
+    inferred or merged at scan time, so the 100 TB read plan is one
+    footer-free pass)."""
+    from pyspark.sql import types as T
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.parquet(out + "/batch=1")
+    v2 = spark.createDataFrame([(3, "c", 0.5)],
+                               "id long, name string, score double")
+    v2.write.parquet(out + "/batch=2")
+    evolved = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    back = read_source(spark, "parquet", out, evolved)
+    rows = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+
+
+def test_json_corrupt_records_quarantined(spark, tmp_path):
+    """Malformed ingest lines must land in the corrupt-record column
+    (PERMISSIVE mode), not kill the job or vanish — at scale a bad
+    producer is a certainty and the quarantine column is the audit
+    trail."""
+    from pyspark.sql import types as T
+    src = tmp_path / "raw.jsonl"
+    src.write_text('{"id": 1, "name": "ok"}\n'
+                   'this is not json\n'
+                   '{"id": 2, "name": "also ok"}\n')
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    back = read_source(spark, "json", str(src), schema,
+                       mode="PERMISSIVE",
+                       columnNameOfCorruptRecord="_corrupt_record").cache()
+    good = back.filter(F.col("_corrupt_record").isNull())
+    bad = back.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 1
+    assert "not json" in bad.collect()[0]["_corrupt_record"]
+    back.unpersist()
