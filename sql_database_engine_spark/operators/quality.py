@@ -88,12 +88,15 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Row rules share one scan per table (`_checks_to_rows` fuses every
     count_if into a single aggregate — adding a rule adds a column,
-    not a pass). The customer FK check broadcasts the key column of
-    the bounded dim; the lineitem→orders check is a fact-to-fact
-    left-anti on the join key, the one genuinely shuffle-bound rule —
-    at 100 TB you run it on the same bucketing/clustering layout the
-    join workload already uses (see `sources/bucketed.py`) and it
-    becomes co-located.
+    not a pass). FK rules are LEFT joins with count_if(key IS NULL),
+    which yields the orphan count and n_checked in the same pass (an
+    anti-join would need a second scan just to count rows); the key
+    side is deduplicated so a duplicated PK can never inflate the fact
+    count. The customer FK broadcasts the bounded dim's key column;
+    the lineitem→orders check is fact-to-fact on the join key, the
+    one genuinely shuffle-bound rule — at 100 TB you run it on the
+    same bucketing/clustering layout the join workload already uses
+    (see `sources/bucketed.py`) and it becomes co-located.
     """
     cat = Catalog(spark, sf_dir)
     li, orders, cust = cat.lineitem, cat.orders, cat.customer
@@ -109,27 +112,31 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders_totalprice_positive=F.col("o_totalprice") <= 0,
         orders_orderdate_not_null=F.col("o_orderdate").isNull(),
     )
-    n_orders = orders.agg(F.count(F.lit(1)).alias("n_checked"))
+    # FK checks: LEFT join + count_if(key IS NULL) yields the orphan
+    # count AND the row count in one pass over the fact — an anti-join
+    # formulation would need a second scan just for n_checked.
     orphan_orders = (
-        orders.join(F.broadcast(cust.select("c_custkey")),
-                    orders.o_custkey == F.col("c_custkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_bad"))
-        .crossJoin(n_orders)
+        orders.select("o_custkey")
+        .join(F.broadcast(cust.select(F.col("c_custkey").alias("__ck")).distinct()),
+              F.col("o_custkey") == F.col("__ck"), "left")
+        .agg(F.sum(F.col("__ck").isNull().cast("long")).alias("n_bad"),
+             F.count(F.lit(1)).alias("n_checked"))
         .select(F.lit("orders_fk_customer").alias("check"), "n_bad", "n_checked")
     )
-    n_li = li.agg(F.count(F.lit(1)).alias("n_checked"))
     orphan_li = (
-        li.join(orders.select("o_orderkey"),
-                li.l_orderkey == F.col("o_orderkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_bad"))
-        .crossJoin(n_li)
+        li.select("l_orderkey")
+        .join(orders.select(F.col("o_orderkey").alias("__ok")).distinct(),
+              F.col("l_orderkey") == F.col("__ok"), "left")
+        .agg(F.sum(F.col("__ok").isNull().cast("long")).alias("n_bad"),
+             F.count(F.lit(1)).alias("n_checked"))
         .select(F.lit("lineitem_fk_orders").alias("check"), "n_bad", "n_checked")
     )
+    # PK uniqueness: one aggregation gives duplicate-key count AND the
+    # row count (sum of group sizes).
     dup_cust = (
         cust.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("k"))
-        .filter(F.col("k") > 1)
-        .agg(F.count(F.lit(1)).alias("n_bad"))
-        .crossJoin(cust.agg(F.count(F.lit(1)).alias("n_checked")))
+        .agg(F.sum((F.col("k") > 1).cast("long")).alias("n_bad"),
+             F.sum("k").alias("n_checked"))
         .select(F.lit("customer_pk_unique").alias("check"), "n_bad", "n_checked")
     )
     return (li_rows.unionByName(ord_rows).unionByName(orphan_orders)
