@@ -52,6 +52,10 @@ HEADLINE = [
     "neardup_cluster_assignment",   # iterative connected components
     "clustered_range_scan",         # Hilbert-layout 2-column file pruning
     "q9_product_profit",            # TPC-H Q9 shape (part-cost profit)
+    "intra_doc_repetition",         # within-doc repetition signals
+    "winsorize_event_values",       # nearest-rank percentile clipping
+    "dq_constraint_audit",          # warehouse constraint audit
+    "corr_value_hour_exact",        # exact-integer second moments
 ]
 
 

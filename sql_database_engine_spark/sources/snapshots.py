@@ -116,3 +116,33 @@ def vacuum(path: str, keep: int = 1) -> list[int]:
                 shutil.rmtree(full, ignore_errors=True)
                 # orphans have no version number to report
     return removed
+
+
+def merge_snapshot(spark: SparkSession, path: str, changes: DataFrame,
+                   key: str, delete_col: str | None = None) -> int:
+    """MERGE into a snapshot table: apply `changes` (upserts keyed on
+    `key`; rows where `delete_col` is true are deletes) to the latest
+    committed version and commit the result as a new version.
+
+    This is the copy-on-write MERGE of the table formats: readers of
+    the old version are untouched (snapshot isolation comes free from
+    immutability), the new version becomes visible atomically at the
+    manifest rename, and time travel doubles as the undo log. The
+    merge itself is one outer join on the key — at 100 TB you restrict
+    the rewrite to affected partitions; here the whole snapshot
+    rewrites, which is the correct baseline semantics.
+    """
+    from pyspark.sql import functions as F
+
+    current = read_snapshot(spark, path)
+    if delete_col is not None:
+        deletes = changes.filter(F.col(delete_col)).select(key)
+        upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
+    else:
+        deletes = None
+        upserts = changes
+    kept = current.join(upserts.select(key), key, "left_anti")
+    merged = kept.unionByName(upserts)
+    if deletes is not None:
+        merged = merged.join(deletes, key, "left_anti")
+    return write_snapshot(merged, path)

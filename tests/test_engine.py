@@ -132,3 +132,25 @@ def test_snapshot_uncommitted_invisible_and_vacuumed(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         eng.read_snapshot(path, 1)
+
+
+def test_snapshot_merge_upsert_and_delete(spark, tmp_path):
+    """Copy-on-write MERGE: upserts replace matching keys, inserts
+    append, deletes drop — committed as a new version while the old
+    version stays readable (snapshot isolation / undo log)."""
+    from pyspark.sql import functions as F
+    from sql_database_engine_spark.sources.snapshots import merge_snapshot
+    eng = Engine(spark, SF_SMOKE)
+    path = str(tmp_path / "merge_snap")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string")
+    eng.write_snapshot(base, path)
+    changes = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "id long, val string, is_delete boolean")
+    v = merge_snapshot(spark, path, changes, "id", delete_col="is_delete")
+    assert v == 2
+    now = {r["id"]: r["val"] for r in eng.read_snapshot(path).collect()}
+    assert now == {1: "a", 2: "B", 4: "d"}
+    before = {r["id"]: r["val"] for r in eng.read_snapshot(path, 1).collect()}
+    assert before == {1: "a", 2: "b", 3: "c"}
