@@ -844,3 +844,98 @@ def intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((total - distinct).cast("double") / total).alias("dup_bigram_fraction"),
         (F.max("cnt").cast("double") / total).alias("top_bigram_fraction"),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle="""
+    WITH pred AS (
+        SELECT lang,
+               CASE
+                 WHEN len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('stream', 'batch', 'window'))) >
+                      len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('table', 'row', 'column')))
+                 THEN 'streamish' ELSE 'tablish'
+               END AS lang_guess
+        FROM documents
+    )
+    SELECT lang AS lang_true, lang_guess,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, lang_guess
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the declared language label and the
+    dictionary-vote classifier of ``lang_id_heuristic`` — the
+    label-vs-model agreement audit run before trusting either side
+    for mixture decisions. Per-row classification is codegen'd column
+    expressions; the matrix is one low-cardinality aggregation whose
+    map-side combine collapses everything before the shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    streamish = F.array(F.lit("stream"), F.lit("batch"), F.lit("window"))
+    tablish = F.array(F.lit("table"), F.lit("row"), F.lit("column"))
+    n_s = F.size(F.filter(_tokens(), lambda t: F.array_contains(streamish, t)))
+    n_t = F.size(F.filter(_tokens(), lambda t: F.array_contains(tablish, t)))
+    return (
+        d.select(F.col("lang").alias("lang_true"),
+                 F.when(n_s > n_t, "streamish").otherwise("tablish")
+                 .alias("lang_guess"))
+        .groupBy("lang_true", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "bigram_corpus_freq_score",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1])) AS gram
+        FROM documents
+    ), cf AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS corpus_freq
+        FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(cf.corpus_freq) AS BIGINT) AS total_freq,
+           CAST(CAST(SUM(cf.corpus_freq) AS BIGINT) AS DOUBLE) / COUNT(*)
+               AS avg_bigram_freq
+    FROM g JOIN cf ON g.gram = cf.gram
+    GROUP BY g.doc_id
+    """,
+)
+def bigram_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-free fluency proxy: the mean corpus frequency of a
+    document's word bigrams. Documents whose bigrams are common in
+    the corpus read like the corpus; gibberish and boilerplate-free
+    spam score low. (The log-probability version of this is an n-gram
+    LM score; summing raw counts keeps every aggregate an exact
+    integer — libm log is not cross-engine reproducible.)
+
+    Plan: one bigram explode feeds BOTH sides — the corpus frequency
+    table (hash agg on gram) and the per-doc stream; they re-join on
+    gram, so the corpus never explodes twice. The join key is the
+    bigram itself: high cardinality, bounded per-key rows (a gram's
+    corpus_freq), the same skeleton as the contamination audit.
+    Division of two exact integers at the end — deterministic.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    g = (toks.withColumn("nxt", F.lead("tok").over(w))
+         .filter(F.col("nxt").isNotNull())
+         .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("gram")))
+    cf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("corpus_freq"))
+    return (
+        g.join(cf, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("corpus_freq").alias("total_freq"),
+             (F.sum("corpus_freq").cast("double") / F.count(F.lit(1)))
+             .alias("avg_bigram_freq"))
+    )
