@@ -917,12 +917,14 @@ def bigram_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM score; summing raw counts keeps every aggregate an exact
     integer — libm log is not cross-engine reproducible.)
 
-    Plan: one bigram explode feeds BOTH sides — the corpus frequency
-    table (hash agg on gram) and the per-doc stream; they re-join on
-    gram, so the corpus never explodes twice. The join key is the
-    bigram itself: high cardinality, bounded per-key rows (a gram's
-    corpus_freq), the same skeleton as the contamination audit.
-    Division of two exact integers at the end — deterministic.
+    Plan: ONE scan and ONE explode — the corpus frequency is a count
+    window partitioned by gram over the same bigram stream (no
+    agg-then-self-join, which would explode the corpus twice; Spark
+    does not share unpersisted subtrees). Three exchanges total:
+    doc_id (shingle window), gram (frequency window), doc_id (final
+    agg). Skew follows hot bigrams either way; the window form moves
+    strictly less data than the join form at the same skew. Division
+    of two exact integers at the end — deterministic.
     """
     d = Catalog(spark, sf_dir).documents
     toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
@@ -930,10 +932,10 @@ def bigram_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (toks.withColumn("nxt", F.lead("tok").over(w))
          .filter(F.col("nxt").isNotNull())
          .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("gram")))
-    cf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("corpus_freq"))
+    gf = g.withColumn("corpus_freq",
+                      F.count(F.lit(1)).over(W.partitionBy("gram")))
     return (
-        g.join(cf, "gram")
-        .groupBy("doc_id")
+        gf.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
              F.sum("corpus_freq").alias("total_freq"),
              (F.sum("corpus_freq").cast("double") / F.count(F.lit(1)))

@@ -231,3 +231,12 @@ def test_repetition_single_doc_partitioning(spark):
     keys = {l.split("hashpartitioning(")[1].split(",")[0].split("#")[0]
             for l in shuffles}
     assert keys <= {"doc_id"}, shuffles
+
+
+def test_bigram_score_single_explode(spark):
+    """The fluency score derives corpus frequency from a window over
+    the SAME bigram stream — exactly one Generate and one FileScan
+    (an agg+self-join formulation would explode the corpus twice)."""
+    plan = _plan(spark, "bigram_corpus_freq_score")
+    assert sum(1 for l in plan.splitlines() if "Generate posexplode" in l) == 1
+    assert sum(1 for l in plan.splitlines() if "FileScan parquet" in l) == 1
