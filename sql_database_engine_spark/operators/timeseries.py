@@ -213,3 +213,106 @@ def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (one.select(F.explode(per_col).alias("p"))
             .select("p.column_name", "p.n_rows", "p.n_nonnull",
                     "p.n_distinct", "p.min_value", "p.max_value"))
+
+
+@query(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), trail AS (
+        SELECT event_type, hour_start, n,
+               CAST(COUNT(*) OVER w AS BIGINT) AS tn,
+               CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS s,
+               CAST(COALESCE(SUM(n * n) OVER w, 0) AS BIGINT) AS ss
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_start, n, tn,
+           CASE WHEN tn > 0
+                THEN CAST(s AS DOUBLE) / tn END AS trailing_mean,
+           (tn >= 12 AND
+            (n * tn - s) * (n * tn - s) * (tn - 1)
+              > 9 * tn * (tn * ss - s * s)) AS is_spike
+    FROM trail
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags on hourly event counts: an hour
+    is a spike when its count sits more than 3 trailing standard
+    deviations from the trailing 24-hour mean (warm-up: no flag until
+    12 trailing hours exist).
+
+    The 3σ test is evaluated as a PURE INTEGER inequality —
+    (n·tn − S)²·(tn−1) > 9·tn·(tn·ΣX² − S²) is the square of the
+    z-score condition cleared of divisions — so the flag is
+    bit-deterministic across engines (no sqrt, no division, no float
+    accumulation; the reported mean is the only double and divides
+    two exact integers). One aggregation plus one per-type ordered
+    window; hours per type is bounded (time, not corpus), so the
+    window partitions stay small forever.
+    """
+    ev = Catalog(spark, sf_dir).events
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (W.partitionBy("event_type").orderBy("hour_start")
+         .rowsBetween(-24, -1))
+    trail = hourly.select(
+        "event_type", "hour_start", "n",
+        F.count(F.lit(1)).over(w).alias("tn"),
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("n") * F.col("n")).over(w), F.lit(0)).alias("ss"),
+    )
+    dev = F.col("n") * F.col("tn") - F.col("s")
+    var_num = F.col("tn") * F.col("ss") - F.col("s") * F.col("s")
+    return trail.select(
+        "event_type", "hour_start", "n", "tn",
+        F.when(F.col("tn") > 0,
+               F.col("s").cast("double") / F.col("tn")).alias("trailing_mean"),
+        ((F.col("tn") >= 12)
+         & (dev * dev * (F.col("tn") - 1) > 9 * F.col("tn") * var_num))
+        .alias("is_spike"),
+    )
+
+
+@query(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+        FROM first_seen GROUP BY day
+    )
+    SELECT day, n_new_users,
+           CAST(SUM(n_new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM daily
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, per day — computed
+    as min-first-seen + cumulative sum, NOT a distinct-over-expanding-
+    window (which holds O(users) state per frame and is quadratic in
+    practice). The first-seen trick turns "running distinct" into one
+    per-user aggregation plus a cumulative sum over days: the standard
+    growth-accounting query, scale-safe because the heavy shuffle is
+    on user_id once. Days with no new users don't appear (compose
+    with ``gapfill_daily_forward_fill`` for a dense series).
+    """
+    ev = Catalog(spark, sf_dir).events
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.min(F.to_date("ts")).alias("day")))
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day", "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"))
