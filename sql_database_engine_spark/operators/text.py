@@ -941,3 +941,179 @@ def bigram_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum("corpus_freq").cast("double") / F.count(F.lit(1)))
              .alias("avg_bigram_freq"))
     )
+
+
+@query(
+    "dup_ngram_span_stats",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS a,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(n_tokens - 4, 0)),
+                   i -> struct_pack(pos := i,
+                                    gram := a[i] || ' ' || a[i+1] || ' '
+                                         || a[i+2] || ' ' || a[i+3] || ' '
+                                         || a[i+4]))) AS s
+        FROM base
+    ), gg AS (
+        SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g
+    ), freq AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS cf FROM gg GROUP BY gram
+    ), cov AS (
+        SELECT gg.doc_id, gg.pos,
+               unnest(generate_series(gg.pos, gg.pos + 4)) AS cpos
+        FROM gg JOIN freq USING (gram) WHERE freq.cf >= 2
+    ), stats AS (
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_dup_grams,
+               CAST(COUNT(DISTINCT cpos) AS BIGINT) AS n_covered_tokens
+        FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(greatest(b.n_tokens - 4, 0) AS BIGINT) AS n_grams,
+           COALESCE(s.n_dup_grams, 0) AS n_dup_grams,
+           COALESCE(s.n_covered_tokens, 0) AS n_covered_tokens,
+           CAST(COALESCE(s.n_covered_tokens, 0) AS DOUBLE) / b.n_tokens
+               AS dup_token_fraction
+    FROM base b LEFT JOIN stats s USING (doc_id)
+    """,
+)
+def dup_ngram_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring census, the exact-substring-dedup signal
+    from "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022) re-expressed relationally: a 5-token window is
+    "duplicated" when its exact text occurs >= 2 times anywhere in
+    the corpus (other documents OR a repeat inside the same one), and
+    a token is "covered" when any duplicated window contains it. Per
+    document: window counts and the covered-token fraction — the
+    number a curation pipeline thresholds on to drop or trim
+    boilerplate-heavy documents.
+
+    Scale shape, all codegen'd: ONE token explode -> 5-gram windows
+    via lead (doc_id exchange) -> corpus frequency as a count window
+    partitioned by the gram itself (gram exchange; same
+    single-explode trick as bigram_corpus_freq_score) -> duplicated
+    windows explode into at most 5 covered positions each ->
+    two-distinct aggregate per doc. Shuffled rows are (doc_id, pos,
+    gram) — never whole documents — and the covered-position explode
+    is bounded by 5x the duplicated-window count, not corpus size. At
+    100 TB the gram string would be xxhash64'd to 8 bytes before the
+    frequency exchange (collisions only overcount duplication
+    harmlessly); kept as text here so the DuckDB oracle is exact.
+    All outputs are exact integers plus one final integer division.
+    """
+    d = Catalog(spark, sf_dir).documents
+    base = d.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+    toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, 5)]
+    g = (toks.select("doc_id", "pos", F.concat_ws(" ", *parts).alias("gram"),
+                     F.lead("tok", 4).over(w).alias("_tail"))
+         .filter(F.col("_tail").isNotNull())
+         .drop("_tail"))
+    gf = g.withColumn("cf", F.count(F.lit(1)).over(W.partitionBy("gram")))
+    cov = (gf.filter(F.col("cf") >= 2)
+           .select("doc_id", "pos",
+                   F.explode(F.sequence(F.col("pos"), F.col("pos") + 4))
+                   .alias("cpos")))
+    stats = cov.groupBy("doc_id").agg(
+        F.countDistinct("pos").alias("n_dup_grams"),
+        F.countDistinct("cpos").alias("n_covered_tokens"))
+    return (
+        base.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.greatest(F.col("n_tokens") - 4, F.lit(0)).cast("long")
+            .alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+            .alias("n_dup_grams"),
+            F.coalesce("n_covered_tokens", F.lit(0)).cast("long")
+            .alias("n_covered_tokens"),
+            (F.coalesce("n_covered_tokens", F.lit(0)).cast("double")
+             / F.col("n_tokens")).alias("dup_token_fraction"),
+        )
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH base AS (
+        SELECT source, string_split(text, ' ') AS a,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), h AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(
+                   generate_series(1, greatest(n_tokens - 4, 0)),
+                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                     || a[i+3] || ' ' || a[i+4])) AS gram
+        FROM base
+    ), n AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM h GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           any_value(na.n_grams) AS n_a, any_value(nb.n_grams) AS n_b,
+           CAST(COUNT(*) AS DOUBLE) / least(any_value(na.n_grams),
+                                            any_value(nb.n_grams))
+               AS overlap_coeff
+    FROM h a JOIN h b ON a.gram = b.gram AND a.source < b.source
+    JOIN n na ON na.source = a.source
+    JOIN n nb ON nb.source = b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix over 5-token shingle sets:
+    for every pair of sources, how many distinct 5-grams both contain
+    and the overlap coefficient |A∩B| / min(|A|,|B|) — the audit a
+    curation pipeline runs before mixing crawls, to find mirrored
+    sites and wholesale re-hosting (overlap ~1 means one source's
+    shingle vocabulary is contained in the other's). Shingles, not
+    whole-document hashes, so lightly-edited re-hosting still
+    registers — exact-hash overlap is the degenerate special case and
+    is often empty on clean corpora.
+
+    Scale shape: documents collapse to distinct (source, gram) pairs
+    before any join — the dedup is a partial-aggregated exchange on
+    (source, gram). The self-join key is the gram, so bucket size is
+    the number of *sources* sharing a shingle (bounded by source
+    count, typically < 100, never corpus size), and the output is at
+    most sources-choose-2 rows. At 100 TB the gram would be
+    xxhash64'd to 8 bytes before the exchange (kept as text here so
+    the oracle is exact). Final division is exact-int / exact-int.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("source", "doc_id",
+                    F.posexplode(_tokens()).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, 5)]
+    h = (toks.select("source", F.concat_ws(" ", *parts).alias("gram"),
+                     F.lead("tok", 4).over(w).alias("_tail"))
+         .filter(F.col("_tail").isNotNull())
+         .select("source", "gram").distinct())
+    n = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = h.alias("a"), h.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "source_a").join(F.broadcast(nb), "source_b")
+        .select("source_a", "source_b", "n_shared", "n_a", "n_b",
+                (F.col("n_shared").cast("double")
+                 / F.least("n_a", "n_b")).alias("overlap_coeff"))
+    )
