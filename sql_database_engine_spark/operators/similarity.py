@@ -614,3 +614,78 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("sum_micros").cast("double") / F.col("n_vecs"))
                 .alias("mean_micros"))
     )
+
+
+@query(
+    "embedding_int8_quant_error",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ), stats AS (
+        SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY dim
+    ), q AS (
+        SELECT vec_id, v, mn, mx,
+               least(greatest(CAST(floor((v - mn) / (mx - mn) * 255.0 + 0.5)
+                                   AS BIGINT), 0), 255) AS qv
+        FROM e JOIN stats USING (dim)
+    ), err AS (
+        SELECT vec_id, qv,
+               CAST(floor(abs(v - (mn + qv / 255.0 * (mx - mn))) * 1000000000.0
+                          + 0.5) AS BIGINT) AS err_nanos
+        FROM q
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(err_nanos) AS BIGINT) AS sum_abs_err_nanos,
+           CAST(MAX(err_nanos) AS BIGINT) AS max_err_nanos,
+           CAST(SUM(CASE WHEN qv = 0 OR qv = 255 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_saturated
+    FROM err GROUP BY vec_id
+    """,
+)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 (0..255) min-max quantization with a
+    reconstruction-error audit — the storage path for a 100 TB
+    embedding store (4x smaller than float32 before the index even
+    starts; scalar quantization is the first rung of the IVF/PQ
+    ladder). Reports per vector: L1 reconstruction error (nanos),
+    worst single-dimension error, and how many dimensions saturated
+    the [0,255] range — the three numbers that decide whether scalar
+    quantization is safe for a corpus or PQ/fp16 is needed.
+
+    Scale shape: one posexplode to (vec_id, dim, value); per-dim
+    min/max is a 64-row partial-aggregated exchange whose result
+    BROADCASTS back onto the exploded stream (dims are fixed-width —
+    the stats side never grows with the corpus); quantize/dequantize
+    are pure IEEE column ops; one final exchange on vec_id. Errors
+    are scaled to integer nanos before summing so the per-vector
+    aggregate is order-independent (double += is not associative;
+    bigint SUM is) — same policy as functions/exact.py. Ties in the
+    round go through floor(x + 0.5) explicitly, which both engines
+    evaluate identically on IEEE doubles.
+    """
+    emb = Catalog(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+        .alias("dim0", "v"))
+    stats = e.groupBy("dim0").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = e.join(F.broadcast(stats), "dim0")
+    qv = F.least(
+        F.greatest(
+            F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+                    * 255.0 + 0.5).cast("long"),
+            F.lit(0)),
+        F.lit(255))
+    deq = F.col("mn") + qv / F.lit(255.0) * (F.col("mx") - F.col("mn"))
+    err_nanos = F.floor(F.abs(F.col("v") - deq) * 1000000000.0 + 0.5).cast("long")
+    per_dim = j.select("vec_id", qv.alias("qv"), err_nanos.alias("err_nanos"))
+    return per_dim.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum("err_nanos").alias("sum_abs_err_nanos"),
+        F.max("err_nanos").alias("max_err_nanos"),
+        F.sum(F.when((F.col("qv") == 0) | (F.col("qv") == 255), 1).otherwise(0))
+        .alias("n_saturated"),
+    )
