@@ -1082,33 +1082,44 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers — exact-hash overlap is the degenerate special case and
     is often empty on clean corpora.
 
-    Scale shape: documents collapse to distinct (source, gram) pairs
-    before any join — the dedup is a partial-aggregated exchange on
-    (source, gram). The self-join key is the gram, so bucket size is
-    the number of *sources* sharing a shingle (bounded by source
-    count, typically < 100, never corpus size), and the output is at
-    most sources-choose-2 rows. At 100 TB the gram would be
-    xxhash64'd to 8 bytes before the exchange (kept as text here so
-    the oracle is exact). Final division is exact-int / exact-int.
+    Scale shape — NO self-join: grams group once (collect_set dedups
+    sources in the partial aggregate, so the exchange on gram carries
+    each (gram, source) at most once per map partition), then each
+    gram's sorted source list explodes into its i<j source *pairs*
+    directly. The per-gram pair fan-out is bounded by
+    sources-choose-2 — a function of the source count (typically
+    < 100), never the corpus — and the pair shuffle map-side-combines
+    down to at most sources-choose-2 keys. The self-join alternative
+    evaluates the shingle subtree four times and shuffles the whole
+    (source, gram) table twice; this form evaluates it twice (once
+    for pairs, once for per-source sizes — Spark shares no
+    unpersisted subtrees) and shuffles pairs only. At 100 TB the gram
+    would be xxhash64'd to 8 bytes before the exchange (kept as text
+    here so the oracle is exact). Final division is exact-int /
+    exact-int.
     """
     d = Catalog(spark, sf_dir).documents
     toks = d.select("source", "doc_id",
                     F.posexplode(_tokens()).alias("pos", "tok"))
     w = W.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, 5)]
-    h = (toks.select("source", F.concat_ws(" ", *parts).alias("gram"),
-                     F.lead("tok", 4).over(w).alias("_tail"))
-         .filter(F.col("_tail").isNotNull())
-         .select("source", "gram").distinct())
+    grams = (toks.select("source", F.concat_ws(" ", *parts).alias("gram"),
+                         F.lead("tok", 4).over(w).alias("_tail"))
+             .filter(F.col("_tail").isNotNull())
+             .select("source", "gram"))
+    per_gram = grams.groupBy("gram").agg(
+        F.sort_array(F.collect_set("source")).alias("ss"))
+    pair_arr = F.flatten(F.transform(
+        "ss",
+        lambda x, i: F.transform(
+            F.slice("ss", i + 2, F.size("ss")),
+            lambda y: F.struct(x.alias("source_a"), y.alias("source_b")))))
+    pairs = (per_gram.select(F.explode(pair_arr).alias("p"))
+             .select("p.source_a", "p.source_b")
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    h = grams.distinct()
     n = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a, b = h.alias("a"), h.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram"))
-               & (F.col("a.source") < F.col("b.source")))
-        .groupBy(F.col("a.source").alias("source_a"),
-                 F.col("b.source").alias("source_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     na = n.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a"))
     nb = n.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b"))
     return (
