@@ -56,6 +56,9 @@ HEADLINE = [
     "winsorize_event_values",       # nearest-rank percentile clipping
     "dq_constraint_audit",          # warehouse constraint audit
     "corr_value_hour_exact",        # exact-integer second moments
+    "dup_ngram_span_stats",         # duplicated 5-gram span coverage
+    "source_overlap_matrix",        # cross-source shingle overlap
+    "embedding_int8_quant_error",   # int8 quantization error audit
 ]
 
 

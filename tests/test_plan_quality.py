@@ -240,3 +240,31 @@ def test_bigram_score_single_explode(spark):
     plan = _plan(spark, "bigram_corpus_freq_score")
     assert sum(1 for l in plan.splitlines() if "Generate posexplode" in l) == 1
     assert sum(1 for l in plan.splitlines() if "FileScan parquet" in l) == 1
+
+
+def test_dup_span_uses_frequency_window_not_join(spark):
+    # Corpus 5-gram frequency must be a count window over the same
+    # gram stream, not an agg + self-join (which would explode the
+    # corpus twice — no unpersisted subtree sharing).
+    plan = _plan(spark, "dup_ngram_span_stats")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 2  # shingle lead + gram frequency
+
+
+def test_source_overlap_has_no_gram_self_join(spark):
+    # Pairwise source intersections come from exploding each gram's
+    # source-pair combinations — never a corpus-scale self-join on
+    # gram (whose build side AQE would happily broadcast at test SF
+    # while a cluster faces a shuffle of the whole shingle table).
+    plan = _plan(spark, "source_overlap_matrix")
+    assert "SortMergeJoin" not in plan
+    assert "ObjectHashAggregate" in plan  # collect_set partial-aggs
+
+
+def test_int8_quant_broadcasts_dim_stats(spark):
+    # Per-dimension min/max is fixed-width (n_dims rows) and must
+    # broadcast back onto the exploded vector stream; the corpus side
+    # never shuffles for the join.
+    plan = _plan(spark, "embedding_int8_quant_error")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
