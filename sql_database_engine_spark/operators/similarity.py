@@ -113,18 +113,20 @@ def embedding_norms_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: 16 fixed random hyperplanes (deterministic seed), split into 4
-#: bands of 4 sign bits each — the banded-LSH candidate scheme for
+#: 24 fixed random hyperplanes (deterministic seed), split into 4
+#: bands of 6 sign bits each — the banded-LSH candidate scheme for
 #: all-pairs near-dup (same banding structure as text.minhash_lsh).
-#: Bits-per-band scales with log(corpus): at 100 TB you widen the
-#: bands (and the key space) — the plan shape is unchanged.
-_NEARDUP_PLANES = np.random.RandomState(29).randn(16, 64)
+#: Bits-per-band scales with log(corpus) (PERF.md measures the rule:
+#: ~log2(corpus)/2 bits keeps candidates/doc flat) — 6 bits matches
+#: the benched corpus; at 100 TB you widen further. Plan unchanged.
+_NEARDUP_PLANES = np.random.RandomState(29).randn(24, 64)
 _NEARDUP_BANDS = 4
-_NEARDUP_BAND_BITS = 4
+_NEARDUP_BAND_BITS = 6
+_NEARDUP_BAND_MASK = (1 << _NEARDUP_BAND_BITS) - 1
 
 
 def _neardup_code(vec: Column) -> Column:
-    """16 sign bits of the hyperplane projections (JVM-side fold —
+    """Sign bits of the hyperplane projections (JVM-side fold —
     same sequential dot product the DuckDB twin folds)."""
     code = F.lit(0).cast("long")
     for i, p in enumerate(_NEARDUP_PLANES):
@@ -153,10 +155,10 @@ def _neardup_code_sql(embedding: str = "embedding") -> str:
 
 def _neardup_pairs_sql() -> str:
     """Oracle SQL for the banded-LSH near-dup pair set: same band
-    extraction ((code >> 2*b*2) & 15), same exact-cosine verify."""
+    extraction ((code >> b*bits) & mask), same exact-cosine verify."""
     band_match = " OR ".join(
-        f"(a.code >> {b * _NEARDUP_BAND_BITS}) & 15"
-        f" = (b.code >> {b * _NEARDUP_BAND_BITS}) & 15"
+        f"(a.code >> {b * _NEARDUP_BAND_BITS}) & {_NEARDUP_BAND_MASK}"
+        f" = (b.code >> {b * _NEARDUP_BAND_BITS}) & {_NEARDUP_BAND_MASK}"
         for b in range(_NEARDUP_BANDS))
     cos = COSINE_SQL.format(a="a.embedding", b="b.embedding")
     return f"""
@@ -196,7 +198,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(b).alias("band"),
                 F.shiftright(F.col("code"), b * _NEARDUP_BAND_BITS)
-                .bitwiseAND(F.lit(15)).alias("bcode"))
+                .bitwiseAND(F.lit(_NEARDUP_BAND_MASK)).alias("bcode"))
             for b in range(_NEARDUP_BANDS)])).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bcode")
     x, y = bands.alias("x"), bands.alias("y")
@@ -356,8 +358,8 @@ def _neardup_edges_sql() -> str:
     candidate/verify shape as :func:`_neardup_pairs_sql`, usable as a
     CTE body inside the recursive cluster oracle."""
     band_match = " OR ".join(
-        f"(a.code >> {b * _NEARDUP_BAND_BITS}) & 15"
-        f" = (b.code >> {b * _NEARDUP_BAND_BITS}) & 15"
+        f"(a.code >> {b * _NEARDUP_BAND_BITS}) & {_NEARDUP_BAND_MASK}"
+        f" = (b.code >> {b * _NEARDUP_BAND_BITS}) & {_NEARDUP_BAND_MASK}"
         for b in range(_NEARDUP_BANDS))
     cos = COSINE_SQL.format(a="a.embedding", b="b.embedding")
     return f"""
