@@ -1128,3 +1128,67 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_shared").cast("double")
                  / F.least("n_a", "n_b")).alias("overlap_coeff"))
     )
+
+
+@query(
+    "length_band_filter_per_lang",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM counts
+    ), bounds AS (
+        SELECT lang,
+               MAX(CASE WHEN rn = CAST(ceil(0.10 * n) AS BIGINT)
+                        THEN n_tokens END) AS p10,
+               MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                        THEN n_tokens END) AS p90
+        FROM ranked GROUP BY lang
+    )
+    SELECT c.doc_id, c.lang, c.n_tokens, b.p10, b.p90
+    FROM counts c JOIN bounds b USING (lang)
+    WHERE c.n_tokens >= b.p10 AND c.n_tokens <= b.p90
+    """,
+)
+def length_band_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length gate: keep documents whose token count
+    lies inside the [p10, p90] nearest-rank band of their language's
+    length distribution — the C4/Gopher-style outlier filter (too
+    short = fragments/boilerplate, too long = concatenation junk),
+    banded per language because length distributions differ by
+    language. Nearest-rank percentiles on integer counts (rank
+    ceil(q*N) under (n_tokens, doc_id) order) are exactly
+    reproducible on any engine — no interpolation, no floats until
+    nothing is left to diverge.
+
+    Two passes, as any exact-percentile gate must be: (1) rank pass —
+    one exchange on lang (window), collapsing to one (p10, p90) row
+    per language; (2) filter pass — the per-lang bounds BROADCAST
+    back onto a fresh scan and the band predicate filters at scan
+    level. The ranked pass shuffles only (doc_id, lang, n_tokens),
+    never text. Same skeleton as winsorize_event_values, but a
+    row-dropping curation gate over documents rather than a clip.
+    """
+    d = Catalog(spark, sf_dir).documents
+    counts = d.select("doc_id", "lang",
+                      F.size(_tokens()).cast("long").alias("n_tokens"))
+    wr = W.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wn = W.partitionBy("lang")
+    ranked = (counts
+              .withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count(F.lit(1)).over(wn)))
+    bounds = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == F.ceil(0.10 * F.col("n")),
+                     F.col("n_tokens"))).alias("p10"),
+        F.max(F.when(F.col("rn") == F.ceil(0.90 * F.col("n")),
+                     F.col("n_tokens"))).alias("p90"))
+    return (counts.join(F.broadcast(bounds), "lang")
+            .filter((F.col("n_tokens") >= F.col("p10"))
+                    & (F.col("n_tokens") <= F.col("p90")))
+            .select("doc_id", "lang", "n_tokens", "p10", "p90"))

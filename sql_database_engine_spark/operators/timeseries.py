@@ -316,3 +316,75 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "n_new_users",
         F.sum("n_new_users").over(w).alias("cum_users"))
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_hour,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id,
+                                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id,
+                                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT user_id, bar_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS DOUBLE) / 100.0
+               AS open_value,
+           CAST(MAX(cents) AS DOUBLE) / 100.0 AS high_value,
+           CAST(MIN(cents) AS DOUBLE) / 100.0 AS low_value,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS DOUBLE) / 100.0
+               AS close_value,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+    FROM b GROUP BY user_id, bar_hour
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per user — the downsampling shape every
+    time-series store exposes (candlesticks, sensor rollups): open =
+    first value in the bar, close = last, high/low = extremes, plus
+    volume. First/last are defined by (ts, event_id) — event_id is
+    unique, so bar edges are deterministic even under same-timestamp
+    ties (a bare min_by/arg_min would tie-break arbitrarily and
+    hash-mismatch the oracle).
+
+    One exchange total: both row_number windows share the (user_id,
+    bar_hour) partitioning — the second is an extra in-partition sort,
+    not a shuffle — and the final aggregate reuses the same hash
+    partitioning, so Catalyst plans exchange-sort-window-sort-window-
+    agg in a single stage pipeline. Money stays in exact cents until
+    the final division (engine money policy).
+    """
+    from ..functions.exact import cents
+    ev = Catalog(spark, sf_dir).events
+    base = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        cents(F.col("value")).alias("cents"),
+    )
+    wa = W.partitionBy("user_id", "bar_hour").orderBy("us", "event_id")
+    wd = W.partitionBy("user_id", "bar_hour").orderBy(
+        F.desc("us"), F.desc("event_id"))
+    b = (base.withColumn("rn_a", F.row_number().over(wa))
+         .withColumn("rn_d", F.row_number().over(wd)))
+    dollars = lambda c: (c.cast("double") / 100.0)  # noqa: E731
+    return b.groupBy("user_id", "bar_hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dollars(F.max(F.when(F.col("rn_a") == 1, F.col("cents"))))
+        .alias("open_value"),
+        dollars(F.max("cents")).alias("high_value"),
+        dollars(F.min("cents")).alias("low_value"),
+        dollars(F.max(F.when(F.col("rn_d") == 1, F.col("cents"))))
+        .alias("close_value"),
+        dollars(F.sum("cents")).alias("total_value"),
+    )
