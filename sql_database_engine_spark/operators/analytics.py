@@ -834,3 +834,76 @@ def corr_value_hour_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cov_num / F.sqrt(vx) / F.sqrt(vy)).alias("corr_value_hour"),
         (cov_num / (nd * (nd - F.lit(1.0))) / 100.0).alias("cov_value_hour"),
     )
+
+
+@query(
+    "sketch_percentile_drift",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN cents END) AS exact_p50_cents,
+           MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN cents END) AS exact_p90_cents,
+           CAST(1 AS BIGINT) AS p50_within_1pct,
+           CAST(1 AS BIGINT) AS p90_within_1pct
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def sketch_percentile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KLL-sketch accuracy CONTRACT, oracle-checked — companion
+    to the rows-only ``agg_sketch_percentiles``: emit the exact
+    nearest-rank p50/p90 (deterministic integer cents, rank
+    ceil(q*N) under (price, pk) order) alongside flags asserting the
+    one-pass approx_percentile estimate landed within 1% of exact.
+    The oracle computes the exact ranks and expects both flags = 1,
+    so the driver hash-verifies the sketch's error bound instead of
+    skipping the query — the same bounded-contract pattern as
+    ``agg_approx_distinct``. approx_percentile(accuracy=10000)
+    guarantees rank error <= N/10000; 1% value drift is comfortable
+    for this distribution, so the flag is deterministic in practice.
+
+    Scale: the exact side is one exchange + per-group sort (how any
+    exact percentile must run); the sketch side is the scalable path
+    (mergeable partials, fixed memory). Registering both keeps the
+    cheap path honest against the exact one at every SF the driver
+    runs.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    cents_p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    wr = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    wn = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", cents_p.alias("cents"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.col("l_extendedprice"))
+    exact = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == F.ceil(0.50 * F.col("n")),
+                     F.col("cents"))).alias("exact_p50_cents"),
+        F.max(F.when(F.col("rn") == F.ceil(0.90 * F.col("n")),
+                     F.col("cents"))).alias("exact_p90_cents"))
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+        .alias("ap"))
+    j = exact.join(approx, "l_returnflag")
+    def within(est, exact_cents):
+        drift = F.abs(F.round(est * 100).cast("long") - exact_cents)
+        return (drift.cast("double") <= 0.01 * exact_cents.cast("double")) \
+            .cast("long")
+    return j.select(
+        "l_returnflag", "exact_p50_cents", "exact_p90_cents",
+        within(F.col("ap")[0], F.col("exact_p50_cents"))
+        .alias("p50_within_1pct"),
+        within(F.col("ap")[1], F.col("exact_p90_cents"))
+        .alias("p90_within_1pct"),
+    )
