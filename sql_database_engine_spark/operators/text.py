@@ -1192,3 +1192,141 @@ def length_band_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("n_tokens") >= F.col("p10"))
                     & (F.col("n_tokens") <= F.col("p90")))
             .select("doc_id", "lang", "n_tokens", "p10", "p90"))
+
+
+@query(
+    "curation_gate_report",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS a,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(lower(text)) AS content_hash
+        FROM documents
+    ), dup_rank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY content_hash
+                                  ORDER BY doc_id) AS hash_rank
+        FROM base
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(n_tokens - 4, 0)),
+                   i -> struct_pack(pos := i,
+                                    gram := a[i] || ' ' || a[i+1] || ' '
+                                         || a[i+2] || ' ' || a[i+3] || ' '
+                                         || a[i+4]))) AS s
+        FROM base
+    ), gg AS (
+        SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g
+    ), freq AS (
+        SELECT gram, COUNT(*) AS cf FROM gg GROUP BY gram
+    ), cov AS (
+        SELECT gg.doc_id,
+               unnest(generate_series(gg.pos, gg.pos + 4)) AS cpos
+        FROM gg JOIN freq USING (gram) WHERE freq.cf >= 2
+    ), covered AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT cpos) AS BIGINT) AS n_covered
+        FROM cov GROUP BY doc_id
+    ), ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM base
+    ), bounds AS (
+        SELECT lang,
+               MAX(CASE WHEN rn = CAST(ceil(0.10 * n) AS BIGINT)
+                        THEN n_tokens END) AS p10,
+               MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                        THEN n_tokens END) AS p90
+        FROM ranked GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang, b.n_tokens,
+           CAST(CASE WHEN d.hash_rank > 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS flag_exact_dup,
+           CAST(CASE WHEN COALESCE(c.n_covered, 0) * 2 > b.n_tokens
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag_dup_heavy,
+           CAST(CASE WHEN b.n_tokens < bo.p10 THEN 1 ELSE 0 END AS BIGINT)
+               AS flag_too_short,
+           CAST(CASE WHEN b.n_tokens > bo.p90 THEN 1 ELSE 0 END AS BIGINT)
+               AS flag_too_long,
+           CAST(CASE WHEN d.hash_rank = 1
+                      AND COALESCE(c.n_covered, 0) * 2 <= b.n_tokens
+                      AND b.n_tokens >= bo.p10 AND b.n_tokens <= bo.p90
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM base b
+    JOIN dup_rank d USING (doc_id)
+    LEFT JOIN covered c USING (doc_id)
+    JOIN bounds bo ON bo.lang = b.lang
+    """,
+)
+def curation_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation gate — one row per document with every
+    drop reason and the final keep decision: exact-duplicate loser
+    (not the lowest doc_id for its content hash), duplicated-5-gram
+    coverage over half the tokens (``dup_ngram_span_stats``
+    threshold), and the per-language [p10, p90] length band
+    (``length_band_filter_per_lang``). This is the report a pipeline
+    operator reads before committing a corpus snapshot: not just
+    what survived, but why each casualty fell.
+
+    All three signals are the already-audited shapes: hash-rank
+    window (shuffles 32-byte digests), gram-frequency count window +
+    bounded covered-position explode, and the rank-window length
+    bounds broadcast per language. The dup-heavy threshold compares
+    2*n_covered > n_tokens in integers — no division, no floats
+    anywhere in the decision. Flags are emitted per reason so the
+    downstream mix planner can weigh causes (e.g. re-admit dup-heavy
+    docs when the duplication is a shared license header).
+    """
+    d = Catalog(spark, sf_dir).documents
+    base = d.select("doc_id", "lang",
+                    F.size(_tokens()).cast("long").alias("n_tokens"),
+                    F.md5(F.lower(F.col("text"))).alias("content_hash"))
+    dup_rank = base.select(
+        "doc_id",
+        F.row_number().over(
+            W.partitionBy("content_hash").orderBy("doc_id")).alias("hash_rank"))
+    toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, 5)]
+    gg = (toks.select("doc_id", "pos", F.concat_ws(" ", *parts).alias("gram"),
+                      F.lead("tok", 4).over(w).alias("_tail"))
+          .filter(F.col("_tail").isNotNull())
+          .drop("_tail"))
+    gf = gg.withColumn("cf", F.count(F.lit(1)).over(W.partitionBy("gram")))
+    covered = (gf.filter(F.col("cf") >= 2)
+               .select("doc_id",
+                       F.explode(F.sequence(F.col("pos"), F.col("pos") + 4))
+                       .alias("cpos"))
+               .groupBy("doc_id")
+               .agg(F.countDistinct("cpos").alias("n_covered")))
+    wr = W.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wn = W.partitionBy("lang")
+    ranked = (base
+              .withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count(F.lit(1)).over(wn)))
+    bounds = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == F.ceil(0.10 * F.col("n")),
+                     F.col("n_tokens"))).alias("p10"),
+        F.max(F.when(F.col("rn") == F.ceil(0.90 * F.col("n")),
+                     F.col("n_tokens"))).alias("p90"))
+    ncov = F.coalesce(F.col("n_covered"), F.lit(0))
+    in_band = (F.col("n_tokens") >= F.col("p10")) \
+        & (F.col("n_tokens") <= F.col("p90"))
+    return (
+        base.join(dup_rank, "doc_id")
+        .join(covered, "doc_id", "left")
+        .join(F.broadcast(bounds), "lang")
+        .select(
+            "doc_id", "lang", "n_tokens",
+            (F.col("hash_rank") > 1).cast("long").alias("flag_exact_dup"),
+            (ncov * 2 > F.col("n_tokens")).cast("long").alias("flag_dup_heavy"),
+            (F.col("n_tokens") < F.col("p10")).cast("long")
+            .alias("flag_too_short"),
+            (F.col("n_tokens") > F.col("p90")).cast("long")
+            .alias("flag_too_long"),
+            ((F.col("hash_rank") == 1) & (ncov * 2 <= F.col("n_tokens"))
+             & in_band).cast("long").alias("kept"),
+        )
+    )
