@@ -59,11 +59,12 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # that have never had a hard-signal row outrank ones already
         # green in a prior round's sample
         "dedup_exact_keep_first", "minhash_lsh_neardup",
-        "ngram_jaccard_neardup",
+        "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",
         "neardup_cluster_assignment",
         "events_asof_join", "events_tumbling_window",
-        "map_column_ops", "agg_sketch_percentiles", "table_sample",
+        "map_column_ops", "sketch_percentile_drift",
+        "agg_sketch_percentiles", "table_sample",
         "train_val_test_split_hash", "stratified_sample_exact",
         "train_shard_manifest",
         "stream_tumbling_counts", "stream_click_purchase_join",
@@ -72,6 +73,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit", "q21_waiting_suppliers",
         "q22_dormant_value_customers",
         "merge_upsert_latest_state", "funnel_signup_click_purchase",
+        "events_ohlc_hourly",
         "join_skew_salted", "clustered_range_scan",
         "window_ntile_quartiles", "pii_mask_redaction",
         "dq_constraint_audit",
