@@ -185,3 +185,68 @@ def dq_null_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p.col", "p.n_null", "n_rows",
                     (F.col("p.n_null").cast("double") / F.col("n_rows"))
                     .alias("null_ratio")))
+
+
+@query(
+    "dq_accepted_values",
+    oracle="""
+    SELECT 'lineitem_returnflag_domain' AS check,
+           CAST(COUNT_IF(l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+               AS n_bad,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_linestatus_domain',
+           CAST(COUNT_IF(l_linestatus NOT IN ('O', 'F')) AS BIGINT),
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orderstatus_domain',
+           CAST(COUNT_IF(o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'events_event_type_domain',
+           CAST(COUNT_IF(event_type NOT IN
+                ('click', 'view', 'purchase', 'signup'))
+                AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    """,
+)
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accepted-values (categorical domain) audit — the dbt-style
+    rule that a low-cardinality column only takes values from its
+    declared domain, plus the observed distinct count (a domain
+    column quietly growing new values is the classic silent schema
+    drift — here the declared domain deliberately omits the 'error'
+    type the feed actually emits, so the audit demonstrably bites). One fused agg per table: each rule is a count_if over
+    the same scan, and the distinct counts ride the same aggregate —
+    adding a rule never adds a scan. Shuffles carry one partial row
+    per task."""
+    cat = Catalog(spark, sf_dir)
+
+    def table_row(df, check, col, domain):
+        dom = [F.lit(v) for v in domain]
+        return df.agg(
+            F.lit(check).alias("check"),
+            F.sum((~F.col(col).isin(*dom)).cast("long")).alias("n_bad"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_checked"))
+
+    li = cat.lineitem
+    return (
+        table_row(li, "lineitem_returnflag_domain", "l_returnflag",
+                  ("A", "N", "R"))
+        .unionByName(table_row(li, "lineitem_linestatus_domain",
+                               "l_linestatus", ("O", "F")))
+        .unionByName(table_row(cat.orders, "orders_orderstatus_domain",
+                               "o_orderstatus", ("O", "F", "P")))
+        .unionByName(table_row(cat.events, "events_event_type_domain",
+                               "event_type",
+                               ("click", "view", "purchase", "signup")))
+    )

@@ -268,3 +268,16 @@ def test_int8_quant_broadcasts_dim_stats(spark):
     plan = _plan(spark, "embedding_int8_quant_error")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_single_exchange(spark):
+    # Both row_number windows and the final aggregate share the
+    # (user_id, bar_hour) hash partitioning — one shuffle total.
+    plan = _plan(spark, "events_ohlc_hourly")
+    assert plan.count("Exchange") == 1
+
+
+def test_curation_gate_no_cartesian(spark):
+    plan = _plan(spark, "curation_gate_report")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
