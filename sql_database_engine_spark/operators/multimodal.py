@@ -175,3 +175,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", "payload", F.col("meta.duration_s").alias("duration_s")))
     return videos.repartition("doc_id").mapInPandas(
         sample_frames, schema="doc_id bigint, frame_idx int, frame_hash string")
+
+
+@query(
+    "multimodal_asset_dedup",
+    oracle="""
+    WITH h AS (
+        SELECT sha256(text) AS hash,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ), per AS (
+        SELECT hash, COUNT(*) AS n, any_value(n_bytes) AS nb
+        FROM h GROUP BY hash
+    )
+    SELECT 'text' AS media_type,
+           CAST(SUM(n) AS BIGINT) AS n_assets,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n - 1) AS BIGINT) AS n_dup_losers,
+           CAST(SUM(n * nb) AS BIGINT) AS bytes_total,
+           CAST(SUM((n - 1) * nb) AS BIGINT) AS bytes_dedupable
+    FROM per
+    """,
+)
+def multimodal_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset dedup census: per media type, how many payloads
+    are byte-identical (sha256 over the raw blob) and how many bytes
+    content-addressed storage would reclaim. THE first pass over any
+    crawled image/video corpus — duplicate assets dominate crawl
+    volume — and the binary twin of text's ``dedup_exact_stats``.
+
+    Everything is JVM-side: sha2 works directly on the binary column
+    (no decode, no Python — hashing never needs the codec), and the
+    shuffle carries 32-byte digests + a length, never payloads. Two
+    partial-aggregated exchanges: (media_type, hash) then media_type
+    — at 100 TB the first is the only real shuffle and its rows are
+    ~50 bytes regardless of asset size. Oracle derives the same
+    digest from the text the payload was encoded from.
+    """
+    b = binary_table(spark, sf_dir)
+    h = b.select("media_type",
+                 F.sha2(F.col("payload"), 256).alias("hash"),
+                 F.length(F.col("payload")).cast("long").alias("n_bytes"))
+    per = h.groupBy("media_type", "hash").agg(
+        F.count(F.lit(1)).alias("n"), F.first("n_bytes").alias("nb"))
+    return per.groupBy("media_type").agg(
+        F.sum("n").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("n") - 1).alias("n_dup_losers"),
+        F.sum(F.col("n") * F.col("nb")).alias("bytes_total"),
+        F.sum((F.col("n") - 1) * F.col("nb")).alias("bytes_dedupable"),
+    )
