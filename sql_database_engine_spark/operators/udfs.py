@@ -115,3 +115,42 @@ def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, c.chunk_idx, c.chunk_text
         FROM documents, LATERAL chunk_doc(text) c
     """)
+
+
+@query(
+    "pandas_udf_grouped_agg_median",
+    oracle="""
+    SELECT lang,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def pandas_udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Series → scalar), completing the
+    UDF surface next to the scalar and grouped-map forms: exact
+    per-language median document length computed in pandas. Both
+    engines interpolate even-count medians as the midpoint of two
+    exact integers — exactly representable doubles, so the oracle
+    match is bit-exact.
+
+    The scale caveat IS the lesson pinned here: a grouped-agg pandas
+    UDF cannot partial-aggregate — every raw row shuffles to its
+    group's executor (contrast percentile_approx's mergeable
+    sketches, the production path at 100 TB). Use it when the
+    aggregate genuinely needs arbitrary Python over the whole group,
+    at bounded group sizes."""
+    @F.pandas_udf("double")
+    def median_chars(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Spark disallows mixing group-agg pandas UDFs with JVM
+    # aggregates in one agg() — the count rides a second pandas UDF.
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    d = Catalog(spark, sf_dir).documents
+    return d.groupBy("lang").agg(
+        median_chars(F.col("n_chars")).alias("median_chars"),
+        n_rows(F.col("n_chars")).alias("n_docs"))
