@@ -907,3 +907,51 @@ def sketch_percentile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("ap")[1], F.col("exact_p90_cents"))
         .alias("p90_within_1pct"),
     )
+
+
+@query(
+    "calendar_dim_generate",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM orders
+    )
+    SELECT CAST(d AS DATE) AS cal_date,
+           CAST(year(d) AS INT) AS cal_year,
+           CAST(quarter(d) AS INT) AS cal_quarter,
+           CAST(month(d) AS INT) AS cal_month,
+           CAST(weekofyear(d) AS INT) AS iso_week,
+           CAST(dayofweek(d) + 1 AS INT) AS dow_sun1,
+           CAST(CASE WHEN d = last_day(d) THEN 1 ELSE 0 END AS BIGINT)
+               AS is_month_end
+    FROM bounds, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS t(d)
+    """,
+)
+def calendar_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generated from the fact table's own date
+    range — the warehouse staple every star schema needs and no
+    source system ships: min/max of o_orderdate (one 1-row aggregate)
+    seeds a sequence explode into one row per day with the standard
+    attributes (year/quarter/month, ISO week, day-of-week, month-end
+    flag). Dimension generation is pure compute — zero input rows
+    shuffled, output bounded by the date span (~2.5k rows for 7
+    years) regardless of fact cardinality, so the dim is trivially
+    broadcastable to every join that needs it. Week numbers are ISO
+    8601 in both engines; day-of-week is pinned to Sunday=1 (Spark's
+    dayofweek; DuckDB dow+1)."""
+    o = Catalog(spark, sf_dir).orders
+    bounds = o.agg(F.min("o_orderdate").alias("mn"),
+                   F.max("o_orderdate").alias("mx"))
+    days = (bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY")))
+        .alias("cal_ts"))
+        .select(F.col("cal_ts").cast("date").alias("cal_date")))
+    d = F.col("cal_date")
+    return days.select(
+        d,
+        F.year(d).alias("cal_year"),
+        F.quarter(d).alias("cal_quarter"),
+        F.month(d).alias("cal_month"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow_sun1"),
+        (d == F.last_day(d)).cast("long").alias("is_month_end"),
+    )
