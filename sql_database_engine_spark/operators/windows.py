@@ -170,3 +170,70 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_acctbal",
         F.ntile(4).over(w).alias("balance_quartile"),
     )
+
+
+@query(
+    "purchase_value_streaks",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER w AS rn,
+               CASE WHEN CAST(ROUND(value * 100) AS BIGINT)
+                         > LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                    THEN 0 ELSE 1 END AS brk
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+        SELECT user_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING) AS streak_id
+        FROM p
+    ), runs AS (
+        SELECT user_id, streak_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM isl GROUP BY user_id, streak_id
+    )
+    SELECT user_id,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT_IF(run_len >= 3) AS BIGINT) AS n_streaks_ge3,
+           CAST(SUM(run_len) AS BIGINT) AS n_purchases
+    FROM runs GROUP BY user_id
+    """,
+)
+def purchase_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, runs of strictly increasing
+    purchase values (ordered by ts with the unique event_id
+    tiebreak), reporting the longest run and how many runs reach
+    length 3 — the sequential-pattern shape (MATCH_RECOGNIZE's
+    bread-and-butter) expressed as lag-compare → running break-sum →
+    island aggregate. The value comparison happens on exact cents,
+    so run boundaries are engine-identical.
+
+    One exchange on user_id serves the lag window, the running sum,
+    and both aggregates — everything after the shuffle is
+    in-partition sorts and hash aggregates over (user_id, ...) keys.
+    Scale follows the per-user event count; skew handling is the same
+    salting story as any per-entity window.
+    """
+    from ..functions.exact import cents
+    ev = Catalog(spark, sf_dir).events
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"),
+        cents(F.col("value")).alias("cents"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    marked = p.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.when(F.col("cents") > F.lag("cents").over(w), 0).otherwise(1)
+        .alias("brk"))
+    isl = marked.withColumn(
+        "streak_id",
+        F.sum("brk").over(W.partitionBy("user_id").orderBy("rn")
+                          .rowsBetween(W.unboundedPreceding, 0)))
+    runs = isl.groupBy("user_id", "streak_id").agg(
+        F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.sum((F.col("run_len") >= 3).cast("long")).alias("n_streaks_ge3"),
+        F.sum("run_len").alias("n_purchases"),
+    )
