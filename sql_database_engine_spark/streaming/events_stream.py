@@ -108,14 +108,31 @@ def run_available_now(stream_df: DataFrame, query_name: str,
     state machinery then stops — the batch-equivalence test harness
     and also the production backfill pattern.
     """
+    import os
+    import shutil
+    import tempfile
+
     spark = stream_df.sparkSession
-    q = (stream_df.writeStream
-         .outputMode(output_mode)
-         .format("memory")
-         .queryName(query_name)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    # The drain's checkpoint is scratch (discarded below), so it goes
+    # on the fastest local medium available — tmpfs when present.
+    # Stateful micro-batches commit one state-store version per
+    # shuffle partition per batch; on disk-backed /tmp those fsyncs
+    # dominate the drain at small scale. A durable deployment points
+    # this at object storage instead (the restartable rollup store in
+    # streaming/rollup.py keeps its checkpoint with its data).
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt-{query_name}-", dir=scratch_root)
+    try:
+        q = (stream_df.writeStream
+             .outputMode(output_mode)
+             .format("memory")
+             .queryName(query_name)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(query_name)
 
 
