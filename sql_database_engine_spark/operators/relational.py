@@ -630,3 +630,57 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"),
              money_sum(REVENUE()).alias("revenue"))
     )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows
+        FROM counts
+    ), top AS (
+        SELECT user_id, n_rows,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS rnk
+        FROM counts
+    )
+    SELECT t.rnk AS rnk, t.user_id, t.n_rows, s.n_keys, s.total_rows,
+           CAST(s.total_rows AS DOUBLE) / s.n_keys AS mean_rows_per_key,
+           CAST(t.n_rows * s.n_keys AS DOUBLE) / s.total_rows
+               AS skew_vs_mean
+    FROM top t, stats s
+    WHERE t.rnk <= 5
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the query you run BEFORE picking a
+    join strategy at scale: the 5 hottest keys with their share
+    versus the mean rows-per-key, plus corpus totals. A skew_vs_mean
+    in the hundreds says salt this key or rely on AQE skew-join
+    splitting; ~1 says a plain shuffle join is safe.
+
+    Scale shape: per-key counts are one partial-aggregated exchange;
+    the hottest keys come from TakeOrderedAndProject over the counts
+    (never a global sort — the same top-k discipline as
+    sort_limit_topk, asserted in the plan suite); the 1-row stats
+    side broadcasts back over the top-k. No global window, no
+    all-keys sort — at 10^9 distinct keys the only full pass is the
+    count itself. Ratios divide exact integers — deterministic.
+    """
+    from pyspark.sql import Window as W
+    ev = Catalog(spark, sf_dir).events
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(F.count(F.lit(1)).alias("n_keys"),
+                       F.sum("n_rows").alias("total_rows"))
+    top = (counts.orderBy(F.desc("n_rows"), "user_id").limit(5)
+           .withColumn("rnk", F.row_number().over(
+               W.orderBy(F.desc("n_rows"), "user_id"))))
+    return (top.crossJoin(F.broadcast(stats))
+            .select("rnk", "user_id", "n_rows", "n_keys", "total_rows",
+                    (F.col("total_rows").cast("double") / F.col("n_keys"))
+                    .alias("mean_rows_per_key"),
+                    ((F.col("n_rows") * F.col("n_keys")).cast("double")
+                     / F.col("total_rows")).alias("skew_vs_mean")))
