@@ -388,3 +388,114 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("close_value"),
         dollars(F.sum("cents")).alias("total_value"),
     )
+
+
+@query(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+           CAST(n AS DOUBLE)
+               / SUM(n) OVER (PARTITION BY prev_type) AS p_transition
+    FROM pairs
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (prev_type -> next_type) pair, the count and
+    conditional probability — the behavioral model behind journey
+    analysis and anomaly detection (a transition that suddenly gains
+    mass is a product change or a bot). Sequence order is (ts,
+    event_id) — deterministic under timestamp ties.
+
+    Two exchanges: user_id for the lag window, then the pair
+    aggregate — whose output is at most |types|² rows, so the final
+    per-row probability window runs on a table the size of the type
+    vocabulary squared, regardless of corpus. Probability divides
+    exact integers.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    pairs = (seq.filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", F.col("event_type").alias("next_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    wf = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type", "next_type", "n",
+        F.sum("n").over(wf).alias("n_from"),
+        (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p_transition"))
+
+
+@query(
+    "open_lines_daily",
+    oracle="""
+    WITH li AS (
+        SELECT o_orderdate, l_shipdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), deltas AS (
+        SELECT o_orderdate AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_ordered,
+               CAST(0 AS BIGINT) AS n_shipped
+        FROM li GROUP BY o_orderdate
+        UNION ALL
+        SELECT l_shipdate AS d,
+               CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        FROM li GROUP BY l_shipdate
+    ), daily AS (
+        SELECT d, CAST(SUM(n_ordered) AS BIGINT) AS n_ordered,
+               CAST(SUM(n_shipped) AS BIGINT) AS n_shipped
+        FROM deltas GROUP BY d
+    )
+    SELECT d, n_ordered, n_shipped,
+           CAST(SUM(n_ordered - n_shipped)
+                OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_open
+    FROM daily
+    """,
+)
+def open_lines_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting by sweep line: how many order
+    lines are open (ordered, not yet shipped) on each calendar day.
+    The classic interval-overlap shape — solved with +1/-1 boundary
+    events and a running sum, never by joining every interval to
+    every day it spans (which explodes by average interval length).
+
+    Scale: each interval contributes to exactly two per-day partial
+    counts (map-side combined), so the sweep input is one row per
+    DISTINCT date — a few thousand rows for any corpus size — and
+    only that tiny series goes through the ordered cumulative window.
+    The global ordering is safe because cardinality is calendar-
+    bounded, the one case where a partition-less window is the right
+    call (same argument as gapfill's date spine). The interval start
+    rides a broadcast-joined orders date onto each line.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = (cat.lineitem.select("l_orderkey", "l_shipdate")
+          .join(cat.orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey")))
+    opens = li.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ordered"))
+    ships = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_shipped"))
+    daily = (opens.join(ships, "d", "full")
+             .select("d",
+                     F.coalesce("n_ordered", F.lit(0)).alias("n_ordered"),
+                     F.coalesce("n_shipped", F.lit(0)).alias("n_shipped")))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "d", "n_ordered", "n_shipped",
+        F.sum(F.col("n_ordered") - F.col("n_shipped")).over(w)
+        .alias("n_open"))
