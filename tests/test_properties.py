@@ -76,7 +76,8 @@ def test_results_invariant_under_partitioning(spark):
 
     names = ["pricing_summary", "flagship_revenue_by_region",
              "top_spenders_per_nation", "dedup_exact_keep_first",
-             "events_sessionize"]
+             "events_sessionize", "curation_gate_report",
+             "events_ohlc_hourly", "purchase_value_streaks"]
 
     def snapshot():
         out = {}
