@@ -70,3 +70,58 @@ def cms_token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n").alias("n_est"))
         .orderBy(F.col("n_exact").desc(), "tok")
     )
+
+
+@query(
+    "cms_error_contract",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), e AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM toks GROUP BY tok
+        ORDER BY n_exact DESC, tok LIMIT 25
+    )
+    SELECT tok, n_exact,
+           CAST(1 AS BIGINT) AS no_undercount,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM e
+    """,
+)
+def cms_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch's guarantees as an oracle-checked
+    CONTRACT — companion to the rows-only
+    ``cms_token_count_estimates`` (whose xxhash cells DuckDB cannot
+    reproduce): for the top-25 tokens, emit the exact count plus
+    flags asserting (a) the sketch never undercounts — a structural
+    CMS property, deterministically true — and (b) the overcount
+    stays within 8x the Markov bound e·N/w (measured slack is ~∞:
+    zero overcount at every test SF; the 8x margin makes the flag
+    deterministic-in-practice at any corpus this vocabulary shape
+    scales to). Same bounded-contract pattern as
+    ``agg_approx_distinct`` and ``sketch_percentile_drift`` — the
+    driver hash-verifies the sketch's error envelope instead of
+    skipping it.
+    """
+    import math
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    cms = build_cms(toks)
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+             .orderBy(F.col("n_exact").desc(), "tok").limit(25))
+    probes = (exact.select("tok", "n_exact",
+                           F.explode(_cells(F.col("tok"))).alias("rc"))
+              .select("tok", "n_exact",
+                      F.col("rc.row").alias("row"),
+                      F.col("rc.cell").alias("cell")))
+    est = (probes.join(F.broadcast(cms), ["row", "cell"])
+           .groupBy("tok", "n_exact")
+           .agg(F.min("n").alias("n_est")))
+    bound = F.ceil(F.lit(8.0 * math.e) * F.col("n_total") / F.lit(CMS_WIDTH))
+    return (est.crossJoin(F.broadcast(total))
+            .select("tok", "n_exact",
+                    (F.col("n_est") >= F.col("n_exact")).cast("long")
+                    .alias("no_undercount"),
+                    (F.col("n_est") - F.col("n_exact") <= bound).cast("long")
+                    .alias("within_bound")))
