@@ -59,6 +59,8 @@ HEADLINE = [
     "dup_ngram_span_stats",         # duplicated 5-gram span coverage
     "source_overlap_matrix",        # cross-source shingle overlap
     "embedding_int8_quant_error",   # int8 quantization error audit
+    "curation_gate_report",         # composed curation gate
+    "events_ohlc_hourly",           # OHLC downsampling bars
 ]
 
 
