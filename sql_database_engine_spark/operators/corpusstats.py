@@ -1,0 +1,217 @@
+"""Corpus-distribution statistics: diversity, drift, and Zipf shape.
+
+The curation questions these answer: "is a source's vocabulary
+degenerate?" (Simpson diversity), "how far is a source's token
+distribution from the rest of the corpus?" (total-variation distance
+— the mixture-weighting signal for data curation), and "does the
+corpus follow the expected rank-frequency law?" (Zipf check — a
+synthetic or template-generated corpus shows up as a flat or cliffed
+curve).
+
+Determinism policy (see ``functions.exact``): no transcendentals.
+Shannon entropy / KL need ``ln`` whose last-ulp behavior differs
+across libms, so the engine ships the *rational* members of each
+family — Simpson diversity instead of entropy, total-variation
+distance instead of KL — computed from exact integer token counts
+with a fixed, finite sequence of double ops at the end. Same analytic
+use (diversity ranking, drift ranking), bit-reproducible everywhere.
+
+Scale shape: everything is explode → one (key, token) aggregate →
+small-key reduction. Shuffles carry one row per distinct (source,
+token) — map-side partial aggregation absorbs the Zipf head — and the
+TVD closed form only touches tokens *present* in each source (the
+absent-token mass is a one-term remainder), so no vocabulary × source
+cross join ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+#: Fixed-point scale for probability-valued quantities. One part in
+#: 1e12 keeps rounding error 6 orders below any drift signal worth
+#: acting on, and per-token scaled masses stay ≤ 1e12 so a corpus-wide
+#: sum over a 1e6-token vocabulary peaks at ~1e18 < int64 max.
+PSCALE = 1_000_000_000_000.0
+
+
+def _source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, tok, n) — one row per distinct token per source."""
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "token_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(CAST(SUM(n) AS BIGINT) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(n * n) AS BIGINT) AS DOUBLE)
+               / CAST(SUM(n) AS BIGINT) / CAST(SUM(n) AS BIGINT)
+               AS simpson_index,
+           1.0 - CAST(CAST(SUM(n * n) AS BIGINT) AS DOUBLE)
+               / CAST(SUM(n) AS BIGINT) / CAST(SUM(n) AS BIGINT)
+               AS gini_simpson_diversity
+    FROM counts GROUP BY source
+    """,
+)
+def token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary diversity via the Simpson index
+    Σ(n_i/N)² — the probability two independently drawn tokens
+    coincide. Low gini_simpson (= 1 − simpson) flags template spam /
+    degenerate sources the way low entropy would, but the statistic is
+    a ratio of exact integer sums (Σn_i² and N), so the only float ops
+    are two trailing divisions — bit-identical in any engine, no
+    ``ln``. One explode, one (source, token) aggregate, one per-source
+    reduction; at 100 TB the vocabulary aggregate is the only real
+    shuffle and it carries distinct tokens, not occurrences."""
+    counts = _source_token_counts(spark, sf_dir)
+    per_src = counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"))
+    simpson = (F.col("sum_sq").cast("double")
+               / F.col("n_tokens") / F.col("n_tokens"))
+    return per_src.select(
+        "source", "n_distinct_tokens", "n_tokens",
+        simpson.alias("simpson_index"),
+        (F.lit(1.0) - simpson).alias("gini_simpson_diversity"))
+
+
+@query(
+    "source_tvd_shift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, tok
+    ), tot AS (
+        SELECT tok, CAST(SUM(n) AS BIGINT) AS n_tot FROM counts GROUP BY tok
+    ), grand AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts
+    ), src AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_src FROM counts
+        GROUP BY source
+    ), scaled AS (
+        SELECT c.source,
+               CAST(ROUND(CAST(c.n AS DOUBLE) * {PSCALE:.1f} / s.n_src)
+                    AS BIGINT) AS p,
+               CAST(ROUND(CAST(t.n_tot - c.n AS DOUBLE) * {PSCALE:.1f}
+                          / (g.t - s.n_src)) AS BIGINT) AS q
+        FROM counts c
+        JOIN tot t USING (tok)
+        JOIN src s USING (source)
+        CROSS JOIN grand g
+    )
+    SELECT source,
+           CAST((CAST(SUM(ABS(p - q)) AS BIGINT)
+                 + ({PSCALE:.0f} - CAST(SUM(q) AS BIGINT))) AS DOUBLE)
+               * 0.5 / {PSCALE:.1f} AS tvd
+    FROM scaled GROUP BY source
+    """,
+)
+def source_tvd_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: total-variation distance between
+    the source's token distribution p and the rest-of-corpus
+    distribution q (leave-one-out, so a dominant source can't hide its
+    own drift inside the reference).
+
+    TVD instead of KL by policy (rational, no ``ln``), and exact by
+    fixed-point: each per-token mass is rounded to one part in 1e12
+    (a fixed double-mult/divide/round sequence both engines evaluate
+    identically), then summed as integers — order-independent.
+
+    The closed form only iterates tokens PRESENT in the source:
+    TVD = ½·(Σ_present |p_i − q_i| + (1 − Σ_present q_i)), where the
+    remainder term is the q-mass of tokens the source never emits.
+    That keeps the plan at one (source, token) aggregate + a broadcast
+    of per-token corpus totals — never a V × S cross join, which is
+    the naive formulation's scale-killer at a 10M-token vocabulary.
+    """
+    counts = _source_token_counts(spark, sf_dir)
+    tot = counts.groupBy("tok").agg(F.sum("n").alias("n_tot"))
+    src = counts.groupBy("source").agg(F.sum("n").alias("n_src"))
+    grand = counts.agg(F.sum("n").alias("t"))
+    scaled = (
+        counts
+        .join(tot, "tok")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            F.round(F.col("n").cast("double") * PSCALE / F.col("n_src"))
+            .cast("long").alias("p"),
+            F.round((F.col("n_tot") - F.col("n")).cast("double") * PSCALE
+                    / (F.col("t") - F.col("n_src")))
+            .cast("long").alias("q")))
+    return (scaled.groupBy("source")
+            .agg(F.sum(F.abs(F.col("p") - F.col("q"))).alias("sad"),
+                 F.sum("q").alias("qsum"))
+            .select("source",
+                    ((F.col("sad") + (F.lit(int(PSCALE)) - F.col("qsum")))
+                     .cast("double") * 0.5 / PSCALE).alias("tvd")))
+
+
+@query(
+    "zipf_rank_frequency",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok
+    ), ranked AS (
+        SELECT tok, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT)
+                   AS rank
+        FROM counts
+    )
+    SELECT rank, tok, n,
+           CAST(rank * n AS BIGINT) AS rank_times_freq,
+           CAST(n AS DOUBLE)
+               / (SELECT n FROM ranked WHERE rank = 1) AS freq_over_top
+    FROM ranked
+    WHERE rank <= 20
+    ORDER BY rank
+    """,
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law check: the top-20 rank-frequency table with the
+    rank·frequency product (constant under ideal Zipf — a flat column
+    says natural-language-like, a cliff says templated/synthetic) and
+    each frequency as a fraction of the top token's. No log-log
+    regression: the diagnostic product is exact integers and the ratio
+    is one double division, keeping the engine's no-libm contract.
+    Plan: token aggregate, then a 1-partition window over the top-20
+    slice only (pre-pruned by TakeOrdered, so the global window never
+    sees the full vocabulary)."""
+    from pyspark.sql import Window as W
+    d = Catalog(spark, sf_dir).documents
+    counts = (d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    # TakeOrdered prunes to 20 rows BEFORE the single-partition window
+    # ranks them — the empty-frame window only ever sees 20 rows.
+    top = counts.orderBy(F.col("n").desc(), "tok").limit(20)
+    w = W.orderBy(F.col("n").desc(), "tok")
+    w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (top
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .withColumn("top_n", F.first("n").over(w_all))
+            .select("rank", "tok", "n",
+                    (F.col("rank") * F.col("n")).alias("rank_times_freq"),
+                    (F.col("n").cast("double") / F.col("top_n"))
+                    .alias("freq_over_top"))
+            .orderBy("rank"))
