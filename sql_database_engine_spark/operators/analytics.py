@@ -955,3 +955,80 @@ def calendar_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).alias("dow_sun1"),
         (d == F.last_day(d)).cast("long").alias("is_month_end"),
     )
+
+
+@query(
+    "basket_brand_pair_lift",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n_orders AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS t FROM lineitem
+    ), brand_n AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM ob
+        GROUP BY p_brand
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT brand_a, brand_b, n_pair,
+           na.n AS n_a, nb.n AS n_b,
+           CAST(n_pair AS DOUBLE) * t / na.n / nb.n AS lift
+    FROM pairs
+    JOIN brand_n na ON na.p_brand = brand_a
+    JOIN brand_n nb ON nb.p_brand = brand_b
+    CROSS JOIN n_orders
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 15
+    """,
+)
+def basket_brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: the 15 brand pairs whose
+    within-order co-occurrence most exceeds independence
+    (lift = P(a,b) / (P(a)·P(b)), computed as the exact integer ratio
+    n_pair·n_orders / (n_a·n_b) with the divisions as the only float
+    ops).
+
+    Scale shape: the basket table is deduped to DISTINCT
+    (order, brand) BEFORE pairing, so the self-join fan-out per order
+    is bounded by the brand count in that order's basket (≤7 lines per
+    order ⇒ ≤21 pairs), never by raw line count. Both self-join sides
+    shuffle on the same l_orderkey partitioning, which AQE plans as
+    one exchange reused twice; the brand marginals and order total are
+    single-row / 25-row broadcasts onto the pair aggregate. The part
+    dimension rides in as a broadcast hash join (partkey → brand is
+    the only projected column). At a 1000× order count nothing in the
+    plan grows except the two orderkey-partitioned passes — the pair
+    space stays |brands|² bounded.
+    """
+    cat = Catalog(spark, sf_dir)
+    ob = (cat.lineitem.select("l_orderkey", "l_partkey")
+          .join(F.broadcast(cat.part.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_orderkey", "p_brand")
+          .distinct())
+    n_orders = (cat.lineitem.agg(
+        F.countDistinct("l_orderkey").alias("t")))
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"),
+                  F.col("p_brand").alias("brand_b"))
+    pairs = (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
+                    & (F.col("brand_a") < F.col("brand_b")))
+             .groupBy("brand_a", "brand_b")
+             .agg(F.count(F.lit(1)).alias("n_pair")))
+    na = F.broadcast(brand_n.select(F.col("p_brand").alias("brand_a"),
+                                    F.col("n").alias("n_a")))
+    nb = F.broadcast(brand_n.select(F.col("p_brand").alias("brand_b"),
+                                    F.col("n").alias("n_b")))
+    return (pairs.join(na, "brand_a").join(nb, "brand_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("brand_a", "brand_b", "n_pair", "n_a", "n_b",
+                    (F.col("n_pair").cast("double") * F.col("t")
+                     / F.col("n_a") / F.col("n_b")).alias("lift"))
+            .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+            .limit(15))

@@ -499,3 +499,122 @@ def open_lines_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", "n_ordered", "n_shipped",
         F.sum(F.col("n_ordered") - F.col("n_shipped")).over(w)
         .alias("n_open"))
+
+
+@query(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), contrib AS (
+        SELECT DISTINCT user_id,
+               CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                                           CAST(d AS TIMESTAMP)
+                                               + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS window_day
+        FROM days
+    )
+    SELECT window_day,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users_7d
+    FROM contrib
+    WHERE window_day <= (SELECT max(CAST(ts AS DATE)) FROM events)
+    GROUP BY window_day
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the DAU/WAU
+    family's hard member, because COUNT(DISTINCT) does not compose
+    over sliding windows (a window aggregate can't dedup across rows).
+
+    The distributed shape: dedup to (user, active_day) first, explode
+    each active day into the ≤7 window-days it influences, dedup
+    (user, window_day), count per day. Work is bounded by
+    7 × |distinct (user, day)| regardless of raw event volume — the
+    event table is touched once and reduced BEFORE the fan-out, so a
+    100 TB click log collapses to user×day rows before anything
+    multiplies. Both distincts and the final count are one shuffle
+    each on bounded keys; no global window, no per-day self-join
+    (the naive range-join formulation rescans the events table per
+    day).
+    """
+    ev = Catalog(spark, sf_dir).events
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    max_day = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    contrib = (days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+        .alias("window_day"))
+        .distinct())
+    return (contrib
+            .crossJoin(F.broadcast(max_day))
+            .filter(F.col("window_day") <= F.col("mx"))
+            .groupBy("window_day")
+            .agg(F.count(F.lit(1)).alias("n_active_users_7d")))
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS ts, event_id,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                   OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                         THEN touch_type END, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100.0 AS attributed_value
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the most recent non-purchase event by the same user
+    within a 7-day lookback ('none' when no touch qualifies), then
+    rolled up per touch type.
+
+    One window pass per user (ordered by ts with event_id as the
+    determinism tie-break): `last(..., ignorenulls)` over the
+    rows-preceding frame carries the latest touch's type and
+    timestamp forward — the two columns null on exactly the same
+    rows, so they always describe the same touch row. The 7-day
+    cutoff is applied after the carry, which is what makes this a
+    window pass instead of a per-purchase range join (the naive
+    formulation joins every purchase to the user's whole history).
+    Money via the exact-cents policy. Scale: one shuffle on user_id;
+    per-user state in the frame is O(1) — Spark keeps only the last
+    non-null, not the preceding rows.
+    """
+    from ..functions.exact import cents
+    ev = Catalog(spark, sf_dir).events
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    not_purchase = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "user_id", "event_type", "value", "ts",
+        F.last(F.when(not_purchase, F.col("event_type")),
+               ignorenulls=True).over(w).alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("ts")),
+               ignorenulls=True).over(w).alias("touch_ts"))
+    in_window = (F.col("touch_ts")
+                 >= F.col("ts") - F.expr("INTERVAL 7 DAY"))
+    return (touched.filter(F.col("event_type") == "purchase")
+            .select(F.coalesce(F.when(in_window, F.col("touch_type")),
+                               F.lit("none")).alias("touch_type"),
+                    "value")
+            .groupBy("touch_type")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 (F.sum(cents(F.col("value"))).cast("double") / 100.0)
+                 .alias("attributed_value")))
