@@ -35,7 +35,8 @@ def load_all() -> None:
     """Import every operator module (side effect: registry fills)."""
     from . import (relational, analytics, windows, setops, scalar, events,  # noqa: F401
                    text, similarity, multimodal, udfs, cdc, timeseries,
-                   tpch_extra, training, sketches, quality, corpusstats)
+                   tpch_extra, training, sketches, quality, corpusstats,
+                   graph)
     _register_streaming()
 
 

@@ -1,0 +1,253 @@
+"""Graph analytics over a co-occurrence graph derived from baskets.
+
+The graph: brands are nodes; an undirected edge connects two brands
+whose parts co-occur in at least ``EDGE_MIN_COOCCUR`` orders (the
+same deduped (order, brand) basket table the lift operator uses).
+On it: fixed-iteration PageRank and triangle counting — the two
+canonical "needs real message passing" shapes next to the label-
+propagation connected components already in ``similarity.py``.
+
+Determinism: PageRank is the engine's poster child for the exact
+fixed-point policy — each damping contribution is rounded to one part
+in 1e9 (a fixed double sequence both engines evaluate identically),
+then message sums are exact integer adds, so three distributed
+iterations reproduce bit-for-bit in DuckDB's unrolled-CTE twin.
+Triangle counting is pure integers.
+
+Scale shape: iterations are join(pr, edges on src) → groupBy(dst) —
+one shuffle per round, partitioned by dst. On a power-law graph the
+hub rows skew that shuffle; AQE skew-split handles moderate skew, and
+the standard remedy beyond it (split hub adjacency into salted
+segments, re-merge per round) composes with this plan without
+changing the arithmetic. Triangles use the degree-ordered orientation
+so every wedge is generated at its lowest-degree vertex — the
+textbook bound that keeps per-node work O(d_max·d̄) instead of
+O(d_max²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import Catalog
+from . import query
+
+#: Minimum co-occurring orders for an edge — prunes incidental pairs.
+EDGE_MIN_COOCCUR = 3
+
+#: PageRank fixed-point scale (1e9: contributions stay integral and a
+#: 1e9-node sum is still far from int64 overflow).
+PR_SCALE = 1_000_000_000.0
+PR_ITERS = 3
+DAMPING = 0.85
+
+_BASKET_SQL = """
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+_EDGES_SQL = f"""
+    ob AS ({_BASKET_SQL}),
+    und AS (
+        SELECT a.p_brand AS src, b.p_brand AS dst
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+        HAVING COUNT(*) >= {EDGE_MIN_COOCCUR}
+    ),
+    edges AS (
+        SELECT src, dst FROM und
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM und
+    )
+"""
+
+
+def _basket(cat: Catalog) -> DataFrame:
+    return (cat.lineitem.select("l_orderkey", "l_partkey")
+            .join(F.broadcast(cat.part.select("p_partkey", "p_brand")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .select("l_orderkey", "p_brand")
+            .distinct())
+
+
+def _undirected_edges(cat: Catalog) -> DataFrame:
+    """(src, dst) with src < dst, co-occurrence-thresholded."""
+    ob = _basket(cat)
+    a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"),
+                  F.col("p_brand").alias("dst"))
+    return (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
+                   & (F.col("src") < F.col("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n_cooccur"))
+            .filter(F.col("n_cooccur") >= EDGE_MIN_COOCCUR)
+            .select("src", "dst"))
+
+
+def _directed_edges(cat: Catalog) -> DataFrame:
+    und = _undirected_edges(cat)
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _pr_oracle() -> str:
+    """Unrolled PageRank CTE chain, same fixed-point arithmetic."""
+    s = int(PR_SCALE)
+    iters = [f"""
+    pr0 AS (
+        SELECT node, CAST(ROUND({s:.1f} / (SELECT n FROM nn)) AS BIGINT)
+               AS pr
+        FROM nodes
+    )"""]
+    for k in range(PR_ITERS):
+        iters.append(f"""
+    pr{k + 1} AS (
+        SELECT n.node,
+               CAST(ROUND({1 - DAMPING} * {s:.1f} / (SELECT n FROM nn))
+                    AS BIGINT)
+               + COALESCE(m.msum, 0) AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(ROUND({DAMPING} * CAST(p.pr AS DOUBLE)
+                                       / d.deg) AS BIGINT)) AS BIGINT)
+                       AS msum
+            FROM pr{k} p
+            JOIN deg d ON d.node = p.node
+            JOIN edges e ON e.src = p.node
+            GROUP BY e.dst
+        ) m ON m.node = n.node
+    )""")
+    return f"""
+    WITH {_EDGES_SQL},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ),{','.join(iters)}
+    SELECT node AS brand, pr AS pr_fixed,
+           CAST(pr AS DOUBLE) / {s:.1f} AS pagerank
+    FROM pr{PR_ITERS}
+    ORDER BY pr_fixed DESC, brand
+    """
+
+
+@query("pagerank_brand_graph", oracle=_pr_oracle())
+def pagerank_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact PageRank iterations on the brand co-occurrence
+    graph (damping 0.85, uniform teleport). Each round is the
+    distributed message-passing plan — join current ranks to the edge
+    list on src, sum messages per dst, add the teleport term — with
+    every damping contribution pre-rounded to 1e-9 so the per-dst sum
+    is an exact integer add: run it on 32 threads or 1000 executors
+    and the bits agree, which is what lets an unrolled DuckDB CTE
+    serve as the oracle for a genuinely iterative distributed
+    algorithm. No dangling-mass term is needed: the graph is
+    symmetric, so every node has out-degree ≥ 1 by construction.
+    Iterations compose lazily into one Catalyst plan (no driver
+    collect between rounds); for many more rounds you would
+    localCheckpoint per round exactly as the connected-components
+    operator does (similarity.py)."""
+    cat = Catalog(spark, sf_dir)
+    edges = _directed_edges(cat)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    pr = (nodes.crossJoin(F.broadcast(nn))
+          .select("node",
+                  F.round(F.lit(PR_SCALE) / F.col("n")).cast("long")
+                  .alias("pr")))
+    teleport = F.round(F.lit((1 - DAMPING) * PR_SCALE) / F.col("n")) \
+        .cast("long")
+    for _ in range(PR_ITERS):
+        msgs = (pr.join(deg, "node")
+                .join(edges, pr.node == edges.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.round(F.lit(DAMPING) * F.col("pr").cast("double")
+                            / F.col("deg")).cast("long").alias("m")))
+        msum = msgs.groupBy("node").agg(F.sum("m").alias("msum"))
+        pr = (nodes.join(msum, "node", "left")
+              .crossJoin(F.broadcast(nn))
+              .select("node",
+                      (teleport + F.coalesce("msum", F.lit(0)))
+                      .alias("pr")))
+    return (pr.select(F.col("node").alias("brand"),
+                      F.col("pr").alias("pr_fixed"),
+                      (F.col("pr").cast("double") / PR_SCALE)
+                      .alias("pagerank"))
+            .orderBy(F.col("pr_fixed").desc(), "brand"))
+
+
+@query(
+    "triangle_count_brands",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ),
+    oriented AS (
+        SELECT e.src, e.dst FROM edges e
+        JOIN deg ds ON ds.node = e.src
+        JOIN deg dd ON dd.node = e.dst
+        WHERE (ds.deg, e.src) < (dd.deg, e.dst)
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oriented e1
+        JOIN oriented e2 ON e2.src = e1.dst
+        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    )
+    SELECT d.node AS brand, d.deg AS degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    ORDER BY n_triangles DESC, brand
+    """,
+)
+def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (plus degree) on the brand graph —
+    the local-clustering building block. Edges are oriented from
+    lower to higher (degree, id) before the wedge join, so each
+    triangle is generated exactly once and every wedge is enumerated
+    at its lowest-degree endpoint — the orientation trick that makes
+    distributed triangle counting survive power-law degree skew (a
+    hub node of degree d never enumerates its d² wedge pairs; its
+    low-degree neighbors do). Two equi-joins on node keys + one
+    3-row-per-triangle explode; all counts exact integers."""
+    cat = Catalog(spark, sf_dir)
+    edges = _directed_edges(cat)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    ds = F.broadcast(deg.select(F.col("node").alias("src"),
+                                F.col("deg").alias("deg_s")))
+    dd = F.broadcast(deg.select(F.col("node").alias("dst"),
+                                F.col("deg").alias("deg_d")))
+    oriented = (edges.join(ds, "src").join(dd, "dst")
+                .filter(F.struct(F.col("deg_s"), F.col("src"))
+                        < F.struct(F.col("deg_d"), F.col("dst")))
+                .select("src", "dst"))
+    e1 = oriented
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (e1.join(e2, e1.dst == e2.b)
+           .join(e3, (F.col("src") == F.col("a3"))
+                 & (F.col("c") == F.col("c3")))
+           .select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                   F.col("c")))
+    per_node = (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (deg.join(per_node, "node", "left")
+            .select(F.col("node").alias("brand"),
+                    F.col("deg").alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+            .orderBy(F.col("n_triangles").desc(), "brand"))
