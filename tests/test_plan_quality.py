@@ -281,3 +281,58 @@ def test_curation_gate_no_cartesian(spark):
     plan = _plan(spark, "curation_gate_report")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tvd_shift_no_vocab_source_cross_join(spark):
+    # The TVD closed form only touches tokens PRESENT in each source;
+    # a V × S cross join (the naive formulation) must never appear.
+    # The only nested-loop join allowed is the 1-row grand-total
+    # broadcast.
+    plan = _plan(spark, "source_tvd_shift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_basket_lift_dedups_before_pairing(spark):
+    # The (order, brand) basket must be deduped BEFORE the pair
+    # self-join (bounding fan-out by basket size), and the part
+    # dimension must ride in broadcast.
+    plan = _plan(spark, "basket_brand_pair_lift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # dedup (HashAggregate over l_orderkey, p_brand) upstream of the
+    # pair join: at least 2 aggregates before the final TakeOrdered.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rolling_7d_reduces_before_fanout(spark):
+    # events must collapse to distinct (user, day) BEFORE the 7-day
+    # explode — the fan-out side of the plan multiplies user-days,
+    # never raw events. Generate is downstream of a HashAggregate.
+    plan = _plan(spark, "rolling_7d_distinct_users")
+    gen_at = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen_at:]
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_user_window_pass(spark):
+    # Last-touch carry + purchase filter + rollup: exactly one
+    # window pass (partitioned by user), no range self-join of
+    # purchases to history.
+    plan = _plan(spark, "attribution_last_touch")
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pagerank_rounds_are_hash_joins(spark):
+    # Each message round is an equi-join on node keys; nothing may
+    # degenerate to a nested-loop beyond the 1-row node-count
+    # broadcasts.
+    plan = _plan(spark, "pagerank_brand_graph")
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_orientation_keeps_equi_joins(spark):
+    plan = _plan(spark, "triangle_count_brands")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
