@@ -1032,3 +1032,70 @@ def basket_brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("n_a") / F.col("n_b")).alias("lift"))
             .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
             .limit(15))
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM part GROUP BY p_name
+    ), keyed AS (
+        SELECT p_name, n_rows,
+               unnest(['1:' || string_split(p_name, ' ')[1],
+                       '2:' || string_split(p_name, ' ')[-1]]) AS block_key
+        FROM names
+    ), cand AS (
+        SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+               a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+        FROM keyed a JOIN keyed b
+          ON a.block_key = b.block_key AND a.p_name < b.p_name
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist,
+           n_rows_a, n_rows_b
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 2
+    ORDER BY dist, name_a, name_b
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching over the part-name dictionary: name pairs
+    within Levenshtein distance 2, with how many catalog rows each
+    spelling carries.
+
+    The scale design is dictionary-first: names are deduplicated with
+    counts BEFORE any pairing, so the quadratic step runs on distinct
+    spellings (64 here; ~10⁵–10⁶ in a real catalog), never on the row
+    table — the classic entity-resolution decomposition. Candidates
+    come from two-key blocking (first token, last token): a single
+    edit inside one word leaves the other word intact, so any ≤2-edit
+    pair differing in only one token is guaranteed recalled; an edit
+    spanning both tokens is outside the declared contract (documented
+    recall, the standard blocking trade). Each side explodes to 2
+    block keys, the join is an equi-join on the key, and the distinct
+    collapses pairs found under both keys. Levenshtein runs only on
+    surviving candidates — the expensive O(len²) DP never sees the
+    non-candidate pairs.
+    """
+    cat = Catalog(spark, sf_dir)
+    names = cat.part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_rows"))
+    toks = F.split(F.col("p_name"), " ")
+    keyed = names.select(
+        "p_name", "n_rows",
+        F.explode(F.array(
+            F.concat(F.lit("1:"), toks.getItem(0)),
+            F.concat(F.lit("2:"), F.element_at(toks, -1)))).alias("block_key"))
+    a = keyed.select(F.col("p_name").alias("name_a"),
+                     F.col("n_rows").alias("n_rows_a"), "block_key")
+    b = keyed.select(F.col("p_name").alias("name_b"),
+                     F.col("n_rows").alias("n_rows_b"), "block_key")
+    cand = (a.join(b, (a.block_key == b.block_key)
+                   & (F.col("name_a") < F.col("name_b")))
+            .select("name_a", "name_b", "n_rows_a", "n_rows_b")
+            .distinct())
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (cand.withColumn("dist", dist.cast("int"))
+            .filter(F.col("dist") <= 2)
+            .select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
+            .orderBy("dist", "name_a", "name_b"))

@@ -618,3 +618,82 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  (F.sum(cents(F.col("value"))).cast("double") / 100.0)
                  .alias("attributed_value")))
+
+
+@query(
+    "trend_daily_revenue_ols",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ), mn AS (
+        SELECT min(d) AS d0 FROM daily
+    ), xy AS (
+        SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+        FROM daily CROSS JOIN mn
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM xy
+    )
+    SELECT n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+               AS slope_per_day,
+           (CAST(sy AS DOUBLE)
+            - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx)
+               / n AS intercept,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)
+               / CAST(n * syy - sy * sy AS DOUBLE) AS r_squared
+    FROM s
+    """,
+)
+def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend of daily order revenue — slope,
+    intercept, R² — computed EXACTLY: x is days since the first order
+    date (recentring keeps the moment products small), y is whole-
+    dollar daily revenue, and all five moments (Σx, Σy, Σxy, Σx²,
+    Σy²) are integer sums, so the distributed aggregation is order-
+    independent and the only float ops are the closed-form divisions
+    at the end. The built-in regr_slope would partial-aggregate
+    doubles in nondeterministic order — this formulation is the
+    engine's answer for bit-reproducible regression.
+
+    Scale: one groupBy(date) over orders (map-side combined to one
+    row per date per task), a 1-row broadcast of the min date, a
+    single-row moment aggregate. Headroom: with day counts ≤ 10⁴ and
+    daily dollars ≤ 10⁹ the largest moment term n·Σxy stays < 2⁶³;
+    beyond that regime, move the moments to DECIMAL(38,0) — same
+    plan, wider lanes.
+    """
+    o = Catalog(spark, sf_dir).orders
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
+                  .alias("y")))
+    mn = daily.agg(F.min("d").alias("d0"))
+    xy = (daily.crossJoin(F.broadcast(mn))
+          .select(F.datediff(F.col("d"), F.col("d0")).cast("long").alias("x"),
+                  "y"))
+    s = xy.agg(F.count(F.lit(1)).alias("n"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"),
+               F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    slope = num.cast("double") / den_x
+    return s.select(
+        F.col("n").alias("n_days"),
+        slope.alias("slope_per_day"),
+        ((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"))
+        .alias("intercept"),
+        (num.cast("double") * num.cast("double")
+         / den_x.cast("double") / den_y.cast("double")).alias("r_squared"))
