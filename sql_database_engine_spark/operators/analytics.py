@@ -1099,3 +1099,68 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("dist") <= 2)
             .select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
             .orderBy("dist", "name_a", "name_b"))
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS size,
+               p_partkey
+        FROM part
+    ), scanned AS (
+        SELECT price_cents, size,
+               max(size) OVER (ORDER BY price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS best_cheaper,
+               max(size) OVER (PARTITION BY price_cents) AS best_same_price
+        FROM pts
+    )
+    SELECT CAST(price_cents AS DOUBLE) / 100.0 AS retail_price, size,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM scanned
+    WHERE (best_cheaper IS NULL OR size > best_cheaper)
+      AND size = best_same_price
+    GROUP BY price_cents, size
+    ORDER BY price_cents
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of the part catalog: the points
+    where no cheaper part is at least as large — minimize retail
+    price, maximize size. The classic skyline operator, solved as ONE
+    ordered window sweep instead of the naive NOT EXISTS self-join:
+    sort by price, carry the running max size over strictly cheaper
+    rows (RANGE frame excludes price ties), and a point survives iff
+    it beats that max and is the largest at its own price.
+
+    Exactness: prices go through cents fixed-point so the sort key
+    and group key are integers. Scale: the sweep is a global ordered
+    window — but ONLY over the candidate dimension pair projected to
+    two integers, and a pre-filter could thin dominated points per
+    partition first (local skyline then merge, the standard
+    distributed skyline refinement) without changing semantics; the
+    window state is a single running max either way.
+    """
+    p = Catalog(spark, sf_dir).part
+    pts = p.select(
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"))
+    w_cheaper = (W.orderBy("price_cents")
+                 .rangeBetween(W.unboundedPreceding, -1))
+    w_same = W.partitionBy("price_cents")
+    scanned = pts.select(
+        "price_cents", "size",
+        F.max("size").over(w_cheaper).alias("best_cheaper"),
+        F.max("size").over(w_same).alias("best_same_price"))
+    return (scanned
+            .filter((F.col("best_cheaper").isNull()
+                     | (F.col("size") > F.col("best_cheaper")))
+                    & (F.col("size") == F.col("best_same_price")))
+            .groupBy("price_cents", "size")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+            .select((F.col("price_cents").cast("double") / 100.0)
+                    .alias("retail_price"), "size", "n_parts")
+            .orderBy("price_cents"))

@@ -697,3 +697,154 @@ def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("intercept"),
         (num.cast("double") * num.cast("double")
          / den_x.cast("double") / den_y.cast("double")).alias("r_squared"))
+
+
+@query(
+    "rfm_segment_counts",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               max(CAST(ts AS TIMESTAMP)) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), mx AS (
+        SELECT max(last_ts) AS t1 FROM p
+    ), scored AS (
+        SELECT user_id, monetary_cents,
+               ntile(5) OVER (ORDER BY date_diff('day', last_ts, t1),
+                              user_id) AS r,
+               ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+               ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m
+        FROM p CROSS JOIN mx
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(CAST(SUM(monetary_cents) AS BIGINT) AS DOUBLE) / 100.0
+               AS total_value
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every purchasing user scored 1–5 on recency,
+    frequency, and monetary value via ntile quintiles (deterministic:
+    every ordering carries user_id as the tie-break, and both engines
+    define ntile identically — front-loaded equal buckets), then the
+    125-cell segment grid with user counts and exact-cents value.
+
+    Scale: one purchase aggregate per user (map-side combined), a
+    1-row broadcast of the corpus max timestamp, then three global
+    ntile windows. Global windows on the USER table (not events) —
+    that's |users| rows through three single-partition sorts, the one
+    genuinely serial step; at 10⁹ users swap ntile for a rank
+    computed against broadcast quantile cutpoints from the KLL
+    sketch family (same 1–5 scores, no global sort). The segment
+    rollup is a bounded 125-key aggregate.
+    """
+    ev = Catalog(spark, sf_dir).events
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id")
+         .agg(F.max("ts").alias("last_ts"),
+              F.count(F.lit(1)).alias("freq"),
+              F.sum(F.round(F.col("value") * 100).cast("long"))
+              .alias("monetary_cents")))
+    mx = p.agg(F.max("last_ts").alias("t1"))
+    scored = (p.crossJoin(F.broadcast(mx))
+              .select(
+                  "user_id", "monetary_cents",
+                  F.ntile(5).over(
+                      W.orderBy(F.datediff(F.col("t1"), F.col("last_ts")),
+                                "user_id")).alias("r"),
+                  F.ntile(5).over(
+                      W.orderBy(F.col("freq").desc(), "user_id")).alias("f"),
+                  F.ntile(5).over(
+                      W.orderBy(F.col("monetary_cents").desc(), "user_id"))
+                  .alias("m")))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 (F.sum("monetary_cents").cast("double") / 100.0)
+                 .alias("total_value")))
+
+
+@query(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH carried AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                   OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), lat AS (
+        SELECT touch_type,
+               epoch_us(ts) - epoch_us(touch_ts) AS us,
+               ROW_NUMBER() OVER (PARTITION BY touch_type
+                                  ORDER BY epoch_us(ts) - epoch_us(touch_ts),
+                                           user_id, ts) AS rn,
+               COUNT(*) OVER (PARTITION BY touch_type) AS n
+        FROM carried
+        WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+    )
+    SELECT touch_type, CAST(max(n) AS BIGINT) AS n_conversions,
+           CAST(min(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+                         THEN us END) AS DOUBLE) / 1000000.0 AS p50_seconds,
+           CAST(min(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
+                         THEN us END) AS DOUBLE) / 1000000.0 AS p90_seconds,
+           CAST(min(CASE WHEN rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1
+                         THEN us END) AS DOUBLE) / 1000000.0 AS p99_seconds,
+           CAST(max(us) AS DOUBLE) / 1000000.0 AS max_seconds
+    FROM lat GROUP BY touch_type
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every purchase preceded by a
+    touch event, the latency from the most recent touch, quantiled
+    per touch type (p50/p90/p99 NEAREST-RANK over exact integer
+    microseconds — the winsorize rule: ranked picks, never
+    interpolation, so order statistics reproduce bit-for-bit).
+
+    Two window passes, both key-partitioned: the per-user carry
+    (same one-pass shape as attribution_last_touch) and the per-
+    touch-type rank; the quantile extraction is a conditional min at
+    three precomputed rank positions inside an ordinary aggregate —
+    no second sort, no percentile UDAF. Latencies are microsecond
+    BIGINTs end-to-end; seconds emerge from one trailing division.
+    """
+    ev = Catalog(spark, sf_dir).events
+    wc = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    not_p = F.col("event_type") != "purchase"
+    carried = ev.select(
+        "user_id", "event_type", "ts",
+        F.last(F.when(not_p, F.col("event_type")), ignorenulls=True)
+        .over(wc).alias("touch_type"),
+        F.last(F.when(not_p, F.col("ts")), ignorenulls=True)
+        .over(wc).alias("touch_ts"))
+    us = (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts")))
+    lat = (carried.filter((F.col("event_type") == "purchase")
+                          & F.col("touch_type").isNotNull())
+           .select("touch_type", "user_id", "ts", us.alias("us")))
+    wt = W.partitionBy("touch_type")
+    ranked = lat.select(
+        "touch_type", "us",
+        F.row_number().over(wt.orderBy("us", "user_id", "ts")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"))
+    k = lambda p: F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1
+
+    def pick(p):
+        return (F.min(F.when(F.col("rn") == k(p), F.col("us")))
+                .cast("double") / 1e6)
+
+    return (ranked.groupBy("touch_type")
+            .agg(F.max("n").alias("n_conversions"),
+                 pick(0.5).alias("p50_seconds"),
+                 pick(0.9).alias("p90_seconds"),
+                 pick(0.99).alias("p99_seconds"),
+                 (F.max("us").cast("double") / 1e6).alias("max_seconds")))
