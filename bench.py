@@ -61,6 +61,10 @@ HEADLINE = [
     "embedding_int8_quant_error",   # int8 quantization error audit
     "curation_gate_report",         # composed curation gate
     "events_ohlc_hourly",           # OHLC downsampling bars
+    "source_tvd_shift",             # corpus drift (exact fixed-point TVD)
+    "pagerank_brand_graph",         # iterative graph message passing
+    "rolling_7d_distinct_users",    # sliding-window distinct (explode trick)
+    "basket_brand_pair_lift",       # market-basket association mining
 ]
 
 

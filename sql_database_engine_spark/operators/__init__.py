@@ -78,6 +78,13 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_salted", "clustered_range_scan",
         "window_ntile_quartiles", "pii_mask_redaction",
         "dq_constraint_audit",
+        # round-2 continuation flagships
+        "source_tvd_shift", "token_simpson_diversity",
+        "pagerank_brand_graph", "triangle_count_brands",
+        "basket_brand_pair_lift", "fuzzy_name_pairs",
+        "rolling_7d_distinct_users", "attribution_last_touch",
+        "rfm_segment_counts", "trend_daily_revenue_ols",
+        "conversion_latency_quantiles", "pareto_frontier_parts",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

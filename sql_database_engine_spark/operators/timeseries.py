@@ -637,22 +637,30 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x) AS BIGINT) AS sx,
                CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
                CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(y * y) AS BIGINT) AS syy
+               SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
         FROM xy
     )
+    , w AS (
+        SELECT n,
+               CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+               CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den_x,
+               CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+                   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS den_y,
+               sx, sy
+        FROM s
+    )
     SELECT n AS n_days,
-           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
-               AS slope_per_day,
+           CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) AS slope_per_day,
            (CAST(sy AS DOUBLE)
-            - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx)
+            - CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) * sx)
                / n AS intercept,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               * CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE)
-               / CAST(n * syy - sy * sy AS DOUBLE) AS r_squared
-    FROM s
+           CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+               / CAST(den_x AS DOUBLE) / CAST(den_y AS DOUBLE) AS r_squared
+    FROM w
     """,
 )
 def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,10 +676,11 @@ def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one groupBy(date) over orders (map-side combined to one
     row per date per task), a 1-row broadcast of the min date, a
-    single-row moment aggregate. Headroom: with day counts ≤ 10⁴ and
-    daily dollars ≤ 10⁹ the largest moment term n·Σxy stays < 2⁶³;
-    beyond that regime, move the moments to DECIMAL(38,0) — same
-    plan, wider lanes.
+    single-row moment aggregate. The closed-form products n·Σy² etc.
+    exceed 2⁶³ already at sf0.1, so they run in 128-bit exact integer
+    lanes — DECIMAL(38,0) here, HUGEINT in the oracle; both engines
+    then round the exact integer to the nearest double once, which is
+    deterministic by IEEE-754.
     """
     o = Catalog(spark, sf_dir).orders
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
@@ -681,15 +690,20 @@ def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     xy = (daily.crossJoin(F.broadcast(mn))
           .select(F.datediff(F.col("d"), F.col("d0")).cast("long").alias("x"),
                   "y"))
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     s = xy.agg(F.count(F.lit(1)).alias("n"),
                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(xd * yd).alias("sxy"),
                F.sum(F.col("x") * F.col("x")).alias("sxx"),
-               F.sum(F.col("y") * F.col("y")).alias("syy"))
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-    slope = num.cast("double") / den_x
+               F.sum(yd * yd).alias("syy"))
+    def wide(name: str):
+        return F.col(name).cast("decimal(38,0)")
+
+    num = (wide("n") * wide("sxy") - wide("sx") * wide("sy"))
+    den_x = (wide("n") * wide("sxx") - wide("sx") * wide("sx"))
+    den_y = (wide("n") * wide("syy") - wide("sy") * wide("sy"))
+    slope = num.cast("double") / den_x.cast("double")
     return s.select(
         F.col("n").alias("n_days"),
         slope.alias("slope_per_day"),
