@@ -1164,3 +1164,85 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("price_cents").cast("double") / 100.0)
                     .alias("retail_price"), "size", "n_parts")
             .orderBy("price_cents"))
+
+
+@query(
+    "chi2_event_type_by_segment",
+    oracle="""
+    WITH joined AS (
+        SELECT e.event_type, c.c_mktsegment AS segment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ), cells AS (
+        SELECT event_type, segment, CAST(COUNT(*) AS BIGINT) AS o
+        FROM joined GROUP BY event_type, segment
+    ), rows_ AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells
+        GROUP BY event_type
+    ), cols_ AS (
+        SELECT segment, CAST(SUM(o) AS BIGINT) AS c FROM cells
+        GROUP BY segment
+    ), tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells
+    ), contrib AS (
+        SELECT CAST(ROUND(
+                   (o - CAST(r AS DOUBLE) * c / t)
+                   * (o - CAST(r AS DOUBLE) * c / t)
+                   / (CAST(r AS DOUBLE) * c / t) * 1000000.0)
+               AS BIGINT) AS ci
+        FROM cells
+        JOIN rows_ USING (event_type)
+        JOIN cols_ USING (segment)
+        CROSS JOIN tot
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rows_) AS BIGINT) AS n_event_types,
+           CAST((SELECT COUNT(*) FROM cols_) AS BIGINT) AS n_segments,
+           CAST(((SELECT COUNT(*) FROM rows_) - 1)
+                * ((SELECT COUNT(*) FROM cols_) - 1) AS BIGINT) AS dof,
+           CAST(CAST(SUM(ci) AS BIGINT) AS DOUBLE) / 1000000.0
+               AS chi2_statistic
+    FROM contrib
+    """,
+)
+def chi2_event_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and the
+    acting customer's market segment — the canonical "is behavior
+    uniform across segments?" screen. Each cell's (O−E)²/E term is a
+    fixed double sequence rounded to 1e-6 fixed point, then the
+    statistic is an exact integer sum — order-independent, so the
+    distributed aggregation and DuckDB agree bit-for-bit (the same
+    policy that makes TVD exact; a naive SUM of double terms would
+    drift with partitioning).
+
+    Scale: one fact join (customer dim hash-broadcast), one
+    contingency aggregate (≤ |types|·|segments| cells — map-side
+    combined), then marginals join back as ≤25-row broadcasts. The
+    p-value lookup is deliberately out of scope: it needs the
+    incomplete gamma function (libm), so the engine emits the
+    statistic and dof and leaves the threshold to the caller.
+    """
+    cat = Catalog(spark, sf_dir)
+    joined = (cat.events.select("user_id", "event_type")
+              .join(F.broadcast(cat.customer
+                                .select("c_custkey", "c_mktsegment")),
+                    F.col("user_id") == F.col("c_custkey"))
+              .select("event_type", F.col("c_mktsegment").alias("segment")))
+    cells = joined.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("segment").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("t"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("t")
+    contrib = (cells.join(F.broadcast(rows_), "event_type")
+               .join(F.broadcast(cols_), "segment")
+               .crossJoin(F.broadcast(tot))
+               .select(F.round((F.col("o") - e) * (F.col("o") - e) / e
+                               * 1000000.0).cast("long").alias("ci")))
+    nr = rows_.agg(F.count(F.lit(1)).alias("n_event_types"))
+    nc = cols_.agg(F.count(F.lit(1)).alias("n_segments"))
+    return (contrib.agg(F.sum("ci").alias("s"))
+            .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc))
+            .select("n_event_types", "n_segments",
+                    ((F.col("n_event_types") - 1) * (F.col("n_segments") - 1))
+                    .alias("dof"),
+                    (F.col("s").cast("double") / 1000000.0)
+                    .alias("chi2_statistic")))

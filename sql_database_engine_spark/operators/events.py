@@ -545,3 +545,94 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("hi").cast("double") / 100.0).alias("p95_value"),
                 (F.col("wt").cast("double") / 100.0).alias("winsorized_total"))
     )
+
+
+@query(
+    "event_value_mad_outliers",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events
+    ), r1 AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ), med AS (
+        SELECT event_type,
+               min(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+                        THEN x END) AS med
+        FROM r1 GROUP BY event_type
+    ), dev AS (
+        SELECT c.event_type, c.x, ABS(c.x - m.med) AS d, c.event_id, m.med
+        FROM c JOIN med m USING (event_type)
+    ), r2 AS (
+        SELECT event_type, x, d, med,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ), mad AS (
+        SELECT event_type,
+               min(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+                        THEN d END) AS mad
+        FROM r2 GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(max(d.med) AS DOUBLE) / 100.0 AS median_value,
+           CAST(max(m.mad) AS DOUBLE) / 100.0 AS mad_value,
+           CAST(COUNT_IF(d.d > 3 * m.mad) AS BIGINT) AS n_outliers,
+           CAST(COUNT_IF(d.d > 3 * m.mad) AS DOUBLE) / COUNT(*)
+               AS outlier_ratio
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via median absolute
+    deviation: a value is an outlier when |x − median| > 3·MAD — the
+    robust-statistics alternative to z-scores (a single fat-finger
+    row shifts a mean+stddev fence but not a median+MAD fence).
+
+    Both order statistics are NEAREST-RANK picks on exact cents
+    (the winsorize rule — no interpolation, no float drift), computed
+    by two rank-window passes over the same event_type partitioning:
+    median of x, then median of the absolute deviations, then the
+    fence counts ride the deviation stream with the per-type MAD
+    broadcast back. Integer comparisons decide outliers, so the flag
+    is bit-deterministic; the only doubles are the display divisions.
+    At 100 TB the two sorted windows per type are the cost — the
+    sketch-based alternative (KLL median) drops in when exactness is
+    traded for one pass.
+    """
+    ev = Catalog(spark, sf_dir).events
+    c = ev.select("event_type", "event_id",
+                  F.round(F.col("value") * 100).cast("long").alias("x"))
+    w = W.partitionBy("event_type")
+    k = lambda p: F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1
+    r1 = c.select("event_type", "x",
+                  F.row_number().over(w.orderBy("x", "event_id")).alias("rn"),
+                  F.count(F.lit(1)).over(w).alias("n"))
+    med = r1.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == k(0.5), F.col("x"))).alias("med"))
+    dev = (c.join(F.broadcast(med), "event_type")
+           .select("event_type", "event_id", "x", "med",
+                   F.abs(F.col("x") - F.col("med")).alias("d")))
+    r2 = dev.select("event_type", "d",
+                    F.row_number().over(w.orderBy("d", "event_id"))
+                    .alias("rn"),
+                    F.count(F.lit(1)).over(w).alias("n"))
+    mad = r2.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == k(0.5), F.col("d"))).alias("mad"))
+    out = (F.col("d") > 3 * F.col("mad")).cast("long")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.max("med").cast("double") / 100.0).alias("median_value"),
+                 (F.max("mad").cast("double") / 100.0).alias("mad_value"),
+                 F.sum(out).alias("n_outliers"),
+                 (F.sum(out).cast("double") / F.count(F.lit(1)))
+                 .alias("outlier_ratio")))

@@ -251,3 +251,73 @@ def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("deg").alias("degree"),
                     F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
             .orderBy(F.col("n_triangles").desc(), "brand"))
+
+
+BFS_DEPTH = 4
+
+
+def _bfs_oracle() -> str:
+    steps = ["""
+    d0 AS (
+        SELECT node,
+               CASE WHEN node = (SELECT min(node) FROM nodes)
+                    THEN CAST(0 AS BIGINT) END AS dist
+        FROM nodes
+    )"""]
+    for k in range(BFS_DEPTH):
+        steps.append(f"""
+    d{k + 1} AS (
+        SELECT n.node,
+               least(n.dist, m.reach + 1) AS dist
+        FROM d{k} n LEFT JOIN (
+            SELECT e.dst AS node, min(p.dist) AS reach
+            FROM d{k} p JOIN edges e ON e.src = p.node
+            WHERE p.dist IS NOT NULL
+            GROUP BY e.dst
+        ) m ON m.node = n.node
+    )""")
+    return f"""
+    WITH {_EDGES_SQL},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),{','.join(steps)}
+    SELECT node AS brand, dist AS hops
+    FROM d{BFS_DEPTH}
+    ORDER BY hops, brand
+    """
+
+
+@query("bfs_brand_distances", oracle=_bfs_oracle())
+def bfs_brand_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-depth BFS: minimum hop count from the lexicographically
+    first brand to every node of the co-occurrence graph, by
+    ``BFS_DEPTH`` unrolled relaxation rounds (dist(v) :=
+    min(dist(v), min over in-edges of dist(u)+1)). Nodes beyond the
+    depth horizon stay NULL — the declared contract, which is what
+    lets an unrolled-CTE oracle verify an iterative traversal exactly
+    (hop counts are integers; min is order-free; nothing floats).
+
+    Each round is one join(frontier, edges on src) + groupBy(dst) min
+    + left-join back — the same per-round shuffle shape as PageRank,
+    and the same scale story (partition by dst, AQE for hub skew).
+    ``least`` keeps settled distances monotone, so rounds are
+    idempotent once converged; for unbounded diameters you iterate
+    with the connected-components convergence machinery instead of a
+    fixed unroll.
+    """
+    cat = Catalog(spark, sf_dir)
+    edges = _directed_edges(cat)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    src = nodes.agg(F.min("node").alias("s"))
+    d = (nodes.crossJoin(F.broadcast(src))
+         .select("node", F.when(F.col("node") == F.col("s"), F.lit(0))
+                 .cast("long").alias("dist")))
+    for _ in range(BFS_DEPTH):
+        reach = (d.filter(F.col("dist").isNotNull())
+                 .join(edges, d.node == edges.src)
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.min("dist").alias("reach")))
+        d = (d.join(reach, "node", "left")
+             .select("node", F.least(F.col("dist"),
+                                     F.col("reach") + 1).alias("dist")))
+    return (d.select(F.col("node").alias("brand"),
+                     F.col("dist").alias("hops"))
+            .orderBy(F.asc_nulls_last("hops"), "brand"))

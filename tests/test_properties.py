@@ -77,7 +77,13 @@ def test_results_invariant_under_partitioning(spark):
     names = ["pricing_summary", "flagship_revenue_by_region",
              "top_spenders_per_nation", "dedup_exact_keep_first",
              "events_sessionize", "curation_gate_report",
-             "events_ohlc_hourly", "purchase_value_streaks"]
+             "events_ohlc_hourly", "purchase_value_streaks",
+             # continuation-wave exactness claims: fixed-point message
+             # sums (pagerank), fixed-point TVD, 128-bit OLS moments,
+             # chi-square fixed-point cell sums — all must survive any
+             # partitioning bit-for-bit.
+             "pagerank_brand_graph", "source_tvd_shift",
+             "trend_daily_revenue_ols", "chi2_event_type_by_segment"]
 
     def snapshot():
         out = {}
