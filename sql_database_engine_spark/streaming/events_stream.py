@@ -133,6 +133,18 @@ def run_available_now(stream_df: DataFrame, query_name: str,
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+        # Unload the drain's state-store providers and stop their
+        # maintenance thread pool: the scratch checkpoint is gone, so
+        # keeping providers cached only pins state maps on the heap
+        # and leaves maintenance threads spinning against deleted
+        # directories — measurable contention for whatever batch job
+        # runs next in the same JVM. The next streaming query
+        # re-starts the machinery on demand.
+        try:
+            (spark._jvm.org.apache.spark.sql.execution
+             .streaming.state.StateStore.stop())
+        except Exception:
+            pass  # never fail a drain over post-run hygiene
     return spark.table(query_name)
 
 
