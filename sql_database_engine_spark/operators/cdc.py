@@ -140,3 +140,83 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value").alias("latest_value"),
                 F.col("ts").alias("latest_ts"))
     )
+
+
+@query(
+    "table_diff_user_state",
+    oracle=f"""
+    WITH ranked_old AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{_SPLIT}'
+    ), old AS (
+        SELECT user_id, event_type, value FROM ranked_old WHERE rn = 1
+    ), ranked_new AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), new_ AS (
+        SELECT user_id, event_type, value FROM ranked_new WHERE rn = 1
+    )
+    SELECT n.event_type,
+           CAST(COUNT_IF(o.user_id IS NULL) AS BIGINT) AS n_added,
+           CAST(COUNT_IF(o.user_id IS NOT NULL
+                AND CAST(ROUND(n.value * 100) AS BIGINT)
+                    <> CAST(ROUND(o.value * 100) AS BIGINT)) AS BIGINT)
+               AS n_changed,
+           CAST(COUNT_IF(o.user_id IS NOT NULL
+                AND CAST(ROUND(n.value * 100) AS BIGINT)
+                    = CAST(ROUND(o.value * 100) AS BIGINT)) AS BIGINT)
+               AS n_unchanged
+    FROM new_ n
+    LEFT JOIN old o ON o.user_id = n.user_id
+                   AND o.event_type = n.event_type
+    GROUP BY n.event_type
+    """,
+)
+def table_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table diff between two versions of the latest-state
+    table: the state as of the CDC split instant vs the state after
+    the full history — per event_type, how many keys were added,
+    changed, or unchanged. The audit you run after any MERGE/backfill
+    ("what did that batch actually do?"), and the generic two-
+    snapshot diff when pointed at snapshot reads (sources/snapshots
+    supplies time travel).
+
+    One full-outer-shaped comparison: both versions reduce to latest-
+    per-key with the same window argmax, then a single LEFT join on
+    the key classifies every key (removal is impossible in an append-
+    only feed, so left covers the space; value equality compares
+    exact cents). Both window passes and the join share the
+    (user_id, event_type) partitioning — one logical shuffle.
+    """
+    ev = Catalog(spark, sf_dir).events
+    split = F.lit(_SPLIT).cast("timestamp")
+    w = (W.partitionBy("user_id", "event_type")
+         .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_type",
+                        F.round(F.col("value") * 100).cast("long")
+                        .alias("cents")))
+
+    old = latest(ev.filter(F.col("ts") < split)).select(
+        F.col("user_id").alias("o_uid"),
+        F.col("event_type").alias("o_type"),
+        F.col("cents").alias("o_cents"))
+    new = latest(ev)
+    joined = new.join(
+        old, (new.user_id == old.o_uid) & (new.event_type == old.o_type),
+        "left")
+    return (joined.groupBy("event_type")
+            .agg(F.sum(F.col("o_uid").isNull().cast("long")).alias("n_added"),
+                 F.sum((F.col("o_uid").isNotNull()
+                        & (F.col("cents") != F.col("o_cents")))
+                       .cast("long")).alias("n_changed"),
+                 F.sum((F.col("o_uid").isNotNull()
+                        & (F.col("cents") == F.col("o_cents")))
+                       .cast("long")).alias("n_unchanged")))

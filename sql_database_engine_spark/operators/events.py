@@ -636,3 +636,57 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(out).alias("n_outliers"),
                  (F.sum(out).cast("double") / F.count(F.lit(1)))
                  .alias("outlier_ratio")))
+
+
+@query(
+    "user_activity_bitmap",
+    oracle="""
+    WITH mn AS (
+        SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+    ), offs AS (
+        SELECT user_id,
+               date_diff('day', d0, CAST(ts AS DATE)) AS off
+        FROM events CROSS JOIN mn
+        WHERE date_diff('day', d0, CAST(ts AS DATE)) < 64
+    ), bitmaps AS (
+        SELECT user_id,
+               bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS bitmap
+        FROM offs GROUP BY user_id
+    )
+    SELECT CAST(bit_count(bitmap) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM bitmaps GROUP BY 1
+    """,
+)
+def user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity bitmap over the first 64 days of the corpus,
+    rolled up to the engagement histogram (how many users were active
+    on exactly N distinct days). Day-presence packs into one BIGINT
+    via shiftleft + BIT_OR — the bitmap-index trick: the per-user
+    aggregate is a single 8-byte OR instead of a distinct-date set,
+    popcount reads the answer, and the same representation supports
+    cohort AND/OR algebra (days-active-in-both = bit_count(a & b))
+    without touching the event table again.
+
+    Scale: BIT_OR partial-aggregates map-side like any sum — the
+    shuffle carries one long per (user, task). 64 days per word is
+    the declared window; longer horizons shard into (user, epoch)
+    words, staying O(1) per row. Everything is integer — the
+    histogram is bit-deterministic.
+    """
+    ev = Catalog(spark, sf_dir).events
+    mn = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    off = F.datediff(F.col("ts").cast("date"), F.col("d0"))
+    offs = (ev.crossJoin(F.broadcast(mn))
+            .select("user_id", off.alias("off"))
+            .filter(F.col("off") < 64))
+    bitmaps = (offs.select(
+        "user_id",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(off AS INT))")
+        .alias("bit"))
+        .groupBy("user_id")
+        .agg(F.bit_or("bit").alias("bitmap")))
+    return (bitmaps
+            .groupBy(F.bit_count("bitmap").cast("long")
+                     .alias("n_active_days"))
+            .agg(F.count(F.lit(1)).alias("n_users")))

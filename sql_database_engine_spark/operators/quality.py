@@ -250,3 +250,65 @@ def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "event_type",
                                ("click", "view", "purchase", "signup")))
     )
+
+
+@query(
+    "order_line_reconciliation",
+    oracle="""
+    WITH line_sums AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100) AS BIGINT))
+                    AS BIGINT) AS lines_cents
+        FROM lineitem GROUP BY l_orderkey
+    ), recon AS (
+        SELECT o.o_orderkey,
+               ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                   - ls.lines_cents) AS diff_cents
+        FROM orders o JOIN line_sums ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT_IF(diff_cents = 0) AS BIGINT) AS n_exact,
+           CAST(COUNT_IF(diff_cents > 0 AND diff_cents <= 100) AS BIGINT)
+               AS n_within_dollar,
+           CAST(COUNT_IF(diff_cents > 100) AS BIGINT) AS n_beyond_dollar,
+           CAST(max(diff_cents) AS BIGINT) AS max_diff_cents
+    FROM recon
+    """,
+)
+def order_line_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: does each order header's total
+    equal the recomputed sum of its lines (extprice·(1−disc)·(1+tax))?
+    The classic financial-close audit — header/detail drift is how
+    silent ingestion corruption usually surfaces. Per-line amounts go
+    through cents fixed-point BEFORE the per-order sum, so the
+    comparison is exact integers and the mismatch buckets (exact /
+    within-a-dollar / beyond) are bit-deterministic.
+
+    Scale: one per-order aggregate over lineitem (map-side combined)
+    + one key join against headers — the same orderkey partitioning
+    the join workload already uses (bucket both sides and the audit
+    is co-located, shuffle-free). Tolerance buckets, not a boolean:
+    legitimate per-line rounding differs from real corruption by
+    magnitude, and the audit should say which it saw.
+    """
+    cat = Catalog(spark, sf_dir)
+    line_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                         * (1 + F.col("l_tax")) * 100).cast("long")
+    line_sums = (cat.lineitem
+                 .groupBy("l_orderkey")
+                 .agg(F.sum(line_cents).alias("lines_cents")))
+    diff = F.abs(F.round(F.col("o_totalprice") * 100).cast("long")
+                 - F.col("lines_cents"))
+    recon = (cat.orders.select("o_orderkey", "o_totalprice")
+             .join(line_sums, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(diff.alias("diff_cents")))
+    return recon.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("diff_cents") == 0).cast("long")).alias("n_exact"),
+        F.sum(((F.col("diff_cents") > 0)
+               & (F.col("diff_cents") <= 100)).cast("long"))
+        .alias("n_within_dollar"),
+        F.sum((F.col("diff_cents") > 100).cast("long"))
+        .alias("n_beyond_dollar"),
+        F.max("diff_cents").alias("max_diff_cents"))

@@ -701,3 +701,80 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("qv") == 0) | (F.col("qv") == 255), 1).otherwise(0))
         .alias("n_saturated"),
     )
+
+
+@query(
+    "centroid_cosine_matrix",
+    oracle="""
+    WITH u AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micros
+        FROM embeddings
+    ), cent AS (
+        SELECT label, pos, CAST(SUM(micros) AS BIGINT) AS s
+        FROM u GROUP BY label, pos
+    ), dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS dot
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    ), norms AS (
+        SELECT label,
+               SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS n2
+        FROM cent GROUP BY label
+    )
+    SELECT label_a, label_b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE))
+               / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.label = label_a
+    JOIN norms nb ON nb.label = label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids — the
+    inter-cluster geometry report (which classes are confusable, the
+    SemDeDup merge candidates). Exact despite being geometry: cosine
+    is scale-invariant, so the centroid's 1/n division cancels and
+    the whole computation runs on the exact integer component SUMS
+    from ``embedding_label_centroids``'s fixed-point policy —
+    128-bit lanes for the dot/norm products, then two sqrt and two
+    divides (IEEE-754 sqrt is correctly rounded, hence deterministic)
+    at the very end.
+
+    Scale: centroid sums are a (labels × dims) aggregate that partial-
+    aggregates map-side (corpus-size-independent shuffle); the pair
+    join is labels²·dims on a broadcast-sized table. The corpus is
+    touched exactly once.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    cent = (e.select("label",
+                     F.posexplode(F.col("embedding")).alias("pos", "comp"))
+            .select("label", "pos",
+                    F.round(F.col("comp").cast("double") * 1_000_000)
+                    .cast("long").alias("micros"))
+            .groupBy("label", "pos")
+            .agg(F.sum("micros").alias("s")))
+    wide = F.col("s").cast("decimal(38,0)")
+    a = cent.select(F.col("label").alias("label_a"), "pos", wide.alias("sa"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("pos").alias("pos_b"), wide.alias("sb"))
+    dots = (a.join(b, (F.col("pos") == F.col("pos_b"))
+                   & (F.col("label_a") < F.col("label_b")))
+            .groupBy("label_a", "label_b")
+            .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot")))
+    norms = (cent.groupBy("label")
+             .agg(F.sum(wide * wide).alias("n2")))
+    na = F.broadcast(norms.select(F.col("label").alias("label_a"),
+                                  F.col("n2").alias("na2")))
+    nb = F.broadcast(norms.select(F.col("label").alias("label_b"),
+                                  F.col("n2").alias("nb2")))
+    return (dots.join(na, "label_a").join(nb, "label_b")
+            .select("label_a", "label_b",
+                    (F.col("dot").cast("double")
+                     / F.sqrt(F.col("na2").cast("double"))
+                     / F.sqrt(F.col("nb2").cast("double")))
+                    .alias("cos_sim"))
+            .orderBy("label_a", "label_b"))
