@@ -121,6 +121,12 @@ def _register_streaming() -> None:
         return es.run_available_now(es.session_windows(s),
                                     "q_stream_sessions", output_mode="complete")
 
+
+    def stream_sliding_counts(spark, sf_dir):
+        s = es.events_stream(spark, sf_dir)
+        return es.run_available_now(es.sliding_counts(s),
+                                    "q_stream_sliding", output_mode="complete")
+
     def stream_dedup_events(spark, sf_dir):
         """Watermark-scoped stateful dedup on event_id, drained through
         the incremental engine. event_id is unique in the testdata, so
@@ -225,6 +231,7 @@ def _register_streaming() -> None:
                        stream_click_purchase_left_join_settled)
     QUERIES.setdefault("stream_click_purchase_join", stream_click_purchase_join)
     QUERIES.setdefault("stream_tumbling_counts", stream_tumbling_counts)
+    QUERIES.setdefault("stream_sliding_counts", stream_sliding_counts)
     QUERIES.setdefault("stream_dedup_events", stream_dedup_events)
     QUERIES.setdefault("stream_static_enrich", stream_static_enrich)
     QUERIES.setdefault("stream_user_event_type_sets",
@@ -286,6 +293,21 @@ def _register_streaming() -> None:
     SELECT event_id, user_id, event_type, value,
            CAST(ts AS TIMESTAMP) AS ts
     FROM events
+    """)
+    ORACLES.setdefault("stream_sliding_counts", """
+    WITH slid AS (
+        SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP))
+                           - INTERVAL 1 HOUR,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP))])
+                   AS window_start,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100.0 AS total_value
+    FROM slid GROUP BY 1, 2
     """)
     ORACLES.setdefault("stream_tumbling_counts", """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

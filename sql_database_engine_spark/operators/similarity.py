@@ -778,3 +778,62 @@ def centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.sqrt(F.col("nb2").cast("double")))
                     .alias("cos_sim"))
             .orderBy("label_a", "label_b"))
+
+
+@query(
+    "embedding_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE coded AS (
+        SELECT vec_id, embedding, {_neardup_code_sql()} AS code
+        FROM embeddings
+    ), pairs AS (
+        {_neardup_edges_sql()}
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS v FROM edges
+    ), reach (v, r) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), clusters AS (
+        SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+    )
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT_IF(c.vec_id IS NULL OR c.cluster_id = e.vec_id)
+                AS BIGINT) AS n_survivors,
+           CAST(COUNT_IF(c.vec_id IS NOT NULL AND c.cluster_id <> e.vec_id)
+                AS BIGINT) AS n_dropped
+    FROM embeddings e LEFT JOIN clusters c ON c.vec_id = e.vec_id
+    GROUP BY e.label
+    """,
+)
+def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup dedup OUTCOME: per label, how many embeddings
+    survive semantic deduplication (keep the minimum vec_id of each
+    near-dup cluster, keep every unclustered vector) and how many are
+    dropped. Composes the banded-LSH pair generation and the
+    connected-components clustering into the number a curation run
+    actually reports — the SemDeDup end state.
+
+    Plan: the cluster table (components only — a small fraction of
+    the corpus) LEFT-joins back to the full table on vec_id; survival
+    is `cluster_id = vec_id OR unclustered`, a pure integer predicate.
+    One extra broadcast-sized join after the clustering passes; the
+    corpus scan is shared with the pair generation. The DuckDB twin
+    recomputes the whole chain with a recursive CTE, so the composed
+    pipeline — LSH codes, banding, exact verify, transitive closure,
+    survivor rule — is verified end-to-end as one contract.
+    """
+    labels = neardup_cluster_assignment(spark, sf_dir).select(
+        F.col("vec_id").alias("c_vid"), "cluster_id")
+    e = Catalog(spark, sf_dir).embeddings
+    joined = e.join(F.broadcast(labels),
+                    e.vec_id == F.col("c_vid"), "left")
+    survives = (F.col("c_vid").isNull()
+                | (F.col("cluster_id") == F.col("vec_id")))
+    return (joined.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(survives.cast("long")).alias("n_survivors"),
+                 F.sum((~survives).cast("long")).alias("n_dropped")))

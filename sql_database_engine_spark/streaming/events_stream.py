@@ -76,6 +76,23 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """2-hour windows sliding every hour per event type — each event
+    lands in exactly two overlapping windows; the engine maintains
+    both windows' state concurrently and closes each as the watermark
+    passes its end. Streaming twin of ``events_sliding_window``."""
+    from ..functions.exact import cents
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(cents(F.col("value"))).cast("double") / 100.0)
+             .alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "total_value")
+    )
+
+
 def session_windows(events: DataFrame) -> DataFrame:
     """Native session windows (30-minute gap) per user — the streaming
     engine merges/extends sessions as events arrive; state closes once
