@@ -1246,3 +1246,133 @@ def chi2_event_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("dof"),
                     (F.col("s").cast("double") / 1000000.0)
                     .alias("chi2_statistic")))
+
+
+@query(
+    "revenue_concentration_curve",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+               SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               COUNT(*) OVER () AS n,
+               SUM(cents) OVER () AS total
+        FROM cust
+    )
+    SELECT share.p AS revenue_share,
+           CAST(min(rn) AS BIGINT) AS n_customers,
+           CAST(min(rn) AS DOUBLE)
+               / CAST(max(n) AS BIGINT) AS customer_fraction
+    FROM ranked
+    CROSS JOIN (SELECT unnest([50, 80, 90, 99]) AS p) AS share
+    WHERE cum_cents * 100 >= CAST(total AS BIGINT) * share.p
+    GROUP BY share.p
+    ORDER BY share.p
+    """,
+)
+def revenue_concentration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 read-out): the minimum number
+    of top customers whose cumulative revenue reaches 50/80/90/99% of
+    the total. One per-customer exact-cents aggregate, one descending
+    cumulative window, then each threshold is the min rank where
+    cum·100 ≥ total·p — an all-integer predicate (no percentage
+    division ever happens, so no float boundary cases).
+
+    Scale: the cumulative window is global-ordered over the CUSTOMER
+    aggregate (not orders); the threshold probe is a bounded 4-way
+    explode over the ranked stream. At 10⁹ customers the global sort
+    is the cost — range-partition the sort and compute per-partition
+    offsets (Spark's global Window does exactly this underneath).
+    """
+    o = Catalog(spark, sf_dir).orders
+    cust = (o.groupBy("o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("cents")))
+    w = W.orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = cust.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_cents"),
+        F.count(F.lit(1)).over(
+            W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding,
+                                            W.unboundedFollowing)).alias("n"),
+        F.sum("cents").over(
+            W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding,
+                                            W.unboundedFollowing))
+        .alias("total"))
+    shares = F.explode(F.array(*[F.lit(p) for p in (50, 80, 90, 99)]))
+    return (ranked.select("rn", "cum_cents", "n", "total",
+                          shares.alias("revenue_share"))
+            .filter(F.col("cum_cents") * 100
+                    >= F.col("total") * F.col("revenue_share"))
+            .groupBy("revenue_share")
+            .agg(F.min("rn").alias("n_customers"),
+                 (F.min("rn").cast("double") / F.max("n"))
+                 .alias("customer_fraction"))
+            .orderBy("revenue_share"))
+
+
+@query(
+    "revenue_gini_coefficient",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM cust
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sy,
+               SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS siy
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           CAST(CAST(sy AS HUGEINT) AS DOUBLE) / 100.0 AS total_revenue,
+           (2.0 * (CAST(siy AS DOUBLE) / CAST(sy AS HUGEINT)) - n - 1)
+               / n AS gini
+    FROM s
+    """,
+)
+def revenue_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue — the inequality
+    summary behind the concentration curve, via the rank formula
+    G = (2·Σ i·yᵢ / Σ yᵢ − n − 1) / n over ascending-sorted exact
+    cents. Σ i·yᵢ runs in 128-bit lanes (rank × cents products exceed
+    2⁶³ well before the customer count does); the closed form is then
+    three fixed float ops. Deterministic ties: equal revenues order
+    by customer key.
+
+    Scale: same shape as the concentration curve — one customer
+    aggregate, one global rank window (range-partitioned sort under
+    the hood), one single-row moment reduce.
+    """
+    o = Catalog(spark, sf_dir).orders
+    cust = (o.groupBy("o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("cents")))
+    w = W.orderBy("cents", "o_custkey")
+    ranked = cust.select(
+        "cents", F.row_number().over(w).cast("long").alias("i"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("i").cast("decimal(19,0)")
+              * F.col("cents").cast("decimal(19,0)")).alias("siy"))
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (F.col("sy").cast("decimal(38,0)").cast("double") / 100.0)
+        .alias("total_revenue"),
+        ((F.lit(2.0) * (F.col("siy").cast("double")
+                        / F.col("sy").cast("decimal(38,0)"))
+          - F.col("n") - 1) / F.col("n")).alias("gini"))
