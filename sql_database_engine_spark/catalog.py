@@ -5,11 +5,17 @@ The reference's "catalog" is a single hard-coded file handle
 (``{sf_dir}/{table}.parquet``, TESTDATA.md) plus any engine-created
 tables to DataFrames, applying per-table canonicalization:
 
-- ``events.ts`` arrives as an INT64 nanosecond epoch (read via
-  ``nanosAsLong``); we convert to a microsecond ``TimestampType`` with
+- ``events.ts`` has shipped in two physical encodings across driver
+  testdata generations: INT64 nanosecond epoch (read via
+  ``nanosAsLong``) and plain ``timestamp[us]`` without a UTC
+  annotation (Spark reads it as ``TIMESTAMP_NTZ``). Both are
+  normalized to a microsecond ``TimestampType``: the ns path uses
   integer division — **`div 1000`, not float division**: ns epochs
   (~1.7e18) exceed a double's 2^53 integer range, so a float path
-  would silently corrupt timestamps.
+  would silently corrupt timestamps; the NTZ path is a plain cast,
+  which with the session time zone pinned to UTC (session.py)
+  reinterprets the wall-clock as the identical UTC instant — exactly
+  how the DuckDB oracle's ``epoch_us(naive ts)`` treats it.
 
 Reads are plain ``spark.read.parquet`` so Catalyst keeps predicate
 pushdown / column pruning / partition pruning; nothing here
@@ -31,9 +37,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _canonicalize(name: str, df: DataFrame) -> DataFrame:
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns → us, integer division (see module docstring).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns → us, integer division (see module docstring).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # UTC-naive micros → TimestampType at the same instant
+            # (session tz is UTC; see module docstring).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

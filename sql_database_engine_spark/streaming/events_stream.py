@@ -24,17 +24,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..session import tune
 
-#: Physical schema of events.parquet — ts is an INT64 ns epoch (the
-#: file's TIMESTAMP(NANOS) needs nanosAsLong, exactly like the batch
-#: catalog path).
-_RAW = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+#: The file stream source needs an explicit schema. events.parquet's
+#: ``ts`` physical encoding has varied across driver testdata
+#: generations (INT64 ns epoch under nanosAsLong vs timestamp[us]
+#: NTZ), so the raw schema is probed from a one-file batch read and
+#: normalized with the same rule as the batch catalog path
+#: (catalog._canonicalize).
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -54,9 +49,14 @@ def _stream_dir(sf_dir: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded stream (file source)."""
+    import os
+
+    from ..catalog import _canonicalize
     tune(spark)
-    raw = spark.readStream.schema(_RAW).parquet(_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    physical = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
+    raw = spark.readStream.schema(physical).parquet(_stream_dir(sf_dir))
+    return _canonicalize("events", raw)
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

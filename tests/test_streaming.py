@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F, types as T
 
 from sql_database_engine_spark.streaming import events_stream as es
 from .conftest import SF_SMOKE
@@ -108,8 +108,8 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
     # Merge path: deliver the same events as a NEW epoch — the store
     # must read-merge-commit (staged, not in-place) and double every
     # count exactly once.
-    batch = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-             .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    from sql_database_engine_spark.catalog import load_table as _lt
+    batch = _lt(spark, SF_SMOKE, "events")
     ru._merge_partials(store)(batch, epoch_id=99)
     doubled = {(r.window_start, r.event_type): (r.n, r.total_value)
                for r in ru.read_rollup(spark, store).collect()}
@@ -138,7 +138,6 @@ def test_incremental_arrival_and_late_data(spark, tmp_path):
 
     from sql_database_engine_spark.catalog import load_table
     from sql_database_engine_spark.streaming import rollup as ru
-    import sql_database_engine_spark.streaming.events_stream as esm
 
     src = tmp_path / "arriving"
     src.mkdir()
@@ -160,8 +159,19 @@ def test_incremental_arrival_and_late_data(spark, tmp_path):
         shutil.move(part, str(src / name))
         shutil.rmtree(tmp)
 
+    # stage() writes ts as an INT64 ns epoch, so the drain schema is
+    # the ns-epoch flavor regardless of the testdata's current one.
+    ns_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
     def drain():
-        raw = spark.readStream.schema(esm._RAW).parquet(str(src))
+        raw = spark.readStream.schema(ns_schema).parquet(str(src))
         stream = raw.withColumn("ts", FF.timestamp_micros(FF.expr("ts div 1000")))
         q = (stream.writeStream.foreachBatch(ru._merge_partials(store))
              .option("checkpointLocation", ckpt)
