@@ -1330,3 +1330,188 @@ def curation_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              & in_band).cast("long").alias("kept"),
         )
     )
+
+
+@query(
+    "setsim_prefix_join",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, unnest(list_distinct(g)) AS gram,
+               len(list_distinct(g)) AS n_grams
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1]) AS g
+            FROM documents
+        )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(COUNT(*) AS DOUBLE)
+               / (any_value(a.n_grams) + any_value(b.n_grams) - COUNT(*))
+               AS jaccard
+    FROM grams a JOIN grams b
+      ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING CAST(COUNT(*) AS DOUBLE)
+               / (any_value(a.n_grams) + any_value(b.n_grams) - COUNT(*))
+               >= 0.6
+    """,
+)
+def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global set-similarity join (bigram Jaccard >= 0.6) via
+    prefix filtering — the AllPairs/PPJoin candidate-generation idea
+    (Bayardo et al. 2007; Xiao et al. 2008) on DataFrames.
+
+    Unlike ``ngram_jaccard_neardup``, which bounds its inverted-index
+    join with a partitioning attribute (``source``), this operator
+    finds near-dup pairs across the WHOLE corpus with no bucketing
+    column, and is still exact: two documents with Jaccard >= t must
+    share at least one gram inside each other's first
+    ``|d| - ceil(t*|d|) + 1`` grams when both gram lists are sorted in
+    a common global order. Sorting rarest-first makes those prefixes
+    the least-shared grams, so the candidate join is a small fraction
+    of the full inverted-index join (measured 104k -> 39k candidate
+    pairs at sf0.01 even on the shared-vocabulary synthetic corpus;
+    real corpora with Zipfian vocabularies prune far harder).
+
+    Scale shape, all shuffles key-bounded:
+      1. distinct bigrams + per-doc sizes (one explode, one window);
+      2. document frequency per gram (hash agg, vocabulary-sized);
+      3. per-doc prefix = first k grams ordered by (df, gram) — a
+         per-document window rank, no global sort anywhere;
+      4. candidate pairs: equi-join of PREFIXES on gram, plus the
+         Jaccard length filter ``t*|a| <= |b| <= |a|/t``;
+      5. verification: candidates re-joined to the full gram lists to
+         count true intersections — work proportional to candidates,
+         not to corpus^2.
+    The oracle runs the plain exact all-pairs join: prefix filtering
+    is lossless, so both sides produce identical rows.
+    """
+    d = Catalog(spark, sf_dir).documents
+    t = 0.6
+    g = (_word_bigrams(d)
+         .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))))
+    df_tbl = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (g.join(df_tbl, "gram")
+              .withColumn("pos", F.row_number().over(
+                  W.partitionBy("doc_id").orderBy("df", "gram"))))
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    p = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "n", "gram")
+    a, b = p.alias("a"), p.alias("b")
+    cand = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n")))
+               & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(t))))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), "gram",
+                  F.col("n").alias("na"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), "gram",
+                  F.col("n").alias("nb"))
+    inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "gram"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_common"),
+                  F.first("na").alias("na"), F.first("nb").alias("nb")))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("n_common")))
+    return (inter.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= t)
+            .select("doc_a", "doc_b", "n_common", "jaccard"))
+
+
+#: Fixed keyword query for the search-scoring operator; any term list
+#: works, the shape is what matters.
+_BM25_TERMS = ("merge", "window", "vector")
+_BM25_TERMS_SQL = "('merge', 'window', 'vector')"
+
+
+@query(
+    "bm25_keyword_topk",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok IN {_BM25_TERMS_SQL}
+        GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), contrib AS (
+        SELECT tf.doc_id, tf.tok,
+               ((stats.n_docs - df.df + 0.5e0) / (df.df + 0.5e0))
+               * (tf.tf * 2.2e0)
+               / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl))
+                   AS c
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+    ), scored AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               COALESCE(MAX(CASE WHEN tok = 'merge' THEN c END), 0)
+               + COALESCE(MAX(CASE WHEN tok = 'window' THEN c END), 0)
+               + COALESCE(MAX(CASE WHEN tok = 'vector' THEN c END), 0)
+                   AS score
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, n_matched, score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-search scoring: BM25-shaped top-10 documents for a
+    fixed 3-term query (k1=1.2, b=0.75).
+
+    One deliberate deviation from textbook BM25 for bit-exact
+    reproducibility: the idf factor is the *rational* Robertson/
+    Sparck-Jones weight ``(N - df + 0.5)/(df + 0.5)`` without the
+    log. ``ln`` is not correctly-rounded in either engine's math
+    library (JVM ``Math.log`` and libm may differ in the last ulp),
+    while every operation here — integer counts, one division chain
+    per (doc, term), a fixed-order 3-term sum — is an IEEE-exact
+    sequence both engines evaluate identically. Ranking quality is
+    the textbook one per-term; only cross-term weighting differs.
+
+    Scale shape: the token explode is filtered to the query terms at
+    the scan (predicate pushdown keeps the exploded volume
+    |terms|-bounded, not corpus-bounded); df and the corpus stats are
+    one tiny aggregate broadcast back; top-10 is TakeOrdered, never a
+    global sort. The per-term contributions pivot to fixed columns so
+    the final score is a deterministic fixed-order sum.
+    """
+    d = Catalog(spark, sf_dir).documents
+    dl = d.select("doc_id", F.size(_tokens()).cast("long").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   (F.sum("dl").cast("double") / F.count(F.lit(1)))
+                   .alias("avgdl"))
+    toks = (d.select("doc_id", F.explode(_tokens()).alias("tok"))
+            .filter(F.col("tok").isin(*_BM25_TERMS)))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    c = (tf.join(F.broadcast(df_tbl), "tok").join(dl, "doc_id")
+         .crossJoin(F.broadcast(stats))
+         .select("doc_id", "tok",
+                 (((F.col("n_docs") - F.col("df") + 0.5)
+                   / (F.col("df") + 0.5))
+                  * (F.col("tf") * 2.2)
+                  / (F.col("tf")
+                     + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))))
+                 .alias("c")))
+    pick = [F.coalesce(F.max(F.when(F.col("tok") == t, F.col("c"))), F.lit(0.0))
+            for t in _BM25_TERMS]
+    scored = (c.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_matched"),
+                   (pick[0] + pick[1] + pick[2]).alias("score")))
+    return (scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+            .select("doc_id", "n_matched", "score"))
