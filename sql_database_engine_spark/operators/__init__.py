@@ -85,6 +85,10 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_7d_distinct_users", "attribution_last_touch",
         "rfm_segment_counts", "trend_daily_revenue_ols",
         "conversion_latency_quantiles", "pareto_frontier_parts",
+        # round-2 second-wave flagships
+        "setsim_prefix_join", "bm25_keyword_topk",
+        "neardup_canonical_docs", "zscore_event_values",
+        "decayed_user_value", "ivm_append_join_view",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

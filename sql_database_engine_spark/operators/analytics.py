@@ -1376,3 +1376,68 @@ def revenue_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lit(2.0) * (F.col("siy").cast("double")
                         / F.col("sy").cast("decimal(38,0)"))
           - F.col("n") - 1) / F.col("n")).alias("gini"))
+
+
+@query(
+    "zscore_event_values",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), s1 AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents) AS BIGINT) // COUNT(*) AS m0
+        FROM c GROUP BY event_type
+    ), s2 AS (
+        SELECT c.event_type,
+               CAST(SUM(c.cents - s1.m0) AS BIGINT) AS sd,
+               CAST(SUM((c.cents - s1.m0) * (c.cents - s1.m0)) AS BIGINT)
+                   AS sdd
+        FROM c JOIN s1 USING (event_type) GROUP BY c.event_type
+    )
+    SELECT c.event_id, c.event_type,
+           (CAST(c.cents AS DOUBLE)
+            - CAST(s1.s AS DOUBLE) / s1.n)
+           / sqrt(CAST(s2.sdd AS DOUBLE) / s1.n
+                  - (CAST(s2.sd AS DOUBLE) / s1.n)
+                    * (CAST(s2.sd AS DOUBLE) / s1.n)) AS z
+    FROM c JOIN s1 USING (event_type) JOIN s2 USING (event_type)
+    """,
+)
+def zscore_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization: the z-score of every event's
+    value within its event type — the normalization step of a feature
+    pipeline, reproduced bit-for-bit.
+
+    Determinism strategy: all MOMENTS are exact integers. Values go
+    to cents; pass 1 computes (n, sum, integer-floor mean m0); pass 2
+    re-aggregates CENTERED residuals d = cents - m0, whose sums stay
+    exact bigints at any group size the raw sum-of-squares could not
+    survive (sum(cents^2) overflows int64 near ~1e9 rows/group at
+    this value range; sum(d^2) with |d| bounded by the value spread
+    does not). Only then does one fixed-order double expression —
+    identical on the oracle side, every IEEE op exactly rounded —
+    produce mean, variance, sqrt (correctly rounded by IEEE-754) and
+    the z itself. Two shuffles on event_type; the per-row pass joins
+    the handful of group stats back by broadcast.
+    """
+    from ..functions.exact import cents as cents_
+    ev = Catalog(spark, sf_dir).events
+    c = ev.select("event_id", "event_type",
+                  cents_(F.col("value")).alias("cents"))
+    s1 = (c.groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+          .withColumn("m0", F.expr("s div n")))
+    d = F.col("cents") - F.col("m0")
+    s2 = (c.join(F.broadcast(s1), "event_type")
+          .groupBy("event_type")
+          .agg(F.sum(d).alias("sd"), F.sum(d * d).alias("sdd")))
+    mean = F.col("s").cast("double") / F.col("n")
+    sdn = F.col("sd").cast("double") / F.col("n")
+    var = F.col("sdd").cast("double") / F.col("n") - sdn * sdn
+    z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
+    return (c.join(F.broadcast(s1), "event_type")
+            .join(F.broadcast(s2), "event_type")
+            .select("event_id", "event_type", z.alias("z")))

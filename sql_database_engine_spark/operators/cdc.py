@@ -220,3 +220,47 @@ def table_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.col("o_uid").isNotNull()
                         & (F.col("cents") == F.col("o_cents")))
                        .cast("long")).alias("n_unchanged")))
+
+
+@query(
+    "ivm_append_join_view",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def ivm_append_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a fact-dim join view under
+    append-only changes: V = orders |><| customer is materialized for
+    the base region (o_orderdate < 1999), then the delta region is
+    folded in with the delta-join rule dV = dOrders |><| customer —
+    the stored view is READ BACK, never recomputed, and only the
+    delta joins. This is how a warehouse keeps a wide denormalized
+    view fresh without re-running the full join per batch: at 100 TB
+    the nightly delta is orders-of-magnitude smaller than the view.
+
+    The maintained result (stored ∪ delta-join) must equal the
+    from-scratch join — which is exactly what the oracle computes, so
+    the driver verifies the maintenance identity end-to-end.
+    tests/test_engine.py additionally pins that the second phase's
+    plan scans the stored parquet, not the base fact rows.
+    """
+    import hashlib
+    import os
+
+    o = Catalog(spark, sf_dir).orders
+    c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    cols = ("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice",
+            "o_orderdate")
+    split = F.lit("1999-01-01").cast("timestamp")
+    scratch = os.path.join(
+        "/tmp", "spark_graft_ivm",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    base = (o.filter(F.col("o_orderdate") < split)
+            .join(c, o.o_custkey == c.c_custkey).select(*cols))
+    base.write.mode("overwrite").parquet(scratch)
+    stored = spark.read.parquet(scratch)
+    delta = (o.filter(F.col("o_orderdate") >= split)
+             .join(c, o.o_custkey == c.c_custkey).select(*cols))
+    return stored.unionByName(delta)

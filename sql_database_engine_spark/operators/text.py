@@ -1515,3 +1515,86 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (pick[0] + pick[1] + pick[2]).alias("score")))
     return (scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
             .select("doc_id", "n_matched", "score"))
+
+
+@query(
+    "neardup_canonical_docs",
+    oracle="""
+    WITH RECURSIVE grams AS (
+        SELECT doc_id, source, unnest(list_distinct(g)) AS gram,
+               len(list_distinct(g)) AS n_grams
+        FROM (
+            SELECT doc_id, source,
+                   list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1]) AS g
+            FROM documents
+        )
+    ), pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM grams a JOIN grams b
+          ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE)
+                   / (any_value(a.n_grams) + any_value(b.n_grams) - COUNT(*))
+                   >= 0.5
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS v FROM edges
+    ), reach (v, r) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), clusters AS (
+        SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+    ), members AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+               AS canonical_doc_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+               AS canonical_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM members GROUP BY cluster_id
+    """,
+)
+def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-duplicate cluster:
+    connected components over the exact bigram-Jaccard >= 0.5 edges
+    (same pair generation as ``ngram_jaccard_neardup``), then each
+    cluster keeps its LONGEST member (max n_chars, ties to the lowest
+    doc_id) — the curation policy that prefers the most complete copy
+    over the arbitrary first one.
+
+    Composition: pair generation (bucketed inverted-index join) →
+    min-label/pointer-jumping components (O(log diameter) shuffle
+    rounds, similarity.connected_components) → one window argmax over
+    cluster members only (clusters are a small fraction of the
+    corpus; the full table never re-shuffles). The DuckDB twin
+    recomputes the chain with a recursive CTE, verifying the composed
+    pipeline end-to-end — edges, closure, and the keep-longest rule.
+    """
+    from .similarity import connected_components
+    d = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_neardup(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    labels, _ = connected_components(edges)
+    members = (labels.select(F.col("v").alias("doc_id"), "cluster_id")
+               .join(d.select("doc_id", "n_chars"), "doc_id"))
+    rk = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id"))
+    return (members.withColumn("rk", rk)
+            .groupBy("cluster_id")
+            .agg(F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+                 .alias("canonical_doc_id"),
+                 F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+                 .alias("canonical_chars"),
+                 F.count(F.lit(1)).alias("n_members")))

@@ -862,3 +862,51 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pick(0.9).alias("p90_seconds"),
                  pick(0.99).alias("p99_seconds"),
                  (F.max("us").cast("double") / 1e6).alias("max_seconds")))
+
+
+@query(
+    "decayed_user_value",
+    oracle="""
+    WITH ref AS (
+        SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS maxd FROM events
+    ), w AS (
+        SELECT user_id,
+               (CAST(ROUND(value * 100) AS BIGINT) * 1048576)
+               // CAST(power(2e0, date_diff('day',
+                          CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                          ref.maxd) // 7) AS BIGINT) AS micro
+        FROM events, ref
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 104857600e0
+               AS decayed_value
+    FROM w GROUP BY user_id
+    """,
+)
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user value: every event's value decays by
+    half per 7 days of age relative to the newest event in the corpus
+    — the classic time-decay feature for ranking/churn models.
+
+    Exactness: the decay weight is 2^(-age_weeks) — a power of two —
+    applied in INTEGER arithmetic: cents are scaled by 2^20, integer-
+    divided by 2^age_weeks, and summed as bigints, so the aggregate
+    is order-independent and bit-identical to the oracle (a float
+    pow/multiply path would round differently per summation order).
+    One scalar subquery for the reference date (broadcast), one
+    hash aggregate by user — no window, no sort.
+    """
+    from ..functions.exact import cents as cents_
+    ev = Catalog(spark, sf_dir).events
+    ref = ev.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    age_weeks = F.expr("datediff(maxd, cast(ts as date)) div 7")
+    micro = F.expr(
+        "(cents * 1048576L) div cast(power(2.0D, age_weeks) as bigint)")
+    return (ev.crossJoin(F.broadcast(ref))
+            .select("user_id", cents_(F.col("value")).alias("cents"),
+                    age_weeks.alias("age_weeks"))
+            .select("user_id", micro.alias("micro"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum("micro").cast("double") / 104857600e0)
+                 .alias("decayed_value")))

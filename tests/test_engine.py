@@ -154,3 +154,17 @@ def test_snapshot_merge_upsert_and_delete(spark, tmp_path):
     assert now == {1: "a", 2: "B", 4: "d"}
     before = {r["id"]: r["val"] for r in eng.read_snapshot(path, 1).collect()}
     assert before == {1: "a", 2: "b", 3: "c"}
+
+
+def test_ivm_second_phase_reads_stored_view(spark):
+    """ivm_append_join_view must read the materialized base back from
+    its scratch parquet (one scan of the stored view) and join ONLY
+    the delta orders against customer."""
+    from sql_database_engine_spark import operators
+    from .conftest import SF_SMOKE
+    operators.load_all()
+    df = operators.QUERIES["ivm_append_join_view"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "spark_graft_ivm" in plan          # stored view scanned
+    # The delta branch's orders scan carries the date pushdown.
+    assert "PushedFilters" in plan and "o_orderdate" in plan

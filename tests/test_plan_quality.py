@@ -336,3 +336,36 @@ def test_triangle_orientation_keeps_equi_joins(spark):
     plan = _plan(spark, "triangle_count_brands")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_setsim_prefix_join_prunes_candidates(spark):
+    """The candidate join must be on the PREFIX-filtered gram sets —
+    visible as the length-filter predicates next to the gram equi-join
+    — and verification re-joins candidates, never all pairs."""
+    plan = _plan(spark, "setsim_prefix_join")
+    assert "CartesianProduct" not in plan
+    # Jaccard length filter applied at candidate generation time.
+    assert "CEIL" in plan.upper() or "ceil" in plan
+
+
+def test_bm25_topk_take_ordered_and_term_pushdown(spark):
+    plan = _plan(spark, "bm25_keyword_topk")
+    assert "TakeOrderedAndProject" in plan
+    # The explode feeding tf must be filtered to the 3 query terms,
+    # keeping exploded volume |terms|-bounded.
+    assert "merge" in plan and "vector" in plan
+
+
+def test_zscore_broadcasts_group_stats(spark):
+    plan = _plan(spark, "zscore_event_values")
+    # Both stats joins carry a handful of event_type rows: broadcast,
+    # never a shuffle of the full fact table against them.
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_decayed_value_single_aggregate(spark):
+    plan = _plan(spark, "decayed_user_value")
+    # One hash aggregate by user; the reference date is a broadcast
+    # scalar, not a per-row recomputation via window/sort.
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
