@@ -65,6 +65,12 @@ HEADLINE = [
     "pagerank_brand_graph",         # iterative graph message passing
     "rolling_7d_distinct_users",    # sliding-window distinct (explode trick)
     "basket_brand_pair_lift",       # market-basket association mining
+    # round-2 second wave (appended; prior sets unchanged)
+    "setsim_prefix_join",           # exact PPJoin-style similarity join
+    "bm25_keyword_topk",            # keyword search scoring top-k
+    "neardup_canonical_docs",       # cluster + keep-longest canonical
+    "zscore_event_values",          # per-group standardization
+    "ivm_append_join_view",         # incremental join-view maintenance
 ]
 
 

@@ -89,6 +89,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_prefix_join", "bm25_keyword_topk",
         "neardup_canonical_docs", "zscore_event_values",
         "decayed_user_value", "ivm_append_join_view",
+        "knn_join_bruteforce", "ivm_append_agg_view",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

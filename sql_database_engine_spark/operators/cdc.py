@@ -264,3 +264,54 @@ def ivm_append_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = (o.filter(F.col("o_orderdate") >= split)
              .join(c, o.o_custkey == c.c_custkey).select(*cols))
     return stored.unionByName(delta)
+
+
+@query(
+    "ivm_append_agg_view",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 100.0 AS total_revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ivm_append_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an AGGREGATE view (the summing-table
+    pattern): per-priority order counts and exact revenue are
+    materialized for the base region as PARTIALS (count + cents sum),
+    the delta region aggregates separately, and the refreshed view is
+    the key-wise SUM of stored and delta partials — never a rescan of
+    the base facts. This is the ClickHouse SummingMergeTree /
+    materialized-aggregate pattern on DataFrames: counts and integer
+    cent sums are self-mergeable, so refresh cost tracks the delta.
+
+    The maintained result must equal the from-scratch aggregate —
+    exactly what the oracle computes. Exact-money policy end to end:
+    partials store integer cents; the double division happens once,
+    after the final merge.
+    """
+    import hashlib
+    import os
+
+    from ..functions.exact import cents
+    o = Catalog(spark, sf_dir).orders
+    split = F.lit("1999-01-01").cast("timestamp")
+    scratch = os.path.join(
+        "/tmp", "spark_graft_ivm_agg",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("cents"))
+
+    partials(o.filter(F.col("o_orderdate") < split)) \
+        .write.mode("overwrite").parquet(scratch)
+    stored = spark.read.parquet(scratch)
+    delta = partials(o.filter(F.col("o_orderdate") >= split))
+    return (stored.unionByName(delta)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("n_orders").alias("n_orders"),
+                 (F.sum("cents").cast("double") / 100.0)
+                 .alias("total_revenue")))

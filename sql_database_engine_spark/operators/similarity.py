@@ -837,3 +837,55 @@ def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_total"),
                  F.sum(survives.cast("long")).alias("n_survivors"),
                  F.sum((~survives).cast("long")).alias("n_dropped")))
+
+
+@query(
+    "knn_join_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.qid, e.vec_id,
+               ROUND({COSINE_SQL.format(a='e.embedding', b='q.qv')}, 6)
+                   AS cos_sim
+        FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ), ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id, cos_sim, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN JOIN: exact cosine top-5 neighbors for EVERY query in
+    a batch (vec_id < 8) in one plan — the many-query sibling of
+    ``cosine_topk_bruteforce`` and the exact baseline the ANN variants
+    trade against.
+
+    Scale shape: the query BATCH broadcasts (bounded — a batch is
+    thousands of vectors at most, the corpus is the big side), the
+    corpus is scored in one map-side pass per query via
+    BroadcastNestedLoopJoin, and the per-query top-k is a window rank
+    partitioned by query id — the standard per-group top-k shuffle,
+    |Q| keys each carrying the candidate rows. For corpus-sized query
+    sets you'd switch to the LSH/IVF operators in this module; this
+    operator is the recall=1 anchor they are measured against.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    scored = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id", F.round(sim, 6).alias("cos_sim")))
+    from pyspark.sql import Window as W
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id"))
+    return (scored.withColumn("rank", rn)
+            .filter(F.col("rank") <= 5)
+            .select("qid", "vec_id", "cos_sim", "rank"))

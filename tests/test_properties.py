@@ -83,7 +83,13 @@ def test_results_invariant_under_partitioning(spark):
              # chi-square fixed-point cell sums — all must survive any
              # partitioning bit-for-bit.
              "pagerank_brand_graph", "source_tvd_shift",
-             "trend_daily_revenue_ols", "chi2_event_type_by_segment"]
+             "trend_daily_revenue_ols", "chi2_event_type_by_segment",
+             # second-wave exactness claims: lossless prefix-filter
+             # pruning, fixed-order BM25 chain, two-pass integer
+             # moments, power-of-two decay sums, IVM merge identity.
+             "setsim_prefix_join", "bm25_keyword_topk",
+             "zscore_event_values", "decayed_user_value",
+             "ivm_append_agg_view"]
 
     def snapshot():
         out = {}
