@@ -90,6 +90,8 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_canonical_docs", "zscore_event_values",
         "decayed_user_value", "ivm_append_join_view",
         "knn_join_bruteforce", "ivm_append_agg_view",
+        "jl_projection_distortion", "join_cardinality_estimate",
+        "event_path_trigrams", "conversion_rate_wilson",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

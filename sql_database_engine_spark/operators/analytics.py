@@ -1441,3 +1441,73 @@ def zscore_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.join(F.broadcast(s1), "event_type")
             .join(F.broadcast(s2), "event_type")
             .select("event_id", "event_type", z.alias("z")))
+
+
+@query(
+    "conversion_rate_wilson",
+    oracle="""
+    WITH per_user AS (
+        SELECT e.user_id, any_value(c.c_mktsegment) AS seg,
+               CAST(MAX(CASE WHEN e.event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY e.user_id
+    ), agg AS (
+        SELECT seg AS c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM per_user GROUP BY seg
+    )
+    SELECT c_mktsegment, n_users, n_converted,
+           CAST(n_converted AS DOUBLE) / n_users AS rate,
+           ((CAST(n_converted AS DOUBLE) / n_users)
+            + 3.8416e0 / (2e0 * n_users)
+            - 1.96e0 * sqrt((CAST(n_converted AS DOUBLE) / n_users)
+                            * (1e0 - CAST(n_converted AS DOUBLE) / n_users)
+                            / n_users
+                            + 3.8416e0 / (4e0 * n_users * n_users)))
+           / (1e0 + 3.8416e0 / n_users) AS wilson_low,
+           ((CAST(n_converted AS DOUBLE) / n_users)
+            + 3.8416e0 / (2e0 * n_users)
+            + 1.96e0 * sqrt((CAST(n_converted AS DOUBLE) / n_users)
+                            * (1e0 - CAST(n_converted AS DOUBLE) / n_users)
+                            / n_users
+                            + 3.8416e0 / (4e0 * n_users * n_users)))
+           / (1e0 + 3.8416e0 / n_users) AS wilson_high
+    FROM agg
+    """,
+)
+def conversion_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment user conversion rate with a 95% Wilson score
+    interval — the binomial CI that behaves at small n and extreme
+    rates, computed entirely in deterministic arithmetic: exact
+    integer (n, k) per segment, then one fixed-order double chain
+    (z=1.96, z^2=3.8416 as exact literals; sqrt is IEEE-correctly
+    rounded) mirrored verbatim in the oracle. Two hash aggregates
+    (user-level conversion flag, then segment rollup) and one
+    key-partitioned dimension join (customer grows with SF, so no
+    broadcast hint — AQE may still choose one when the filtered dim
+    fits) — no window, no sort.
+    """
+    ev = Catalog(spark, sf_dir).events
+    cust = Catalog(spark, sf_dir).customer \
+        .select("c_custkey", "c_mktsegment")
+    per_user = (ev.join(cust, ev.user_id == F.col("c_custkey"))
+                .groupBy("user_id")
+                .agg(F.first("c_mktsegment").alias("c_mktsegment"),
+                     F.max((F.col("event_type") == "purchase").cast("long"))
+                     .alias("converted")))
+    agg = (per_user.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_users"),
+                F.sum("converted").alias("n_converted")))
+    n = F.col("n_users")
+    rate = F.col("n_converted").cast("double") / n
+    z2 = F.lit(3.8416)
+    center = rate + z2 / (F.lit(2.0) * n)
+    spread = F.lit(1.96) * F.sqrt(rate * (F.lit(1.0) - rate) / n
+                                  + z2 / (F.lit(4.0) * n * n))
+    denom = F.lit(1.0) + z2 / n
+    return agg.select(
+        "c_mktsegment", "n_users", "n_converted", rate.alias("rate"),
+        ((center - spread) / denom).alias("wilson_low"),
+        ((center + spread) / denom).alias("wilson_high"))

@@ -684,3 +684,60 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_rows_per_key"),
                     ((F.col("n_rows") * F.col("n_keys")).cast("double")
                      / F.col("total_rows")).alias("skew_vs_mean")))
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS p
+        FROM events GROUP BY user_id
+    ), est AS (
+        SELECT CAST(SUM(c * p) AS BIGINT) AS est_pairs FROM per_user
+    ), act AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_pairs
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP)
+             <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    )
+    SELECT est_pairs, actual_pairs,
+           CAST(actual_pairs AS DOUBLE) / est_pairs AS range_selectivity
+    FROM est, act
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from per-key statistics — what a
+    cost-based optimizer computes before picking a join strategy:
+    the click-purchase equi-join's exact output cardinality is
+    SUM(clicks_u * purchases_u) over per-user counts (one aggregate,
+    no join executed), and the ±1h range predicate's selectivity is
+    measured against it by running the real range join. The per-key
+    histogram pass costs one shuffle of counts; the estimate prices a
+    join the optimizer may then refuse to run — exactly the stats
+    that justify the binned interval join over the raw theta join at
+    100 TB.
+    """
+    ev = Catalog(spark, sf_dir).events
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum((F.col("event_type") == "click").cast("long"))
+                     .alias("c"),
+                     F.sum((F.col("event_type") == "purchase").cast("long"))
+                     .alias("p")))
+    est = per_user.agg(F.sum(F.col("c") * F.col("p")).alias("est_pairs"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", F.col("ts").alias("c_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    act = (c.join(p, (F.col("user_id") == F.col("p_user"))
+                  & (F.col("p_ts") >= F.col("c_ts"))
+                  & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")))
+           .agg(F.count(F.lit(1)).alias("actual_pairs")))
+    return (est.crossJoin(act)
+            .select("est_pairs", "actual_pairs",
+                    (F.col("actual_pairs").cast("double") / F.col("est_pairs"))
+                    .alias("range_selectivity")))

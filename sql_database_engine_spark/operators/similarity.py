@@ -889,3 +889,99 @@ def knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", rn)
             .filter(F.col("rank") <= 5)
             .select("qid", "vec_id", "cos_sim", "rank"))
+
+
+#: Fixed Rademacher (+-1) projection matrix, 16 output dims x 64 input
+#: dims, deterministic seed — the sparse-JL family (Achlioptas 2003):
+#: E||Px||^2 = k*||x||^2, so distances are preserved up to ~1/sqrt(k)
+#: after dividing by k.
+_JL_K = 16
+_JL_SIGNS = None
+
+
+def _jl_signs():
+    global _JL_SIGNS
+    if _JL_SIGNS is None:
+        rng = np.random.RandomState(29)
+        _JL_SIGNS = rng.choice([-1.0, 1.0], size=(_JL_K, 64))
+    return _JL_SIGNS
+
+
+def _jl_pair_terms_sql(a: str, b: str) -> str:
+    """DuckDB twin of the projected squared distance: a left-assoc
+    chain of (pa_j - pb_j)^2 terms, each pa_j a list_dot_product
+    against the identical sign literals — same fold kernel and
+    evaluation order as the Spark side."""
+    terms = []
+    for row in _jl_signs():
+        lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        pa = f"list_dot_product(CAST({a} AS DOUBLE[]), {lit})"
+        pb = f"list_dot_product(CAST({b} AS DOUBLE[]), {lit})"
+        terms.append(f"(({pa}) - ({pb})) * (({pa}) - ({pb}))")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 100 AND a.vec_id % 2 = 0
+    ), d AS (
+        SELECT vec_a, vec_b,
+               ROUND(list_dot_product(CAST(ea AS DOUBLE[]), CAST(ea AS DOUBLE[]))
+                     - 2e0 * list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[]))
+                     + list_dot_product(CAST(eb AS DOUBLE[]), CAST(eb AS DOUBLE[])),
+                     6) AS orig_d2,
+               ROUND({_jl_pair_terms_sql('ea', 'eb')}, 6) AS proj_d2
+        FROM pairs
+    )
+    SELECT vec_a, vec_b, orig_d2, proj_d2,
+           ROUND(proj_d2 / ({_JL_K}e0 * orig_d2), 6) AS ratio
+    FROM d
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> 16 dims with a
+    fixed Rademacher sign matrix) plus the distance-preservation
+    audit that justifies using the projected space for cheap
+    similarity: for 50 sample pairs, the squared distance in original
+    vs projected space and their k-normalized ratio (concentrates
+    around 1 with ~1/sqrt(k) spread).
+
+    This is the dimensionality-reduction rung of the vector stack —
+    above int8 quantization (4x storage), below LSH codes (1 bit/
+    plane): 4x fewer dims with distance guarantees, usable as a
+    pre-filter before exact scoring. Determinism: projections are
+    sequential folds against +-1.0 literals (the module's proven
+    dot-product kernel), distances use the dot-product identity
+    ||a-b||^2 = a.a - 2a.b + b.b in one fixed evaluation order, and
+    the 16 projected-term squares sum in one left-assoc chain —
+    identical on the oracle side, with the module's 6-decimal guard.
+    Scale shape: projecting is a map-side pass (k folds per row); the
+    audit joins consecutive vec_ids — an equi-join, sample-bounded.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"))
+    pairs = (a.filter((F.col("vec_a") < 100) & (F.col("vec_a") % 2 == 0))
+             .join(b, F.col("vec_b") == F.col("vec_a") + 1))
+    ea, eb = _as_double(F.col("ea")), _as_double(F.col("eb"))
+    orig_d2 = F.round(dot(ea, ea) - F.lit(2.0) * dot(ea, eb)
+                      + dot(eb, eb), 6)
+    proj_terms = None
+    for row in _jl_signs():
+        s = F.array(*[F.lit(float(x)) for x in row])
+        diff = dot(ea, s) - dot(eb, s)
+        term = diff * diff
+        proj_terms = term if proj_terms is None else proj_terms + term
+    proj_d2 = F.round(proj_terms, 6)
+    d = pairs.select("vec_a", "vec_b", orig_d2.alias("orig_d2"),
+                     proj_d2.alias("proj_d2"))
+    return d.withColumn(
+        "ratio",
+        F.round(F.col("proj_d2") / (F.lit(float(_JL_K)) * F.col("orig_d2")), 6))

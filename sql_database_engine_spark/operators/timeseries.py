@@ -910,3 +910,39 @@ def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  (F.sum("micro").cast("double") / 104857600e0)
                  .alias("decayed_value")))
+
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the 20 most frequent 3-step event-type paths
+    across per-user timelines (the sequential-pattern counterpart of
+    the first-order ``event_type_transitions`` matrix). One window
+    pass per user (two leads share the partition/order), a hash
+    aggregate keyed by the |types|^3-bounded path string, and a
+    TakeOrdered top-20 — never a global sort.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (seq.filter(F.col("e3").isNotNull())
+            .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "path").limit(20))

@@ -369,3 +369,18 @@ def test_decayed_value_single_aggregate(spark):
     # scalar, not a per-row recomputation via window/sort.
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_path_trigrams_single_window_pass(spark):
+    plan = _plan(spark, "event_path_trigrams")
+    # Both leads share one (user_id, ts) window; top-20 is TakeOrdered.
+    assert plan.count("Window") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cardinality_estimate_runs_no_cartesian(spark):
+    plan = _plan(spark, "join_cardinality_estimate")
+    # The 1-row est x 1-row act combine is broadcast, and the range
+    # join stays an equi-join on user_id with the time predicate as a
+    # post-condition.
+    assert "CartesianProduct" not in plan
