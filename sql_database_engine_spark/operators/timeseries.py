@@ -946,3 +946,104 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
             .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "path").limit(20))
+
+
+@query(
+    "gapfill_daily_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY user_id
+    ), grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM bounds
+    ), marked AS (
+        SELECT g.user_id, g.day, d.day_cents,
+               last_value(d.day_cents IGNORE NULLS) OVER wp AS prev_cents,
+               last_value(CASE WHEN d.day_cents IS NOT NULL THEN g.day END
+                          IGNORE NULLS) OVER wp AS prev_day,
+               first_value(d.day_cents IGNORE NULLS) OVER wf AS next_cents,
+               first_value(CASE WHEN d.day_cents IS NOT NULL THEN g.day END
+                           IGNORE NULLS) OVER wf AS next_day
+        FROM grid g LEFT JOIN daily d USING (user_id, day)
+        WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.day
+                      ROWS UNBOUNDED PRECEDING),
+               wf AS (PARTITION BY g.user_id ORDER BY g.day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           CAST(day_cents IS NOT NULL AS INT) AS observed,
+           CASE
+             WHEN day_cents IS NOT NULL THEN CAST(day_cents AS DOUBLE) / 100e0
+             WHEN prev_cents IS NOT NULL AND next_cents IS NOT NULL THEN
+               (CAST(prev_cents AS DOUBLE)
+                + CAST((next_cents - prev_cents)
+                       * date_diff('day', prev_day, day) AS DOUBLE)
+                  / date_diff('day', prev_day, next_day)) / 100e0
+             ELSE CAST(COALESCE(prev_cents, next_cents) AS DOUBLE) / 100e0
+           END AS filled_value
+    FROM marked
+    """,
+)
+def gapfill_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with LINEAR INTERPOLATION — the hypertable
+    `interpolate()` next to ``gapfill_daily_forward_fill``'s locf:
+    missing days take the line between the nearest observed values on
+    either side (edge gaps fall back to the single available
+    neighbor).
+
+    Both carries run in the same two window passes (backward
+    last/ignorenulls, forward first/ignorenulls) over the densified
+    calendar grid — same partitioning, one exchange, Catalyst chains
+    the frames. Determinism: the interpolation is rational — integer
+    cents, integer day offsets, one double division in a fixed spot —
+    so the value reproduces bit-for-bit; no float accumulates across
+    rows.
+    """
+    ev = Catalog(spark, sf_dir).events
+    daily = (
+        ev.filter(F.col("user_id") < 5)
+        .groupBy("user_id",
+                 F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("day_cents")))
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"),
+                                          F.max("day").alias("d1"))
+    grid = bounds.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    wp = (W.partitionBy("user_id").orderBy("day")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wf = (W.partitionBy("user_id").orderBy("day")
+          .rowsBetween(0, W.unboundedFollowing))
+    obs_day = F.when(F.col("day_cents").isNotNull(), F.col("day"))
+    marked = (grid.join(daily, ["user_id", "day"], "left")
+              .select("user_id", "day", "day_cents",
+                      F.last("day_cents", ignorenulls=True).over(wp)
+                      .alias("prev_cents"),
+                      F.last(obs_day, ignorenulls=True).over(wp)
+                      .alias("prev_day"),
+                      F.first("day_cents", ignorenulls=True).over(wf)
+                      .alias("next_cents"),
+                      F.first(obs_day, ignorenulls=True).over(wf)
+                      .alias("next_day")))
+    interp = (F.col("prev_cents").cast("double")
+              + ((F.col("next_cents") - F.col("prev_cents"))
+                 * F.datediff("day", "prev_day")).cast("double")
+              / F.datediff("next_day", "prev_day"))
+    filled = (F.when(F.col("day_cents").isNotNull(),
+                     F.col("day_cents").cast("double"))
+              .when(F.col("prev_cents").isNotNull()
+                    & F.col("next_cents").isNotNull(), interp)
+              .otherwise(F.coalesce("prev_cents", "next_cents")
+                         .cast("double")) / F.lit(100.0))
+    return marked.select(
+        "user_id", "day",
+        F.col("day_cents").isNotNull().cast("int").alias("observed"),
+        filled.alias("filled_value"))
