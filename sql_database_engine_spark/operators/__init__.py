@@ -92,7 +92,8 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_bruteforce", "ivm_append_agg_view",
         "jl_projection_distortion", "join_cardinality_estimate",
         "event_path_trigrams", "conversion_rate_wilson",
-        "gapfill_daily_interpolate",
+        "gapfill_daily_interpolate", "watermark_lateness_audit",
+        "cusum_changepoint", "lttb_downsample_hourly",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -1047,3 +1047,254 @@ def gapfill_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "day",
         F.col("day_cents").isNotNull().cast("int").alias("observed"),
         filled.alias("filled_value"))
+
+
+@query(
+    "watermark_lateness_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                         1, 4))::INTEGER % 3600 AS BIGINT)
+                 * 1000000 AS arrival_us
+        FROM events
+    ), hw AS (
+        SELECT ts_us,
+               MAX(ts_us) OVER (
+                   PARTITION BY event_id % 8 ORDER BY arrival_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS max_seen_us
+        FROM arr
+    ), lat AS (
+        SELECT max_seen_us - ts_us AS late_us FROM hw
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (late_us > 0) AS BIGINT) AS n_out_of_order,
+           CAST(COUNT(*) FILTER (late_us > 1800000000) AS BIGINT)
+               AS dropped_at_30m,
+           CAST(COUNT(*) FILTER (late_us > 3600000000) AS BIGINT)
+               AS dropped_at_1h,
+           CAST(COUNT(*) FILTER (late_us > 7200000000) AS BIGINT)
+               AS dropped_at_2h,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM lat
+    """,
+)
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-ops question answered from batch data: if this
+    table replayed as a stream in arrival order (event_id), how late
+    does event time run behind the high-water mark, and how many rows
+    would each candidate watermark setting (30m/1h/2h) DROP? This is
+    how the 2h watermark used by the streaming twins was chosen —
+    the audit pins the policy to data instead of folklore.
+
+    Lateness is event-time behind the RUNNING MAX over ARRIVAL order
+    within the event's source partition. The testdata ships neither
+    an arrival timestamp nor a partition column, so both are
+    simulated deterministically: arrival = event time + an
+    md5-derived uniform delay in [0, 1h) (the training module's
+    engine-independent hash idiom), partition = event_id % 8.
+    Arrival order only exists per source partition at scale, and a
+    real watermark tracks exactly these per-partition high-water
+    marks (taking their min at batch boundaries) — so the cumulative
+    window is keyed, never a single-partition global sort. The audit
+    output is one fused aggregate over exact integer microseconds.
+    """
+    ev = Catalog(spark, sf_dir).events
+    hex4 = F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+    delay_us = ((F.conv(hex4, 16, 10).cast("int") % 3600).cast("long")
+                * 1_000_000)
+    arr = ev.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + delay_us).alias("arrival_us"))
+    w = (W.partitionBy(F.expr("event_id % 8"))
+         .orderBy("arrival_us", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    late = (arr.select("ts_us", F.max("ts_us").over(w).alias("max_seen_us"))
+            .select((F.col("max_seen_us") - F.col("ts_us")).alias("late_us")))
+
+    def dropped(us: int, name: str):
+        return F.sum((F.col("late_us") > us).cast("long")).alias(name)
+
+    return late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_out_of_order"),
+        dropped(1_800_000_000, "dropped_at_30m"),
+        dropped(3_600_000_000, "dropped_at_1h"),
+        dropped(7_200_000_000, "dropped_at_2h"),
+        F.max("late_us").alias("max_late_us"))
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER w AS t,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS prefix_cents,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY event_type) AS total_cents
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), d AS (
+        SELECT event_type, ts, t, n,
+               n * prefix_cents - t * total_cents AS dstat
+        FROM seq
+    ), ranked AS (
+        SELECT event_type, ts, t, n, dstat,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY abs(dstat) DESC, t) AS rk
+        FROM d
+    )
+    SELECT event_type, ts AS changepoint_ts,
+           CAST(t AS BIGINT) AS split_index,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(dstat AS DOUBLE) / (CAST(n AS DOUBLE) * 100e0)
+               AS cusum_dollars
+    FROM ranked WHERE rk = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection per event type: the CUSUM
+    statistic S_t = prefix_t - t*mean peaks where the series' mean
+    shifts; the peak |S_t| row is the best single split point.
+
+    Exactness: the statistic is kept in the INTEGER form
+    D_t = n*prefix_t - t*total (cents), so the argmax — the actual
+    detection decision — is an exact integer comparison with a
+    deterministic (|D| desc, t) tiebreak; the reported dollars-scale
+    value divides once at the end. One window pass per event_type
+    computes rank, prefix, and the two totals on a single exchange;
+    the argmax is a second |types|-keyed window over the same
+    partitioning. Magnitudes: n*prefix <= n^2*max_cents — int64-safe
+    to ~3e6 rows/group at this value range; beyond that, decimal(38)
+    lanes (the OLS pattern in trend_daily_revenue_ols).
+    """
+    ev = Catalog(spark, sf_dir).events
+    from ..functions.exact import cents as cents_
+    wo = W.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = wo.rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy("event_type")
+    seq = ev.select(
+        "event_type", "ts",
+        cents_(F.col("value")).alias("cents"),
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum(cents_(F.col("value"))).over(wp).alias("prefix_cents"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum(cents_(F.col("value"))).over(wall).alias("total_cents"))
+    d = seq.select(
+        "event_type", "ts", "t", "n",
+        (F.col("n") * F.col("prefix_cents")
+         - F.col("t") * F.col("total_cents")).alias("dstat"))
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.abs(F.col("dstat")).desc(), "t"))
+    return (d.withColumn("rk", rk).filter(F.col("rk") == 1)
+            .select("event_type", F.col("ts").alias("changepoint_ts"),
+                    F.col("t").alias("split_index"),
+                    F.col("n").alias("n_events"),
+                    (F.col("dstat").cast("double")
+                     / (F.col("n").cast("double") * F.lit(100.0)))
+                    .alias("cusum_dollars")))
+
+
+@query(
+    "lttb_downsample_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                   // 3600000000 AS hx,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ), based0 AS (
+        SELECT hx, cents, (hx - MIN(hx) OVER ()) // 10 AS b FROM hourly
+    ), based AS (
+        SELECT hx, cents, b, MAX(b) OVER () AS bmax FROM based0
+    ), anchors AS (
+        SELECT b, AVG(CAST(hx AS DOUBLE)) AS ax,
+               AVG(CAST(cents AS DOUBLE)) AS ay
+        FROM based GROUP BY b
+    ), scored AS (
+        SELECT p.hx, p.cents, p.b, p.bmax,
+               CASE WHEN p.b = 0 THEN CAST(p.hx AS DOUBLE)
+                    WHEN p.b = p.bmax THEN CAST(-p.hx AS DOUBLE)
+                    ELSE -abs((prv.ax - nxt.ax)
+                              * (CAST(p.cents AS DOUBLE) - prv.ay)
+                              - (prv.ax - CAST(p.hx AS DOUBLE))
+                              * (nxt.ay - prv.ay))
+               END AS ok
+        FROM based p
+        LEFT JOIN anchors prv ON prv.b = p.b - 1
+        LEFT JOIN anchors nxt ON nxt.b = p.b + 1
+    ), picked AS (
+        SELECT b, hx, cents,
+               ROW_NUMBER() OVER (PARTITION BY b ORDER BY ok, hx) AS rk
+        FROM scored
+    )
+    SELECT CAST(b AS BIGINT) AS bucket,
+           make_timestamp(hx * 3600000000) AS hour_ts,
+           CAST(cents AS DOUBLE) / 100e0 AS total_value
+    FROM picked WHERE rk = 1
+    """,
+)
+def lttb_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of the hourly
+    revenue series — the visualization-grade reduction that keeps
+    peaks and cliffs a plain AVG-per-bucket smooths away. One point
+    survives per 10-hour bucket: the one subtending the largest
+    triangle against the neighboring buckets' centroids.
+
+    One documented deviation from Steinarsson's sequential LTTB: the
+    left anchor is the previous bucket's CENTROID, not the previously
+    selected point — the textbook algorithm is a sequential chain
+    (selection t depends on t-1), unusable on a distributed engine;
+    the both-centroid variant keeps the shape-preserving behavior and
+    is embarrassingly parallel. Endpoint buckets keep their first/
+    last point (LTTB's endpoint rule). Determinism: hour indexes and
+    cents are exact ints; the area expression is one fixed-order
+    double chain; the per-bucket argmax tiebreaks on (score, hx).
+    Plan: hourly hash agg -> bucket centroids (tiny) joined back by
+    bucket id -> one bucket-partitioned window. Scale: buckets are
+    time-arithmetic (no global sort); the series itself is already
+    calendar-bounded.
+    """
+    from ..functions.exact import cents as cents_
+    ev = Catalog(spark, sf_dir).events
+    hourly = (ev.withColumn(
+        "hx", F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000"))
+        .groupBy("hx")
+        .agg(F.sum(cents_(F.col("value"))).alias("cents")))
+    wall = W.partitionBy()
+    based = hourly.select(
+        "hx", "cents",
+        F.expr("hx - min(hx) over () ").alias("rel"))
+    based = based.select(
+        "hx", "cents", F.expr("rel div 10").alias("b"))
+    based = based.withColumn("bmax", F.max("b").over(wall))
+    anchors = (based.groupBy("b")
+               .agg(F.avg(F.col("hx").cast("double")).alias("ax"),
+                    F.avg(F.col("cents").cast("double")).alias("ay")))
+    prv = anchors.select(F.col("b").alias("pb"), F.col("ax").alias("pax"),
+                         F.col("ay").alias("pay"))
+    nxt = anchors.select(F.col("b").alias("nb"), F.col("ax").alias("nax"),
+                         F.col("ay").alias("nay"))
+    scored = (based
+              .join(prv, F.col("pb") == F.col("b") - 1, "left")
+              .join(nxt, F.col("nb") == F.col("b") + 1, "left"))
+    area = F.abs((F.col("pax") - F.col("nax"))
+                 * (F.col("cents").cast("double") - F.col("pay"))
+                 - (F.col("pax") - F.col("hx").cast("double"))
+                 * (F.col("nay") - F.col("pay")))
+    ok = (F.when(F.col("b") == 0, F.col("hx").cast("double"))
+          .when(F.col("b") == F.col("bmax"), (-F.col("hx")).cast("double"))
+          .otherwise(-area))
+    rk = F.row_number().over(W.partitionBy("b").orderBy(ok, "hx"))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") == 1)
+            .select(F.col("b").alias("bucket"),
+                    F.timestamp_seconds(F.col("hx") * 3600).alias("hour_ts"),
+                    (F.col("cents").cast("double") / F.lit(100.0))
+                    .alias("total_value")))

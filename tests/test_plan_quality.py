@@ -384,3 +384,24 @@ def test_cardinality_estimate_runs_no_cartesian(spark):
     # join stays an equi-join on user_id with the time predicate as a
     # post-condition.
     assert "CartesianProduct" not in plan
+
+
+def test_watermark_audit_window_is_keyed(spark):
+    """The lateness window must partition by the simulated source
+    partition — a single-partition global sort would be the
+    unscalable shape."""
+    plan = _plan(spark, "watermark_lateness_audit")
+    scan_to_window = plan[:plan.index("Window") + 2000] if "Window" in plan else plan
+    assert "(event_id" in plan and "% 8" in plan
+
+
+def test_cusum_windows_share_one_exchange_per_key(spark):
+    plan = _plan(spark, "cusum_changepoint")
+    # rank/prefix/totals and the argmax all partition on event_type:
+    # at most two Exchange hashpartitioning(event_type...) appear
+    # (one for the frame windows, one AQE-inserted at most), never a
+    # per-window shuffle chain.
+    import re
+    n_type_exchanges = len(re.findall(
+        r"Exchange hashpartitioning\(event_type", plan))
+    assert n_type_exchanges <= 2, plan[:2000]
