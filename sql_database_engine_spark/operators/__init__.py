@@ -94,6 +94,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_path_trigrams", "conversion_rate_wilson",
         "gapfill_daily_interpolate", "watermark_lateness_audit",
         "cusum_changepoint", "lttb_downsample_hourly",
+        "stream_click_purchase_full_join_settled",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}
@@ -231,9 +232,74 @@ def _register_streaming() -> None:
                 .filter(F.col("click_ts") <= F.col("cutoff"))
                 .drop("cutoff"))
 
+    def stream_click_purchase_full_join(spark, sf_dir):
+        s = es.events_stream(spark, sf_dir)
+        return es.run_available_now(es.click_purchase_full_join(s),
+                                    "q_stream_cp_full", output_mode="append")
+
+    def stream_click_purchase_full_join_settled(spark, sf_dir):
+        """The FULL outer stream-stream join restricted to its settled
+        region: matched rows always emit (inner semantics); null-
+        extended rows on either side are kept only when that side's
+        whole match window provably cleared the final watermark
+        (timestamp <= min(max click, max purchase) - 2h lateness - 1h
+        join range). Inside that region availableNow emission is
+        complete on both sides, so the result is deterministic and
+        carries a full oracle; the unrestricted variant stays
+        rows-only (younger unmatched rows are still buffered —
+        correct streaming behavior)."""
+        from ..catalog import load_table
+        s = es.events_stream(spark, sf_dir)
+        drained = es.run_available_now(es.click_purchase_full_join(s),
+                                       "q_stream_cp_full_settled",
+                                       output_mode="append")
+        ev = load_table(spark, sf_dir, "events")
+        cut = (ev.agg(F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+            .alias("m"))
+            .select((F.col("m") - F.expr("INTERVAL 3 HOUR")).alias("cutoff")))
+        matched = F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+        settled_click = (F.col("purchase_id").isNull()
+                         & (F.col("click_ts") <= F.col("cutoff")))
+        settled_purchase = (F.col("click_id").isNull()
+                            & (F.col("purchase_ts") <= F.col("cutoff")))
+        return (drained.crossJoin(F.broadcast(cut))
+                .filter(matched | settled_click | settled_purchase)
+                .drop("cutoff"))
+
     # rows-only: the null-extended subset depends on watermark-eviction
     # boundaries (see click_purchase_left_join docstring), which a SQL
     # oracle cannot pin portably.
+    QUERIES.setdefault("stream_click_purchase_full_join",
+                       stream_click_purchase_full_join)
+    QUERIES.setdefault("stream_click_purchase_full_join_settled",
+                       stream_click_purchase_full_join_settled)
+    ORACLES.setdefault("stream_click_purchase_full_join_settled", """
+    WITH c AS (
+        SELECT user_id AS c_user, event_id AS click_id,
+               CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id AS p_user, event_id AS purchase_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), cut AS (
+        SELECT least((SELECT max(click_ts) FROM c),
+                     (SELECT max(purchase_ts) FROM p))
+               - INTERVAL 3 HOUR AS cutoff
+    )
+    SELECT COALESCE(c.c_user, p.p_user) AS user_id,
+           c.click_id, c.click_ts, p.purchase_id, p.purchase_ts
+    FROM c
+    FULL OUTER JOIN p ON c.c_user = p.p_user
+                     AND p.purchase_ts >= c.click_ts
+                     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR,
+         cut
+    WHERE (c.click_id IS NOT NULL AND p.purchase_id IS NOT NULL)
+       OR (p.purchase_id IS NULL AND c.click_ts <= cut.cutoff)
+       OR (c.click_id IS NULL AND p.purchase_ts <= cut.cutoff)
+    """)
     QUERIES.setdefault("stream_click_purchase_left_join",
                        stream_click_purchase_left_join)
     QUERIES.setdefault("stream_click_purchase_left_join_settled",

@@ -229,3 +229,39 @@ def click_purchase_left_join(events: DataFrame) -> DataFrame:
         .select(F.col("c_user").alias("user_id"), "click_id", "click_ts",
                 "purchase_id", "purchase_ts")
     )
+
+
+def click_purchase_full_join(events: DataFrame) -> DataFrame:
+    """FULL OUTER stream-stream join: every click with its purchases
+    in the following hour, every purchase with its clicks in the
+    preceding hour — unmatched rows on EITHER side null-extend once
+    the watermark clears their whole match window.
+
+    Same state/eviction mechanics as the left-outer variant, applied
+    symmetrically: a click is declared purchase-less after
+    watermark > click_ts + 1h, a purchase click-less after
+    watermark > purchase_ts (its candidate clicks live in
+    [purchase_ts - 1h, purchase_ts]). Under availableNow the rows
+    younger than those horizons stay buffered — correct streaming
+    behavior; the settled-region query restricts to the provably
+    emitted region for its oracle."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "full_outer")
+        .select(F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+                "click_id", "click_ts", "purchase_id", "purchase_ts")
+    )

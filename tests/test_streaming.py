@@ -270,3 +270,51 @@ def test_stream_stream_left_join_watermark_horizon(spark, stream):
                  .select("user_id", "click_id", "click_ts"))
     c3 = ["user_id", "click_id", "click_ts"]
     assert _rows(got_nulls, c3) == _rows(unmatched_batch, c3)
+
+
+def test_stream_full_outer_join_settled_matches_batch(spark, stream):
+    """The settled region of the FULL outer stream-stream join equals
+    the batch full-outer join restricted to the same horizon — on
+    BOTH null-extended sides."""
+    from sql_database_engine_spark import operators
+    operators.load_all()
+    got = operators.QUERIES["stream_click_purchase_full_join_settled"](
+        spark, SF_SMOKE)
+    from sql_database_engine_spark.catalog import load_table
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("click_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("purchase_ts")))
+    cut = (ev.agg(F.least(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+        .alias("m"))
+        .select((F.col("m") - F.expr("INTERVAL 3 HOUR")).alias("cutoff")))
+    want = (c.join(p, (F.col("c_user") == F.col("p_user"))
+                   & (F.col("purchase_ts") >= F.col("click_ts"))
+                   & (F.col("purchase_ts") <= F.col("click_ts")
+                      + F.expr("INTERVAL 1 HOUR")), "full_outer")
+            .select(F.coalesce("c_user", "p_user").alias("user_id"),
+                    "click_id", "click_ts", "purchase_id", "purchase_ts")
+            .crossJoin(F.broadcast(cut))
+            .filter((F.col("click_id").isNotNull()
+                     & F.col("purchase_id").isNotNull())
+                    | (F.col("purchase_id").isNull()
+                       & (F.col("click_ts") <= F.col("cutoff")))
+                    | (F.col("click_id").isNull()
+                       & (F.col("purchase_ts") <= F.col("cutoff"))))
+            .drop("cutoff"))
+    cols = ["user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"]
+
+    def rows(df):
+        # null-safe sort: full outer nulls appear on BOTH id columns
+        key = lambda t: tuple((v is None, v) for v in t)
+        return sorted((tuple(r[c] for c in cols)
+                       for r in df.select(*cols).collect()), key=key)
+
+    assert rows(got) == rows(want)
