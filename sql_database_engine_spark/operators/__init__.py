@@ -95,6 +95,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_daily_interpolate", "watermark_lateness_audit",
         "cusum_changepoint", "lttb_downsample_hourly",
         "stream_click_purchase_full_join_settled",
+        "mixture_interleave_manifest", "fim_transform_sample",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

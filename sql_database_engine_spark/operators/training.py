@@ -488,3 +488,136 @@ def k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") < K_ANON)
     )
+
+
+@query(
+    "mixture_interleave_manifest",
+    oracle="""
+    WITH weighted AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0
+                    THEN 2 ELSE 1 END AS w
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, source, w,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM weighted
+    ), vt AS (
+        SELECT doc_id, source,
+               rk * (2 / w) AS vtime,
+               ROW_NUMBER() OVER (ORDER BY rk * (2 / w), source, doc_id)
+                   AS position
+        FROM ranked
+    )
+    SELECT CAST(position AS BIGINT) AS position, doc_id, source,
+           CAST(vtime AS BIGINT) AS vtime
+    FROM vt WHERE position <= 200
+    """,
+)
+def mixture_interleave_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing manifest: interleave documents from
+    every source according to integer mixture weights (even-numbered
+    sources weight 2, odd weight 1) using STRIDE SCHEDULING — each
+    source's k-th document is scheduled at virtual time k*(L/w) with
+    L the weight LCM, and the global training order reads by virtual
+    time. Twice-weighted sources appear twice as often, steadily, not
+    in bursts — the sampling-without-replacement mixture order a
+    training run actually consumes, as a reproducible manifest.
+
+    Within a source, document order is the md5 shuffle (the module's
+    engine-independent hash idiom), so the manifest is stable across
+    engines and partitionings; virtual times are exact integers (the
+    weights divide the LCM), so the interleave comparison never
+    touches a float. The first 200 positions are emitted; the global
+    ordering window is the manifest's one inherent sequence point —
+    at production scale you shard the manifest by vtime range first
+    (same plan per shard, embarrassingly parallel).
+    """
+    d = Catalog(spark, sf_dir).documents
+    w = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0,
+               F.lit(2)).otherwise(F.lit(1))
+    from pyspark.sql import Window as W
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")),
+                                        "doc_id"))
+    ranked = (d.select("doc_id", "source", w.alias("w"))
+              .withColumn("rk", rk))
+    vtime = (F.col("rk") * (F.lit(2) / F.col("w"))).cast("long")
+    pos = F.row_number().over(
+        W.orderBy((F.col("rk") * (F.lit(2) / F.col("w"))), "source", "doc_id"))
+    return (ranked.select("doc_id", "source", vtime.alias("vtime"),
+                          pos.cast("long").alias("position"))
+            .filter(F.col("position") <= 200)
+            .select("position", "doc_id", "source", "vtime"))
+
+
+@query(
+    "fim_transform_sample",
+    oracle="""
+    WITH picked AS (
+        SELECT doc_id, text, len(text) AS n
+        FROM documents
+        WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               ::INTEGER % 1000) < 100 AND len(text) >= 20
+    ), cuts AS (
+        SELECT doc_id, text, n,
+               1 + (('0x' || substring(md5('a' || CAST(doc_id AS VARCHAR)), 1, 4))
+                    ::INTEGER % (n // 2)) AS c1,
+               (n // 2)
+               + (('0x' || substring(md5('b' || CAST(doc_id AS VARCHAR)), 1, 4))
+                  ::INTEGER % (n - n // 2)) AS c2
+        FROM picked
+    )
+    SELECT doc_id,
+           CAST(c1 AS BIGINT) AS prefix_len,
+           CAST(c2 - c1 AS BIGINT) AS middle_len,
+           CAST(n - c2 AS BIGINT) AS suffix_len,
+           substring(text, 1, c1) || '<SUF>' || substring(text, c2 + 1)
+               || '<MID>' || substring(text, c1 + 1, c2 - c1) AS psm_text
+    FROM cuts
+    """,
+)
+def fim_transform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022):
+    a deterministic 10% document sample is split at two hash-derived
+    character cuts into (prefix, middle, suffix) and re-serialized in
+    PSM order — prefix, <SUF> suffix, <MID> middle — the format an
+    infilling-capable model trains on.
+
+    Everything is a pure row-level string expression (codegen'd,
+    scan-speed): the sample gate and both cut points derive from md5
+    of the doc id (salted 'a'/'b' for independence), so the transform
+    is reproducible across engines, partitionings, and reruns — no
+    RNG state anywhere. The first cut lands in the first half, the
+    second in the second half, so middle is never empty and the
+    three lengths always sum to the document length (the oracle
+    checks the arithmetic as data).
+    """
+    d = Catalog(spark, sf_dir).documents
+
+    def hx(salt: str):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+            1, 4), 16, 10).cast("int")
+
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                  16, 10).cast("int") % 1000 < 100
+    n = F.length("text")
+    picked = d.filter(gate & (n >= 20)).select("doc_id", "text",
+                                               n.alias("n"))
+    c1 = (F.lit(1) + hx("a") % F.expr("n div 2"))
+    c2 = (F.expr("n div 2") + hx("b") % (F.col("n") - F.expr("n div 2")))
+    cuts = picked.select("doc_id", "text", "n", c1.alias("c1"), c2.alias("c2"))
+    psm = F.concat(F.substring(F.col("text"), 1, F.col("c1").cast("int")),
+                   F.lit("<SUF>"),
+                   F.expr("substring(text, c2 + 1)"),
+                   F.lit("<MID>"),
+                   F.expr("substring(text, c1 + 1, c2 - c1)"))
+    return cuts.select(
+        "doc_id",
+        F.col("c1").cast("long").alias("prefix_len"),
+        (F.col("c2") - F.col("c1")).cast("long").alias("middle_len"),
+        (F.col("n") - F.col("c2")).cast("long").alias("suffix_len"),
+        psm.alias("psm_text"))
