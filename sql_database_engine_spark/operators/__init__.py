@@ -96,6 +96,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint", "lttb_downsample_hourly",
         "stream_click_purchase_full_join_settled",
         "mixture_interleave_manifest", "fim_transform_sample",
+        "sql_recursive_bfs", "percentile_cont_interpolated",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

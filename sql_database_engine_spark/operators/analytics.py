@@ -1511,3 +1511,76 @@ def conversion_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", "n_users", "n_converted", rate.alias("rate"),
         ((center - spread) / denom).alias("wilson_low"),
         ((center + spread) / denom).alias("wilson_high"))
+
+
+@query(
+    "percentile_cont_interpolated",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ), pos AS (
+        SELECT l_returnflag, l_quantity, rn, n,
+               0.5e0 * (n - 1) AS p50, 0.9e0 * (n - 1) AS p90
+        FROM ranked
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           MAX(CASE WHEN rn = CAST(floor(p50) AS BIGINT) + 1
+                    THEN (1e0 - (p50 - floor(p50))) * l_quantity END)
+           + COALESCE(MAX(CASE WHEN rn = CAST(floor(p50) AS BIGINT) + 2
+                          THEN (p50 - floor(p50)) * l_quantity END), 0e0)
+               AS p50_cont,
+           MAX(CASE WHEN rn = CAST(floor(p90) AS BIGINT) + 1
+                    THEN (1e0 - (p90 - floor(p90))) * l_quantity END)
+           + COALESCE(MAX(CASE WHEN rn = CAST(floor(p90) AS BIGINT) + 2
+                          THEN (p90 - floor(p90)) * l_quantity END), 0e0)
+               AS p90_cont
+    FROM pos GROUP BY l_returnflag
+    """,
+)
+def percentile_cont_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT semantics (linear interpolation between the
+    two bracketing order statistics) next to the engine's
+    nearest-rank family — the SQL-standard continuous percentile,
+    reproduced deterministically: the fractional position p*(n-1) is
+    one fixed double expression, the two bracketing rows are integer
+    rank picks inside an ordinary aggregate (conditional MAX at
+    rank floor+1 and floor+2), and the interpolation is a fixed-order
+    weighted sum. No percentile UDAF, no second sort — one window
+    rank + one hash aggregate, same plan family as
+    ``percentile_exact_quantity``. When the position is integral the
+    upper term is absent (COALESCE 0), matching PERCENTILE_CONT
+    exactly.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    wr = W.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber")
+    wn = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "l_quantity",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    pos = ranked.select(
+        "l_returnflag", "l_quantity", "rn", "n",
+        (F.lit(0.5) * (F.col("n") - 1)).alias("p50"),
+        (F.lit(0.9) * (F.col("n") - 1)).alias("p90"))
+
+    def cont(p):
+        lo = F.floor(F.col(p)).cast("long")
+        frac = F.col(p) - F.floor(F.col(p))
+        lo_term = F.max(F.when(F.col("rn") == lo + 1,
+                               (F.lit(1.0) - frac) * F.col("l_quantity")))
+        hi_term = F.coalesce(
+            F.max(F.when(F.col("rn") == lo + 2, frac * F.col("l_quantity"))),
+            F.lit(0.0))
+        return lo_term + hi_term
+
+    return (pos.groupBy("l_returnflag")
+            .agg(F.max("n").alias("n_rows"),
+                 cont("p50").alias("p50_cont"),
+                 cont("p90").alias("p90_cont")))

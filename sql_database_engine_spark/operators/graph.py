@@ -321,3 +321,46 @@ def bfs_brand_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select(F.col("node").alias("brand"),
                      F.col("dist").alias("hops"))
             .orderBy(F.asc_nulls_last("hops"), "brand"))
+
+
+#: ONE SQL text for both engines: Spark 4's WITH RECURSIVE and
+#: DuckDB's are dialect-compatible for this query, so the front door
+#: and its oracle are literally the same string — the strongest
+#: possible parity statement for the SQL surface.
+_RECURSIVE_BFS_SQL = f"""
+    WITH RECURSIVE
+    {_EDGES_SQL},
+    start AS (SELECT MIN(src) AS s FROM edges),
+    walk(node, d) AS (
+        SELECT s, 0 FROM start
+        UNION ALL
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < 3
+    )
+    SELECT node AS brand, CAST(MIN(d) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+"""
+
+
+@query("sql_recursive_bfs", oracle=_RECURSIVE_BFS_SQL)
+def sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE front door (Spark 4 WITH RECURSIVE): BFS
+    reachability to depth 3 over the brand co-occurrence graph,
+    authored as ONE SQL text that runs verbatim on both Spark and the
+    DuckDB oracle — edge derivation, recursive walk, and hop-min are
+    the same string on both engines.
+
+    Semantics next to ``bfs_brand_distances`` (the iterative
+    DataFrame twin): UNION ALL + an explicit depth bound terminates
+    on cyclic graphs; unreached nodes are absent here (the iterative
+    twin reports them as NULL — both contracts documented). Catalyst
+    executes the recursion as iterated joins — the same per-round
+    join(frontier, edges) shuffle the hand-rolled loop issues, now
+    planned from declarative SQL. Path fan-out before the MIN is
+    bounded by |brands| * avg_degree^3 (brand vocabulary is fixed, so
+    this does not grow with corpus size).
+    """
+    from ..catalog import register_views
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_RECURSIVE_BFS_SQL)
