@@ -97,6 +97,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_click_purchase_full_join_settled",
         "mixture_interleave_manifest", "fim_transform_sample",
         "sql_recursive_bfs", "percentile_cont_interpolated",
+        "variant_json_extract", "ansi_safe_arithmetic",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

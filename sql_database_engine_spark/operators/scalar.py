@@ -285,3 +285,78 @@ def pii_mask_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(digits).cast("long").alias("digits_masked"),
              F.countDistinct(masked).alias("n_masked_forms"))
     )
+
+
+@query(
+    "variant_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    turns the props JSON string into the binary VARIANT encoding once
+    at the scan, ``variant_get`` then extracts typed paths WITHOUT
+    re-parsing per access — the open-format answer to string-typed
+    JSON columns (at 100 TB, parse-once beats parse-per-expression by
+    the number of accesses, and VARIANT's shredded binary layout
+    skips to the requested path instead of scanning the text).
+
+    The aggregate downstream is ordinary exact-integer work; the
+    oracle reads the same numbers through DuckDB's JSON extraction,
+    pinning that the VARIANT decode is value-faithful end to end.
+    """
+    ev = Catalog(spark, sf_dir).events
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+@query(
+    "ansi_safe_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (l_quantity = 25) AS BIGINT)
+               AS n_null_division,
+           CAST(SUM(CASE WHEN l_quantity <> 25 THEN
+                 CAST(ROUND(l_extendedprice / (l_quantity - 25) * 100)
+                      AS BIGINT) END) AS BIGINT) AS sum_ratio_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode safety surface: Spark 4 runs with strict SQL
+    semantics (division by zero THROWS instead of returning NULL, as
+    3.x did), and ``try_divide``/``try_*`` are the sanctioned
+    per-expression escape hatch — the query keeps running and yields
+    NULL exactly where the strict engine would have raised. Here a
+    deliberately zero-crossing divisor (quantity - 25) exercises it:
+    NULL counts and the surviving ratios are aggregated under the
+    exact-money policy. The oracle computes the identical result with
+    an explicit CASE guard — pinning that try_divide nulls precisely
+    the rows the guard excludes, nothing more.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    ratio = F.try_divide(F.col("l_extendedprice"),
+                         F.col("l_quantity") - F.lit(25))
+    return (li.select("l_returnflag", ratio.alias("ratio"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("ratio").isNull().cast("long"))
+                 .alias("n_null_division"),
+                 F.sum(F.round(F.col("ratio") * 100).cast("long"))
+                 .alias("sum_ratio_cents")))
