@@ -101,3 +101,58 @@ def test_fuzzed_groupby_agrees(seed, spark, duck):
     got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
     want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
     assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_window_agrees(seed, spark, duck):
+    """Fuzzed window functions: rank/row_number and running integer
+    sums over a deterministic total order (orderkey, linenumber) —
+    same SQL text to both engines."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(9000 + seed)
+    key = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey"])
+    where = _predicate(rng)
+    fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # adding l_quantity makes rows tied on the order key carry equal
+    # summands, so every per-row running value — and the output
+    # multiset — is permutation-invariant within ties.
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST({fn} OVER w AS BIGINT) AS rk, "
+        f"CAST(SUM(CAST(l_quantity AS BIGINT)) OVER "
+        f"(PARTITION BY {key} ORDER BY l_orderkey, l_linenumber, "
+        f"l_quantity ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run "
+        f"FROM lineitem WHERE {where} "
+        f"WINDOW w AS (PARTITION BY {key} "
+        f"ORDER BY l_orderkey, l_linenumber, l_quantity)"
+    )
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_join_agg_agrees(seed, spark, duck):
+    """Fuzzed fact-fact joins: orders x lineitem on the natural key
+    under a random lineitem predicate plus a random orders predicate,
+    aggregated with integer-exact measures — same SQL to both."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem", "orders"))
+    rng = random.Random(13000 + seed)
+    where = _predicate(rng)
+    prio = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                       "5-LOW"])
+    okey = rng.choice(["o_orderpriority", "o_orderstatus"])
+    sql = (
+        f"SELECT {okey}, l_returnflag, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq "
+        f"FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        f"WHERE ({where}) AND o_orderpriority <> '{prio}' "
+        f"GROUP BY {okey}, l_returnflag"
+    )
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
