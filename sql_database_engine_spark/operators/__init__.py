@@ -98,6 +98,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_interleave_manifest", "fim_transform_sample",
         "sql_recursive_bfs", "percentile_cont_interpolated",
         "variant_json_extract", "ansi_safe_arithmetic",
+        "cep_click_purchase_no_error", "clamped_running_balance",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -690,3 +690,63 @@ def user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.bit_count("bitmap").cast("long")
                      .alias("n_active_days"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query(
+    "cep_click_purchase_no_error",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_ts
+    FROM p
+    WHERE EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND CAST(c.ts AS TIMESTAMP) >= p.purchase_ts - INTERVAL 1 HOUR
+          AND CAST(c.ts AS TIMESTAMP) < p.purchase_ts
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM events x
+        WHERE x.user_id = p.user_id AND x.event_type = 'error'
+          AND CAST(x.ts AS TIMESTAMP) >= p.purchase_ts - INTERVAL 1 HOUR
+          AND CAST(x.ts AS TIMESTAMP) < p.purchase_ts
+    )
+    """,
+)
+def cep_click_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern: purchases preceded by a
+    click within the last hour with NO error in that same hour — the
+    MATCH_RECOGNIZE shape (A then B, C absent between) as one
+    window pass instead of two correlated subqueries.
+
+    Plan: one (user)-partitioned window ordered by time computes, at
+    every purchase, the timestamps of the most recent click and most
+    recent error (two last/ignorenulls carries on the SAME window
+    frame — one exchange); the pattern predicate is then a pure row
+    filter: click within 1h, error absent-or-older-than-the-hour.
+    The oracle states the same pattern as EXISTS/NOT EXISTS —
+    verifying the window rewrite against the declarative form. At
+    100 TB the window form wins: the correlated form re-joins the
+    fact table per subquery, the carry form scans it once.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    carried = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts")),
+               ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last(F.when(F.col("event_type") == "error", F.col("ts")),
+               ignorenulls=True).over(w).alias("last_error_ts"))
+    hour = F.expr("INTERVAL 1 HOUR")
+    ok_click = (F.col("last_click_ts").isNotNull()
+                & (F.col("last_click_ts") >= F.col("ts") - hour))
+    no_error = (F.col("last_error_ts").isNull()
+                | (F.col("last_error_ts") < F.col("ts") - hour))
+    return (carried.filter((F.col("event_type") == "purchase")
+                           & ok_click & no_error)
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("purchase_ts")))

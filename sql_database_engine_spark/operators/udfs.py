@@ -154,3 +154,94 @@ def pandas_udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame
     return d.groupBy("lang").agg(
         median_chars(F.col("n_chars")).alias("median_chars"),
         n_rows(F.col("n_chars")).alias("n_docs"))
+
+
+@query(
+    "clamped_running_balance",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100) AS BIGINT)
+                    ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS delta
+        FROM events WHERE event_type IN ('purchase', 'error')
+    ), walk(user_id, rn, bal, clamps, maxb) AS (
+        SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM (SELECT DISTINCT user_id FROM ev)
+        UNION ALL
+        SELECT w.user_id, e.rn,
+               GREATEST(w.bal + e.delta, 0),
+               w.clamps + CASE WHEN w.bal + e.delta < 0 THEN 1 ELSE 0 END,
+               GREATEST(w.maxb, GREATEST(w.bal + e.delta, 0))
+        FROM walk w JOIN ev e
+          ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    ), finals AS (
+        SELECT user_id, bal, clamps, maxb,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY rn DESC) AS pick
+        FROM walk
+    )
+    SELECT user_id,
+           CAST(bal AS DOUBLE) / 100e0 AS final_balance,
+           clamps AS n_clamps,
+           CAST(maxb AS DOUBLE) / 100e0 AS max_balance
+    FROM finals WHERE pick = 1
+    """,
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance per user (purchases credit,
+    errors debit, balance never below zero) — the canonical
+    NON-ASSOCIATIVE sequential recurrence: ``bal = max(bal + delta,
+    0)`` cannot be expressed as any window aggregate (the clamp makes
+    prefix results depend on every intermediate state), so this is
+    the honest use case for the custom stateful kernel tier —
+    ``applyInPandas`` with an explicit per-key sequential loop, the
+    batch analogue of a transformWithState streaming operator.
+
+    Scale shape: groups shard by user across executors (one shuffle),
+    each group's recurrence is a tight numpy-backed loop over its own
+    rows only. Determinism: integer cents, a total (ts, event_id)
+    order within user, exact comparisons. The oracle replays the
+    identical recurrence as a recursive CTE — two entirely different
+    execution strategies, one fixpoint.
+    """
+    import numpy as np
+
+    from ..functions.exact import cents as cents_
+    ev = Catalog(spark, sf_dir).events
+    deltas = (ev.filter(F.col("event_type").isin("purchase", "error"))
+              .select("user_id", "ts", "event_id",
+                      F.when(F.col("event_type") == "purchase",
+                             cents_(F.col("value")))
+                      .otherwise(-cents_(F.col("value"))).alias("delta")))
+
+    schema = ("user_id bigint, final_balance double, n_clamps bigint, "
+              "max_balance bigint")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal = 0
+        clamps = 0
+        maxb = 0
+        for d in pdf["delta"].to_numpy():
+            nxt = bal + int(d)
+            if nxt < 0:
+                clamps += 1
+                nxt = 0
+            bal = nxt
+            if bal > maxb:
+                maxb = bal
+        return pd.DataFrame({"user_id": [int(pdf["user_id"].iloc[0])],
+                             "final_balance": [bal],
+                             "n_clamps": [clamps],
+                             "max_balance": [maxb]})
+
+    out = deltas.groupBy("user_id").applyInPandas(kernel, schema)
+    return out.select(
+        "user_id",
+        (F.col("final_balance") / 100.0).alias("final_balance"),
+        "n_clamps",
+        (F.col("max_balance").cast("double") / 100.0).alias("max_balance"))
