@@ -237,3 +237,67 @@ def purchase_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("run_len") >= 3).cast("long")).alias("n_streaks_ge3"),
         F.sum("run_len").alias("n_purchases"),
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_1h_cents
+    FROM events
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based RANGE frame: per user, the trailing-1-hour sum of
+    event value at every event — the physical-time sibling of
+    ``window_range_frame``'s value-range frame. The frame bound is
+    expressed on the microsecond epoch (RANGE over integers), so
+    frame membership is an exact integer comparison on both engines;
+    ties in event time share one frame by RANGE semantics, which
+    makes the per-row result order-independent under duplicates.
+    One keyed window exchange; integer-cent sums.
+    """
+    from ..catalog import Catalog
+    ev = Catalog(spark, sf_dir).events
+    from ..functions.exact import cents
+    w = (W.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(cents(F.col("value"))).over(w).alias("trailing_1h_cents"))
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+    SELECT event_id, user_id,
+           quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5e0) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           / 100e0 AS moving_median
+    FROM events
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over the 7 trailing events per user — an ORDER
+    STATISTIC as a window aggregate (not a running sum), the robust
+    smoother for spiky series. Exactness: the median runs over
+    integer CENTS, so the even-frame interpolation midpoint
+    (lo + 0.5*(hi-lo)) is exactly representable and both engines'
+    formulas agree bit-for-bit; one division to dollars at the end.
+    One keyed window exchange; the frame is 7 rows, so per-row cost
+    is O(frame log frame) regardless of history length.
+    """
+    from ..catalog import Catalog
+    from ..functions.exact import cents
+    ev = Catalog(spark, sf_dir).events
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, 0))
+    med = F.expr(
+        "percentile(cast(round(value * 100) as bigint), 0.5D)").over(w)
+    return ev.select("event_id", "user_id",
+                     (med / F.lit(100.0)).alias("moving_median"))
