@@ -1298,3 +1298,56 @@ def lttb_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.timestamp_seconds(F.col("hx") * 3600).alias("hour_ts"),
                     (F.col("cents").cast("double") / F.lit(100.0))
                     .alias("total_value")))
+
+
+@query(
+    "twap_user_value",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(CAST(ts AS TIMESTAMP)) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CAST(SUM(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
+               / CAST(SUM(dur_us) AS BIGINT) / 100e0 AS twap
+    FROM seg WHERE dur_us IS NOT NULL
+    GROUP BY user_id HAVING SUM(dur_us) > 0
+    """,
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's
+    value holds until the user's next event, so the average weights
+    every observation by its holding duration — the standard fix for
+    irregularly-sampled series, where a plain AVG over-counts bursts.
+
+    Exactness under the engine's integer policy with 128-bit lanes:
+    cents x microsecond-duration products overflow int64 at modest
+    volumes (1e5 cents x 3.6e9 us ≈ 3.6e14 per row), so the weighted
+    sum accumulates in DECIMAL(38,0) (HUGEINT on the oracle side) —
+    the same moment-product sizing rule as the OLS operator — and
+    exactly one double division chain at the end. One keyed window
+    for the holding durations, one hash aggregate.
+    """
+    from ..functions.exact import cents as cents_
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id", cents_(F.col("value")).alias("cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+        .alias("dur_us"))
+    return (seg.filter(F.col("dur_us").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.sum("dur_us").alias("total_us"),
+                 F.sum(F.col("cents").cast("decimal(38,0)")
+                       * F.col("dur_us")).alias("wsum"))
+            .filter(F.col("total_us") > 0)
+            .select("user_id", "n_segments", "total_us",
+                    (F.col("wsum").cast("double") / F.col("total_us")
+                     / F.lit(100.0)).alias("twap")))
