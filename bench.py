@@ -71,6 +71,14 @@ HEADLINE = [
     "neardup_canonical_docs",       # cluster + keep-longest canonical
     "zscore_event_values",          # per-group standardization
     "ivm_append_join_view",         # incremental join-view maintenance
+    # (sql_recursive_bfs registered + correctness-checked but not
+    # benched: its cost is the basket-pair edge derivation that
+    # basket_brand_pair_lift already times; the recursion itself
+    # adds ~2s of iteration overhead on a 25-node graph.)
+    "clamped_running_balance",      # applyInPandas stateful kernel
+    "twap_user_value",              # 128-bit-lane weighted average
+    "variant_json_extract",         # VARIANT parse-once path
+    "cep_click_purchase_no_error",  # sequence pattern via window carry
 ]
 
 
