@@ -100,7 +100,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_json_extract", "ansi_safe_arithmetic",
         "cep_click_purchase_no_error", "clamped_running_balance",
         "window_time_range_frame", "window_moving_median",
-        "twap_user_value",
+        "twap_user_value", "leading_digit_profile",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -312,3 +312,41 @@ def order_line_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("diff_cents") > 100).cast("long"))
         .alias("n_beyond_dollar"),
         F.max("diff_cents").alias("max_diff_cents"))
+
+
+@query(
+    "leading_digit_profile",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                              1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM d) AS share
+    FROM d GROUP BY digit
+    """,
+)
+def leading_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford-style leading-digit profile of order totals — the
+    forensic data-quality screen: fabricated or unit-mangled money
+    columns show uniform-ish first digits where organic multiplicative
+    data skews low (Benford). The engine emits the observed digit
+    distribution (counts + exact-ratio shares); judging against the
+    log-curve is the analyst's monotone step and deliberately not
+    computed here — log10 is libm territory and the counts carry all
+    the information. One scan, digit extracted by integer-string
+    truncation (no float log), nine-row output.
+    """
+    o = Catalog(spark, sf_dir).orders
+    d = (o.filter(F.col("o_totalprice") >= 1)
+         .select(F.substring(F.floor("o_totalprice").cast("bigint")
+                             .cast("string"), 1, 1).cast("int").alias("digit")))
+    total = d.count()
+    return (d.groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("digit", "n",
+                    (F.col("n").cast("double") / F.lit(float(total)))
+                    .alias("share")))
