@@ -101,6 +101,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_click_purchase_no_error", "clamped_running_balance",
         "window_time_range_frame", "window_moving_median",
         "twap_user_value", "leading_digit_profile",
+        "equidepth_histogram_bounds", "phrase_search_bigram_index",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -1584,3 +1584,41 @@ def percentile_cont_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("n").alias("n_rows"),
                  cont("p50").alias("p50_cont"),
                  cont("p90").alias("p90_cont")))
+
+
+@query(
+    "equidepth_histogram_bounds",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               NTILE(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100)
+                                             AS BIGINT), o_orderkey) AS b
+        FROM orders
+    )
+    SELECT b AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS DOUBLE) / 100e0 AS lo,
+           CAST(MAX(cents) AS DOUBLE) / 100e0 AS hi
+    FROM t GROUP BY b
+    """,
+)
+def equidepth_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: ten buckets holding equal row counts,
+    with their value boundaries — the optimizer-statistics histogram
+    (selectivity per bucket is 1/k by construction, unlike the
+    equi-width ``numeric_histogram`` whose buckets starve in dense
+    regions). NTILE over (cents, orderkey) makes bucket assignment a
+    deterministic total order; bounds come from the per-bucket
+    min/max in the same pass. The global sort is the one inherent
+    cost — at table scale this becomes rank-against-broadcast-KLL-
+    cutpoints (the RFM pattern), same output contract.
+    """
+    o = Catalog(spark, sf_dir).orders
+    from ..functions.exact import cents as cents_
+    t = o.select(cents_(F.col("o_totalprice")).alias("cents"), "o_orderkey")
+    b = F.ntile(10).over(W.orderBy("cents", "o_orderkey"))
+    return (t.withColumn("bucket", b)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.min("cents").cast("double") / 100e0).alias("lo"),
+                 (F.max("cents").cast("double") / 100e0).alias("hi")))

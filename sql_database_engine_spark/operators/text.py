@@ -1621,3 +1621,33 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
                  .alias("canonical_chars"),
                  F.count(F.lit(1)).alias("n_members")))
+
+
+@query(
+    "phrase_search_bigram_index",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ' ' || text || ' ' LIKE '% merge window %'
+    """,
+)
+def phrase_search_bigram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search through the INVERTED INDEX: documents containing
+    the exact phrase "merge window", answered by probing the bigram
+    shingle index (one equi-join on the phrase's bigram) instead of
+    scanning text — while the oracle answers the same question with a
+    boundary-guarded LIKE scan. Two entirely different physical
+    strategies, one answer: the parity statement that the index IS
+    the text.
+
+    Scale: the index probe touches only the posting list of the
+    queried gram (distinct doc_ids, semi-join back for attributes);
+    the LIKE scan reads every byte of every document. At 100 TB the
+    gap is the point — this is why search engines build postings.
+    Longer phrases AND-join their component bigrams' posting lists,
+    same shape.
+    """
+    d = Catalog(spark, sf_dir).documents
+    postings = _word_bigrams(d).filter(F.col("gram") == "merge window")
+    return (d.join(postings.select("doc_id").distinct(), "doc_id", "semi")
+            .select("doc_id", "lang", "source"))
