@@ -102,6 +102,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_time_range_frame", "window_moving_median",
         "twap_user_value", "leading_digit_profile",
         "equidepth_histogram_bounds", "phrase_search_bigram_index",
+        "weekly_mix_shift",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -1351,3 +1351,45 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "n_segments", "total_us",
                     (F.col("wsum").cast("double") / F.col("total_us")
                      / F.lit(100.0)).alias("twap")))
+
+
+@query(
+    "weekly_mix_shift",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS week,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT week, event_type, n,
+               CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY week) AS share
+        FROM w
+    )
+    SELECT week, event_type, n, share,
+           share - LAG(share) OVER (PARTITION BY event_type ORDER BY week)
+               AS share_delta
+    FROM tot
+    """,
+)
+def weekly_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift analysis: each event type's share of weekly volume
+    and its week-over-week delta — the BI decomposition that
+    separates "the business grew" from "the mix moved". Shares are
+    exact-integer ratios (one double division per cell); the delta is
+    one double subtraction over a keyed lag — both deterministic.
+    Two window passes on different keys (week totals, per-type lag)
+    over the |weeks|x|types| aggregate, so everything after the first
+    groupBy is metadata-sized regardless of event volume.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = (ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("week"),
+                    "event_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    share = (F.col("n").cast("double")
+             / F.sum("n").over(W.partitionBy("week")))
+    tot = w.select("week", "event_type", "n", share.alias("share"))
+    lagw = W.partitionBy("event_type").orderBy("week")
+    return tot.select(
+        "week", "event_type", "n", "share",
+        (F.col("share") - F.lag("share").over(lagw)).alias("share_delta"))
