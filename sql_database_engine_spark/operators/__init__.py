@@ -102,7 +102,8 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_time_range_frame", "window_moving_median",
         "twap_user_value", "leading_digit_profile",
         "equidepth_histogram_bounds", "phrase_search_bigram_index",
-        "weekly_mix_shift",
+        "weekly_mix_shift", "weighted_median_price",
+        "trimmed_mean_price", "rollup_reuse_two_grain",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

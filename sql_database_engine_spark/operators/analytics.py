@@ -1622,3 +1622,140 @@ def equidepth_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  (F.min("cents").cast("double") / 100e0).alias("lo"),
                  (F.max("cents").cast("double") / 100e0).alias("hi")))
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                            l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag) AS tw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS DOUBLE)
+               / 100e0 AS weighted_median
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median: the price at which half the total QUANTITY
+    (not half the rows) lies below — the volume-weighted order
+    statistic a plain median gets wrong whenever line sizes vary.
+    Selection rule: first value (in a deterministic total order)
+    whose cumulative weight reaches half the group total, stated as
+    the exact integer inequality 2*cw >= tw — no division, no
+    interpolation, bit-reproducible. One keyed window pass computes
+    both cumulative and total weights; the pick is a conditional MIN
+    in an ordinary aggregate.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    from ..functions.exact import cents as cents_
+    c = cents_(F.col("l_extendedprice"))
+    wo = (W.partitionBy("l_returnflag")
+          .orderBy(c, "l_orderkey", "l_linenumber")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wall = W.partitionBy("l_returnflag")
+    t = li.select(
+        "l_returnflag", c.alias("cents"),
+        F.sum(F.col("l_quantity").cast("long")).over(wo).alias("cw"),
+        F.sum(F.col("l_quantity").cast("long")).over(wall).alias("tw"))
+    return (t.groupBy("l_returnflag")
+            .agg(F.max("tw").alias("total_weight"),
+                 (F.min(F.when(2 * F.col("cw") >= F.col("tw"),
+                               F.col("cents"))).cast("double") / 100e0)
+                 .alias("weighted_median")))
+
+
+@query(
+    "trimmed_mean_price",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                            l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (rn > n // 10 AND rn <= n - n // 10)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                         THEN cents END) AS DOUBLE)
+               / COUNT(*) FILTER (rn > n // 10 AND rn <= n - n // 10)
+               / 100e0 AS trimmed_mean
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided TRIMMED mean — the robust location estimator
+    between the outlier-fragile mean and the information-discarding
+    median: drop the lowest and highest n//10 observations (exact
+    integer rank cuts in a deterministic total order), average the
+    rest under the exact-money policy. One keyed window pass for
+    ranks, conditional integer sums, a single trailing double
+    division chain.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    from ..functions.exact import cents as cents_
+    c = cents_(F.col("l_extendedprice"))
+    wo = W.partitionBy("l_returnflag").orderBy(c, "l_orderkey",
+                                               "l_linenumber")
+    wall = W.partitionBy("l_returnflag")
+    t = li.select(
+        "l_returnflag", c.alias("cents"),
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    kept = (F.col("rn") > F.expr("n div 10")) \
+        & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    return (t.groupBy("l_returnflag")
+            .agg(F.sum(kept.cast("long")).alias("n_kept"),
+                 (F.sum(F.when(kept, F.col("cents"))).cast("double")
+                  / F.sum(kept.cast("long")) / 100e0).alias("trimmed_mean")))
+
+
+@query(
+    "rollup_reuse_two_grain",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100e0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_reuse_two_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup REUSE across time grains: the daily aggregate is
+    computed FROM the hourly aggregate (count-sum partials merged
+    upward), never from raw events — the materialized-cube pattern
+    where each coarser grain costs |finer grain| rows instead of a
+    fact-table rescan. The oracle aggregates raw events directly;
+    equality proves the partials are losslessly mergeable, which the
+    exact-money policy guarantees (integer cent sums) and float sums
+    would not. Same mergeability contract the continuous rollup
+    store and ivm_append_agg_view rely on.
+    """
+    ev = Catalog(spark, sf_dir).events
+    from ..functions.exact import cents as cents_
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(cents_(F.col("value"))).alias("cents")))
+    return (hourly.groupBy(F.date_trunc("day", "hour").cast("date")
+                           .alias("day"), "event_type")
+            .agg(F.sum("n").alias("n"),
+                 (F.sum("cents").cast("double") / 100e0)
+                 .alias("total_value")))
