@@ -104,6 +104,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram_bounds", "phrase_search_bigram_index",
         "weekly_mix_shift", "weighted_median_price",
         "trimmed_mean_price", "rollup_reuse_two_grain",
+        "boolean_and_search", "systematic_sample_every_k",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

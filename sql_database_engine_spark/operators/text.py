@@ -1651,3 +1651,32 @@ def phrase_search_bigram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = _word_bigrams(d).filter(F.col("gram") == "merge window")
     return (d.join(postings.select("doc_id").distinct(), "doc_id", "semi")
             .select("doc_id", "lang", "source"))
+
+
+@query(
+    "boolean_and_search",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ' ' || text || ' ' LIKE '% merge %'
+      AND ' ' || text || ' ' LIKE '% vector %'
+      AND ' ' || text || ' ' LIKE '% window %'
+    """,
+)
+def boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND search over the token inverted index: documents
+    containing ALL of {merge, vector, window} as whole words. The
+    engine intersects the three posting lists (smallest-first
+    semi-join chain — each join can only shrink the candidate set),
+    while the oracle LIKE-scans with word-boundary guards: index
+    strategy vs scan strategy, one answer, same parity statement as
+    ``phrase_search_bigram_index`` one level up the query algebra.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    out = d
+    for term in ("merge", "vector", "window"):
+        postings = (toks.filter(F.col("tok") == term)
+                    .select("doc_id").distinct())
+        out = out.join(postings, "doc_id", "semi")
+    return out.select("doc_id", "lang", "source")

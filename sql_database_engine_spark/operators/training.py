@@ -621,3 +621,37 @@ def fim_transform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c2") - F.col("c1")).cast("long").alias("middle_len"),
         (F.col("n") - F.col("c2")).cast("long").alias("suffix_len"),
         psm.alias("psm_text"))
+
+
+@query(
+    "systematic_sample_every_k",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM ranked WHERE (rn - 1) % 10 = 0
+    """,
+)
+def systematic_sample_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC sampling — every 10th element of a deterministic
+    permutation — completing the sampling family next to Bernoulli
+    (``table_sample``), stratified, k-per-group, and temperature
+    mixing: exact 1/10 rate by construction (Bernoulli only hits the
+    rate in expectation), with the md5 shuffle breaking any
+    correlation between sample membership and storage order. The
+    rank is the one global sequence point; at scale, shard by a hash
+    prefix and sample every 10th within each shard — same exactness
+    per shard, embarrassingly parallel.
+    """
+    from pyspark.sql import Window as W
+    d = Catalog(spark, sf_dir).documents
+    rn = F.row_number().over(
+        W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (d.select("doc_id", "lang", "n_chars")
+            .withColumn("rn", rn)
+            .filter((F.col("rn") - 1) % 10 == 0)
+            .drop("rn"))
