@@ -105,6 +105,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_mix_shift", "weighted_median_price",
         "trimmed_mean_price", "rollup_reuse_two_grain",
         "boolean_and_search", "systematic_sample_every_k",
+        "max_drawdown_daily_revenue", "topk_with_ties_dense",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

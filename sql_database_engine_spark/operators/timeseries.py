@@ -1393,3 +1393,62 @@ def weekly_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "week", "event_type", "n", "share",
         (F.col("share") - F.lag("share").over(lagw)).alias("share_delta"))
+
+
+@query(
+    "max_drawdown_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ), dd AS (
+        SELECT day, cents,
+               MAX(cents) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS peak,
+               MAX(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   - cents AS drawdown
+        FROM daily
+    ), pick AS (
+        SELECT day, cents, peak, drawdown,
+               ROW_NUMBER() OVER (ORDER BY drawdown DESC, day) AS rk
+        FROM dd
+    )
+    SELECT day AS trough_day,
+           CAST(cents AS DOUBLE) / 100e0 AS trough_value,
+           CAST(peak AS DOUBLE) / 100e0 AS peak_value,
+           CAST(drawdown AS DOUBLE) / 100e0 AS max_drawdown
+    FROM pick WHERE rk = 1
+    """,
+)
+def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series: the deepest drop
+    from a running peak — the canonical path-dependent risk metric
+    (unlike variance it cares about ORDER, which is why it needs the
+    cumulative-max window, not any reshuffleable aggregate).
+    Everything is exact integer cents: running peak, per-day
+    drawdown, and the argmax pick (deterministic (drawdown desc,
+    day) tiebreak). The series is calendar-bounded, so the
+    unpartitioned cumulative window runs over |days| rows, not
+    events — same justification as the OHLC and sweep-line operators.
+    """
+    from ..functions.exact import cents as cents_
+    ev = Catalog(spark, sf_dir).events
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.sum(cents_(F.col("value"))).alias("cents")))
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    dd = daily.select(
+        "day", "cents",
+        F.max("cents").over(wcum).alias("peak"))
+    dd = dd.withColumn("drawdown", F.col("peak") - F.col("cents"))
+    rk = F.row_number().over(W.orderBy(F.col("drawdown").desc(), "day"))
+    return (dd.withColumn("rk", rk).filter(F.col("rk") == 1)
+            .select(F.col("day").alias("trough_day"),
+                    (F.col("cents").cast("double") / 100e0)
+                    .alias("trough_value"),
+                    (F.col("peak").cast("double") / 100e0)
+                    .alias("peak_value"),
+                    (F.col("drawdown").cast("double") / 100e0)
+                    .alias("max_drawdown")))

@@ -301,3 +301,41 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "percentile(cast(round(value * 100) as bigint), 0.5D)").over(w)
     return ev.select("event_id", "user_id",
                      (med / F.lit(100.0)).alias("moving_median"))
+
+
+@query(
+    "topk_with_ties_dense",
+    oracle="""
+    WITH r AS (
+        SELECT n_name, c_custkey, c_acctbal,
+               DENSE_RANK() OVER (PARTITION BY n_name
+                                  ORDER BY CAST(ROUND(c_acctbal * 100)
+                                                AS BIGINT) DESC)
+                   AS tier
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, CAST(tier AS INT) AS tier, c_custkey, c_acctbal
+    FROM r WHERE tier <= 3
+    """,
+)
+def topk_with_ties_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES: the three highest account-balance TIERS per
+    nation, every customer in a tied tier included — DENSE_RANK
+    semantics (SQL's FETCH FIRST k ROWS WITH TIES generalized to
+    per-group), vs ``top_spenders_per_nation``'s exactly-k
+    ROW_NUMBER cut. Ranking compares integer cents so tie detection
+    is exact; the dimension join broadcasts (nation is bounded);
+    one keyed window pass.
+    """
+    from ..catalog import Catalog
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer
+    n = cat.broadcast("nation").select("n_nationkey", "n_name")
+    j = c.join(n, c.c_nationkey == F.col("n_nationkey"))
+    cents_bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    tier = F.dense_rank().over(
+        W.partitionBy("n_name").orderBy(cents_bal.desc()))
+    return (j.select("n_name", "c_custkey", "c_acctbal",
+                     tier.alias("tier"))
+            .filter(F.col("tier") <= 3)
+            .select("n_name", "tier", "c_custkey", "c_acctbal"))
