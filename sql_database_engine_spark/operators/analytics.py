@@ -1759,3 +1759,119 @@ def rollup_reuse_two_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n").alias("n"),
                  (F.sum("cents").cast("double") / 100e0)
                  .alias("total_value")))
+
+
+@query(
+    "ab_test_arm_metrics",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id,
+               CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                             1, 4))::INTEGER % 2) = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / COUNT(*) / 100e0
+               AS revenue_per_user
+    FROM arms GROUP BY arm
+    """,
+)
+def ab_test_arm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation primitive: deterministic 50/50 hash
+    randomization of users into arms (the md5 idiom — assignment is a
+    pure function of user_id, so re-runs, backfills, and both engines
+    agree on every user's arm), then per-arm conversion and
+    revenue-per-user under the exact-money policy. This is the
+    assignment-plus-readout half of an A/B system; significance
+    testing composes from these counts with the Wilson operator's
+    machinery. One user-level aggregate, one arm-level rollup —
+    the arm key is 2-valued, so everything after the first shuffle
+    is constant-sized.
+    """
+    ev = Catalog(spark, sf_dir).events
+    from ..functions.exact import cents as cents_
+    hex4 = F.substring(F.md5(F.col("user_id").cast("string")), 1, 4)
+    arm = F.when(F.conv(hex4, 16, 10).cast("int") % 2 == 0,
+                 F.lit("A")).otherwise(F.lit("B"))
+    arms = (ev.groupBy("user_id")
+            .agg(F.max((F.col("event_type") == "purchase").cast("long"))
+                 .alias("converted"),
+                 F.sum(cents_(F.col("value"))).alias("cents"))
+            .withColumn("arm", arm))
+    return (arms.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("converted").alias("n_converted"),
+                 (F.sum("converted").cast("double") / F.count(F.lit(1)))
+                 .alias("conversion_rate"),
+                 (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100e0)
+                 .alias("revenue_per_user")))
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ), weekly AS (
+        SELECT f.cohort_week,
+               date_diff('week', f.cohort_week,
+                         CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP))
+                              AS DATE)) AS age_weeks,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    ), sized AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM firsts GROUP BY cohort_week
+    )
+    SELECT w.cohort_week, CAST(w.age_weeks AS INT) AS age_weeks,
+           s.cohort_users,
+           CAST(SUM(w.cents) OVER (PARTITION BY w.cohort_week
+                                   ORDER BY w.age_weeks
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / s.cohort_users / 100e0 AS cum_ltv_per_user
+    FROM weekly w JOIN sized s USING (cohort_week)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue per user by
+    cohort week and age — the money sibling of the retention matrix
+    (``retention_weekly_cohorts``), and the curve a growth model
+    extrapolates. Exactness: weekly cents are integer sums, the
+    cumulative window runs over integers, and the per-user division
+    happens once per output cell; the cumulative window partitions by
+    cohort over |weeks| rows — metadata-sized after the first
+    aggregates.
+    """
+    ev = Catalog(spark, sf_dir).events
+    from ..functions.exact import cents as cents_
+    firsts = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).cast("date")
+                   .alias("cohort_week")))
+    wk = F.date_trunc("week", "ts").cast("date")
+    weekly = (ev.join(firsts, "user_id")
+              .groupBy("cohort_week",
+                       ((F.datediff(wk, F.col("cohort_week"))) / 7)
+                       .cast("int").alias("age_weeks"))
+              .agg(F.sum(cents_(F.col("value"))).alias("cents")))
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users"))
+    wcum = (W.partitionBy("cohort_week").orderBy("age_weeks")
+            .rowsBetween(W.unboundedPreceding, 0))
+    return (weekly.join(sized, "cohort_week")
+            .select("cohort_week", "age_weeks", "cohort_users",
+                    (F.sum("cents").over(wcum).cast("double")
+                     / F.col("cohort_users") / 100e0)
+                    .alias("cum_ltv_per_user")))
