@@ -1452,3 +1452,84 @@ def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("peak_value"),
                     (F.col("drawdown").cast("double") / 100e0)
                     .alias("max_drawdown")))
+
+
+@query(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS week
+        FROM events
+    ), marked AS (
+        SELECT user_id, week,
+               MIN(week) OVER (PARTITION BY user_id) AS first_week,
+               LAG(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_active
+        FROM act
+    ), flags AS (
+        SELECT week,
+               CASE WHEN week = first_week THEN 'new'
+                    WHEN prev_active = week - INTERVAL 7 DAY THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM marked
+    ), churn AS (
+        SELECT week + INTERVAL 7 DAY AS week, 'churned' AS status
+        FROM marked m
+        WHERE NOT EXISTS (
+            SELECT 1 FROM act a
+            WHERE a.user_id = m.user_id
+              AND a.week = m.week + INTERVAL 7 DAY)
+          AND week + INTERVAL 7 DAY <= (SELECT MAX(week) FROM act)
+    )
+    SELECT CAST(week AS DATE) AS week, status,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT week, status FROM flags
+          UNION ALL SELECT week, status FROM churn)
+    GROUP BY 1, 2
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active user-week classified as NEW
+    (first ever week), RETAINED (also active the prior week), or
+    RESURRECTED (returning after a gap), plus CHURNED rows for users
+    active one week but not the next — the standard DAU/WAU growth
+    decomposition whose four series sum to the net growth rate.
+
+    One distinct (user, week) table feeds everything: a per-user
+    window computes first-week and previous-active-week in one pass
+    (classification is then a pure row expression), and churn is the
+    anti-join of this week's actives against next week's, bounded by
+    the corpus horizon so the final week doesn't spuriously churn
+    everyone. All integer counts and date arithmetic — deterministic
+    by construction; shuffles are keyed by user then by the
+    |weeks|x4-sized output.
+    """
+    ev = Catalog(spark, sf_dir).events
+    act = (ev.select("user_id",
+                     F.date_trunc("week", "ts").cast("date").alias("week"))
+           .distinct())
+    wu = W.partitionBy("user_id")
+    wo = W.partitionBy("user_id").orderBy("week")
+    marked = act.select(
+        "user_id", "week",
+        F.min("week").over(wu).alias("first_week"),
+        F.lag("week").over(wo).alias("prev_active"))
+    status = (F.when(F.col("week") == F.col("first_week"), F.lit("new"))
+              .when(F.col("prev_active") == F.date_sub(F.col("week"), 7),
+                    F.lit("retained"))
+              .otherwise(F.lit("resurrected")))
+    flags = marked.select("week", status.alias("status"))
+    max_week = act.agg(F.max("week").alias("mw"))
+    nxt = act.select("user_id", F.col("week").alias("nweek"))
+    churn = (marked.join(
+        nxt, (marked.user_id == nxt.user_id)
+        & (F.col("nweek") == F.date_add(marked.week, 7)), "left_anti")
+        .crossJoin(F.broadcast(max_week))
+        .filter(F.date_add(F.col("week"), 7) <= F.col("mw"))
+        .select(F.date_add(F.col("week"), 7).alias("week"),
+                F.lit("churned").alias("status")))
+    return (flags.unionByName(churn)
+            .groupBy("week", "status")
+            .agg(F.count(F.lit(1)).alias("n_users")))
