@@ -79,6 +79,7 @@ HEADLINE = [
     "twap_user_value",              # 128-bit-lane weighted average
     "variant_json_extract",         # VARIANT parse-once path
     "cep_click_purchase_no_error",  # sequence pattern via window carry
+    "training_manifest_end_to_end", # capstone dedup->split->shard plan
 ]
 
 

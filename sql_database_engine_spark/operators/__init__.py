@@ -107,7 +107,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and_search", "systematic_sample_every_k",
         "max_drawdown_daily_revenue", "topk_with_ties_dense",
         "ab_test_arm_metrics", "cohort_ltv_curve",
-        "growth_accounting_weekly",
+        "growth_accounting_weekly", "training_manifest_end_to_end",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -655,3 +655,116 @@ def systematic_sample_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", rn)
             .filter((F.col("rn") - 1) % 10 == 0)
             .drop("rn"))
+
+
+@query(
+    "training_manifest_end_to_end",
+    oracle="""
+    WITH RECURSIVE grams AS (
+        SELECT doc_id, source, unnest(list_distinct(g)) AS gram,
+               len(list_distinct(g)) AS n_grams
+        FROM (
+            SELECT doc_id, source,
+                   list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1]) AS g
+            FROM documents
+        )
+    ), pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM grams a JOIN grams b
+          ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE)
+                   / (any_value(a.n_grams) + any_value(b.n_grams) - COUNT(*))
+                   >= 0.5
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS v FROM edges
+    ), reach (v, r) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), clusters AS (
+        SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+    ), canon AS (
+        SELECT cluster_id,
+               MAX(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc_id
+        FROM (
+            SELECT c.cluster_id, d.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY d.n_chars DESC, d.doc_id)
+                       AS rk
+            FROM clusters c JOIN documents d USING (doc_id)
+        ) GROUP BY cluster_id
+    ), survivors AS (
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d
+        LEFT JOIN clusters c USING (doc_id)
+        WHERE c.doc_id IS NULL
+           OR EXISTS (SELECT 1 FROM canon
+                      WHERE canonical_doc_id = d.doc_id)
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CASE WHEN (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      ::INTEGER % 1000) < 800 THEN 'train'
+                WHEN (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      ::INTEGER % 1000) < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST((('0x' || substring(md5('shard' || CAST(doc_id AS VARCHAR)),
+                                    1, 4))::INTEGER % 16) AS INT) AS shard
+    FROM survivors
+    """,
+)
+def training_manifest_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: near-duplicate CANONICAL dedup →
+    deterministic 80/10/10 split → 16-way shard assignment, as ONE
+    lazy plan — the manifest a training run reads. Survivors are
+    every unclustered document plus each cluster's keep-longest
+    canonical (the ``neardup_canonical_docs`` policy); split and
+    shard are independent salted md5 functions of doc_id, so the
+    whole manifest is a pure function of the corpus — re-running it,
+    or running it on the oracle engine, reproduces every row.
+
+    Catalyst sees the full composition (pair generation, connected
+    components, argmax, anti-membership, hash assignment) and
+    optimizes it as one tree — the practical payoff of every stage
+    being a DataFrame: no intermediate materialization, shared scans
+    where possible. The recursive-CTE oracle replays the entire
+    chain end-to-end.
+    """
+    from pyspark.sql import Window as W
+    from .text import ngram_jaccard_neardup
+    from .similarity import connected_components
+    d = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_neardup(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    labels, _ = connected_components(edges)
+    members = labels.select(F.col("v").alias("doc_id"), "cluster_id")
+    canon = (members.join(d.select("doc_id", "n_chars"), "doc_id")
+             .withColumn("rk", F.row_number().over(
+                 W.partitionBy("cluster_id")
+                 .orderBy(F.col("n_chars").desc(), "doc_id")))
+             .filter(F.col("rk") == 1)
+             .select(F.col("doc_id").alias("keep_id")))
+    clustered = members.select("doc_id")
+    survivors = (d.join(clustered, "doc_id", "left_anti")
+                 .unionByName(d.join(canon, d.doc_id == F.col("keep_id"),
+                                     "semi")))
+    hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    bucket = F.conv(hex4, 16, 10).cast("int") % 1000
+    split = (F.when(bucket < 800, "train")
+             .when(bucket < 900, "val").otherwise("test"))
+    shex4 = F.substring(
+        F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))),
+        1, 4)
+    shard = (F.conv(shex4, 16, 10).cast("int") % 16)
+    return survivors.select(
+        "doc_id", "lang", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        split.alias("split"), shard.alias("shard"))
