@@ -156,9 +156,9 @@ def pandas_udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame
         n_rows(F.col("n_chars")).alias("n_docs"))
 
 
-@query(
-    "clamped_running_balance",
-    oracle="""
+#: One oracle serves both the window closed form and the applyInPandas
+#: kernel: the recursive CTE replays the clamp recurrence literally.
+_CLAMPED_BALANCE_ORACLE = """
     WITH RECURSIVE ev AS (
         SELECT user_id,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -189,34 +189,89 @@ def pandas_udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame
            clamps AS n_clamps,
            CAST(maxb AS DOUBLE) / 100e0 AS max_balance
     FROM finals WHERE pick = 1
-    """,
-)
+    """
+
+
+def _clamped_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cent deltas in event order: purchases credit, errors
+    debit. Shared input of the closed-form and kernel variants."""
+    from ..functions.exact import cents as cents_
+    ev = Catalog(spark, sf_dir).events
+    return (ev.filter(F.col("event_type").isin("purchase", "error"))
+            .select("user_id", "ts", "event_id",
+                    F.when(F.col("event_type") == "purchase",
+                           cents_(F.col("value")))
+                    .otherwise(-cents_(F.col("value"))).alias("delta")))
+
+
+@query("clamped_running_balance", oracle=_CLAMPED_BALANCE_ORACLE)
 def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Floor-clamped running balance per user (purchases credit,
-    errors debit, balance never below zero) — the canonical
-    NON-ASSOCIATIVE sequential recurrence: ``bal = max(bal + delta,
-    0)`` cannot be expressed as any window aggregate (the clamp makes
-    prefix results depend on every intermediate state), so this is
-    the honest use case for the custom stateful kernel tier —
-    ``applyInPandas`` with an explicit per-key sequential loop, the
-    batch analogue of a transformWithState streaming operator.
+    errors debit, balance never below zero), computed in pure window
+    algebra — no Python in the loop.
+
+    The recurrence ``bal_t = max(bal_{t-1} + delta_t, 0)`` LOOKS
+    sequential, but it is the Lindley recursion and has a closed
+    form over prefix sums ``S_t``:
+
+        bal_t = S_t - m_t,   m_t = min(0, min_{k<=t} S_k)
+
+    (new strict minima of S below 0 are exactly the clamp events, so
+    ``n_clamps`` is a lag compare on the running minimum, and
+    ``max_balance`` is a plain MAX over the per-row closed form).
+    Everything reduces to ONE window spec — hash-partition by user,
+    sort by (ts, event_id) — whose output partitioning the final
+    groupBy reuses: one exchange, one sort, zero UDFs. The
+    applyInPandas twin (``clamped_running_balance_kernel``) keeps the
+    sequential-loop formulation as the stateful-kernel tier demo and
+    as the price of Python on the same data; at scale the closed form
+    also removes the hot-user straggler (a single user's history no
+    longer runs as one Python loop).
+
+    Determinism: integer cents throughout; the oracle replays the
+    literal recurrence as a recursive CTE — two different execution
+    strategies, one fixpoint.
+    """
+    from pyspark.sql import Window as W
+
+    deltas = _clamped_deltas(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = F.sum("delta").over(w.rowsBetween(W.unboundedPreceding, 0))
+    prev_min = F.min("s").over(w.rowsBetween(W.unboundedPreceding, -1))
+    stepped = (deltas
+               .withColumn("s", s)
+               # m_{t-1} with S_0 = 0: the empty-prefix min is 0.
+               .withColumn("m_prev", F.least(F.lit(0),
+                                             F.coalesce(prev_min, F.lit(0))))
+               .withColumn("m", F.least(F.col("m_prev"), F.col("s"))))
+    out = (stepped.groupBy("user_id")
+           .agg((F.sum("delta") - F.least(F.lit(0), F.min("s")))
+                .alias("bal"),
+                F.sum((F.col("s") < F.col("m_prev")).cast("long"))
+                .alias("n_clamps"),
+                F.max(F.col("s") - F.col("m")).alias("maxb")))
+    return out.select(
+        "user_id",
+        (F.col("bal").cast("double") / 100.0).alias("final_balance"),
+        "n_clamps",
+        (F.col("maxb").cast("double") / 100.0).alias("max_balance"))
+
+
+@query("clamped_running_balance_kernel", oracle=_CLAMPED_BALANCE_ORACLE)
+def clamped_running_balance_kernel(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The same clamped balance as an ``applyInPandas`` stateful
+    kernel — the UDF-tier demonstration (batch analogue of a
+    transformWithState operator), kept to pin the escape-hatch
+    contract and to measure its price against the window closed form
+    in ``clamped_running_balance``, which is the production path.
 
     Scale shape: groups shard by user across executors (one shuffle),
     each group's recurrence is a tight numpy-backed loop over its own
-    rows only. Determinism: integer cents, a total (ts, event_id)
-    order within user, exact comparisons. The oracle replays the
-    identical recurrence as a recursive CTE — two entirely different
-    execution strategies, one fixpoint.
+    rows only — but a hot user's whole history serializes through one
+    Python loop, which is exactly why the closed form wins.
     """
-    import numpy as np
-
-    from ..functions.exact import cents as cents_
-    ev = Catalog(spark, sf_dir).events
-    deltas = (ev.filter(F.col("event_type").isin("purchase", "error"))
-              .select("user_id", "ts", "event_id",
-                      F.when(F.col("event_type") == "purchase",
-                             cents_(F.col("value")))
-                      .otherwise(-cents_(F.col("value"))).alias("delta")))
+    deltas = _clamped_deltas(spark, sf_dir)
 
     schema = ("user_id bigint, final_balance double, n_clamps bigint, "
               "max_balance bigint")
