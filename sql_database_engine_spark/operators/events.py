@@ -727,14 +727,19 @@ def cep_click_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent error (two last/ignorenulls carries on the SAME window
     frame — one exchange); the pattern predicate is then a pure row
     filter: click within 1h, error absent-or-older-than-the-hour.
+    The frame is a RANGE over event-time micros ending at -1, not a
+    ROWS frame: the pattern requires *strictly earlier* events, and a
+    row frame would leak same-timestamp neighbors in on event_id tie
+    order (and a `carried < ts` row filter would wrongly discard
+    purchases whose same-ts click shadows an older in-window one).
     The oracle states the same pattern as EXISTS/NOT EXISTS —
     verifying the window rewrite against the declarative form. At
     100 TB the window form wins: the correlated form re-joins the
     fact table per subquery, the carry form scans it once.
     """
     ev = Catalog(spark, sf_dir).events
-    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(W.unboundedPreceding, -1))
+    w = (W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")))
+         .rangeBetween(W.unboundedPreceding, -1))
     carried = ev.select(
         "user_id", "event_id", "event_type", "ts",
         F.last(F.when(F.col("event_type") == "click", F.col("ts")),

@@ -337,16 +337,19 @@ def leading_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (counts + exact-ratio shares); judging against the
     log-curve is the analyst's monotone step and deliberately not
     computed here — log10 is libm territory and the counts carry all
-    the information. One scan, digit extracted by integer-string
-    truncation (no float log), nine-row output.
+    the information. One lazy plan: the denominator is a 1-row
+    aggregate broadcast-cross-joined into the digit rows (the
+    max_day/ref pattern from timeseries) — no eager count() at
+    build time, no stale share if the table changes underneath.
     """
     o = Catalog(spark, sf_dir).orders
     d = (o.filter(F.col("o_totalprice") >= 1)
          .select(F.substring(F.floor("o_totalprice").cast("bigint")
                              .cast("string"), 1, 1).cast("int").alias("digit")))
-    total = d.count()
+    total = d.agg(F.count(F.lit(1)).alias("total"))
     return (d.groupBy("digit")
             .agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(total))
             .select("digit", "n",
-                    (F.col("n").cast("double") / F.lit(float(total)))
-                    .alias("share")))
+                    (F.col("n").cast("double")
+                     / F.col("total").cast("double")).alias("share")))

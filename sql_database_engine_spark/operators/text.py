@@ -1406,10 +1406,16 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   W.partitionBy("doc_id")))
               .withColumn("pos", F.row_number().over(
                   W.partitionBy("doc_id").orderBy("df", "gram"))))
-    g = ranked.select("doc_id", "n", "gram")
     prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    p = ranked.filter(F.col("pos") <= prefix_len).select(
-        "doc_id", "n", "gram", "pos")
+    # Explicit gram-keyed repartition: the self-join's per-row cost
+    # (candidate-pair expansion + aggregation) dwarfs its bytes, so
+    # AQE's byte-based coalescing would starve it down to ~2 tasks —
+    # pin the join's own key at full parallelism instead (the join
+    # then rides this exchange; no extra shuffle).
+    n_par = spark.sparkContext.defaultParallelism
+    p = (ranked.filter(F.col("pos") <= prefix_len)
+         .select("doc_id", "n", "gram", "pos")
+         .repartition(n_par, "gram"))
     a, b = p.alias("a"), p.alias("b")
     # Overlap upper bound from ALL shared prefix grams: the matches
     # themselves plus whatever could follow the last one in either
@@ -1418,8 +1424,14 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ubound = (F.count(F.lit(1))
               + F.least(F.first(F.col("a.n")) - F.max(F.col("a.pos")),
                         F.first(F.col("b.n")) - F.max(F.col("b.pos"))))
-    min_overlap = F.ceil(F.lit(t / (1 + t))
-                         * (F.first(F.col("a.n")) + F.first(F.col("b.n"))))
+    # Exact integer form of ceil(t/(1+t) * (na+nb)) for t = 4/5:
+    # ceil(4s/9) = (4s + 8) div 9. The float route is one ulp above
+    # 4/9, so for s divisible by 9 it over-counts by 1 and prunes a
+    # true pair sitting exactly at Jaccard = t — float math stays out
+    # of prune thresholds (same determinism rule as the oracles).
+    min_overlap = F.floor(
+        (F.lit(4) * (F.first(F.col("a.n")) + F.first(F.col("b.n")))
+         + F.lit(8)) / F.lit(9))
     cand = (
         a.join(b, (F.col("a.gram") == F.col("b.gram"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1430,9 +1442,19 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(ubound.alias("ub"), min_overlap.alias("mo"))
         .filter(F.col("ub") >= F.col("mo"))
         .select("doc_a", "doc_b")
+        # Same reasoning as the prefix repartition: verification does
+        # an array_intersect per candidate pair — byte-small, CPU-big.
+        .repartition(n_par, "doc_a", "doc_b")
     )
-    arrs = g.groupBy("doc_id").agg(F.collect_list("gram").alias("grams"),
-                                   F.first("n").alias("n"))
+    # Verification arrays come straight from the distinct-shingle
+    # relation: array_intersect is order-blind, so the df-ranked
+    # ordering is NOT needed here — reusing `ranked` would re-run its
+    # df join + two windows once per verification side (measured ~9 s
+    # of the query's 14 s at sf0.1). One row per document; the joins
+    # stay unhinted so AQE broadcasts the array table when it is small
+    # and falls back to a doc_id-keyed shuffle at corpus scale.
+    arrs = g0.groupBy("doc_id").agg(F.collect_list("gram").alias("grams"),
+                                    F.count(F.lit(1)).alias("n"))
     av = arrs.select(F.col("doc_id").alias("doc_a"),
                      F.col("grams").alias("grams_a"), F.col("n").alias("na"))
     bv = arrs.select(F.col("doc_id").alias("doc_b"),

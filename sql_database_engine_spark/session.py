@@ -39,6 +39,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # NOTE on AQE coalescing: minPartitionSize stays at its 1 MB
+    # default. Lowering it globally (tried 64 KB) un-starves the few
+    # CPU-heavy-but-byte-small stages but costs more in task overhead
+    # across the other ~50 headline queries (bench total 95 s -> 127 s
+    # at sf0.1). Operators whose per-row cost dwarfs their bytes
+    # (array_intersect verification) set explicit repartitions at
+    # those points instead.
     # events.parquet stores ts as INT64 TIMESTAMP(NANOS,false); Spark 4
     # refuses it unless read as a plain long (catalog converts to us).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
