@@ -100,6 +100,11 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_counts", "stream_click_purchase_join",
         "stream_click_purchase_left_join_settled", "stream_static_enrich",
         "q5_local_supplier_volume", "q17_small_quantity_revenue",
+        # round-3 TPC-H completions jump ahead of the second-wave
+        # shapes: they are new this round and must land in the
+        # driver's prefix sample.
+        "q2_min_cost_supplier", "q11_important_stock",
+        "q16_supplier_part_counts", "q20_concentrated_suppliers",
         "q9_product_profit", "q21_waiting_suppliers",
         "q22_dormant_value_customers",
         "merge_upsert_latest_state", "funnel_signup_click_purchase",
@@ -137,6 +142,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown_daily_revenue", "topk_with_ties_dense",
         "ab_test_arm_metrics", "cohort_ltv_curve",
         "growth_accounting_weekly", "training_manifest_end_to_end",
+        "clamped_running_balance_kernel",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -406,3 +406,253 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(money_sum(profit).alias("profit"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cost_cents
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+           CAST(cost_cents AS DOUBLE) / 100.0 AS supply_cost
+    FROM part, supply, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD'
+      AND cost_cents = (
+          SELECT MIN(s2.cost_cents)
+          FROM supply s2, supplier sp2, nation n2, region r2
+          WHERE s2.ps_partkey = p_partkey
+            AND sp2.s_suppkey = s2.ps_suppkey
+            AND sp2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part within a region),
+    adapted for the partsupp-less testdata: the supply catalog is
+    derived from shipping history — cost of (part, supplier) is the
+    cheapest line (exact cents) that pair ever shipped.
+
+    The defining structure is the correlated MIN subquery ("the cost
+    equals the region-wide minimum for that part"), decorrelated into
+    a window MIN over p_partkey on the already-joined rows: the join
+    output contains exactly the subquery's input (same region filter,
+    same supply relation), so the window sees the right set and costs
+    one hash-exchange on the part key instead of a second scan +
+    rejoin of the whole supply side. supplier/nation/region broadcast;
+    the final order is total (acctbal, nation, supplier name, part
+    key), so LIMIT 100 is deterministic.
+
+    Reference: the classic Q2 plan; decorrelation-by-window is what
+    Catalyst's RewriteCorrelatedScalarSubquery does for the SQL form.
+    """
+    cat = Catalog(spark, sf_dir)
+    supply = (cat.lineitem
+              .groupBy(F.col("l_partkey").alias("ps_partkey"),
+                       F.col("l_suppkey").alias("ps_suppkey"))
+              .agg(F.min(F.round(F.col("l_extendedprice") * 100)
+                         .cast("long")).alias("cost_cents")))
+    eur_supp = (cat.broadcast("supplier")
+                .join(cat.broadcast("nation"),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .join(cat.broadcast("region"),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .filter(F.col("r_name") == "EUROPE")
+                .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    parts = (cat.part
+             .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+             .select("p_partkey", "p_brand"))
+    joined = (supply
+              .join(F.broadcast(eur_supp),
+                    F.col("ps_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(parts),
+                    F.col("ps_partkey") == F.col("p_partkey")))
+    min_cost = F.min("cost_cents").over(W.partitionBy("p_partkey"))
+    return (joined
+            .withColumn("__min", min_cost)
+            .filter(F.col("cost_cents") == F.col("__min"))
+            .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal",
+                    (F.col("cost_cents").cast("double") / 100.0)
+                    .alias("supply_cost"))
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH held AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(value_cents AS DOUBLE) / 100.0 AS part_value
+    FROM held
+    WHERE value_cents * 1000 > (SELECT CAST(SUM(value_cents) AS BIGINT)
+                                FROM held)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (parts that concentrate a nation's held value),
+    adapted for the partsupp-less testdata: "held value" of a part is
+    the exact-cents revenue NATION_7's suppliers shipped for it.
+
+    The defining structure is the HAVING-over-a-global-scalar: keep
+    groups whose value exceeds a fixed fraction (1/1000) of the sum
+    over ALL groups. The global total is a 1-row aggregate OF the
+    grouped result, broadcast-cross-joined back — the grouped relation
+    is built once and feeds both sides (Spark reuses the exchange),
+    and the threshold compare runs in pure integers
+    (``value_cents * 1000 > total_cents``), so the fraction never
+    touches a float. Output ordered by value then key: total order,
+    deterministic.
+    """
+    cat = Catalog(spark, sf_dir)
+    nation_supp = (cat.broadcast("supplier")
+                   .join(cat.broadcast("nation"),
+                         F.col("s_nationkey") == F.col("n_nationkey"))
+                   .filter(F.col("n_name") == "NATION_7")
+                   .select("s_suppkey"))
+    held = (cat.lineitem
+            .join(F.broadcast(nation_supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("l_partkey")
+            .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                 .alias("value_cents")))
+    total = held.agg(F.sum("value_cents").alias("total_cents"))
+    return (held.crossJoin(F.broadcast(total))
+            .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    (F.col("value_cents").cast("double") / 100.0)
+                    .alias("part_value"))
+            .orderBy(F.col("part_value").desc(), "p_partkey"))
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, type, size) combination, excluding flagged suppliers —
+    the NOT-IN-subquery + COUNT(DISTINCT) pattern. Adaptation for the
+    testdata: the supply relation is the distinct (part, supplier)
+    shipping pairs, and "flagged" (the spec's complaints LIKE) is a
+    negative account balance.
+
+    The NOT IN decorrelates into a left-anti join — exactly
+    equivalent here because s_suppkey is a non-null key (NOT IN's
+    three-valued NULL trap cannot fire; with a nullable probe side it
+    would need the null-aware variant). The flagged-supplier side is
+    tiny at any SF and broadcasts; part prunes on brand/size before
+    its join. COUNT(DISTINCT) rides the groupBy shuffle on the three
+    grouping columns.
+    """
+    cat = Catalog(spark, sf_dir)
+    pairs = (cat.lineitem.select("l_partkey", "l_suppkey").distinct())
+    flagged = (cat.broadcast("supplier")
+               .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    parts = (cat.part
+             .filter((F.col("p_brand") != "Brand#5")
+                     & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+             .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (pairs
+            .join(F.broadcast(flagged),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(parts),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+@query(
+    "q20_concentrated_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+          GROUP BY l_partkey, l_suppkey
+          HAVING 2 * CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                                    AND l_shipdate <  TIMESTAMP '1998-01-01'
+                                   THEN CAST(l_quantity AS BIGINT)
+                                   ELSE 0 END) AS BIGINT)
+               > CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT))
+    ORDER BY s_name
+    """,
+)
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess availability of
+    selected parts), adapted for the partsupp-less testdata: a
+    supplier qualifies if, for some 'small%'-named part, MORE than
+    half of all quantity they ever shipped of it went out in 1997 —
+    the same nested-IN-with-grouped-quantity-threshold structure
+    (IN over a part-name IN-subquery, HAVING comparing a windowed
+    quantity sum against a fraction of a correlated total).
+
+    Decorrelation: the inner part-name IN becomes a broadcast
+    left-semi join onto lineitem (pruning before the group-by), the
+    HAVING is a plain post-aggregation filter in pure integers
+    (quantities are integral in the testdata, so the BIGINT cast is
+    exact in both engines and ``2 * q1997 > q_total`` never touches a
+    float), and the outer IN becomes a left-semi join from the
+    nation-filtered supplier dimension. Output columns are raw stored
+    values — bit-identical by construction.
+    """
+    cat = Catalog(spark, sf_dir)
+    small_parts = (cat.part.filter(F.col("p_name").like("small%"))
+                   .select("p_partkey"))
+    qty = F.col("l_quantity").cast("long")
+    in_1997 = ((F.col("l_shipdate") >= _ts("1997-01-01"))
+               & (F.col("l_shipdate") < _ts("1998-01-01")))
+    concentrated = (cat.lineitem
+                    .join(F.broadcast(small_parts),
+                          F.col("l_partkey") == F.col("p_partkey"),
+                          "left_semi")
+                    .groupBy("l_partkey", "l_suppkey")
+                    .agg(F.sum(F.when(in_1997, qty).otherwise(F.lit(0)))
+                         .alias("q_1997"),
+                         F.sum(qty).alias("q_total"))
+                    .filter(2 * F.col("q_1997") > F.col("q_total"))
+                    .select("l_suppkey"))
+    return (cat.broadcast("supplier")
+            .join(cat.broadcast("nation"),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .filter(F.col("n_name") == "NATION_3")
+            .join(concentrated, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))

@@ -391,8 +391,16 @@ def test_watermark_audit_window_is_keyed(spark):
     partition — a single-partition global sort would be the
     unscalable shape."""
     plan = _plan(spark, "watermark_lateness_audit")
-    scan_to_window = plan[:plan.index("Window") + 2000] if "Window" in plan else plan
-    assert "(event_id" in plan and "% 8" in plan
+    import re
+    # The Window's required distribution is the derived partition key
+    # (event_id % 8). Catalyst projects that expression into an alias
+    # (_wN) below the exchange, so pin it in two hops: find the alias
+    # bound to (event_id % 8), then require the exchange to
+    # hash-partition on exactly that alias — not on nothing (a
+    # single-partition global sort would be the unscalable shape).
+    m = re.search(r"\(event_id#\d+L? % 8\) AS (\w+#\d+L?)", plan)
+    assert m, plan[:2000]
+    assert f"hashpartitioning({m.group(1)}" in plan, plan[:2000]
 
 
 def test_cusum_windows_share_one_exchange_per_key(spark):
@@ -405,3 +413,46 @@ def test_cusum_windows_share_one_exchange_per_key(spark):
     n_type_exchanges = len(re.findall(
         r"Exchange hashpartitioning\(event_type", plan))
     assert n_type_exchanges <= 2, plan[:2000]
+
+
+def test_q2_broadcasts_dims_single_supply_build(spark):
+    plan = _plan(spark, "q2_min_cost_supplier")
+    # supplier/nation/region and the pruned part side all broadcast;
+    # the supply aggregation is the only shuffling relation, and the
+    # correlated MIN decorrelates into a window (no second supply
+    # scan + rejoin).
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" in plan
+    scans = [l for l in plan.splitlines() if "lineitem" in l
+             and "FileScan" in l]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+
+
+def test_q11_single_lineitem_scan_reused_for_total(spark):
+    plan = _plan(spark, "q11_important_stock")
+    # The global total aggregates the grouped result: lineitem must
+    # be scanned once (exchange reuse), and the threshold compare is
+    # a broadcast of a 1-row relation, never a cartesian of two
+    # full relations.
+    scans = [l for l in plan.splitlines() if "lineitem" in l
+             and "FileScan" in l]
+    assert len(scans) <= 2  # one per branch pre-AQE; reuse collapses
+    assert "BroadcastNestedLoopJoin" in plan or "ReusedExchange" in plan
+
+
+def test_q16_anti_join_and_part_pruning(spark):
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    # brand/size predicates reach the part scan as pushed filters.
+    part_scans = [l for l in plan.splitlines()
+                  if "FileScan" in l and "part" in l and "p_size" in l]
+    assert part_scans and any("PushedFilters" in l and "p_size" in l
+                              for l in part_scans), part_scans
+
+
+def test_q20_semi_joins_no_distinct_shuffle_chain(spark):
+    plan = _plan(spark, "q20_concentrated_suppliers")
+    # Both IN subqueries must stay semi joins (no exploding inner
+    # join + distinct), and the part-name prune broadcasts.
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
