@@ -142,7 +142,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown_daily_revenue", "topk_with_ties_dense",
         "ab_test_arm_metrics", "cohort_ltv_curve",
         "growth_accounting_weekly", "training_manifest_end_to_end",
-        "clamped_running_balance_kernel",
+        "clamped_running_balance_kernel", "ann_recall_contract",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -985,3 +985,80 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn(
         "ratio",
         F.round(F.col("proj_d2") / (F.lit(float(_JL_K)) * F.col("orig_d2")), 6))
+
+
+@query(
+    "ann_recall_contract",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('ivf',              CAST(10 AS BIGINT), CAST(3 AS BIGINT),
+         CAST(1 AS BIGINT)),
+        ('lsh_multiprobe',   CAST(10 AS BIGINT), CAST(3 AS BIGINT),
+         CAST(1 AS BIGINT)),
+        ('multiprobe_vs_single', CAST(10 AS BIGINT), CAST(3 AS BIGINT),
+         CAST(1 AS BIGINT)))
+        AS t(method, n_queries, k, passed)
+    ORDER BY method
+    """,
+)
+def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable recall contract over the ANN operators: one
+    plan computes the exact cosine top-3 for the 10 shared query
+    vectors (the recall=1 anchor, brute force), runs the IVF and
+    multi-probe-LSH approximate variants on the same queries, and
+    asserts their recall@3 against conservative floors — the
+    ``agg_approx_distinct`` bounded-contract pattern, so the
+    probabilistic operators stop being driver-invisible.
+
+    Floors are set at well under half the measured recall on the
+    driver testdata (IVF >= 15/30 vs 0.90+ measured; multi-probe >=
+    3/30 vs 0.17+; multi-probe >= single-probe, the Lv et al. claim
+    pinned in tests/test_neardup_quality.py): a collapsed index or a
+    broken bucket join flips ``passed`` to 0 and the driver's hash
+    compare catches it, while ordinary data-regeneration variance
+    cannot. All comparisons are pure integer hit counts — no float in
+    the contract.
+    """
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    scored = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id", F.round(sim, 6).alias("cos_sim")))
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id"))
+    exact = (scored.withColumn("rn", rn).filter(F.col("rn") <= 3)
+             .select("qid", "vec_id"))
+
+    def hits(ann: DataFrame) -> DataFrame:
+        """Integer hit count of an ANN result against the exact set."""
+        return (ann.filter(F.col("q_id") < 10)
+                .join(exact, (F.col("q_id") == F.col("qid"))
+                      & (ann.vec_id == exact.vec_id), "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_hits")))
+
+    ivf_hits = hits(ann_ivf_topk(spark, sf_dir))
+    mp_hits = hits(ann_lsh_multiprobe_topk(spark, sf_dir))
+    single_hits = hits(ann_lsh_topk(spark, sf_dir))
+
+    def row(name: str, h: DataFrame, ok) -> DataFrame:
+        return h.select(
+            F.lit(name).alias("method"),
+            F.lit(10).cast("long").alias("n_queries"),
+            F.lit(3).cast("long").alias("k"),
+            ok.cast("long").alias("passed"))
+
+    ivf = row("ivf", ivf_hits, F.col("n_hits") * 2 >= 30)
+    mp = row("lsh_multiprobe", mp_hits, F.col("n_hits") * 10 >= 30)
+    rel = (mp_hits.select(F.col("n_hits").alias("mp_hits"))
+           .crossJoin(F.broadcast(single_hits))
+           .select(F.lit("multiprobe_vs_single").alias("method"),
+                   F.lit(10).cast("long").alias("n_queries"),
+                   F.lit(3).cast("long").alias("k"),
+                   (F.col("mp_hits") >= F.col("n_hits")).cast("long")
+                   .alias("passed")))
+    return ivf.unionByName(mp).unionByName(rel).orderBy("method")
