@@ -56,9 +56,17 @@ def _driver_checked() -> set[str]:
     root = Path(__file__).resolve().parents[2]
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
-            seen.update(json.loads(p.read_text()))
+            rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            # A rows-only row ("no_oracle") does NOT retire a query
+            # that has an oracle NOW: it was upgraded since that
+            # sample and deserves a real hash-checked row.
+            if (isinstance(row, dict) and row.get("err") == "no_oracle"
+                    and name in ORACLES):
+                continue
+            seen.add(name)
     return seen
 
 

@@ -107,14 +107,136 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # rows-only: the decode stub is engine-private
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal pipeline: binary table → mapInPandas decode/
-    featurize (Arrow batches) → typed feature rows. The decode itself
-    is stubbed (module docstring); the distributed plumbing is real.
+@query("multimodal_byte_features")  # rows-only: the byte stub is engine-private
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic multimodal pipeline shape: binary table → mapInPandas
+    decode/featurize (Arrow batches) → typed feature rows. The decode
+    here is the byte-stat stub (module docstring) standing in for
+    codec-bound media types; ``multimodal_features`` below is the REAL
+    decode over a codec-free format.
     """
     b = binary_table(spark, sf_dir).select("doc_id", "payload", "media_type")
     return b.mapInPandas(featurize_batches, schema=FEATURE_SCHEMA)
+
+
+def wav_pcm_bytes(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM WAV blob for a doc id — a REAL,
+    spec-complete RIFF/WAVE file (44-byte canonical header + LE int16
+    frames), built from pure byte math so no codec library is needed.
+    Sample i of doc d is ``(d*31 + i*17) % 4096 - 2048``."""
+    import struct
+
+    n = 100 + doc_id % 50
+    rate = 8000 + (doc_id % 3) * 4000
+    samples = [(doc_id * 31 + i * 17) % 4096 - 2048 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data))
+    return hdr + data
+
+
+def decode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: REAL WAV-PCM decode, Arrow batch at a time.
+
+    Parses the RIFF container (magic, fmt chunk, PCM format tag,
+    channel count, sample rate, bit depth, data chunk length) and
+    decodes the int16 frames with numpy — the same shape a
+    torchaudio-backed kernel has, with the codec replaced by the one
+    format raw bytes can carry. Emits pure-integer statistics so the
+    DuckDB oracle can predict every value exactly."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+               "sum_samples": [], "min_sample": [], "max_sample": [],
+               "sum_sq": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            blob = bytes(blob)
+            riff, _size, wave = struct.unpack("<4sI4s", blob[:12])
+            if riff != b"RIFF" or wave != b"WAVE":
+                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE blob")
+            (fmt_tag, fmt_len, audio_fmt, n_ch, rate, _br, _ba,
+             bits) = struct.unpack("<4sIHHIIHH", blob[12:36])
+            if fmt_tag != b"fmt " or fmt_len != 16 or audio_fmt != 1:
+                raise ValueError(f"doc {doc_id}: not canonical PCM")
+            if n_ch != 1 or bits != 16:
+                raise NotImplementedError("kernel handles 16-bit mono")
+            data_tag, data_len = struct.unpack("<4sI", blob[36:44])
+            if data_tag != b"data":
+                raise ValueError(f"doc {doc_id}: missing data chunk")
+            frames = np.frombuffer(blob, dtype="<i2", count=data_len // 2,
+                                   offset=44).astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(len(frames))
+            out["sample_rate"].append(rate)
+            out["sum_samples"].append(int(frames.sum()))
+            out["min_sample"].append(int(frames.min()))
+            out["max_sample"].append(int(frames.max()))
+            out["sum_sq"].append(int((frames * frames).sum()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               100 + doc_id % 50 AS n,
+               8000 + (doc_id % 3) * 4000 AS rate
+        FROM documents WHERE doc_id < 200
+    ), vals AS (
+        SELECT doc_id, n, rate,
+               (doc_id * 31 + i * 17) % 4096 - 2048 AS v
+        FROM params, LATERAL unnest(generate_series(0, n - 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           CAST(any_value(rate) AS INT) AS sample_rate,
+           CAST(SUM(v) AS BIGINT) AS sum_samples,
+           CAST(MIN(v) AS BIGINT) AS min_sample,
+           CAST(MAX(v) AS BIGINT) AS max_sample,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq
+    FROM vals GROUP BY doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode, end to end and oracle-checked: build
+    WAV-PCM audio blobs (one per document id, Arrow-batched pandas
+    UDF), ship them through the binary-column contract, and decode
+    them in a ``mapInPandas`` kernel that actually parses the RIFF
+    header and the int16 frames. The oracle predicts every statistic
+    from the generation parameters with integer arithmetic — a header
+    mis-parse, endianness slip, or off-by-one in the frame math
+    produces a hash mismatch, so the DECODE itself is what the driver
+    verifies (codec-bound formats stay stubbed in
+    ``multimodal_byte_features``; WAV is the format raw bytes can
+    carry honestly).
+
+    Scale shape: generation and decode are both executor-local batch
+    kernels over a doc_id-pruned scan — no shuffle at all until the
+    (absent) downstream aggregation; at 100 TB payloads stream
+    through Arrow batches and nothing driver-side ever sees a blob.
+    """
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 200).select("doc_id"))
+
+    @F.pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        return ids.map(wav_pcm_bytes)
+
+    audio = d.select("doc_id", make_wav(F.col("doc_id")).alias("payload"),
+                     F.lit("audio").alias("media_type"))
+    return (audio.select("doc_id", "payload")
+            .mapInPandas(decode_wav_batches,
+                         schema=("doc_id bigint, n_samples bigint, "
+                                 "sample_rate int, sum_samples bigint, "
+                                 "min_sample bigint, max_sample bigint, "
+                                 "sum_sq bigint")))
 
 
 def typed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,13 +15,41 @@ def test_decode_stub_contract():
         mm.decode_and_featurize(b"abc", "hologram")
 
 
-def test_features_pipeline_schema_and_rows(spark):
-    df = mm.multimodal_features(spark, SF_SMOKE)
+def test_byte_features_pipeline_schema_and_rows(spark):
+    df = mm.multimodal_byte_features(spark, SF_SMOKE)
     assert df.columns == ["doc_id", "media_type", "n_bytes",
                           "content_hash", "feat_mean", "feat_dim"]
     rows = df.collect()
     assert len(rows) == 500
     assert all(len(r.content_hash) == 64 and r.n_bytes > 0 for r in rows)
+
+
+def test_wav_decode_roundtrip_local():
+    """The decode kernel must recover exactly what the generator
+    wrote — pure local check, no Spark."""
+    import pandas as pd
+
+    blob = mm.wav_pcm_bytes(7)
+    out = next(mm.decode_wav_batches(
+        iter([pd.DataFrame({"doc_id": [7], "payload": [blob]})])))
+    r = out.iloc[0]
+    n = 100 + 7 % 50
+    samples = [(7 * 31 + i * 17) % 4096 - 2048 for i in range(n)]
+    assert r.n_samples == n
+    assert r.sample_rate == 8000 + (7 % 3) * 4000
+    assert r.sum_samples == sum(samples)
+    assert r.min_sample == min(samples)
+    assert r.max_sample == max(samples)
+    assert r.sum_sq == sum(v * v for v in samples)
+
+
+def test_wav_decode_rejects_corrupt_header():
+    import pandas as pd
+
+    blob = b"JUNK" + mm.wav_pcm_bytes(1)[4:]
+    with pytest.raises(ValueError):
+        next(mm.decode_wav_batches(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [blob]})])))
 
 
 def test_frame_sample_fanout(spark):
