@@ -303,37 +303,105 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_neardup")  # rows-only: banding is probabilistic by design
+#: MinHash configuration: 32 affine permutations over a 32-bit
+#: md5-derived gram hash, 8 bands x 4 rows, Mersenne-prime modulus.
+#: Fixed literal coefficient family (seed=7) shared verbatim by the
+#: Spark plan and the DuckDB oracle below.
+_MH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+_MH_N_PERM, _MH_BANDS = 32, 8
+_MH_ROWS_PER_BAND = _MH_N_PERM // _MH_BANDS
+
+
+def _mh_coeffs() -> list[tuple[int, int]]:
+    import random
+    rng = random.Random(7)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+            for _ in range(_MH_N_PERM)]
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline. The gram hash
+    is the first 8 md5 hex digits as an integer — a construction both
+    engines express exactly (Spark ``conv``, DuckDB hex cast) — so
+    signatures, bands, candidates, and the agreement filter are all
+    bit-reproducible; the probabilistic operator gets a REAL oracle."""
+    coeffs = _mh_coeffs()
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {_MH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs))
+    band_rows = "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {bid} AS band_id, concat_ws('-', {cols})"
+        " AS band_key FROM sig".format(
+            bid=i, cols=", ".join(
+                f"mh{i * _MH_ROWS_PER_BAND + r}"
+                for r in range(_MH_ROWS_PER_BAND)))
+        for i in range(_MH_BANDS))
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_MH_N_PERM))
+    return f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1])) AS gram
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(gram), 1, 8))::UBIGINT AS BIGINT)
+                   AS h
+        FROM g
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ), bands AS (
+{band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(({agree}) AS DOUBLE) / {_MH_N_PERM} AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE ({agree}) * 2 >= {_MH_N_PERM}
+    """
+
+
+@query("minhash_lsh_neardup", oracle=_minhash_oracle())
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: 32 permutations, 8 bands × 4
     rows. Pipeline: word-bigram shingles → per-permutation min of
-    (a_i * crc32(gram) + b_i mod p) → band signatures → exact-match
+    (a_i * h(gram) + b_i mod p) → band signatures → exact-match
     join on (band_id, band_signature) → candidate pairs verified by
     signature agreement >= 0.5.
 
     The band join is an equi-join on a short hash — at 100 TB the
     shuffle carries (band_key, doc_id) pairs only, and bucket sizes
-    are capped by banding probability, not corpus size. No oracle:
-    candidate sets depend on the permutation family (still
-    deterministic across runs — the seeds are fixed literals).
+    are capped by banding probability, not corpus size. The gram hash
+    is md5-derived (first 8 hex digits as int) rather than crc32:
+    ~equally cheap at this width, and expressible in DuckDB, which
+    upgrades this operator from rows-only to fully oracle-checked —
+    the oracle replays permutations, banding, and agreement verbatim.
     """
     d = Catalog(spark, sf_dir).documents
     # Permutation arithmetic stays within int64 under ANSI mode:
-    # crc32 < 2^32 and a,b < 2^30 keep h*a+b < 2^63 (no overflow).
-    P = 2_147_483_647  # Mersenne prime 2^31 - 1
-    N_PERM, BANDS = 32, 8
-    ROWS_PER_BAND = N_PERM // BANDS
-    # Fixed affine permutation family (deterministic literals, seed=7).
-    import random
-    rng = random.Random(7)
-    coeffs = [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
-              for _ in range(N_PERM)]
+    # h < 2^32 and a,b < 2^30 keep h*a+b < 2^63 (no overflow).
+    P = _MH_P
+    N_PERM, BANDS = _MH_N_PERM, _MH_BANDS
+    ROWS_PER_BAND = _MH_ROWS_PER_BAND
+    coeffs = _mh_coeffs()
 
-    # Signature via explode + hash-aggregate: crc32 evaluated ONCE per
-    # gram, the 32 permutation mins run as vectorized partial aggs
-    # map-side (the shuffle carries at most one partial row per doc per
+    # Signature via explode + hash-aggregate: the gram hashed ONCE,
+    # the 32 permutation mins run as vectorized partial aggs map-side
+    # (the shuffle carries at most one partial row per doc per
     # partition) — both faster locally and the right shape at 100 TB.
-    exploded = _word_bigrams(d).withColumn("h", F.crc32("gram"))
+    exploded = _word_bigrams(d).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"))
     signed = exploded.groupBy("doc_id").agg(*[
         F.min((F.col("h") * a + b) % P).alias(f"mh{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -380,22 +448,68 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_fingerprint")  # rows-only: bit-mixing constants are engine-private
+def _simhash_fp_cte() -> str:
+    """Shared DuckDB CTE chain computing the per-doc 64-bit SimHash
+    (``fp(doc_id, simhash64)``) — replayed verbatim from the Spark
+    plan: md5-derived 64 bit votes, ±1 sums, sign packing. Bit 63
+    packs via the two's-complement identity 2^63 ≡ INT64_MIN (DuckDB
+    refuses the overflowing ``1 << 63``; Spark's Java shift wraps to
+    the same value)."""
+    votes = ",\n               ".join(
+        "SUM(CASE WHEN ({h} & {m}) != 0 THEN 1 ELSE -1 END) AS v{i}".format(
+            h="h1" if i < 32 else "h2", m=1 << (i % 32), i=i)
+        for i in range(64))
+    terms = " + ".join(
+        [f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(63)]
+        + ["CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"])
+    return f"""
+    tk AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), hh AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT AS BIGINT)
+                   AS h1,
+               CAST(('0x' || substring(md5(tok), 9, 8))::UBIGINT AS BIGINT)
+                   AS h2
+        FROM tk
+    ), votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM hh GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, ({terms}) AS simhash64
+        FROM votes
+    )"""
+
+
+@query("simhash_fingerprint", oracle=f"""
+    WITH {_simhash_fp_cte()}
+    SELECT doc_id, simhash64,
+           ((simhash64 >> 48) & 65535) AS band_prefix16
+    FROM fp
+    """)
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: each token votes its crc32-derived
+    """64-bit SimHash per document: each token votes its md5-derived
     bit pattern weighted ±1; the sign vector packs into a fingerprint.
     Near-dup = small Hamming distance; here we emit the fingerprint
     plus a 16-bit prefix block useful for banded Hamming search
     (Manku et al., WWW'07). Pure column expressions — the 64 bit
-    positions unroll into an array comprehension, no UDF."""
+    positions unroll into an array comprehension, no UDF. The bit
+    source is the two 32-bit halves of one md5 per token (was crc32:
+    same cost at this width, but md5 is DuckDB-expressible, which
+    upgrades both SimHash queries from rows-only to oracle-checked)."""
     d = Catalog(spark, sf_dir).documents
-    # Explode distinct tokens, hash each ONCE (two salted CRCs → 64
-    # stable bits), then take the 64 bit-votes as vectorized SUM
+    # Explode distinct tokens, hash each ONCE (one md5 → 64 stable
+    # bits), then take the 64 bit-votes as vectorized SUM
     # aggregates — the same explode+hash-agg shape as MinHash, fully
     # codegen'd (interpreted array-fold HOFs were ~10× slower).
     toks = (d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
-            .withColumn("h1", F.crc32("tok"))
-            .withColumn("h2", F.crc32(F.concat(F.col("tok"), F.lit("#")))))
+            .withColumn("md5", F.md5("tok"))
+            .withColumn("h1", F.conv(F.substring("md5", 1, 8), 16, 10)
+                        .cast("long"))
+            .withColumn("h2", F.conv(F.substring("md5", 9, 8), 16, 10)
+                        .cast("long")))
     votes = toks.groupBy("doc_id").agg(*[
         F.sum(
             F.when(
@@ -443,7 +557,30 @@ def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_neardup_pairs")  # rows-only: crc32 bit-mixing is engine-private
+@query("simhash_neardup_pairs", oracle=f"""
+    WITH {_simhash_fp_cte()}, blocks AS (
+        SELECT doc_id, simhash64, 0 AS block_id,
+               (simhash64 & 65535) AS block_key FROM fp
+        UNION ALL
+        SELECT doc_id, simhash64, 1,
+               ((simhash64 >> 16) & 65535) FROM fp
+        UNION ALL
+        SELECT doc_id, simhash64, 2,
+               ((simhash64 >> 32) & 65535) FROM fp
+        UNION ALL
+        SELECT doc_id, simhash64, 3,
+               ((simhash64 >> 48) & 65535) FROM fp
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash64 AS fa, b.simhash64 AS fb
+        FROM blocks a JOIN blocks b
+          ON a.block_id = b.block_id AND a.block_key = b.block_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """)
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs via banded Hamming search
     (Manku et al., WWW'07): split each 64-bit fingerprint into 4
@@ -482,7 +619,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.simhash64").alias("fp_b"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= HAMMING_MAX)
             .select("doc_a", "doc_b", "hamming"))
