@@ -285,18 +285,130 @@ def sample_frames(batches):
         yield pd.DataFrame(rows)
 
 
-@query("multimodal_frame_sample")  # rows-only: decode stub is engine-private
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video pipeline: filter to video rows (pushed-down discriminator
-    predicate), repartition by doc_id so one worker owns one asset's
-    frames, then Arrow-batched frame sampling. Output is one row per
-    kept frame — the fan-out shape that feeds frame-level dedup or
-    embedding stages downstream."""
+@query("multimodal_frame_stub_sample")  # rows-only: slicing stub is engine-private
+def multimodal_frame_stub_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline over the codec-bound stub: filter to video rows
+    (pushed-down discriminator predicate), repartition by doc_id so
+    one worker owns one asset's frames, then Arrow-batched frame
+    sampling. The REAL frame decode lives in
+    ``multimodal_frame_sample`` below over the raw-frame format."""
     media = typed_media_table(spark, sf_dir)
     videos = (media.filter(F.col("media_type") == "video")
               .select("doc_id", "payload", F.col("meta.duration_s").alias("duration_s")))
     return videos.repartition("doc_id").mapInPandas(
         sample_frames, schema="doc_id bigint, frame_idx int, frame_hash string")
+
+
+#: Raw-video geometry: fixed tiny frames keep the contract readable;
+#: the kernel reads W/H from the header, never from these constants.
+_RV_W, _RV_H = 8, 6
+_RV_FRAME_BYTES = _RV_W * _RV_H * 3
+_RV_SAMPLE_EVERY = 5
+
+
+def rvid_bytes(doc_id: int) -> bytes:
+    """Deterministic raw-video blob: 16-byte header (magic 'RVID',
+    frame count, width, height as LE uint32) + n_frames frames of
+    W*H*3 RGB24 bytes. Pixel j of frame f in doc d is
+    ``(d*7 + f*13 + j*5) % 256`` — pure byte math, no codec, so the
+    oracle can predict every decoded statistic exactly."""
+    import struct
+
+    n_frames = 10 + doc_id % 20
+    hdr = struct.pack("<4sIII", b"RVID", n_frames, _RV_W, _RV_H)
+    body = bytes(
+        (doc_id * 7 + f * 13 + j * 5) % 256
+        for f in range(n_frames) for j in range(_RV_FRAME_BYTES))
+    return hdr + body
+
+
+def decode_rvid_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: REAL raw-video decode. Parses the RVID
+    header, strides the frame array, keeps every
+    ``_RV_SAMPLE_EVERY``-th frame (the 1-frame-per-interval sampling a
+    pyav kernel would do), and emits per-frame integer pixel stats."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "px_sum": [],
+               "px_min": [], "px_max": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            blob = bytes(blob)
+            magic, n_frames, w, h = struct.unpack("<4sIII", blob[:16])
+            if magic != b"RVID":
+                raise ValueError(f"doc {doc_id}: not an RVID blob")
+            fb = w * h * 3
+            if len(blob) != 16 + n_frames * fb:
+                raise ValueError(f"doc {doc_id}: truncated frame data")
+            frames = np.frombuffer(blob, dtype=np.uint8, offset=16)
+            frames = frames.reshape(n_frames, fb).astype(np.int64)
+            for idx in range(0, n_frames, _RV_SAMPLE_EVERY):
+                fr = frames[idx]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["px_sum"].append(int(fr.sum()))
+                out["px_min"].append(int(fr.min()))
+                out["px_max"].append(int(fr.max()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id, 10 + doc_id % 20 AS n_frames
+        FROM documents WHERE doc_id < 200
+    ), sampled AS (
+        SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1,
+                                                        {_RV_SAMPLE_EVERY}))
+                   AS frame_idx
+        FROM params
+    ), px AS (
+        SELECT doc_id, frame_idx,
+               (doc_id * 7 + frame_idx * 13 + j * 5) % 256 AS v
+        FROM sampled,
+             LATERAL unnest(generate_series(0, {_RV_FRAME_BYTES} - 1))
+                 AS t(j)
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame-sampling decode, oracle-checked end to end: build
+    raw-video blobs (RVID: counted header + RGB24 frame array — the
+    one video format raw bytes can carry without a codec), ship them
+    through the binary-column contract, repartition by doc_id so one
+    worker owns one asset, and decode in a ``mapInPandas`` kernel that
+    parses the header, strides the frame array, samples every 5th
+    frame, and emits integer pixel statistics. The DuckDB oracle
+    predicts every value from the generation parameters — a header
+    mis-parse, stride error, or wrong sampling phase is a hash
+    mismatch (same predicted-decode pattern as the WAV path in
+    ``multimodal_features``).
+
+    Scale shape: one row per kept frame — the fan-out that feeds
+    frame-level dedup/embedding; payloads stay in executor-local Arrow
+    batches, the only shuffle is the doc_id repartition that pins
+    asset locality.
+    """
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 200).select("doc_id"))
+
+    @F.pandas_udf("binary")
+    def make_rvid(ids: pd.Series) -> pd.Series:
+        return ids.map(rvid_bytes)
+
+    videos = d.select("doc_id", make_rvid(F.col("doc_id")).alias("payload"))
+    return videos.repartition("doc_id").mapInPandas(
+        decode_rvid_batches,
+        schema=("doc_id bigint, frame_idx int, px_sum bigint, "
+                "px_min bigint, px_max bigint"))
 
 
 @query(

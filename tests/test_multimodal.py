@@ -52,12 +52,40 @@ def test_wav_decode_rejects_corrupt_header():
             iter([pd.DataFrame({"doc_id": [1], "payload": [blob]})])))
 
 
-def test_frame_sample_fanout(spark):
+def test_frame_stub_sample_fanout(spark):
     media = mm.typed_media_table(spark, SF_SMOKE)
     n_videos = media.filter("media_type = 'video'").count()
-    frames = mm.multimodal_frame_sample(spark, SF_SMOKE)
+    frames = mm.multimodal_frame_stub_sample(spark, SF_SMOKE)
     got = frames.collect()
     # every video emits >= 1 frame; every 5th frame kept
     assert len({r.doc_id for r in got}) == n_videos
     assert len(got) >= n_videos
     assert all(r.frame_idx % 5 == 0 for r in got)
+
+
+def test_rvid_decode_roundtrip_local():
+    """The raw-video kernel must recover exactly what the generator
+    wrote — pure local check, no Spark."""
+    import pandas as pd
+
+    blob = mm.rvid_bytes(11)
+    out = next(mm.decode_rvid_batches(
+        iter([pd.DataFrame({"doc_id": [11], "payload": [blob]})])))
+    n_frames = 10 + 11 % 20
+    kept = list(range(0, n_frames, 5))
+    assert list(out.frame_idx) == kept
+    for row, f in zip(out.itertuples(), kept):
+        px = [(11 * 7 + f * 13 + j * 5) % 256
+              for j in range(mm._RV_FRAME_BYTES)]
+        assert row.px_sum == sum(px)
+        assert row.px_min == min(px)
+        assert row.px_max == max(px)
+
+
+def test_rvid_decode_rejects_truncated():
+    import pandas as pd
+
+    blob = mm.rvid_bytes(3)[:-5]
+    with pytest.raises(ValueError):
+        next(mm.decode_rvid_batches(
+            iter([pd.DataFrame({"doc_id": [3], "payload": [blob]})])))
