@@ -151,6 +151,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_arm_metrics", "cohort_ltv_curve",
         "growth_accounting_weekly", "training_manifest_end_to_end",
         "clamped_running_balance_kernel", "ann_recall_contract",
+        "hybrid_rrf_retrieval", "binaryfile_wav_ingest",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -1839,3 +1839,68 @@ def boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .select("doc_id").distinct())
         out = out.join(postings, "doc_id", "semi")
     return out.select("doc_id", "lang", "source")
+
+
+def _rrf_oracle() -> str:
+    """RRF fusion oracle built ON TOP of the registered BM25 oracle
+    (imported as a CTE body, so the lexical leg can never drift from
+    the thing it fuses)."""
+    from . import ORACLES
+    bm25 = ORACLES["bm25_keyword_topk"]
+    return f"""
+    WITH lex AS ({bm25}
+    ), lexr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        FROM lex
+    ), q AS (
+        SELECT d.doc_id,
+               CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                   / len(string_split(d.text, ' ')) AS dr
+        FROM documents d JOIN lexr ON d.doc_id = lexr.doc_id
+    ), qr AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dr DESC, doc_id) AS r_q
+        FROM q
+    )
+    SELECT lexr.doc_id,
+           CAST(r_lex AS BIGINT) AS r_lex,
+           CAST(r_q AS BIGINT) AS r_q,
+           1e0 / (60 + r_lex) + 1e0 / (60 + r_q) AS rrf_score
+    FROM lexr JOIN qr ON lexr.doc_id = qr.doc_id
+    ORDER BY rrf_score DESC, lexr.doc_id
+    """
+
+
+@query("hybrid_rrf_retrieval", oracle=_rrf_oracle())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09): the BM25 lexical top-10 re-ranked by fusing its rank
+    with a quality-prior rank (distinct-token ratio — the repetition
+    signal from ``text_quality_score``) as
+    ``1/(60+r_lex) + 1/(60+r_quality)``. The standard way to combine
+    heterogeneous rankers without score calibration — rank math only,
+    so fusing a float-scored ranker with anything stays deterministic
+    (each RRF term is one exact division; the two-term sum has fixed
+    order).
+
+    Scale shape: the corpus-sized work is the BM25 leg (scan-bounded,
+    TakeOrdered — see ``bm25_keyword_topk``); fusion itself runs on
+    the 10-row candidate set, so the two unpartitioned rank windows
+    are bounded by the upstream LIMIT, not by the corpus.
+    """
+    lex = bm25_keyword_topk(spark, sf_dir).select("doc_id", "score")
+    r_lex = F.row_number().over(
+        W.orderBy(F.col("score").desc(), "doc_id")).cast("long")
+    lexr = lex.select("doc_id", r_lex.alias("r_lex"))
+    d = Catalog(spark, sf_dir).documents
+    dr = (F.size(F.array_distinct(_tokens())).cast("double")
+          / F.size(_tokens()))
+    q = (d.join(F.broadcast(lexr), "doc_id")
+         .select("doc_id", "r_lex", dr.alias("dr")))
+    r_q = F.row_number().over(
+        W.orderBy(F.col("dr").desc(), "doc_id")).cast("long")
+    fused = q.select("doc_id", "r_lex", r_q.alias("r_q"))
+    rrf = (F.lit(1.0) / (F.lit(60) + F.col("r_lex"))
+           + F.lit(1.0) / (F.lit(60) + F.col("r_q")))
+    return (fused.withColumn("rrf_score", rrf)
+            .orderBy(F.col("rrf_score").desc(), "doc_id"))
