@@ -456,3 +456,52 @@ def test_q20_semi_joins_no_distinct_shuffle_chain(spark):
     # join + distinct), and the part-name prune broadcasts.
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_clamped_balance_single_exchange_no_python(spark):
+    """The Lindley closed form must be pure window algebra: one
+    user_id exchange feeding both window passes and the final
+    aggregate, and no Python evaluation anywhere in the plan."""
+    plan = _plan(spark, "clamped_running_balance")
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    import re
+    n_user_exchanges = len(re.findall(
+        r"Exchange hashpartitioning\(user_id", plan))
+    assert n_user_exchanges <= 1, plan[:2000]
+
+
+def test_clamped_kernel_is_the_pandas_tier(spark):
+    # The kernel twin must actually exercise applyInPandas.
+    plan = _plan(spark, "clamped_running_balance_kernel")
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_setsim_repartitions_hold_parallelism(spark):
+    """The two CPU-heavy/byte-small stages must run on the pinned
+    user repartition, not an AQE-coalesced remnant: both
+    REPARTITION_BY_COL exchanges survive into the physical plan."""
+    plan = _plan(spark, "setsim_prefix_join")
+    import re
+    # repartition(n, cols) plans as REPARTITION_BY_NUM exchanges; the
+    # prefix join's gram key and the verification's pair key must both
+    # survive into the physical plan.
+    assert re.search(r"hashpartitioning\(gram#\d+, \d+\), REPARTITION_BY_NUM",
+                     plan), plan[:2000]
+    assert re.search(r"hashpartitioning\(doc_a#\d+L, doc_b#\d+L, \d+\), "
+                     r"REPARTITION_BY_NUM", plan), plan[:2000]
+
+
+def test_rrf_windows_are_limit_bounded(spark):
+    """The two unpartitioned rank windows fuse a 10-row candidate
+    set: a TakeOrdered/limit must sit below them so the global sort
+    never sees the corpus."""
+    plan = _plan(spark, "hybrid_rrf_retrieval")
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_binaryfile_ingest_no_payload_shuffle(spark):
+    """The asset payload must never cross an exchange: decode is
+    executor-local; only (doc_id, stats) rows shuffle for the join."""
+    plan = _plan(spark, "binaryfile_wav_ingest")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert not any("payload" in l or "content" in l for l in exchanges), exchanges

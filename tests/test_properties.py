@@ -180,3 +180,35 @@ def test_stratified_sample_rates(spark):
         n = totals[lang]
         sigma = math.sqrt(n * p * (1 - p))
         assert abs(got.get(lang, 0) - n * p) <= 5 * sigma + 1, (lang, got.get(lang), n)
+
+
+@given(st.lists(st.integers(min_value=-10_000, max_value=10_000),
+                min_size=0, max_size=60))
+def test_lindley_closed_form_equals_sequential_recurrence(deltas):
+    """The window closed form in clamped_running_balance rests on the
+    Lindley identity bal_t = S_t - min(0, running_min(S)_t); this
+    pins it against the literal sequential recurrence for arbitrary
+    delta sequences (pure Python on both sides, no Spark)."""
+    # sequential truth
+    bal = clamps = maxb = 0
+    for d in deltas:
+        nxt = bal + d
+        if nxt < 0:
+            clamps += 1
+            nxt = 0
+        bal = nxt
+        maxb = max(maxb, bal)
+    # closed form
+    s = 0
+    run_min = 0          # min(0, min of prefix sums so far)
+    cf_clamps = 0
+    cf_max = 0
+    for d in deltas:
+        prev_min = run_min
+        s += d
+        if s < prev_min:
+            cf_clamps += 1       # strict new minimum below 0
+        run_min = min(run_min, s)
+        cf_max = max(cf_max, s - run_min)
+    cf_bal = s - run_min
+    assert (bal, clamps, maxb) == (cf_bal, cf_clamps, cf_max)
