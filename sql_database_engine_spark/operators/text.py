@@ -1904,3 +1904,111 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
            + F.lit(1.0) / (F.lit(60) + F.col("r_q")))
     return (fused.withColumn("rrf_score", rrf)
             .orderBy(F.col("rrf_score").desc(), "doc_id"))
+
+
+@query(
+    "dup_span_trim_corpus",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS tok
+        FROM documents,
+             LATERAL unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS t(i)
+    ), g AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string((string_split(text, ' '))[i:i + 4], ' ')
+                   AS gram
+        FROM documents,
+             LATERAL unnest(generate_series(1,
+                            len(string_split(text, ' ')) - 4)) AS t(i)
+    ), gf AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY gram) AS cf,
+               ROW_NUMBER() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM g
+    ), rem AS (
+        SELECT DISTINCT doc_id, pos + j AS cpos
+        FROM gf, LATERAL unnest(generate_series(0, 4)) AS t(j)
+        WHERE cf >= 2 AND rn > 1
+    ), kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t LEFT JOIN rem r
+          ON t.doc_id = r.doc_id AND t.pos = r.cpos
+        WHERE r.doc_id IS NULL
+    ), rebuilt AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT)
+               - COALESCE(r.n_kept, 0) AS n_removed,
+           COALESCE(r.cleaned_text, '') AS cleaned_text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def dup_span_trim_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLEANING step of exact-substring dedup (Lee et al. 2022),
+    completing ``dup_ngram_span_stats`` (which only measures): rebuild
+    every document with its duplicated spans removed, keeping one
+    canonical occurrence of each span corpus-wide.
+
+    Rule: a 5-token window is duplicated when its exact text occurs
+    >= 2 times in the corpus; the canonical occurrence is the
+    (doc_id, pos)-minimal one; every token covered by a NON-canonical
+    duplicated window is dropped; survivors re-concatenate in
+    position order. Sparing the canonical copy is what makes this
+    dedup rather than deletion: no span is removed on account of its
+    own duplication everywhere at once. (A canonical occurrence can
+    still lose tokens to an overlapping *different* duplicated span —
+    the same boundary behavior as Lee et al.'s span cutting.)
+
+    Scale shape: one token explode feeds both the window build and the
+    rebuild; corpus frequency AND the canonical rank come from the
+    same gram-keyed exchange (count + row_number share one window
+    spec); removals shuffle as (doc_id, position) ints, never text;
+    the rebuild is a doc_id-keyed sort-within-group concat — Shuffled
+    rows are positions and 5-gram strings, whole documents move only
+    at the final per-doc concat, which at 100 TB writes straight back
+    to the corpus store partitioned by the same key it grouped on.
+    """
+    d = Catalog(spark, sf_dir).documents
+    base = d.select("doc_id", F.size(_tokens()).cast("long").alias("n_tokens"))
+    toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, 5)]
+    g = (toks.select("doc_id", "pos", F.concat_ws(" ", *parts).alias("gram"),
+                     F.lead("tok", 4).over(w).alias("_tail"))
+         .filter(F.col("_tail").isNotNull())
+         .drop("_tail"))
+    wg = W.partitionBy("gram")
+    gf = (g.withColumn("cf", F.count(F.lit(1)).over(wg))
+          .withColumn("rn", F.row_number().over(wg.orderBy("doc_id", "pos"))))
+    rem = (gf.filter((F.col("cf") >= 2) & (F.col("rn") > 1))
+           .select("doc_id",
+                   F.explode(F.sequence(F.col("pos"), F.col("pos") + 4))
+                   .alias("cpos"))
+           .distinct())
+    kept = toks.join(rem, (toks.doc_id == rem.doc_id)
+                     & (toks.pos == rem.cpos), "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "tok"))),
+                            lambda s: s["tok"])).alias("cleaned_text")))
+    return (base.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    (F.col("n_tokens")
+                     - F.coalesce("n_kept", F.lit(0))).cast("long")
+                    .alias("n_removed"),
+                    F.coalesce("cleaned_text", F.lit(""))
+                    .alias("cleaned_text")))
