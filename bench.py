@@ -80,6 +80,19 @@ HEADLINE = [
     "variant_json_extract",         # VARIANT parse-once path
     "cep_click_purchase_no_error",  # sequence pattern via window carry
     "training_manifest_end_to_end", # capstone dedup->split->shard plan
+    # round-3 additions (prior sets unchanged for round-over-round
+    # comparability; clamped_running_balance above now times the
+    # Lindley window closed form — its applyInPandas twin is timed
+    # here as the UDF-tier price)
+    "clamped_running_balance_kernel",  # applyInPandas stateful loop
+    "q2_min_cost_supplier",         # decorrelated window-MIN (TPC-H Q2)
+    "q16_supplier_part_counts",     # anti-join + COUNT(DISTINCT) (Q16)
+    "multimodal_features",          # real WAV-PCM mapInPandas decode
+    "binaryfile_wav_ingest",        # binaryFile source -> decode hop
+    "multimodal_frame_sample",      # real raw-video frame sampling
+    "dup_span_trim_corpus",         # exact-substring span removal
+    "hybrid_rrf_retrieval",         # BM25 x quality-prior rank fusion
+    "ann_pq_topk",                  # PQ codebooks + ADC + exact rerank
 ]
 
 
