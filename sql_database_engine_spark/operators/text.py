@@ -625,44 +625,30 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "hamming"))
 
 
-@query("doc_winnowing_fingerprints")  # rows-only: rolling-hash family is engine-private
-def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints via winnowing (Schleimer,
-    Wilkerson, Aiken — MOSS, SIGMOD'03): polynomial hashes over k-byte
-    windows, then the minimum hash in each w-window of consecutive
-    hashes is kept — *rightmost* on ties, per the paper's robust rule,
-    so runs of equal hashes (boilerplate text) select one fingerprint
-    per run instead of one per position. Any shared substring of
-    length >= k+w-1 still contributes a shared fingerprint.
-
-    The per-document recurrence is genuinely non-relational, so this
-    is mapInPandas: numpy evaluation in bounded CHUNKs (memory stays
-    O(chunk·k) per document regardless of document size — a 50 MB doc
-    must not allocate 50M×k temporaries at once). NULL texts are
-    filtered Spark-side, matching the null-propagation of the column-
-    expression operators in this module. Output is (doc_id,
-    fingerprint, position); a near-dup pass joins on fingerprint."""
+def _winnow_kernel(K: int = 8, WIN: int = 4, B: int = 257,
+                   P: int = 1_000_000_007, CHUNK: int = 1 << 16):
+    """Build the winnowing mapInPandas kernel (hoisted to module level
+    so tests/test_neardup_quality.py can drive it locally — the
+    SIGMOD'03 guarantees are pinned there, no Spark needed)."""
     import numpy as np
 
-    K, WIN, B, P = 8, 4, 257, 1_000_000_007
-    CHUNK = 1 << 16  # windows hashed per numpy slab: caps temporaries
+    powers = np.array([pow(B, K - 1 - i, P) for i in range(K)], dtype=np.int64)
+
+    def kgram_hashes(data: "np.ndarray") -> "np.ndarray":
+        n_win = len(data) - K + 1
+        parts = []
+        for s in range(0, n_win, CHUNK):
+            e = min(s + CHUNK, n_win)
+            idx = np.arange(s, e)[:, None] + np.arange(K)[None, :]
+            parts.append((data[idx] * powers[None, :] % P).sum(axis=1) % P)
+        return np.concatenate(parts)
 
     def winnow(batches):
-        powers = np.array([pow(B, K - 1 - i, P) for i in range(K)], dtype=np.int64)
-
-        def kgram_hashes(data: "np.ndarray") -> "np.ndarray":
-            n_win = len(data) - K + 1
-            parts = []
-            for s in range(0, n_win, CHUNK):
-                e = min(s + CHUNK, n_win)
-                idx = np.arange(s, e)[:, None] + np.arange(K)[None, :]
-                parts.append((data[idx] * powers[None, :] % P).sum(axis=1) % P)
-            return np.concatenate(parts)
-
         for pdf in batches:
             out = {"doc_id": [], "fingerprint": [], "position": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+                data = np.frombuffer(text.encode("utf-8"),
+                                     dtype=np.uint8).astype(np.int64)
                 if len(data) < K:
                     continue
                 hashes = kgram_hashes(data)
@@ -692,6 +678,28 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["fingerprint"].append(int(hashes[pos]))
                     out["position"].append(pos)
             yield pd.DataFrame(out)
+
+    return winnow
+
+
+@query("doc_winnowing_fingerprints")  # rows-only: rolling-hash family is engine-private
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson, Aiken — MOSS, SIGMOD'03): polynomial hashes over k-byte
+    windows, then the minimum hash in each w-window of consecutive
+    hashes is kept — *rightmost* on ties, per the paper's robust rule,
+    so runs of equal hashes (boilerplate text) select one fingerprint
+    per run instead of one per position. Any shared substring of
+    length >= k+w-1 still contributes a shared fingerprint.
+
+    The per-document recurrence is genuinely non-relational, so this
+    is mapInPandas: numpy evaluation in bounded CHUNKs (memory stays
+    O(chunk·k) per document regardless of document size — a 50 MB doc
+    must not allocate 50M×k temporaries at once). NULL texts are
+    filtered Spark-side, matching the null-propagation of the column-
+    expression operators in this module. Output is (doc_id,
+    fingerprint, position); a near-dup pass joins on fingerprint."""
+    winnow = _winnow_kernel()
 
     d = (Catalog(spark, sf_dir).documents
          .filter(F.col("text").isNotNull())

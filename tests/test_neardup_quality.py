@@ -151,3 +151,55 @@ def test_cms_estimates_bounded(spark):
     for r in rows:
         assert r["n_est"] >= r["n_exact"], r
         assert r["n_est"] - r["n_exact"] <= bound, (r, bound)
+
+
+def _winnow_fps(texts):
+    import pandas as pd
+    from sql_database_engine_spark.operators.text import _winnow_kernel
+    kernel = _winnow_kernel()
+    out = next(kernel(iter([pd.DataFrame(
+        {"doc_id": list(range(len(texts))), "text": texts})])))
+    by_doc = {}
+    for r in out.itertuples():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    return by_doc
+
+
+def test_winnowing_shared_substring_guarantee():
+    """SIGMOD'03 theorem: two documents sharing a substring of length
+    >= k + w - 1 (= 11 at the engine's k=8, w=4) share at least one
+    fingerprint VALUE — checked with a planted shared run inside
+    otherwise-disjoint texts, across several plants."""
+    from hypothesis import given, strategies as st
+
+    @given(st.text(alphabet="abcdefgh ", min_size=11, max_size=40),
+           st.text(alphabet="qrstuvwx ", min_size=20, max_size=60),
+           st.text(alphabet="ijklmnop ", min_size=20, max_size=60))
+    def check(shared, left, right):
+        fps = _winnow_fps([left + shared + left,
+                           right + shared + right])
+        assert fps.get(0) and fps.get(1)
+        assert fps[0] & fps[1], "no shared fingerprint for shared run"
+
+    check()
+
+
+def test_winnowing_density_on_boilerplate():
+    """The robust (rightmost-on-ties) rule must select ~1 fingerprint
+    per window-run on constant text, never one per position."""
+    import pandas as pd
+    from sql_database_engine_spark.operators.text import _winnow_kernel
+    kernel = _winnow_kernel()
+    text = "a" * 400
+    out = next(kernel(iter([pd.DataFrame({"doc_id": [0], "text": [text]})])))
+    # 393 k-gram windows, all equal hashes: plain winnowing would pick
+    # every position; the robust rule picks one per expiring window.
+    assert 1 <= len(out) <= 393 // 4 + 2, len(out)
+
+
+def test_winnowing_deterministic_and_disjoint_texts_disjoint_fps():
+    fps = _winnow_fps(["the quick brown fox jumps over the lazy dog",
+                       "the quick brown fox jumps over the lazy dog",
+                       "ZYXWVUTSRQPONMLKJIHGFEDCBA0123456789zyxwvu"])
+    assert fps[0] == fps[1]          # same text, same fingerprints
+    assert not (fps[0] & fps[2])     # no 11-byte overlap, no collision here
