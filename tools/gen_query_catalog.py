@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Regenerate QUERIES.md — the auto-derived registry inventory.
+
+SURVEY.md §2B narrates the operator surface; this file is the
+machine-derived ground truth (name, family, oracle status, first
+docstring sentence) so the narrative can be audited against the
+registry at any commit:  python tools/gen_query_catalog.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def first_sentence(doc: str | None) -> str:
+    if not doc:
+        return ""
+    text = " ".join(doc.strip().split())
+    for stop in (". ", " — the", " - the"):
+        if stop in text:
+            return text.split(stop)[0].rstrip(".") + "."
+    return text[:140]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from sql_database_engine_spark import operators as ops
+    ops.load_all()
+    fams: dict[str, list[str]] = {}
+    for name, fn in ops.QUERIES.items():
+        fams.setdefault(fn.__module__.rsplit(".", 1)[-1], []).append(name)
+    n_oracle = sum(1 for n in ops.QUERIES if n in ops.ORACLES)
+    lines = [
+        "# Query registry (auto-generated — do not edit)",
+        "",
+        f"Regenerate with `python tools/gen_query_catalog.py`.",
+        "",
+        f"**{len(ops.QUERIES)} registered queries, {n_oracle} with DuckDB "
+        f"oracles, {len(ops.QUERIES) - n_oracle} rows-only.**",
+        "",
+    ]
+    for fam in sorted(fams):
+        names = sorted(fams[fam])
+        n_f = sum(1 for n in names if n in ops.ORACLES)
+        lines.append(f"## {fam} ({len(names)} queries, {n_f} oracle-checked)")
+        lines.append("")
+        lines.append("| query | oracle | summary |")
+        lines.append("|---|---|---|")
+        for n in names:
+            mark = "yes" if n in ops.ORACLES else "rows-only"
+            lines.append(f"| `{n}` | {mark} | "
+                         f"{first_sentence(ops.QUERIES[n].__doc__)} |")
+        lines.append("")
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "QUERIES.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out}: {len(ops.QUERIES)} queries")
+
+
+if __name__ == "__main__":
+    main()
