@@ -59,6 +59,11 @@ def _driver_checked() -> set[str]:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # Driver output formats have changed between rounds
+            # before; an unexpected shape must never crash the
+            # registry ordering.
+            continue
         for name, row in rows.items():
             # A rows-only row ("no_oracle") does NOT retire a query
             # that has an oracle NOW: it was upgraded since that
@@ -67,7 +72,18 @@ def _driver_checked() -> set[str]:
                     and name in ORACLES):
                 continue
             seen.add(name)
-    return seen
+    # A green row retires the QUERY AS SAMPLED, not its name forever:
+    # queries rewritten since their last driver row must re-enter the
+    # prefix so the hard signal covers the code that actually ships.
+    # Curated per round; clear entries once the next CORRECTNESS file
+    # shows their fresh green row.
+    rewritten_since_sampled = {
+        "clamped_running_balance",      # applyInPandas -> Lindley window
+        "cep_click_purchase_no_error",  # ROWS -> RANGE-over-micros frame
+        "leading_digit_profile",        # eager count -> lazy broadcast
+        "setsim_prefix_join",           # integer bound + repartitions
+    }
+    return seen - rewritten_since_sampled
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

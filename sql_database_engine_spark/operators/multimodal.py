@@ -461,28 +461,37 @@ def multimodal_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stage_wav_dir(sf_dir: str, n_files: int = 50) -> str:
+def _stage_wav_dir(sf_dir: str, doc_ids: list[int]) -> str:
     """Idempotently stage a directory of standalone .wav files (the
     raw-asset-lake layout: one object per asset) under /tmp — the
     read-only testdata must not be touched. Fixture staging, not the
     measured operator; same convention as the bucketed/clustered
-    layout builders in sources/."""
+    layout builders in sources/.
+
+    The directory name keys on BOTH the source dir and a version hash
+    of (asset ids, generator parameters): regenerated testdata or an
+    edited ``wav_pcm_bytes`` gets a fresh directory instead of
+    silently reusing stale files, and the expected-filename check
+    (not just a count) re-stages after partial writes."""
     import hashlib
     import os
 
-    d = os.path.join("/tmp", "spark_graft_media",
-                     hashlib.md5(os.path.abspath(sf_dir).encode())
-                     .hexdigest()[:12])
+    version = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + ",".join(map(str, doc_ids))
+         + "|" + wav_pcm_bytes(max(doc_ids, default=0)).hex())
+        .encode()).hexdigest()[:16]
+    d = os.path.join("/tmp", "spark_graft_media", version)
     os.makedirs(d, exist_ok=True)
-    existing = [f for f in os.listdir(d) if f.endswith(".wav")]
-    if len(existing) != n_files:
+    expected = {f"doc_{i:06d}.wav" for i in doc_ids}
+    existing = {f for f in os.listdir(d) if f.endswith(".wav")}
+    if existing != expected:
         for f in existing:
             os.unlink(os.path.join(d, f))
-        for doc_id in range(n_files):
-            tmp = os.path.join(d, f".doc_{doc_id:04d}.wav.tmp")
+        for doc_id in doc_ids:
+            tmp = os.path.join(d, f".doc_{doc_id:06d}.wav.tmp")
             with open(tmp, "wb") as fh:
                 fh.write(wav_pcm_bytes(doc_id))
-            os.replace(tmp, os.path.join(d, f"doc_{doc_id:04d}.wav"))
+            os.replace(tmp, os.path.join(d, f"doc_{doc_id:06d}.wav"))
     return d
 
 
@@ -526,7 +535,13 @@ def binaryfile_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..session import tune
     tune(spark)
-    media_dir = _stage_wav_dir(sf_dir)
+    # The staged asset set derives from the documents TABLE (not a
+    # bare range) so Spark and oracle describe the same ids even if
+    # the driver regenerates testdata with different doc_id domains.
+    doc_ids = sorted(
+        r.doc_id for r in Catalog(spark, sf_dir).documents
+        .filter(F.col("doc_id") < 50).select("doc_id").collect())
+    media_dir = _stage_wav_dir(sf_dir, doc_ids)
     raw = (spark.read.format("binaryFile")
            .option("pathGlobFilter", "*.wav").load(media_dir))
     parsed = raw.select(

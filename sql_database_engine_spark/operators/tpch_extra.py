@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import Catalog
-from ..functions.exact import money_avg, money_sum, MONEY_AVG_SQL, MONEY_SUM_SQL
+from ..functions.exact import (cents, money_avg, money_sum,
+                               MONEY_AVG_SQL, MONEY_SUM_SQL)
 from . import query
 
 REV_SQL = "l_extendedprice * (1 - l_discount)"
@@ -248,7 +249,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("__thresh", 0.2 * part_avg)
         .filter(F.col("l_quantity") < F.col("__thresh"))
-        .agg((F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .agg((F.sum(cents(F.col("l_extendedprice")))
               .cast("double") / 100.0 / 7.0).alias("avg_yearly"))
     )
 
@@ -458,8 +459,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply = (cat.lineitem
               .groupBy(F.col("l_partkey").alias("ps_partkey"),
                        F.col("l_suppkey").alias("ps_suppkey"))
-              .agg(F.min(F.round(F.col("l_extendedprice") * 100)
-                         .cast("long")).alias("cost_cents")))
+              .agg(F.min(cents(F.col("l_extendedprice")))
+                   .alias("cost_cents")))
     eur_supp = (cat.broadcast("supplier")
                 .join(cat.broadcast("nation"),
                       F.col("s_nationkey") == F.col("n_nationkey"))
@@ -533,7 +534,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(nation_supp),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("l_partkey")
-            .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .agg(F.sum(cents(F.col("l_extendedprice")))
                  .alias("value_cents")))
     total = held.agg(F.sum("value_cents").alias("total_cents"))
     return (held.crossJoin(F.broadcast(total))
