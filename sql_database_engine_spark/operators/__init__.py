@@ -168,7 +168,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "growth_accounting_weekly", "training_manifest_end_to_end",
         "clamped_running_balance_kernel", "ann_recall_contract",
         "hybrid_rrf_retrieval", "binaryfile_wav_ingest",
-        "dup_span_trim_corpus", "ann_pq_topk",
+        "dup_span_trim_corpus", "ann_pq_topk", "scd2_point_in_time_join",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -315,3 +315,69 @@ def ivm_append_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n_orders").alias("n_orders"),
                  (F.sum("cents").cast("double") / 100.0)
                  .alias("total_revenue")))
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, event_id AS version_id,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+               value
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           d.version_id, d.value AS value_at_click
+    FROM events c LEFT JOIN dim d
+      ON c.user_id = d.user_id
+     AND CAST(c.ts AS TIMESTAMP) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(c.ts AS TIMESTAMP) < d.valid_to)
+    WHERE c.event_type = 'click'
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join — the query SCD2 exists FOR: each
+    fact (click) joins the dimension VERSION that was valid at the
+    fact's own timestamp, not today's row (joining current state is
+    the classic time-travel bug in training-data builds: it leaks
+    future attribute values into past examples).
+
+    Plan: NOT the declarative interval join the oracle states (per-key
+    interval theta joins explode at scale) — the union-carry as-of
+    shape instead: version rows and fact rows union into one
+    user-partitioned (ts, tag, id) ordering, a last/ignorenulls carry
+    pins the in-effect version on every fact row, one exchange total.
+    Versions sort before facts at equal timestamps (tag 0 < 1), which
+    IS the [valid_from, valid_to) half-open semantics; among
+    same-timestamp versions the highest event_id carries, matching
+    the lead()-defined intervals where earlier ones are empty. Facts
+    before a user's first version keep NULL — exactly the oracle's
+    left join.
+    """
+    ev = Catalog(spark, sf_dir).events
+    dim = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "ts",
+                   F.col("event_id").alias("oid"),
+                   F.col("event_id").alias("v_id"),
+                   F.col("value").alias("v_value"),
+                   F.lit(0).alias("tag")))
+    facts = (ev.filter(F.col("event_type") == "click")
+             .select("user_id", "ts",
+                     F.col("event_id").alias("oid"),
+                     F.lit(None).cast("long").alias("v_id"),
+                     F.lit(None).cast("double").alias("v_value"),
+                     F.lit(1).alias("tag")))
+    w = (W.partitionBy("user_id").orderBy("ts", "tag", "oid")
+         .rowsBetween(W.unboundedPreceding, 0))
+    carried = (dim.unionByName(facts)
+               .withColumn("version_id",
+                           F.last("v_id", ignorenulls=True).over(w))
+               .withColumn("value_at_click",
+                           F.last("v_value", ignorenulls=True).over(w)))
+    return (carried.filter(F.col("tag") == 1)
+            .select("user_id", F.col("oid").alias("click_id"),
+                    F.col("ts").alias("click_ts"),
+                    "version_id", "value_at_click"))

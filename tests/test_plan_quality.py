@@ -505,3 +505,19 @@ def test_binaryfile_ingest_no_payload_shuffle(spark):
     plan = _plan(spark, "binaryfile_wav_ingest")
     exchanges = [l for l in plan.splitlines() if "Exchange" in l]
     assert not any("payload" in l or "content" in l for l in exchanges), exchanges
+
+
+def test_scd2_point_in_time_is_union_carry_not_interval_join(spark):
+    """The point-in-time SCD2 join must plan as the union-carry as-of
+    shape: one user_id exchange feeding a window, and NO join node at
+    all (the declarative per-key interval theta join is the
+    scale-exploding shape the oracle states but the plan avoids)."""
+    plan = _plan(spark, "scd2_point_in_time_join")
+    import re
+    assert "Window" in plan
+    assert not re.search(r"(SortMergeJoin|BroadcastHashJoin|"
+                         r"BroadcastNestedLoopJoin|CartesianProduct)", plan), \
+        plan[:2000]
+    n_user_exchanges = len(re.findall(
+        r"Exchange hashpartitioning\(user_id", plan))
+    assert n_user_exchanges <= 1, plan[:2000]
