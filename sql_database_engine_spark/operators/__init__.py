@@ -169,6 +169,8 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clamped_running_balance_kernel", "ann_recall_contract",
         "hybrid_rrf_retrieval", "binaryfile_wav_ingest",
         "dup_span_trim_corpus", "ann_pq_topk", "scd2_point_in_time_join",
+        "filtered_vector_search", "temporal_holdout_split",
+        "mad_outlier_census",
     ]
     rank = {n: i for i, n in enumerate(priority)}
     reg = {n: i for i, n in enumerate(QUERIES)}

@@ -353,3 +353,66 @@ def leading_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("digit", "n",
                     (F.col("n").cast("double")
                      / F.col("total").cast("double")).alias("share")))
+
+
+@query(
+    "mad_outlier_census",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), med AS (
+        SELECT event_type, median(cents) AS med_cents
+        FROM c GROUP BY event_type
+    ), dev AS (
+        SELECT c.event_type, c.cents,
+               abs(c.cents - med.med_cents) AS adev
+        FROM c JOIN med USING (event_type)
+    ), mad AS (
+        SELECT event_type, median(adev) AS mad_cents
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(any_value(med.med_cents) AS DOUBLE) / 100.0
+               AS median_value,
+           CAST(any_value(mad.mad_cents) AS DOUBLE) / 100.0 AS mad_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type) JOIN med USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census via Median Absolute Deviation — the
+    screen that survives the contamination it is looking for (mean/
+    stddev move with every outlier; median/MAD have a 50% breakdown
+    point). Per event type: median, MAD, and the count of values
+    beyond the 3-MAD fence.
+
+    Determinism: values go to integer cents, so every median is an
+    interpolated midpoint of integers (exactly representable — .5
+    then .25 steps), |x − med| and the 3×MAD fence stay in exact
+    binary fractions, and the comparison agrees bit-for-bit across
+    engines. Plan: two aggregate passes (median, then MAD over
+    deviations) with 1-row-per-group broadcasts between them — the
+    inherent two-pass structure of MAD, each pass one exchange on
+    event_type.
+    """
+    from ..functions.exact import cents as cents_
+    ev = Catalog(spark, sf_dir).events
+    c = ev.select("event_type", cents_(F.col("value")).alias("cents"))
+    med = c.groupBy("event_type").agg(F.median("cents").alias("med_cents"))
+    dev = (c.join(F.broadcast(med), "event_type")
+           .select("event_type", "cents",
+                   F.abs(F.col("cents") - F.col("med_cents")).alias("adev")))
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_cents"))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .join(F.broadcast(med), "event_type")
+            .groupBy("event_type")
+            .agg((F.first("med_cents") / 100.0).alias("median_value"),
+                 (F.first("mad_cents") / 100.0).alias("mad_value"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((F.col("adev") > 3 * F.col("mad_cents"))
+                       .cast("long")).alias("n_outliers")))

@@ -768,3 +768,57 @@ def training_manifest_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         split.alias("split"), shard.alias("shard"))
+
+
+@query(
+    "temporal_holdout_split",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS mn,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+        FROM events
+    ), tagged AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         >= mn + (mx - mn) * 4 // 5
+                    THEN 1 ELSE 0 END AS is_eval
+        FROM events, bounds
+    )
+    SELECT user_id,
+           CAST(SUM(1 - is_eval) AS BIGINT) AS n_train_events,
+           CAST(SUM(is_eval) AS BIGINT) AS n_eval_events,
+           CASE WHEN SUM(is_eval) = 0 THEN 'train_only'
+                WHEN SUM(1 - is_eval) = 0 THEN 'eval_only'
+                ELSE 'both' END AS presence
+    FROM tagged GROUP BY user_id
+    """,
+)
+def temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout split with entity-leakage audit: the eval set
+    is the FINAL 20% of the event-time range (cutoff = min + 4/5 of
+    the span, pure integer micros so both engines agree exactly), and
+    every user is labeled train_only / eval_only / both. The 'both'
+    rows are the leakage candidates a time-based evaluation must
+    either drop or justify — random hash splits
+    (``train_val_test_split_hash``) can't catch this failure mode
+    because it is temporal by construction.
+
+    Scale shape: one scan; the time bounds are a 1-row aggregate
+    broadcast back into the tag expression; the per-user census is one
+    groupBy on the entity key. Nothing about the plan changes when
+    events is 100 TB — the cutoff stays a broadcast scalar.
+    """
+    ev = Catalog(spark, sf_dir).events
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx"))
+    cutoff = F.col("mn") + F.expr("(mx - mn) * 4 div 5")
+    tagged = (ev.crossJoin(F.broadcast(bounds))
+              .select("user_id",
+                      (us >= cutoff).cast("int").alias("is_eval")))
+    return (tagged.groupBy("user_id")
+            .agg(F.sum(1 - F.col("is_eval")).alias("n_train_events"),
+                 F.sum("is_eval").alias("n_eval_events"))
+            .select("user_id", "n_train_events", "n_eval_events",
+                    F.when(F.col("n_eval_events") == 0, "train_only")
+                    .when(F.col("n_train_events") == 0, "eval_only")
+                    .otherwise("both").alias("presence")))
