@@ -125,3 +125,155 @@ def cms_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("no_undercount"),
                     (F.col("n_est") - F.col("n_exact") <= bound).cast("long")
                     .alias("within_bound")))
+
+
+@query(
+    "hll_rollup_distinct_contract",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+)
+def hll_rollup_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable COUNT DISTINCT rollup via HLL sketch partials — the
+    missing piece of ``analytics.rollup_reuse_two_grain``: count-sum
+    partials merge upward across grains, but DISTINCT does not (a
+    user active on 5 days is 5 daily distincts and 1 weekly), so a
+    naive weekly distinct must rescan the fact table. The sketch
+    rollup restores mergeability: each day aggregates its users into
+    an HLL sketch (``hll_sketch_agg``, DataSketches HllSketch registers),
+    and the weekly grain is ``hll_union_agg`` over SEVEN daily
+    sketches — register-wise max, commutative and order-insensitive,
+    hence deterministic — never a rescan. At 100 TB this is THE
+    distinct-user architecture: daily sketches are a few KB each,
+    weekly/monthly/all-time rollups union them in milliseconds, and
+    the fact table is scanned exactly once ever.
+
+    Contract shape (4th use of the ``cms_error_contract`` pattern):
+    the emitted columns are the exact weekly distincts — computed
+    identically in both engines — plus a flag asserting the sketch
+    estimate landed within 5% of exact. Default lgConfigK=12 gives a
+    relative standard error of ~1.6%, so the 5% margin is >3 sigma;
+    below ~2.5k distincts the sketch is in exact (sparse) mode and
+    the error is zero. Flag arithmetic is integer-only:
+    |est - exact| * 20 <= exact.
+    """
+    e = Catalog(spark, sf_dir).events
+    wk = F.date_trunc("week", "ts").cast("date")
+    daily = (
+        e.select(wk.alias("week"), F.to_date("ts").alias("day"), "user_id")
+        .groupBy("week", "day")
+        .agg(F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"))
+    )
+    rolled = daily.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = (
+        e.select(wk.alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        rolled.join(exact, "week")
+        .select(
+            "week", "n_days", "exact_users",
+            (F.abs(F.col("est") - F.col("exact_users")) * 20
+             <= F.col("exact_users")).cast("long").alias("within_5pct"))
+    )
+
+
+@query(
+    "kll_merge_quantile_contract",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week, value,
+               ROW_NUMBER() OVER (PARTITION BY date_trunc('week', ts)
+                                  ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY date_trunc('week', ts)) AS n
+        FROM events
+    )
+    SELECT week,
+           CAST(n AS BIGINT) AS n_values,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS exact_p50,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS exact_p90,
+           CAST(1 AS BIGINT) AS p50_rank_ok,
+           CAST(1 AS BIGINT) AS p90_rank_ok
+    FROM v
+    GROUP BY week, n
+    """,
+)
+def kll_merge_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup via KLL sketch partials — the
+    percentile sibling of ``hll_rollup_distinct_contract``: exact
+    percentiles need the week's full value multiset (per-group sort;
+    quantiles don't merge), so every new grain rescans the facts. KLL
+    restores mergeability: each day builds a fixed-size sketch
+    (``kll_sketch_agg_double``, k=200), and the weekly sketch is a
+    fold of ``kll_sketch_merge_double`` over the week's <= 7 daily
+    sketches (bounded ``collect_list`` + ``F.aggregate`` — the merge
+    is pairwise, so the fold shape is exactly how a 100 TB rollup
+    tree merges thousands of shard sketches, log-depth).
+
+    Contract shape: the emitted columns are the exact nearest-rank
+    p50/p90 — the r-th order statistic is a unique VALUE even with
+    duplicates, so it is deterministic in both engines — plus flags
+    asserting the merged sketch's estimate sits within 5% normalized
+    rank of its target: |rank_le(est)/n - q| <= 0.05, checked in
+    integer arithmetic (|20*rank_le - 20q*n| <= n). k=200 bounds rank
+    error at ~1.65% with 99% confidence, so 5% is >3x the bound; the
+    sketch estimate itself (whose retained-item choice may vary with
+    merge order) is asserted, not emitted, keeping the output
+    deterministic.
+    """
+    e = Catalog(spark, sf_dir).events
+    from pyspark.sql import Window as W
+
+    wk = F.date_trunc("week", "ts").cast("date")
+    vals = e.select(wk.alias("week"), F.to_date("ts").alias("day"), "value")
+
+    # Sketch lane: daily partials, weekly pairwise-merge fold.
+    daily = vals.groupBy("week", "day").agg(
+        F.kll_sketch_agg_double("value").alias("sk"))
+    l = F.collect_list("sk")
+    merged = F.aggregate(
+        F.slice(l, 2, F.size(l) - 1), F.element_at(l, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x))
+    ests = daily.groupBy("week").agg(
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.9)).alias("p90_est"),
+    )
+
+    # Exact lane: nearest-rank order statistics per week.
+    w = W.partitionBy("week")
+    ranked = (vals
+              .withColumn("rn", F.row_number().over(w.orderBy("value")))
+              .withColumn("n", F.count(F.lit(1)).over(w)))
+    exact = ranked.groupBy("week", "n").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                     F.col("value"))).alias("exact_p50"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                     F.col("value"))).alias("exact_p90"),
+    ).select(F.col("week"), F.col("n").alias("n_values"),
+             "exact_p50", "exact_p90")
+
+    # Rank audit: where do the estimates land in the exact multiset?
+    ranks = (vals.join(F.broadcast(ests), "week")
+             .groupBy("week")
+             .agg(F.sum((F.col("value") <= F.col("p50_est")).cast("long"))
+                  .alias("rank50"),
+                  F.sum((F.col("value") <= F.col("p90_est")).cast("long"))
+                  .alias("rank90")))
+    return (
+        exact.join(ranks, "week")
+        .select(
+            "week", "n_values", "exact_p50", "exact_p90",
+            (F.abs(20 * F.col("rank50") - 10 * F.col("n_values"))
+             <= F.col("n_values")).cast("long").alias("p50_rank_ok"),
+            (F.abs(20 * F.col("rank90") - 18 * F.col("n_values"))
+             <= F.col("n_values")).cast("long").alias("p90_rank_ok"))
+    )
