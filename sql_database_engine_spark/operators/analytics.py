@@ -1875,3 +1875,90 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.sum("cents").over(wcum).cast("double")
                      / F.col("cohort_users") / 100e0)
                     .alias("cum_ltv_per_user")))
+
+
+@query(
+    "exact_median_two_pass",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ), mm AS (
+        SELECT MIN(c) AS lo, MAX(c) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n FROM v
+    ), b AS (
+        SELECT c, ((c - lo) * 64) // (hi - lo + 1) AS bucket_id
+        FROM v, mm
+    ), hist AS (
+        SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS n_in_bucket
+        FROM b GROUP BY bucket_id
+    ), ranked AS (
+        SELECT c, bucket_id, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM b
+    ), sel AS (
+        SELECT ranked.c AS median_cents, ranked.bucket_id
+        FROM ranked, mm WHERE rn = (n + 1) // 2
+    )
+    SELECT mm.n AS n_total, (mm.n + 1) // 2 AS target_rank,
+           CAST(sel.bucket_id AS BIGINT) AS bucket_id,
+           hist.n_in_bucket, sel.median_cents
+    FROM mm, sel JOIN hist ON hist.bucket_id = sel.bucket_id
+    """,
+)
+def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median by two-pass bucket selection — the
+    distributed order-statistic algorithm that replaces "sort
+    everything" at scale. ``percentile_exact_quantity`` sorts WITHIN
+    groups (fine: each group fits an executor); a GLOBAL exact median
+    of one huge column can't ride that plan — a full global sort
+    funnels the corpus through a range exchange just to read one row.
+
+    Two passes instead: (1) histogram — bucket every value into 64
+    equi-width integer buckets (bounds from a broadcast 1-row min/max
+    aggregate), cumulative counts locate the bucket containing rank
+    ceil(n/2) and the residual offset within it; (2) residual — rank
+    only THAT bucket's rows (expected n/64 of the data; recurse the
+    same split at 100 TB until the residual fits one executor) and
+    pick the offset-th smallest. Everything composes lazily: the
+    picked-bucket row broadcasts back into the pass-2 filter, so the
+    fact table is scanned exactly twice and shuffled never — pass 1
+    moves 64 histogram rows, pass 2 moves one bucket.
+
+    The oracle cross-checks with the naive global ROW_NUMBER pick;
+    cents-integer arithmetic end to end (exact.py policy), and the
+    rank-r order statistic is a unique value, so both formulations
+    agree bit-for-bit.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    from ..functions.exact import cents
+
+    v = li.select(cents(F.col("l_extendedprice")).alias("c"))
+    mm = v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"),
+               F.count(F.lit(1)).alias("n"))
+    b = (v.crossJoin(F.broadcast(mm))
+         .withColumn("bucket_id",
+                     F.expr("((c - lo) * 64) div (hi - lo + 1)")))
+
+    hist = b.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).alias("n_in_bucket"), F.max("n").alias("n"))
+    cum = hist.withColumn(
+        "cum", F.sum("n_in_bucket").over(
+            W.orderBy("bucket_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    picked = (cum.withColumn("target_rank", F.expr("(n + 1) div 2"))
+              .filter(F.col("cum") >= F.col("target_rank"))
+              .orderBy("bucket_id").limit(1)
+              .withColumn("offset",
+                          F.col("target_rank") - F.col("cum")
+                          + F.col("n_in_bucket"))
+              .select("bucket_id", "n_in_bucket", "n", "target_rank",
+                      "offset"))
+
+    residual = b.select("c", "bucket_id").join(F.broadcast(picked),
+                                               "bucket_id")
+    rn = F.row_number().over(
+        W.partitionBy("bucket_id").orderBy("c"))
+    return (residual.withColumn("rn", rn)
+            .filter(F.col("rn") == F.col("offset"))
+            .select(F.col("n").alias("n_total"), "target_rank",
+                    "bucket_id", "n_in_bucket",
+                    F.col("c").alias("median_cents")))

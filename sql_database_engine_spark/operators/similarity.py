@@ -1242,3 +1242,126 @@ def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id"))
     return (scored.withColumn("rn", rn).filter(F.col("rn") <= 3)
             .select("qid", "vec_id", "label", "cos_sim"))
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pool AS (
+        SELECT vec_id, embedding,
+               ROUND({COSINE_SQL.format(a='embedding', b='qv')}, 6) AS qsim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY qsim DESC, vec_id LIMIT 8
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6)
+                   AS psim
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (SELECT CAST(1 AS BIGINT) AS step, vec_id, qsim,
+                    qsim AS mmr_score
+             FROM pool ORDER BY qsim DESC, vec_id LIMIT 1),
+    sc2 AS (
+        SELECT p.vec_id, p.qsim,
+               0.5e0 * p.qsim - 0.5e0 * MAX(pr.psim) AS mmr_score
+        FROM pool p JOIN pairs pr ON pr.a = p.vec_id
+                                  AND pr.b IN (SELECT vec_id FROM sel1)
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM sel1)
+        GROUP BY p.vec_id, p.qsim
+    ),
+    sel2 AS (SELECT CAST(2 AS BIGINT) AS step, vec_id, qsim, mmr_score
+             FROM sc2 ORDER BY mmr_score DESC, vec_id LIMIT 1),
+    s12 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM sel2),
+    sc3 AS (
+        SELECT p.vec_id, p.qsim,
+               0.5e0 * p.qsim - 0.5e0 * MAX(pr.psim) AS mmr_score
+        FROM pool p JOIN pairs pr ON pr.a = p.vec_id
+                                  AND pr.b IN (SELECT vec_id FROM s12)
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM s12)
+        GROUP BY p.vec_id, p.qsim
+    ),
+    sel3 AS (SELECT CAST(3 AS BIGINT) AS step, vec_id, qsim, mmr_score
+             FROM sc3 ORDER BY mmr_score DESC, vec_id LIMIT 1),
+    s123 AS (SELECT vec_id FROM s12 UNION ALL SELECT vec_id FROM sel3),
+    sc4 AS (
+        SELECT p.vec_id, p.qsim,
+               0.5e0 * p.qsim - 0.5e0 * MAX(pr.psim) AS mmr_score
+        FROM pool p JOIN pairs pr ON pr.a = p.vec_id
+                                  AND pr.b IN (SELECT vec_id FROM s123)
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM s123)
+        GROUP BY p.vec_id, p.qsim
+    ),
+    sel4 AS (SELECT CAST(4 AS BIGINT) AS step, vec_id, qsim, mmr_score
+             FROM sc4 ORDER BY mmr_score DESC, vec_id LIMIT 1)
+    SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+    UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversity-aware retrieval step between a vector
+    search and an LLM context window: from the top-8 cosine
+    candidates of probe vec_id=0, greedily select 4, each maximizing
+    lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s) with
+    lambda=0.5 (first pick: pure relevance, S empty). Kills the
+    "8 near-duplicate passages" failure of plain top-k.
+
+    Scale shape: the expensive part is the candidate top-k
+    (map-side TakeOrdered, same as ``cosine_topk_bruteforce``);
+    the greedy loop runs on the POOL (k^2 pairwise sims on 8 rows,
+    broadcast joins, 3 unrolled argmax steps composed into one lazy
+    plan — the ``pagerank_brand_graph`` unroll pattern). Pool size is
+    a constant, so MMR adds O(pool^2) work regardless of corpus size.
+
+    Determinism: qsim/psim are guard-rounded to 6 decimals (module
+    policy), the MMR combination 0.5*a - 0.5*b is two exact IEEE ops
+    on identical inputs, argmax ties break on vec_id via the
+    lexicographic struct-max (``argmax_customer_per_nation``
+    pattern). The oracle unrolls the same 4 steps as CTEs.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv")))
+    qs = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    pool = (e.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", "embedding", F.round(qs, 6).alias("qsim"))
+            .orderBy(F.col("qsim").desc(), "vec_id")
+            .limit(8))
+
+    ps = cosine(_as_double(F.col("ea")), _as_double(F.col("eb")))
+    pa = pool.select(F.col("vec_id").alias("a"),
+                     F.col("embedding").alias("ea"))
+    pb = pool.select(F.col("vec_id").alias("b"),
+                     F.col("embedding").alias("eb"))
+    pairs = (pa.join(F.broadcast(pb), F.col("a") != F.col("b"))
+             .select("a", "b", F.round(ps, 6).alias("psim")))
+    cand = pool.select("vec_id", "qsim")
+
+    def argmax(scored: DataFrame, step: int) -> DataFrame:
+        """One-row argmax by (mmr_score desc, vec_id asc) — a single
+        lexicographic struct-max aggregate, no global sort."""
+        top = scored.agg(F.max(F.struct(
+            F.col("mmr_score"), (-F.col("vec_id")).alias("negid"),
+            F.col("qsim"))).alias("t"))
+        return top.select(
+            F.lit(step).cast("long").alias("step"),
+            (-F.col("t.negid")).cast("long").alias("vec_id"),
+            F.col("t.qsim").alias("qsim"),
+            F.col("t.mmr_score").alias("mmr_score"))
+
+    selected = argmax(cand.withColumn("mmr_score", F.col("qsim")), 1)
+    for k in (2, 3, 4):
+        rem = cand.join(selected.select("vec_id"), "vec_id", "left_anti")
+        pen = (pairs.join(
+                   F.broadcast(selected.select(F.col("vec_id").alias("b"))),
+                   "b")
+               .groupBy("a").agg(F.max("psim").alias("maxp")))
+        scored = (rem.join(F.broadcast(pen), rem.vec_id == pen.a)
+                  .select("vec_id", "qsim",
+                          (F.lit(0.5) * F.col("qsim")
+                           - F.lit(0.5) * F.col("maxp")).alias("mmr_score")))
+        selected = selected.unionByName(argmax(scored, k))
+    return selected
