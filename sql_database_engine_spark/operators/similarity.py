@@ -1365,3 +1365,76 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            - F.lit(0.5) * F.col("maxp")).alias("mmr_score")))
         selected = selected.unionByName(argmax(scored, k))
     return selected
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS aid, label AS alab, embedding AS av
+        FROM embeddings WHERE vec_id < 16
+    ), s AS (
+        SELECT a.aid, a.alab, e.vec_id, e.label,
+               ROUND({COSINE_SQL.format(a='e.embedding', b='a.av')}, 6)
+                   AS sim
+        FROM embeddings e, a WHERE e.vec_id <> a.aid
+    ), p AS (
+        SELECT aid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY aid
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM s WHERE label = alab
+    ), n AS (
+        SELECT aid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY aid
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM s WHERE label <> alab
+    )
+    SELECT a.aid AS anchor_id, a.alab AS anchor_label,
+           p.vec_id AS pos_id, p.sim AS pos_sim,
+           n.vec_id AS neg_id, n.sim AS neg_sim,
+           p.sim - n.sim AS margin
+    FROM a JOIN p ON p.aid = a.aid AND p.rn = 1
+           JOIN n ON n.aid = a.aid AND n.rn = 1
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training — for each anchor
+    (vec_id < 16): the POSITIVE (nearest same-label neighbor) and the
+    HARD NEGATIVE (nearest different-label neighbor — the most
+    confusable imposter, which carries ~all of the gradient signal in
+    triplet/InfoNCE losses), plus the margin pos_sim - neg_sim whose
+    sign says whether the triplet is currently violated.
+
+    Scale shape: anchors broadcast (a training batch is small), the
+    corpus is scanned once map-side, and both argmaxes are ONE
+    aggregate via conditional lexicographic struct-max — no corpus
+    shuffle, no per-anchor sort. At 100 TB the same plan serves
+    in-batch mining directly; full-corpus mining first restricts
+    candidates through the LSH band join (``embedding_neardup_pairs``
+    machinery) and applies this exact argmax to the bucketed
+    candidates. Determinism: round-6 sims, vec_id tiebreak, and the
+    margin is one exact IEEE subtraction of identical inputs.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    anchors = (e.filter(F.col("vec_id") < 16)
+               .select(F.col("vec_id").alias("aid"),
+                       F.col("label").alias("alab"),
+                       F.col("embedding").alias("av")))
+    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("av")))
+    scored = (e.crossJoin(F.broadcast(anchors))
+              .filter(F.col("vec_id") != F.col("aid"))
+              .select("aid", "alab", "vec_id", "label",
+                      F.round(sim, 6).alias("sim")))
+    pick = lambda cond: F.max(F.when(cond, F.struct(
+        F.col("sim").alias("s"), (-F.col("vec_id")).alias("negid"))))
+    per = scored.groupBy("aid", "alab").agg(
+        pick(F.col("label") == F.col("alab")).alias("pos"),
+        pick(F.col("label") != F.col("alab")).alias("neg"))
+    return per.select(
+        F.col("aid").alias("anchor_id"),
+        F.col("alab").alias("anchor_label"),
+        (-F.col("pos.negid")).alias("pos_id"),
+        F.col("pos.s").alias("pos_sim"),
+        (-F.col("neg.negid")).alias("neg_id"),
+        F.col("neg.s").alias("neg_sim"),
+        (F.col("pos.s") - F.col("neg.s")).alias("margin"))
