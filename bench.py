@@ -93,6 +93,11 @@ HEADLINE = [
     "dup_span_trim_corpus",         # exact-substring span removal
     "hybrid_rrf_retrieval",         # BM25 x quality-prior rank fusion
     "ann_pq_topk",                  # PQ codebooks + ADC + exact rerank
+    # round-3 second wave (appended; prior sets unchanged)
+    "hll_rollup_distinct_contract", # mergeable HLL distinct rollup
+    "bitmap_distinct_rollup",       # exact bitmap distinct rollup
+    "exact_median_two_pass",        # bucket-select global order statistic
+    "dedup_incremental_batch",      # batch-vs-index digest dedup
 ]
 
 

@@ -521,3 +521,51 @@ def test_scd2_point_in_time_is_union_carry_not_interval_join(spark):
     n_user_exchanges = len(re.findall(
         r"Exchange hashpartitioning\(user_id", plan))
     assert n_user_exchanges <= 1, plan[:2000]
+
+
+def test_sketch_rollups_merge_partials_not_raw_rows(spark):
+    # HLL: the weekly grain must merge daily sketches (hll_union_agg),
+    # never re-aggregate raw user ids; bitmap: same with bitmap_or_agg.
+    plan = _plan(spark, "hll_rollup_distinct_contract")
+    assert "hll_union_agg" in plan and "hll_sketch_agg" in plan
+    plan = _plan(spark, "bitmap_distinct_rollup")
+    assert "bitmap_or_agg" in plan and "bitmap_construct_agg" in plan
+    # One scan feeds the bitmap pipeline; no exact-distinct fallback.
+    assert plan.count("FileScan parquet") == 1
+    assert "distinct" not in plan.lower() or "bitmap" in plan.lower()
+
+
+def test_exact_median_no_global_sort_exchange(spark):
+    # The whole point: a global order statistic WITHOUT a global sort.
+    # Rangepartitioning of the fact rows would be the unscalable shape;
+    # the only sorts allowed are inside the one-bucket residual window.
+    plan = _plan(spark, "exact_median_two_pass")
+    assert "rangepartitioning(c" not in plan.replace(" ", "").lower()
+    assert "BroadcastExchange" in plan  # min/max row + picked bucket
+
+
+def test_mmr_pool_is_take_ordered(spark):
+    # Candidate generation must be the map-side top-k, not a global
+    # sort of the scored corpus; the greedy loop's pool joins broadcast.
+    plan = _plan(spark, "mmr_diversified_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negative_mining_broadcasts_anchors(spark):
+    # Corpus scanned once map-side against broadcast anchors; the two
+    # argmaxes fold into ONE aggregate (no per-anchor sort/window).
+    plan = _plan(spark, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    # Exactly two scans: the corpus probe side + the anchor build side
+    # (itself pruned to vec_id < 16 before broadcasting).
+    assert plan.count("FileScan parquet") == 2
+
+
+def test_incremental_dedup_shuffles_digests_only(spark):
+    # Exchanges must carry (digest, doc_id) — never document text.
+    plan = _plan(spark, "dedup_incremental_batch")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
