@@ -322,3 +322,91 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitmap_or_agg("bm").alias("bm"))
     return (weekly.groupBy("week")
             .agg(F.sum(F.bitmap_count("bm")).alias("distinct_users")))
+
+
+@query(
+    "bitmap_retention_churn",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+               user_id
+        FROM events
+    ), tot AS (
+        SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM uw GROUP BY week
+    ), ret AS (
+        SELECT a.week, CAST(COUNT(*) AS BIGINT) AS retained
+        FROM uw a JOIN uw b ON b.user_id = a.user_id
+                           AND b.week = a.week + 7
+        GROUP BY a.week
+    )
+    SELECT t.week AS week_start, t.n_active AS active_this,
+           n.n_active AS active_next,
+           COALESCE(r.retained, 0) AS retained,
+           t.n_active - COALESCE(r.retained, 0) AS churned,
+           n.n_active - COALESCE(r.retained, 0) AS new_users
+    FROM tot t
+    JOIN tot n ON n.week = t.week + 7
+    LEFT JOIN ret r ON r.week = t.week
+    """,
+)
+def bitmap_retention_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention / churn / new-user decomposition via
+    BITMAP SET ALGEBRA — the payoff ``bitmap_distinct_rollup``'s
+    docstring promises: once weekly presence bitmaps exist, retained
+    users are popcount(thisweek AND nextweek) (``bitmap_and_agg``
+    over the two aligned bucket rows), and churned/new fall out as
+    total - retained on each side — the fact table is never rejoined.
+    The set-membership version (``retention_weekly_cohorts``) shuffles
+    one row per (user, week); this shuffles one 4 KB bitmap per
+    occupied (week, bucket) — at 100 TB that's the difference between
+    a user-cardinality exchange and a metadata-sized one, and the
+    same AND/ANDNOT algebra answers any period pair from the stored
+    bitmaps alone.
+
+    Plan shape: weekly bucket bitmaps are built once, contributed to
+    pair groups (week w serves pair w as "current" and pair w-7 as
+    "next") via a union, and intersected by ``bitmap_and_agg`` only
+    where BOTH weeks populate the bucket (n_src = 2 guard — AND over
+    a 1-row group is the identity, which would overcount). Exact
+    integers end to end.
+    """
+    e = Catalog(spark, sf_dir).events
+    wk = F.date_trunc("week", "ts").cast("date")
+    weekly = (
+        e.select(wk.alias("week"),
+                 F.bitmap_bucket_number("user_id").alias("bkt"),
+                 F.bitmap_bit_position("user_id").alias("pos"))
+        .groupBy("week", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    tot = weekly.groupBy("week").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_active"))
+
+    cur = weekly.select(F.col("week").alias("pair_week"), "bkt", "bm")
+    nxt = weekly.select(F.date_sub("week", 7).alias("pair_week"),
+                        "bkt", "bm")
+    inter = (cur.unionByName(nxt)
+             .groupBy("pair_week", "bkt")
+             .agg(F.count(F.lit(1)).alias("n_src"),
+                  F.bitmap_and_agg("bm").alias("abm"))
+             .filter(F.col("n_src") == 2))
+    retained = inter.groupBy("pair_week").agg(
+        F.sum(F.bitmap_count("abm")).alias("retained"))
+
+    t = tot.select(F.col("week").alias("week_start"),
+                   F.col("n_active").alias("active_this"))
+    n = tot.select(F.date_sub("week", 7).alias("week_start"),
+                   F.col("n_active").alias("active_next"))
+    return (
+        t.join(n, "week_start")
+        .join(retained.withColumnRenamed("pair_week", "week_start"),
+              "week_start", "left")
+        .select(
+            "week_start", "active_this", "active_next",
+            F.coalesce("retained", F.lit(0)).alias("retained"),
+            (F.col("active_this") - F.coalesce("retained", F.lit(0)))
+            .alias("churned"),
+            (F.col("active_next") - F.coalesce("retained", F.lit(0)))
+            .alias("new_users"))
+    )

@@ -822,3 +822,41 @@ def temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("n_eval_events") == 0, "train_only")
                     .when(F.col("n_train_events") == 0, "eval_only")
                     .otherwise("both").alias("presence")))
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+           CAST(COUNT(DISTINCT c_mktsegment) >= 3 AS BIGINT) AS diverse_ok
+    FROM customer
+    GROUP BY c_nationkey, floor(c_acctbal / 1000)
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion ``k_anonymity_violations``
+    needs: k-anonymity only bounds GROUP SIZE, but a large
+    quasi-identifier group whose sensitive attribute is (near-)
+    uniform still leaks it (homogeneity attack). For each quasi-ID
+    group (nation, account-balance band) report the number of
+    DISTINCT sensitive values (market segment) and whether it clears
+    l >= 3 — groups failing the flag need suppression or
+    generalization before release even if they pass k.
+
+    One hash aggregation; COUNT(DISTINCT segment) over a 5-value
+    domain partial-aggregates to at most 5 entries per group map-side,
+    so the shuffle is group-cardinality-bounded at any corpus size.
+    The band uses floor division so negative balances band correctly.
+    """
+    c = Catalog(spark, sf_dir).customer
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return (
+        c.groupBy("c_nationkey", band.alias("bal_band"))
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.countDistinct("c_mktsegment").alias("l_distinct"))
+        .withColumn("diverse_ok",
+                    (F.col("l_distinct") >= 3).cast("long"))
+    )
