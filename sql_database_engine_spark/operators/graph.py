@@ -364,3 +364,115 @@ def sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import register_views
     register_views(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_RECURSIVE_BFS_SQL)
+
+
+#: Fixed relaxation rounds for the weighted SSSP unroll.
+SSSP_ROUNDS = 4
+
+#: Edge cost from co-occurrence support: stronger ties are cheaper to
+#: traverse; exact integer ceil-division keeps everything integral.
+_COST_SQL = "(1000 + COUNT(*) - 1) // COUNT(*)"
+
+_WEDGES_SQL = f"""
+    ob AS ({_BASKET_SQL}),
+    wund AS (
+        SELECT a.p_brand AS src, b.p_brand AS dst,
+               CAST({_COST_SQL} AS BIGINT) AS cost
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+        HAVING COUNT(*) >= {EDGE_MIN_COOCCUR}
+    ),
+    wedges AS (
+        SELECT src, dst, cost FROM wund
+        UNION ALL
+        SELECT dst AS src, src AS dst, cost FROM wund
+    )
+"""
+
+
+def _weighted_edges(cat: Catalog) -> DataFrame:
+    """Directed weighted edges: cost = ceil(1000 / co-occurrence)."""
+    ob = _basket(cat)
+    a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"),
+                  F.col("p_brand").alias("dst"))
+    und = (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
+                  & (F.col("src") < F.col("dst")))
+           .groupBy("src", "dst")
+           .agg(F.count(F.lit(1)).alias("n_cooccur"))
+           .filter(F.col("n_cooccur") >= EDGE_MIN_COOCCUR)
+           .select("src", "dst",
+                   F.expr("(1000 + n_cooccur - 1) div n_cooccur")
+                   .alias("cost")))
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                   "cost"))
+
+
+def _sssp_oracle() -> str:
+    steps = ["""
+    d0 AS (
+        SELECT node,
+               CASE WHEN node = (SELECT min(node) FROM nodes)
+                    THEN CAST(0 AS BIGINT) END AS dist
+        FROM nodes
+    )"""]
+    for k in range(SSSP_ROUNDS):
+        steps.append(f"""
+    d{k + 1} AS (
+        SELECT n.node, least(n.dist, m.reach) AS dist
+        FROM d{k} n LEFT JOIN (
+            SELECT e.dst AS node, min(p.dist + e.cost) AS reach
+            FROM d{k} p JOIN wedges e ON e.src = p.node
+            WHERE p.dist IS NOT NULL
+            GROUP BY e.dst
+        ) m ON m.node = n.node
+    )""")
+    return f"""
+    WITH {_WEDGES_SQL},
+    nodes AS (SELECT DISTINCT src AS node FROM wedges),{','.join(steps)}
+    SELECT node AS brand, dist AS path_cost
+    FROM d{SSSP_ROUNDS}
+    ORDER BY path_cost, brand
+    """
+
+
+@query("sssp_weighted_brands", oracle=_sssp_oracle())
+def sssp_weighted_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford, fixed
+    ``SSSP_ROUNDS`` unrolled relaxations) from the lexicographically
+    first brand — the weighted sibling of ``bfs_brand_distances``:
+    hop counts become additive integer costs (ceil(1000/co-occurrence)
+    — strong ties are cheap), and the relaxation is dist(v) :=
+    min(dist(v), min over in-edges of dist(u) + w(u,v)). After k
+    rounds every node holds the exact cheapest cost among paths of
+    <= k edges — the declared contract that makes the unrolled-CTE
+    oracle exact; unreached nodes stay NULL.
+
+    Per round: join(settled frontier, edges on src) → groupBy(dst)
+    MIN → left-join back — one shuffle keyed by dst, identical scale
+    shape to PageRank/BFS (AQE handles hub skew; costs are integers
+    so MIN is order-free and bit-stable). Bellman-Ford is the
+    distributed SSSP of choice because relaxation is a commutative
+    monoid aggregation — no priority queue to serialize — and
+    composes with the same salted-hub remedy as every other round.
+    """
+    cat = Catalog(spark, sf_dir)
+    edges = _weighted_edges(cat)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    src = nodes.agg(F.min("node").alias("s"))
+    d = (nodes.crossJoin(F.broadcast(src))
+         .select("node", F.when(F.col("node") == F.col("s"), F.lit(0))
+                 .cast("long").alias("dist")))
+    for _ in range(SSSP_ROUNDS):
+        reach = (d.filter(F.col("dist").isNotNull())
+                 .join(edges, d.node == edges.src)
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.min(F.col("dist") + F.col("cost")).alias("reach")))
+        d = (d.join(reach, "node", "left")
+             .select("node",
+                     F.least(F.col("dist"), F.col("reach")).alias("dist")))
+    return (d.select(F.col("node").alias("brand"),
+                     F.col("dist").alias("path_cost"))
+            .orderBy(F.asc_nulls_last("path_cost"), "brand"))

@@ -2086,3 +2086,40 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("idx_canon", "batch_canon")
              .alias("canonical_doc_id"))
     )
+
+
+@query(
+    "soft_dedup_weights",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               COUNT(*) OVER (PARTITION BY sha256(text)) AS n_copies
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(1000000 // n_copies AS BIGINT) AS weight_micros
+    FROM g
+    """,
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping duplicates
+    (``dedup_exact_keep_first``), keep every copy but downweight it to
+    1/n_copies — the sampling-weight formulation used when the
+    training loader draws documents proportionally and hard deletion
+    would distort the source mixture. Each exact-duplicate cluster
+    contributes total weight 1, so the effective corpus size equals
+    the distinct-content count while per-source byte accounting stays
+    intact. Weights are exact integer micros (10^6 div n) — no float
+    drift, and the loader renormalizes anyway.
+
+    Same shuffle as the hard dedup (32-byte digests via one window),
+    one extra map-side division. Composes upstream of
+    ``temperature_mix_sample`` / ``mixture_interleave_manifest``:
+    multiply their per-source weights by this per-doc weight.
+    """
+    d = Catalog(spark, sf_dir).documents
+    h = F.sha2(F.col("text"), 256)
+    n = F.count(F.lit(1)).over(W.partitionBy(h))
+    return (d.select("doc_id", n.alias("n_copies"))
+            .withColumn("weight_micros",
+                        F.expr("1000000 div n_copies")))
