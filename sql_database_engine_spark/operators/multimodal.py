@@ -559,3 +559,95 @@ def binaryfile_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(decoded, "doc_id")
             .select("doc_id", "n_bytes", "n_samples", "sample_rate",
                     "sum_samples", "sum_sq"))
+
+
+def decimate_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: WAV decode + decimate-by-2 resample. The
+    TRANSFORM tier above ``decode_wav_batches``' parse-and-summarize:
+    real audio pipelines decode, then resample/trim/normalize before
+    featurizing — this kernel keeps every stage the container can do
+    honestly (integer stride resample; a polyphase filter would need
+    float DSP the oracle can't replay bit-for-bit)."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_out": [], "out_rate": [],
+               "sum_out": [], "min_out": [], "max_out": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            blob = bytes(blob)
+            riff, _size, wave = struct.unpack("<4sI4s", blob[:12])
+            if riff != b"RIFF" or wave != b"WAVE":
+                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE blob")
+            (fmt_tag, fmt_len, audio_fmt, n_ch, rate, _br, _ba,
+             bits) = struct.unpack("<4sIHHIIHH", blob[12:36])
+            if fmt_tag != b"fmt " or fmt_len != 16 or audio_fmt != 1:
+                raise ValueError(f"doc {doc_id}: not canonical PCM")
+            if n_ch != 1 or bits != 16:
+                raise NotImplementedError("kernel handles 16-bit mono")
+            data_tag, data_len = struct.unpack("<4sI", blob[36:44])
+            if data_tag != b"data":
+                raise ValueError(f"doc {doc_id}: missing data chunk")
+            frames = np.frombuffer(blob, dtype="<i2", count=data_len // 2,
+                                   offset=44).astype(np.int64)
+            deci = frames[::2]
+            out["doc_id"].append(doc_id)
+            out["n_out"].append(len(deci))
+            out["out_rate"].append(rate // 2)
+            out["sum_out"].append(int(deci.sum()))
+            out["min_out"].append(int(deci.min()))
+            out["max_out"].append(int(deci.max()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_audio_decimate",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               100 + doc_id % 50 AS n,
+               8000 + (doc_id % 3) * 4000 AS rate
+        FROM documents WHERE doc_id < 200
+    ), vals AS (
+        SELECT doc_id, n, rate, i,
+               (doc_id * 31 + i * 17) % 4096 - 2048 AS v
+        FROM params, LATERAL unnest(generate_series(0, n - 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(any_value(rate) // 2 AS INT) AS out_rate,
+           CAST(SUM(v) AS BIGINT) AS sum_out,
+           CAST(MIN(v) AS BIGINT) AS min_out,
+           CAST(MAX(v) AS BIGINT) AS max_out
+    FROM vals WHERE i % 2 = 0
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLING in the decode kernel, oracle-checked:
+    generate the WAV-PCM blobs, decode the RIFF container, decimate
+    to half rate by integer stride, and emit exact statistics of the
+    DECIMATED stream — the oracle replays the generator's arithmetic
+    through the same stride, so a wrong stride phase, a
+    header-recompute slip, or an off-by-one in the resample produces
+    a hash mismatch. Proves the kernel tier can TRANSFORM payloads,
+    not just summarize them (``multimodal_features`` pins the parse;
+    this pins parse -> transform -> featurize).
+
+    Same scale shape as every kernel here: executor-local Arrow
+    batches over a doc_id-pruned scan, zero shuffles, payloads never
+    reach the driver.
+    """
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 200).select("doc_id"))
+
+    @F.pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        return ids.map(wav_pcm_bytes)
+
+    audio = d.select("doc_id", make_wav(F.col("doc_id")).alias("payload"))
+    return audio.mapInPandas(
+        decimate_wav_batches,
+        schema=("doc_id bigint, n_out bigint, out_rate int, "
+                "sum_out bigint, min_out bigint, max_out bigint"))
