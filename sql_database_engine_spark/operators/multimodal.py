@@ -138,6 +138,34 @@ def wav_pcm_bytes(doc_id: int) -> bytes:
     return hdr + data
 
 
+def _parse_wav16(doc_id, blob: bytes):
+    """Parse a canonical 16-bit mono PCM WAV blob -> (rate, frames).
+
+    The single container contract both WAV kernels share — magic,
+    fmt-chunk, PCM tag, channel/bit-depth gates, data chunk — so a
+    future format change (stereo, other fmt_len) lands in one place.
+    """
+    import struct
+
+    import numpy as np
+
+    riff, _size, wave = struct.unpack("<4sI4s", blob[:12])
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError(f"doc {doc_id}: not a RIFF/WAVE blob")
+    (fmt_tag, fmt_len, audio_fmt, n_ch, rate, _br, _ba,
+     bits) = struct.unpack("<4sIHHIIHH", blob[12:36])
+    if fmt_tag != b"fmt " or fmt_len != 16 or audio_fmt != 1:
+        raise ValueError(f"doc {doc_id}: not canonical PCM")
+    if n_ch != 1 or bits != 16:
+        raise NotImplementedError("kernel handles 16-bit mono")
+    data_tag, data_len = struct.unpack("<4sI", blob[36:44])
+    if data_tag != b"data":
+        raise ValueError(f"doc {doc_id}: missing data chunk")
+    frames = np.frombuffer(blob, dtype="<i2", count=data_len // 2,
+                           offset=44).astype(np.int64)
+    return rate, frames
+
+
 def decode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: REAL WAV-PCM decode, Arrow batch at a time.
 
@@ -147,30 +175,12 @@ def decode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     torchaudio-backed kernel has, with the codec replaced by the one
     format raw bytes can carry. Emits pure-integer statistics so the
     DuckDB oracle can predict every value exactly."""
-    import struct
-
-    import numpy as np
-
     for pdf in batches:
         out = {"doc_id": [], "n_samples": [], "sample_rate": [],
                "sum_samples": [], "min_sample": [], "max_sample": [],
                "sum_sq": []}
         for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
-            blob = bytes(blob)
-            riff, _size, wave = struct.unpack("<4sI4s", blob[:12])
-            if riff != b"RIFF" or wave != b"WAVE":
-                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE blob")
-            (fmt_tag, fmt_len, audio_fmt, n_ch, rate, _br, _ba,
-             bits) = struct.unpack("<4sIHHIIHH", blob[12:36])
-            if fmt_tag != b"fmt " or fmt_len != 16 or audio_fmt != 1:
-                raise ValueError(f"doc {doc_id}: not canonical PCM")
-            if n_ch != 1 or bits != 16:
-                raise NotImplementedError("kernel handles 16-bit mono")
-            data_tag, data_len = struct.unpack("<4sI", blob[36:44])
-            if data_tag != b"data":
-                raise ValueError(f"doc {doc_id}: missing data chunk")
-            frames = np.frombuffer(blob, dtype="<i2", count=data_len // 2,
-                                   offset=44).astype(np.int64)
+            rate, frames = _parse_wav16(doc_id, bytes(blob))
             out["doc_id"].append(doc_id)
             out["n_samples"].append(len(frames))
             out["sample_rate"].append(rate)
@@ -568,29 +578,11 @@ def decimate_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     featurizing — this kernel keeps every stage the container can do
     honestly (integer stride resample; a polyphase filter would need
     float DSP the oracle can't replay bit-for-bit)."""
-    import struct
-
-    import numpy as np
-
     for pdf in batches:
         out = {"doc_id": [], "n_out": [], "out_rate": [],
                "sum_out": [], "min_out": [], "max_out": []}
         for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
-            blob = bytes(blob)
-            riff, _size, wave = struct.unpack("<4sI4s", blob[:12])
-            if riff != b"RIFF" or wave != b"WAVE":
-                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE blob")
-            (fmt_tag, fmt_len, audio_fmt, n_ch, rate, _br, _ba,
-             bits) = struct.unpack("<4sIHHIIHH", blob[12:36])
-            if fmt_tag != b"fmt " or fmt_len != 16 or audio_fmt != 1:
-                raise ValueError(f"doc {doc_id}: not canonical PCM")
-            if n_ch != 1 or bits != 16:
-                raise NotImplementedError("kernel handles 16-bit mono")
-            data_tag, data_len = struct.unpack("<4sI", blob[36:44])
-            if data_tag != b"data":
-                raise ValueError(f"doc {doc_id}: missing data chunk")
-            frames = np.frombuffer(blob, dtype="<i2", count=data_len // 2,
-                                   offset=44).astype(np.int64)
+            rate, frames = _parse_wav16(doc_id, bytes(blob))
             deci = frames[::2]
             out["doc_id"].append(doc_id)
             out["n_out"].append(len(deci))

@@ -1441,6 +1441,10 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = scored.groupBy("aid", "alab").agg(
         pick(F.col("label") == F.col("alab")).alias("pos"),
         pick(F.col("label") != F.col("alab")).alias("neg"))
+    # Mirror the oracle's inner joins: an anchor whose label is a
+    # corpus singleton (no same-label neighbor) — or, degenerately, a
+    # single-label corpus — has no complete triplet and is dropped.
+    per = per.filter(F.col("pos").isNotNull() & F.col("neg").isNotNull())
     return per.select(
         F.col("aid").alias("anchor_id"),
         F.col("alab").alias("anchor_label"),

@@ -530,9 +530,13 @@ def test_sketch_rollups_merge_partials_not_raw_rows(spark):
     assert "hll_union_agg" in plan and "hll_sketch_agg" in plan
     plan = _plan(spark, "bitmap_distinct_rollup")
     assert "bitmap_or_agg" in plan and "bitmap_construct_agg" in plan
-    # One scan feeds the bitmap pipeline; no exact-distinct fallback.
+    # One scan feeds the bitmap pipeline, and no exchange carries raw
+    # user ids (a regression to exact COUNT DISTINCT would shuffle
+    # them; the bitmap plan shuffles (week, bkt, bitmap) partials).
     assert plan.count("FileScan parquet") == 1
-    assert "distinct" not in plan.lower() or "bitmap" in plan.lower()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "user_id" not in line
 
 
 def test_exact_median_no_global_sort_exchange(spark):
