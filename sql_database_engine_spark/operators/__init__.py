@@ -276,6 +276,16 @@ def _register_streaming() -> None:
                         F.col("m.n_event_types").alias("n_event_types"),
                         F.col("m.event_types_csv").alias("event_types_csv")))
 
+    def stream_distinct_users_hourly(spark, sf_dir):
+        """Two chained stateful operators (dedup -> windowed count)
+        drained through the incremental engine: exact distinct users
+        per hour. See streaming/events_stream.distinct_users_hourly
+        for why this composition is the streaming COUNT(DISTINCT)."""
+        s = es.events_stream(spark, sf_dir)
+        return es.run_available_now(es.distinct_users_hourly(s),
+                                    "q_stream_distinct_users",
+                                    output_mode="complete")
+
     def stream_user_profiles(spark, sf_dir):
         from ..streaming.stateful import user_profiles
         s = es.events_stream(spark, sf_dir)
@@ -396,6 +406,14 @@ def _register_streaming() -> None:
     QUERIES.setdefault("stream_user_event_type_sets",
                        stream_user_event_type_sets)
     QUERIES.setdefault("stream_session_windows", stream_session_windows)
+    QUERIES.setdefault("stream_distinct_users_hourly",
+                       stream_distinct_users_hourly)
+    ORACLES.setdefault("stream_distinct_users_hourly", """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM events
+    GROUP BY 1
+    """)
     QUERIES.setdefault("stream_user_profiles", stream_user_profiles)
 
     # The drained streaming results are deterministic aggregates, so

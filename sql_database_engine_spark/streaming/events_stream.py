@@ -265,3 +265,24 @@ def click_purchase_full_join(events: DataFrame) -> DataFrame:
         .select(F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
                 "click_id", "click_ts", "purchase_id", "purchase_ts")
     )
+
+
+def distinct_users_hourly(events: DataFrame) -> DataFrame:
+    """EXACT distinct users per hour in a stream, by CHAINING two
+    stateful operators: watermark-scoped dedup on (user_id, hour)
+    first — so each user costs one state row per hour, dropped when
+    the watermark passes — then an ordinary windowed COUNT of the
+    survivors. This is the streaming answer to "COUNT(DISTINCT) is
+    not incremental": dedup + count IS, and the state is bounded by
+    (distinct users per hour) x (watermark horizon / 1h), not by the
+    stream's history. (The approximate alternative at higher
+    cardinalities is the HLL rollup — ``hll_rollup_distinct_contract``
+    — with sketches as the window state; this operator is the exact
+    tier below it.)"""
+    hourly = events.withColumn("hour", F.date_trunc("hour", "ts"))
+    deduped = (hourly.withWatermark("ts", "2 hours")
+               .dropDuplicatesWithinWatermark(["user_id", "hour"]))
+    return (deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_distinct_users"))
