@@ -416,3 +416,72 @@ def mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_rows"),
                  F.sum((F.col("adev") > 3 * F.col("mad_cents"))
                        .cast("long")).alias("n_outliers")))
+
+
+@query(
+    "functional_dependency_audit",
+    oracle="""
+    WITH f1 AS (
+        SELECT COUNT(DISTINCT o_orderdate) AS nd
+        FROM orders GROUP BY o_orderkey
+    ), f2 AS (
+        SELECT COUNT(DISTINCT o_orderstatus) AS nd
+        FROM orders GROUP BY o_custkey
+    ), f3 AS (
+        SELECT COUNT(DISTINCT o_orderpriority) AS nd
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT 'o_orderkey->o_orderdate' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(MAX(nd) AS BIGINT) AS max_rhs_distinct,
+           CAST(MAX(nd) <= 1 AS BIGINT) AS holds
+    FROM f1
+    UNION ALL
+    SELECT 'o_custkey->o_orderstatus',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(nd) AS BIGINT), CAST(MAX(nd) <= 1 AS BIGINT)
+    FROM f2
+    UNION ALL
+    SELECT 'o_orderdate->o_orderpriority',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(nd) AS BIGINT), CAST(MAX(nd) <= 1 AS BIGINT)
+    FROM f3
+    """,
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency validation — the schema-profiling
+    primitive behind normalization checks and dbt `unique`-pair
+    tests: for each candidate FD A -> B, does every A-group carry
+    exactly one B value? Reports group counts, violating-group
+    counts, and the worst per-group RHS cardinality for three
+    candidates spanning the expected outcomes: the PK dependency
+    (holds by construction), a customer->status dependency (violated
+    — customers reorder with different statuses), and a
+    date->priority dependency (violated — priorities mix daily).
+
+    Per candidate: one hash aggregation on the LHS (COUNT DISTINCT of
+    a tiny RHS domain partial-aggregates map-side) then a 1-row
+    rollup — each audit shuffles group cardinality, never rows. The
+    three candidates scan the table independently; a production
+    profiler fuses same-LHS candidates into one pass (the
+    ``dq_constraint_audit`` fusion pattern).
+    """
+    o = Catalog(spark, sf_dir).orders
+
+    def audit(lhs: str, rhs: str) -> DataFrame:
+        g = o.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        return (g.agg(
+            F.count(F.lit(1)).alias("n_lhs_groups"),
+            F.sum((F.col("nd") > 1).cast("long"))
+            .alias("n_violating_groups"),
+            F.max("nd").alias("max_rhs_distinct"),
+            (F.max("nd") <= 1).cast("long").alias("holds"))
+            .select(F.lit(f"{lhs}->{rhs}").alias("fd"), "*"))
+
+    return (audit("o_orderkey", "o_orderdate")
+            .unionByName(audit("o_custkey", "o_orderstatus"))
+            .unionByName(audit("o_orderdate", "o_orderpriority")))

@@ -860,3 +860,58 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("diverse_ok",
                     (F.col("l_distinct") >= 3).cast("long"))
     )
+
+
+@query(
+    "curriculum_order_manifest",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS distinct_ratio
+        FROM documents
+    ), tiered AS (
+        SELECT doc_id, distinct_ratio,
+               NTILE(10) OVER (ORDER BY distinct_ratio DESC, doc_id)
+                   AS tier
+        FROM scored
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY tier, md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS position,
+           doc_id, CAST(tier AS BIGINT) AS tier
+    FROM tiered
+    ORDER BY position LIMIT 300
+    """,
+)
+def curriculum_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training manifest: documents tiered into
+    quality deciles (distinct-token ratio — the repetition proxy from
+    ``text_quality_score`` — highest first) and md5-shuffled WITHIN
+    each tier, so training consumes cleanest-first without the
+    pathological sortedness a raw quality order would have inside a
+    tier. The standard anti-curriculum variant is the same manifest
+    read backwards; both are pure functions of the corpus (NTILE over
+    a deterministic total order + hash shuffle — no RNG state), so
+    every re-run, resume, and engine agrees on position k.
+
+    One exchange for the tier window, one for the global position
+    rank; at 100 TB the global ROW_NUMBER becomes the shard-major
+    manifest (``train_shard_manifest`` pattern: position within
+    (tier, shard), shards ordered) — the tiering math is unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split(F.col("text"), " ")
+    ratio = (F.size(F.array_distinct(toks)).cast("double")
+             / F.size(toks))
+    tier = F.ntile(10).over(
+        W.orderBy(F.col("distinct_ratio").desc(), "doc_id"))
+    pos = F.row_number().over(
+        W.orderBy("tier", F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (d.select("doc_id", ratio.alias("distinct_ratio"))
+            .withColumn("tier", tier.cast("long"))
+            .withColumn("position", pos.cast("long"))
+            .select("position", "doc_id", "tier")
+            .orderBy("position").limit(300))
