@@ -381,3 +381,66 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", F.col("oid").alias("click_id"),
                     F.col("ts").alias("click_ts"),
                     "version_id", "value_at_click"))
+
+
+@query(
+    "ivm_retract_agg_view",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 100.0 AS total_revenue
+    FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 10 <> 0)
+       OR o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def ivm_retract_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-view IVM under RETRACTIONS — the step beyond
+    ``ivm_append_agg_view`` that separates append-only maintenance
+    from true change-data maintenance: the delta carries DELETES
+    (every 10th base order is retracted) alongside inserts (the
+    post-split region), and the view refreshes as
+    stored + insert partials - delete partials. This works because
+    COUNT and integer-cents SUM form an abelian GROUP (subtractable),
+    which is exactly the class of aggregates retraction-capable IVM
+    supports — MIN/MAX are only a monoid (no inverse), so a deleted
+    minimum forces a per-group rescan; that boundary is the design
+    reason this view stores count+sum partials and derives averages,
+    never extremes.
+
+    Refresh cost tracks |delta|: the stored partials are read back
+    (priority-cardinality rows), the two delta scans prune on the
+    split predicate, and the merge is a key-wise SUM of signed
+    partials. The oracle recomputes the post-change state from
+    scratch — any sign slip or double-counted retraction
+    hash-mismatches.
+    """
+    import hashlib
+    import os
+
+    from ..functions.exact import cents
+    o = Catalog(spark, sf_dir).orders
+    split = F.lit("1997-01-01").cast("timestamp")
+    scratch = os.path.join(
+        "/tmp", "spark_graft_ivm_retract",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            (F.count(F.lit(1)) * sign).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) * sign).alias("cents"))
+
+    base = o.filter(F.col("o_orderdate") < split)
+    partials(base, 1).write.mode("overwrite").parquet(scratch)
+    stored = spark.read.parquet(scratch)
+
+    inserts = partials(o.filter(F.col("o_orderdate") >= split), 1)
+    deletes = partials(
+        base.filter(F.col("o_orderkey") % 10 == 0), -1)
+    return (stored.unionByName(inserts).unionByName(deletes)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("n_orders").alias("n_orders"),
+                 (F.sum("cents").cast("double") / 100.0)
+                 .alias("total_revenue")))
