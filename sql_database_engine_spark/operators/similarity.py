@@ -1453,3 +1453,72 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("neg.negid")).alias("neg_id"),
         F.col("neg.s").alias("neg_sim"),
         (F.col("pos.s") - F.col("neg.s")).alias("margin"))
+
+
+@query(
+    "knn_label_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS qlab, embedding AS qv
+        FROM embeddings WHERE vec_id < 8
+    ), ranked AS (
+        SELECT q.qid, q.qlab, e.vec_id, e.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND({COSINE_SQL.format(a='e.embedding',
+                                                     b='q.qv')}, 6) DESC,
+                            e.vec_id) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, CAST(qlab AS INT) AS label,
+           CAST(MIN(CASE WHEN label = qlab THEN rn END) AS BIGINT)
+               AS first_rel_rank,
+           CAST(1000000 // MIN(CASE WHEN label = qlab THEN rn END)
+                AS BIGINT) AS rr_micros,
+           CAST(SUM(CASE WHEN rn <= 5 AND label = qlab
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top5
+    FROM ranked GROUP BY qid, qlab
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVAL over the exact kNN ranking — the metric
+    layer a vector-search stack ships next to its indexes: per probe,
+    the rank of the first same-label neighbor (reciprocal rank in
+    exact integer micros — 10^6 div rank — so the eventual MRR mean
+    is an order-free integer sum, unlike a float 1/rank whose
+    summation order drifts) and the same-label count in the top 5
+    (precision@5 numerator). Label match stands in for graded
+    relevance; nDCG is deliberately absent — its log2 discount is a
+    libm call the determinism policy excludes, and rank-reciprocal
+    metrics carry the same signal.
+
+    Scale shape: probes broadcast, corpus scored map-side once, one
+    rank window per probe partition, then a probe-cardinality
+    aggregate — the eval costs one corpus scan regardless of probe
+    count, and swapping the exact ranking for an ANN variant
+    (``ann_ivf_topk`` etc.) reuses the identical metric tail.
+    """
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("label").alias("qlab"),
+                 F.col("embedding").alias("qv")))
+    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.round(sim, 6).desc(), "vec_id"))
+    ranked = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid", "qlab", "vec_id", "label", rn.alias("rn")))
+    rel_rank = F.min(F.when(F.col("label") == F.col("qlab"),
+                            F.col("rn")))
+    return (ranked.groupBy("qid", F.col("qlab").alias("label"))
+            .agg(rel_rank.alias("first_rel_rank"),
+                 F.sum(((F.col("rn") <= 5)
+                        & (F.col("label") == F.col("qlab"))).cast("long"))
+                 .alias("n_rel_top5"))
+            .withColumn("rr_micros",
+                        F.expr("1000000 div first_rel_rank"))
+            .select("qid", "label", "first_rel_rank", "rr_micros",
+                    "n_rel_top5"))

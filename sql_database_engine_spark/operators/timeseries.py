@@ -1533,3 +1533,62 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (flags.unionByName(churn)
             .groupBy("week", "status")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM events GROUP BY 1
+    ), p AS (
+        SELECT CAST(b.c - a.c AS DOUBLE)
+               / date_diff('day', a.day, b.day) AS slope
+        FROM d a JOIN d b ON b.day > a.day
+    ), r AS (
+        SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+               COUNT(*) OVER () AS n
+        FROM p
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+           CAST(n AS BIGINT) AS n_pairs,
+           slope AS median_slope_cents_per_day
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event value — the
+    breakdown-resistant sibling of ``trend_daily_revenue_ols``: the
+    estimator is the MEDIAN of all pairwise slopes, so up to ~29% of
+    the days can be arbitrarily corrupted (outage days, backfill
+    spikes) without moving it, where OLS chases every outlier.
+
+    Exactness: each slope is one double division of two exact
+    integers (cents delta / day delta) — deterministic per pair — and
+    the median is the nearest-rank order statistic, a unique VALUE of
+    the slope multiset. Scale shape: the pair join is DAYS x DAYS,
+    not rows x rows — the day aggregate collapses the fact table
+    first, so n grows with calendar time, not data volume; beyond
+    ~10^5 days the published remedy is Siegel's repeated-median or
+    sampled pairs, composing on the same day-aggregate."""
+    from ..functions.exact import cents
+
+    e = Catalog(spark, sf_dir).events
+    d = (e.groupBy(F.to_date("ts").alias("day"))
+         .agg(F.sum(cents(F.col("value"))).alias("c")))
+    a = d.select(F.col("day").alias("day_a"), F.col("c").alias("c_a"))
+    b = d.select(F.col("day").alias("day_b"), F.col("c").alias("c_b"))
+    slopes = (a.join(b, F.col("day_b") > F.col("day_a"))
+              .select(((F.col("c_b") - F.col("c_a")).cast("double")
+                       / F.datediff("day_b", "day_a")).alias("slope")))
+    ranked = (slopes
+              .withColumn("rn", F.row_number().over(W.orderBy("slope")))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  W.partitionBy(F.lit(1)))))
+    n_days = d.agg(F.count(F.lit(1)).alias("n_days"))
+    return (ranked.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .crossJoin(F.broadcast(n_days))
+            .select("n_days", F.col("n").alias("n_pairs"),
+                    F.col("slope").alias("median_slope_cents_per_day")))
