@@ -89,3 +89,48 @@ def test_rvid_decode_rejects_truncated():
     with pytest.raises(ValueError):
         next(mm.decode_rvid_batches(
             iter([pd.DataFrame({"doc_id": [3], "payload": [blob]})])))
+
+
+def test_parse_wav16_roundtrip_property():
+    """Generator -> shared parser round-trip for arbitrary doc ids:
+    _parse_wav16 (used by both WAV kernels) must recover the exact
+    rate and sample sequence wav_pcm_bytes encoded. Pure local
+    property, no Spark."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**9))
+    def check(doc_id):
+        rate, frames = mm._parse_wav16(doc_id, mm.wav_pcm_bytes(doc_id))
+        n = 100 + doc_id % 50
+        assert rate == 8000 + (doc_id % 3) * 4000
+        assert len(frames) == n
+        assert all(int(frames[i]) == (doc_id * 31 + i * 17) % 4096 - 2048
+                   for i in range(n))
+
+    check()
+
+
+def test_parse_wav16_rejects_corrupt_headers():
+    """Each container gate actually fires: magic, fmt tag, PCM tag,
+    channel/bit-depth, data tag."""
+    blob = bytearray(mm.wav_pcm_bytes(7))
+    good = bytes(blob)
+    mm._parse_wav16(7, good)  # sanity
+
+    bad_magic = b"JUNK" + good[4:]
+    with pytest.raises(ValueError):
+        mm._parse_wav16(7, bad_magic)
+
+    bad_fmt = good[:12] + b"xxx " + good[16:]
+    with pytest.raises(ValueError):
+        mm._parse_wav16(7, bad_fmt)
+
+    stereo = bytearray(good)
+    stereo[22:24] = (2).to_bytes(2, "little")  # n_channels = 2
+    with pytest.raises(NotImplementedError):
+        mm._parse_wav16(7, bytes(stereo))
+
+    bad_data = good[:36] + b"DATA" + good[40:]
+    with pytest.raises(ValueError):
+        mm._parse_wav16(7, bad_data)
