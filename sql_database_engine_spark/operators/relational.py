@@ -741,3 +741,57 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("est_pairs", "actual_pairs",
                     (F.col("actual_pairs").cast("double") / F.col("est_pairs"))
                     .alias("range_selectivity")))
+
+
+@query(
+    "csv_roundtrip_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 100.0 AS total_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink -> source round-trip, driver-verified: a lineitem
+    projection is exported to CSV (header, default quoting) in a
+    version-keyed staging dir, read back through the TEXT parser with
+    an explicit schema, and aggregated — the oracle computes the same
+    aggregate from the original parquet, so any value lost in
+    serialization (Java's Double.toString is shortest-round-trip, the
+    reader must recover the identical bits), a quoting slip, or a
+    header/schema misalignment hash-fails. This promotes the CSV path
+    from pytest-only (tests/test_sources.py) to the driver's hard
+    signal; schema inference stays deliberately OFF — at 100 TB an
+    inference pass is a full extra scan and a type-drift hazard, so
+    production CSV ingest declares its schema.
+
+    Staging is the fixture, not the operator (binaryfile/bucketed
+    precedent): written once per (sf_dir), skipped when _SUCCESS
+    exists; the measured plan is the CSV scan + one hash aggregate.
+    """
+    import hashlib
+    import os
+
+    from ..functions.exact import cents
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag", "l_quantity", "l_extendedprice")
+    stage = os.path.join(
+        "/tmp", "spark_graft_csv",
+        hashlib.md5((os.path.abspath(sf_dir) + "|v1").encode())
+        .hexdigest()[:12])
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        li.write.mode("overwrite").option("header", True).csv(stage)
+    back = (spark.read
+            .schema("l_returnflag string, l_quantity double, "
+                    "l_extendedprice double")
+            .option("header", True).csv(stage))
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.sum(cents(F.col("l_extendedprice"))).cast("double")
+                  / 100.0).alias("total_price"),
+                 F.sum(F.col("l_quantity").cast("long"))
+                 .alias("total_qty")))
