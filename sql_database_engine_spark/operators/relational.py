@@ -795,3 +795,51 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / 100.0).alias("total_price"),
                  F.sum(F.col("l_quantity").cast("long"))
                  .alias("total_qty")))
+
+
+@query(
+    "jsonl_roundtrip_docs",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents GROUP BY source
+    """,
+)
+def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink -> source round-trip over the DOCUMENT corpus —
+    JSON Lines is the lingua franca of LLM training data, and the
+    property that matters is CONTENT FIDELITY through JSON string
+    escaping (quotes, backslashes, non-ASCII) plus schema-declared
+    readback. The documents table is exported to JSONL in a
+    version-keyed staging dir, read back with an explicit schema, and
+    aggregated per source INCLUDING a distinct count over sha256 of
+    the round-tripped text: one corrupted character in one document
+    changes a digest and hash-fails against the oracle computed from
+    the original parquet.
+
+    Same fixture/operator split as ``csv_roundtrip_agg``; the
+    measured plan is the JSONL scan plus one aggregate. Schema
+    inference off, as always — JSONL at 100 TB is read with a
+    declared schema or not at all.
+    """
+    import hashlib
+    import os
+
+    d = Catalog(spark, sf_dir).documents
+    stage = os.path.join(
+        "/tmp", "spark_graft_jsonl",
+        hashlib.md5((os.path.abspath(sf_dir) + "|v1").encode())
+        .hexdigest()[:12])
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        d.write.mode("overwrite").json(stage)
+    back = (spark.read
+            .schema("doc_id bigint, text string, lang string, "
+                    "source string, n_chars bigint")
+            .json(stage))
+    return (back.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.countDistinct(F.sha2(F.col("text"), 256))
+                 .alias("n_distinct_texts")))
