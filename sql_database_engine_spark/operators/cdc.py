@@ -246,7 +246,6 @@ def ivm_append_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_engine.py additionally pins that the second phase's
     plan scans the stored parquet, not the base fact rows.
     """
-    import hashlib
     import os
 
     o = Catalog(spark, sf_dir).orders
@@ -254,9 +253,8 @@ def ivm_append_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice",
             "o_orderdate")
     split = F.lit("1999-01-01").cast("timestamp")
-    scratch = os.path.join(
-        "/tmp", "spark_graft_ivm",
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    from ..scratch import scratch_dir
+    scratch = scratch_dir("ivm", sf_dir)
     base = (o.filter(F.col("o_orderdate") < split)
             .join(c, o.o_custkey == c.c_custkey).select(*cols))
     base.write.mode("overwrite").parquet(scratch)
@@ -291,15 +289,13 @@ def ivm_append_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials store integer cents; the double division happens once,
     after the final merge.
     """
-    import hashlib
     import os
 
     from ..functions.exact import cents
     o = Catalog(spark, sf_dir).orders
     split = F.lit("1999-01-01").cast("timestamp")
-    scratch = os.path.join(
-        "/tmp", "spark_graft_ivm_agg",
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    from ..scratch import scratch_dir
+    scratch = scratch_dir("ivm_agg", sf_dir)
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(
@@ -417,15 +413,13 @@ def ivm_retract_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch — any sign slip or double-counted retraction
     hash-mismatches.
     """
-    import hashlib
     import os
 
     from ..functions.exact import cents
     o = Catalog(spark, sf_dir).orders
     split = F.lit("1997-01-01").cast("timestamp")
-    scratch = os.path.join(
-        "/tmp", "spark_graft_ivm_retract",
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    from ..scratch import scratch_dir
+    scratch = scratch_dir("ivm_retract", sf_dir)
 
     def partials(df: DataFrame, sign: int) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(

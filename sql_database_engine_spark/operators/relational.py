@@ -750,7 +750,7 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
                      AS BIGINT) AS DOUBLE) / 100.0 AS total_price,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -772,17 +772,14 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent): written once per (sf_dir), skipped when _SUCCESS
     exists; the measured plan is the CSV scan + one hash aggregate.
     """
-    import hashlib
     import os
 
     from ..functions.exact import cents
 
     li = Catalog(spark, sf_dir).lineitem.select(
         "l_returnflag", "l_quantity", "l_extendedprice")
-    stage = os.path.join(
-        "/tmp", "spark_graft_csv",
-        hashlib.md5((os.path.abspath(sf_dir) + "|v1").encode())
-        .hexdigest()[:12])
+    from ..scratch import scratch_dir
+    stage = scratch_dir("csv", sf_dir, version="v1")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         li.write.mode("overwrite").option("header", True).csv(stage)
     back = (spark.read
@@ -793,7 +790,7 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  (F.sum(cents(F.col("l_extendedprice"))).cast("double")
                   / 100.0).alias("total_price"),
-                 F.sum(F.col("l_quantity").cast("long"))
+                 F.sum(F.floor("l_quantity").cast("long"))
                  .alias("total_qty")))
 
 
@@ -824,14 +821,11 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference off, as always — JSONL at 100 TB is read with a
     declared schema or not at all.
     """
-    import hashlib
     import os
 
     d = Catalog(spark, sf_dir).documents
-    stage = os.path.join(
-        "/tmp", "spark_graft_jsonl",
-        hashlib.md5((os.path.abspath(sf_dir) + "|v1").encode())
-        .hexdigest()[:12])
+    from ..scratch import scratch_dir
+    stage = scratch_dir("jsonl", sf_dir, version="v1")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         d.write.mode("overwrite").json(stage)
     back = (spark.read

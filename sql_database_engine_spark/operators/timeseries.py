@@ -1583,10 +1583,10 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes = (a.join(b, F.col("day_b") > F.col("day_a"))
               .select(((F.col("c_b") - F.col("c_a")).cast("double")
                        / F.datediff("day_b", "day_a")).alias("slope")))
+    n_pairs = slopes.agg(F.count(F.lit(1)).alias("n"))
     ranked = (slopes
               .withColumn("rn", F.row_number().over(W.orderBy("slope")))
-              .withColumn("n", F.count(F.lit(1)).over(
-                  W.partitionBy(F.lit(1)))))
+              .crossJoin(F.broadcast(n_pairs)))
     n_days = d.agg(F.count(F.lit(1)).alias("n_days"))
     return (ranked.filter(F.col("rn") == F.expr("(n + 1) div 2"))
             .crossJoin(F.broadcast(n_days))

@@ -1,0 +1,28 @@
+"""Scratch staging directories for fixtures and materialized partials.
+
+One idiom, one place: several operators stage derived artifacts under
+/tmp (stored IVM partials, CSV/JSONL exports, the stream-source
+symlink dir). The directory is keyed on the absolute source dir plus
+an optional version token, so regenerated testdata or a bumped layout
+version gets a fresh directory instead of silently reusing stale
+files. Relocating scratch off /tmp or changing the keying now happens
+here, not in six call sites.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+#: Root for all engine scratch dirs.
+SCRATCH_ROOT = "/tmp"
+
+
+def scratch_dir(tag: str, sf_dir: str, version: str = "") -> str:
+    """Deterministic per-(tag, source-dir, version) staging directory;
+    created if absent, contents left to the caller."""
+    key = os.path.abspath(sf_dir) + ("|" + version if version else "")
+    d = os.path.join(SCRATCH_ROOT, f"spark_graft_{tag}",
+                     hashlib.md5(key.encode()).hexdigest()[:12])
+    os.makedirs(d, exist_ok=True)
+    return d

@@ -36,11 +36,10 @@ def _stream_dir(sf_dir: str) -> str:
     """The file stream source requires a *directory* to monitor; the
     testdata ships single files. Stage a symlink dir under /tmp
     (read-only testdata must not be touched)."""
-    import hashlib
     import os
-    d = os.path.join("/tmp", "spark_graft_stream",
-                     hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
-    os.makedirs(d, exist_ok=True)
+
+    from ..scratch import scratch_dir
+    d = scratch_dir("stream", sf_dir)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
@@ -278,7 +277,17 @@ def distinct_users_hourly(events: DataFrame) -> DataFrame:
     stream's history. (The approximate alternative at higher
     cardinalities is the HLL rollup — ``hll_rollup_distinct_contract``
     — with sketches as the window state; this operator is the exact
-    tier below it.)"""
+    tier below it.)
+
+    Oracle premise: the fixture source is a single staged file, so the
+    availableNow drain is ONE micro-batch and the watermark cannot
+    advance mid-drain — dropDuplicatesWithinWatermark (which, unlike a
+    complete-mode aggregation, actively DROPS late rows) therefore
+    never drops anything and the unrestricted batch COUNT(DISTINCT)
+    oracle holds exactly. A live multi-batch deployment admits
+    watermark drops in the dedup stage; its check would carry a
+    settled-region oracle instead (the
+    ``stream_click_purchase_left_join_settled`` pattern)."""
     hourly = events.withColumn("hour", F.date_trunc("hour", "ts"))
     deduped = (hourly.withWatermark("ts", "2 hours")
                .dropDuplicatesWithinWatermark(["user_id", "hour"]))

@@ -134,3 +134,20 @@ def test_parse_wav16_rejects_corrupt_headers():
     bad_data = good[:36] + b"DATA" + good[40:]
     with pytest.raises(ValueError):
         mm._parse_wav16(7, bad_data)
+
+
+def test_parse_wav16_rejects_nonpcm_and_wrong_depth():
+    """The remaining two container gates: a non-PCM format tag and a
+    non-16 bit depth must be rejected (the quartet above covers magic,
+    fmt tag, channels, data tag)."""
+    good = mm.wav_pcm_bytes(7)
+
+    nonpcm = bytearray(good)
+    nonpcm[20:22] = (3).to_bytes(2, "little")  # IEEE-float format tag
+    with pytest.raises(ValueError):
+        mm._parse_wav16(7, bytes(nonpcm))
+
+    eight_bit = bytearray(good)
+    eight_bit[34:36] = (8).to_bytes(2, "little")  # bits per sample
+    with pytest.raises(NotImplementedError):
+        mm._parse_wav16(7, bytes(eight_bit))
