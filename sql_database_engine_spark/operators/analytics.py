@@ -1920,8 +1920,10 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     same split at 100 TB until the residual fits one executor) and
     pick the offset-th smallest. Everything composes lazily: the
     picked-bucket row broadcasts back into the pass-2 filter, so the
-    fact table is scanned exactly twice and shuffled never — pass 1
-    moves 64 histogram rows, pass 2 moves one bucket.
+    fact table is scanned three times (stats, histogram, residual) and
+    shuffled never — pass 1 moves 64 histogram rows, pass 2 moves one
+    bucket, and the stats pass reads parquet footer min/max/count
+    metadata at scale instead of data.
 
     The oracle cross-checks with the naive global ROW_NUMBER pick;
     cents-integer arithmetic end to end (exact.py policy), and the
@@ -1932,8 +1934,12 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import cents
 
     v = li.select(cents(F.col("l_extendedprice")).alias("c"))
+    # The 1-row stats aggregate is referenced by the bucketing of both
+    # downstream passes; a lazy checkpoint computes it once (at 100 TB
+    # min/max/count come free from parquet footer statistics, making
+    # this pass metadata-only).
     mm = v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"),
-               F.count(F.lit(1)).alias("n"))
+               F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     b = (v.crossJoin(F.broadcast(mm))
          .withColumn("bucket_id",
                      F.expr("((c - lo) * 64) div (hi - lo + 1)")))

@@ -246,7 +246,6 @@ def ivm_append_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_engine.py additionally pins that the second phase's
     plan scans the stored parquet, not the base fact rows.
     """
-    import os
 
     o = Catalog(spark, sf_dir).orders
     c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
@@ -289,7 +288,6 @@ def ivm_append_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials store integer cents; the double division happens once,
     after the final merge.
     """
-    import os
 
     from ..functions.exact import cents
     o = Catalog(spark, sf_dir).orders
@@ -413,7 +411,6 @@ def ivm_retract_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch — any sign slip or double-counted retraction
     hash-mismatches.
     """
-    import os
 
     from ..functions.exact import cents
     o = Catalog(spark, sf_dir).orders

@@ -72,7 +72,9 @@ def _basket(cat: Catalog) -> DataFrame:
 
 
 def _undirected_edges(cat: Catalog) -> DataFrame:
-    """(src, dst) with src < dst, co-occurrence-thresholded."""
+    """(src, dst, n_cooccur) with src < dst, co-occurrence-thresholded.
+    The single edge derivation every graph operator builds on; callers
+    that don't need the support count just drop it."""
     ob = _basket(cat)
     a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
     b = ob.select(F.col("l_orderkey").alias("ok_b"),
@@ -81,12 +83,11 @@ def _undirected_edges(cat: Catalog) -> DataFrame:
                    & (F.col("src") < F.col("dst")))
             .groupBy("src", "dst")
             .agg(F.count(F.lit(1)).alias("n_cooccur"))
-            .filter(F.col("n_cooccur") >= EDGE_MIN_COOCCUR)
-            .select("src", "dst"))
+            .filter(F.col("n_cooccur") >= EDGE_MIN_COOCCUR))
 
 
 def _directed_edges(cat: Catalog) -> DataFrame:
-    und = _undirected_edges(cat)
+    und = _undirected_edges(cat).select("src", "dst")
     return und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -392,19 +393,11 @@ _WEDGES_SQL = f"""
 
 
 def _weighted_edges(cat: Catalog) -> DataFrame:
-    """Directed weighted edges: cost = ceil(1000 / co-occurrence)."""
-    ob = _basket(cat)
-    a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"),
-                  F.col("p_brand").alias("dst"))
-    und = (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
-                  & (F.col("src") < F.col("dst")))
-           .groupBy("src", "dst")
-           .agg(F.count(F.lit(1)).alias("n_cooccur"))
-           .filter(F.col("n_cooccur") >= EDGE_MIN_COOCCUR)
-           .select("src", "dst",
-                   F.expr("(1000 + n_cooccur - 1) div n_cooccur")
-                   .alias("cost")))
+    """Directed weighted edges: cost = ceil(1000 / co-occurrence),
+    derived from the one shared co-occurrence relation."""
+    und = _undirected_edges(cat).select(
+        "src", "dst",
+        F.expr("(1000 + n_cooccur - 1) div n_cooccur").alias("cost"))
     return und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                    "cost"))
@@ -459,7 +452,11 @@ def sssp_weighted_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes with the same salted-hub remedy as every other round.
     """
     cat = Catalog(spark, sf_dir)
-    edges = _weighted_edges(cat)
+    # Each relaxation round references the edge relation; a LAZY
+    # localCheckpoint materializes the basket-join derivation once at
+    # first action (GraphX cache-the-edges discipline) with no job at
+    # construction time.
+    edges = _weighted_edges(cat).localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     src = nodes.agg(F.min("node").alias("s"))
     d = (nodes.crossJoin(F.broadcast(src))

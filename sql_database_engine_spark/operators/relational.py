@@ -778,8 +778,10 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = Catalog(spark, sf_dir).lineitem.select(
         "l_returnflag", "l_quantity", "l_extendedprice")
-    from ..scratch import scratch_dir
-    stage = scratch_dir("csv", sf_dir, version="v1")
+    from ..scratch import scratch_dir, source_fingerprint
+    stage = scratch_dir(
+        "csv", sf_dir,
+        version="v1|" + source_fingerprint(sf_dir, "lineitem.parquet"))
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         li.write.mode("overwrite").option("header", True).csv(stage)
     back = (spark.read
@@ -824,8 +826,10 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     d = Catalog(spark, sf_dir).documents
-    from ..scratch import scratch_dir
-    stage = scratch_dir("jsonl", sf_dir, version="v1")
+    from ..scratch import scratch_dir, source_fingerprint
+    stage = scratch_dir(
+        "jsonl", sf_dir,
+        version="v1|" + source_fingerprint(sf_dir, "documents.parquet"))
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         d.write.mode("overwrite").json(stage)
     back = (spark.read

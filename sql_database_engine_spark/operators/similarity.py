@@ -1325,14 +1325,18 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (e.filter(F.col("vec_id") == 0)
          .select(F.col("embedding").alias("qv")))
     qs = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
-    # The greedy steps all reference this subtree; Spark's exchange
-    # reuse dedupes the repeated corpus top-k, so the plan stays lazy
-    # (no eager checkpoint — the leading_digit_profile lesson).
+    # The greedy steps reference this subtree ~66 times once the
+    # unroll compounds, and TakeOrdered is NOT an exchange — exchange
+    # reuse does not dedupe it, so without truncation the corpus
+    # top-k re-executes per reference (measured: 66 copies). A LAZY
+    # localCheckpoint fixes it: construction stays job-free (the
+    # leading_digit_profile rule), and at first action the 8-row pool
+    # materializes once and every reference shares the cached RDD.
     pool = (e.filter(F.col("vec_id") != 0)
             .crossJoin(F.broadcast(q))
             .select("vec_id", "embedding", F.round(qs, 6).alias("qsim"))
             .orderBy(F.col("qsim").desc(), "vec_id")
-            .limit(8))
+            .limit(8)).localCheckpoint(eager=False)
 
     ps = cosine(_as_double(F.col("ea")), _as_double(F.col("eb")))
     pa = pool.select(F.col("vec_id").alias("a"),

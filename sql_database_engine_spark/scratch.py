@@ -26,3 +26,12 @@ def scratch_dir(tag: str, sf_dir: str, version: str = "") -> str:
                      hashlib.md5(key.encode()).hexdigest()[:12])
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def source_fingerprint(sf_dir: str, filename: str) -> str:
+    """Cheap identity of a source file (size + mtime-ns): staging dirs
+    keyed on it re-stage when testdata is regenerated IN PLACE — a
+    skip-if-_SUCCESS fixture keyed on path alone would silently serve
+    stale exports against fresh sources."""
+    st = os.stat(os.path.join(sf_dir, filename))
+    return f"{st.st_size}-{st.st_mtime_ns}"

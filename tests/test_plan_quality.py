@@ -548,11 +548,14 @@ def test_exact_median_no_global_sort_exchange(spark):
     assert "BroadcastExchange" in plan  # min/max row + picked bucket
 
 
-def test_mmr_pool_is_take_ordered(spark):
-    # Candidate generation must be the map-side top-k, not a global
-    # sort of the scored corpus; the greedy loop's pool joins broadcast.
+def test_mmr_greedy_tail_never_rescans_the_corpus(spark):
+    # The 8-row candidate pool is lazily checkpointed, so the greedy
+    # unroll's ~66 references share one materialization: the final
+    # plan must contain NO parquet scans (all inputs are the
+    # checkpointed pool RDD) and no cross product.
     plan = _plan(spark, "mmr_diversified_topk")
-    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 0
     assert "CartesianProduct" not in plan
 
 
