@@ -2123,3 +2123,107 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", n.alias("n_copies"))
             .withColumn("weight_micros",
                         F.expr("1000000 div n_copies")))
+
+
+#: Winnowing-companion parameters: token k-grams, window of w
+#: consecutive gram hashes, positions bounded below 2^20 tokens/doc.
+_WN_K = 5
+_WN_W = 4
+_WN_POS = 1 << 20
+
+
+@query(
+    "winnowing_tokengram_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' ||
+               a[i+3] || ' ' || a[i+4] AS gram,
+               n - {_WN_K - 1} AS n_grams
+        FROM toks, LATERAL unnest(generate_series(1, n - {_WN_K - 1}))
+             AS t(i)
+        WHERE n >= {_WN_K}
+    ), keyed AS (
+        SELECT doc_id, pos, n_grams,
+               CAST(('0x' || substring(md5(gram), 1, 8))::UBIGINT
+                    AS BIGINT) * {_WN_POS}
+               + ({_WN_POS - 1} - pos) AS key
+        FROM grams
+    ), wins AS (
+        SELECT doc_id, pos, n_grams,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {_WN_W - 1} FOLLOWING) AS kmin
+        FROM keyed
+    ), fps AS (
+        SELECT DISTINCT doc_id, n_grams, kmin
+        FROM wins WHERE pos <= n_grams - {_WN_W}
+    )
+    SELECT doc_id,
+           CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(kmin // {_WN_POS}) AS BIGINT) AS fp_checksum,
+           CAST(MIN({_WN_POS - 1} - kmin % {_WN_POS}) AS BIGINT)
+               AS first_fp_pos,
+           CAST(MAX({_WN_POS - 1} - kmin % {_WN_POS}) AS BIGINT)
+               AS last_fp_pos
+    FROM fps GROUP BY doc_id
+    """,
+)
+def winnowing_tokengram_fingerprints(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Winnowing (SIGMOD'03) with a FULL oracle — the companion that
+    lifts the algorithm itself out of rows-only status (the byte-level
+    Karp-Rabin kernel in ``doc_winnowing_fingerprints`` stays
+    engine-private and pytest-pinned): token 5-gram hashes are the
+    md5-derived 32-bit integers both engines compute identically (the
+    MinHash upgrade precedent), and the paper's robust RIGHTMOST-MIN
+    selection is made relational by arithmetic encoding — key =
+    hash * 2^20 + (2^20-1 - pos), so an ordinary MIN over each
+    w-window picks the smallest hash with ties broken toward the
+    largest position, no argmin construct needed (declared bound:
+    documents under 2^20 tokens; beyond that, widen the shift).
+
+    Per doc: the guarantee-bearing summary — fingerprint count,
+    hash checksum over the selected set, first/last selected
+    positions. One exchange (doc_id) serves the gram window, the
+    w-window MIN, and the final aggregate; the window density
+    guarantee (every w-window contributes a selection, so any shared
+    substring of >= k+w-1 tokens shares a fingerprint) is inherited
+    from the paper and pinned by the existing winnowing pytest suite.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id",
+                    F.posexplode(F.split(F.col("text"), " "))
+                    .alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(" ", "tok", *[F.lead("tok", i).over(w).alias(f"t{i}")
+                                     for i in range(1, _WN_K)])
+    # lead() returns NULL past the end; a gram is valid only when the
+    # last member exists.
+    grams = (toks
+             .withColumn("last_tok", F.lead("tok", _WN_K - 1).over(w))
+             .withColumn("gram", gram)
+             .filter(F.col("last_tok").isNotNull())
+             .select("doc_id", "pos", "gram"))
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    keyed = (grams
+             .withColumn("n_grams",
+                         F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+             .withColumn("key",
+                         h * _WN_POS + (F.lit(_WN_POS - 1) - F.col("pos"))))
+    kmin = F.min("key").over(w.rowsBetween(0, _WN_W - 1))
+    fps = (keyed.withColumn("kmin", kmin)
+           .filter(F.col("pos") <= F.col("n_grams") - _WN_W)
+           .select("doc_id", "n_grams", "kmin").distinct())
+    pos_of = F.lit(_WN_POS - 1) - F.col("kmin") % _WN_POS
+    return (fps.groupBy("doc_id")
+            .agg(F.max("n_grams").alias("n_grams"),
+                 F.count(F.lit(1)).alias("n_fingerprints"),
+                 F.sum(F.expr(f"kmin div {_WN_POS}")).alias("fp_checksum"),
+                 F.min(pos_of).alias("first_fp_pos"),
+                 F.max(pos_of).alias("last_fp_pos")))
