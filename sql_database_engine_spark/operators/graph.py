@@ -473,3 +473,117 @@ def sssp_weighted_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select(F.col("node").alias("brand"),
                      F.col("dist").alias("path_cost"))
             .orderBy(F.asc_nulls_last("path_cost"), "brand"))
+
+
+@query(
+    "link_prediction_common_neighbors",
+    oracle=f"""
+    WITH ob AS ({_BASKET_SQL}),
+    pairs AS (
+        SELECT a.p_brand AS src, b.p_brand AS dst,
+               CAST(COUNT(*) AS BIGINT) AS n_cooccur
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    ), thr AS (
+        SELECT n_cooccur AS t FROM (
+            SELECT n_cooccur,
+                   ROW_NUMBER() OVER (ORDER BY n_cooccur) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM pairs
+        ) WHERE rn = (3 * n + 3) // 4
+    ), strong AS (
+        SELECT src, dst FROM pairs, thr WHERE n_cooccur >= thr.t
+    ), edges AS (
+        SELECT src, dst FROM strong
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM strong
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ), wedge AS (
+        SELECT e1.dst AS a, e2.dst AS b,
+               CAST(COUNT(*) AS BIGINT) AS cn
+        FROM edges e1 JOIN edges e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+        GROUP BY e1.dst, e2.dst
+    ), nonedge AS (
+        SELECT w.a, w.b, w.cn
+        FROM wedge w LEFT JOIN strong u ON u.src = w.a AND u.dst = w.b
+        WHERE u.src IS NULL
+    )
+    SELECT n.a, n.b, n.cn,
+           da.deg AS deg_a, db.deg AS deg_b,
+           CAST(1000000 * n.cn // (da.deg + db.deg - n.cn) AS BIGINT)
+               AS jaccard_micros
+    FROM nonedge n
+    JOIN deg da ON da.node = n.a
+    JOIN deg db ON db.node = n.b
+    ORDER BY jaccard_micros DESC, a, b
+    LIMIT 10
+    """,
+)
+def link_prediction_common_neighbors(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Link prediction on the STRONG-tie brand graph — the
+    recommendation primitive behind "brands bought together with both
+    of these": for every non-adjacent pair sharing a neighbor, the
+    neighborhood-Jaccard score |N(a) ∩ N(b)| / |N(a) ∪ N(b)| in exact
+    integer micros; top-10 predicted links.
+
+    The fixed EDGE_MIN_COOCCUR threshold makes the 25-brand demo
+    graph COMPLETE (no non-edges — nothing to predict), so this
+    operator derives its own sparsity: edges are the top quartile of
+    co-occurring pairs by support (nearest-rank p75 cutoff, a 1-row
+    broadcast order statistic), which stays sparse at ANY scale
+    factor because the threshold moves with the data. Candidate
+    generation is the triangle counter's wedge join (pairs meeting at
+    a common neighbor — never all-pairs) minus existing edges via an
+    anti-join; per-node work is degree-bounded, and the hub remedy is
+    the same degree-ordered orientation. All-integer score
+    (10^6·cn div (da+db−cn)) so ranking and values hash-verify.
+    """
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    ob = _basket(cat)
+    a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"),
+                  F.col("p_brand").alias("dst"))
+    pairs = (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
+                    & (F.col("src") < F.col("dst")))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("n_cooccur")))
+    ranked = (pairs
+              .withColumn("rn", F.row_number().over(
+                  W.orderBy("n_cooccur")))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  W.partitionBy(F.lit(1)))))
+    thr = (ranked.filter(F.col("rn") == F.expr("(3 * n + 3) div 4"))
+           .select(F.col("n_cooccur").alias("t")))
+    strong = (pairs.crossJoin(F.broadcast(thr))
+              .filter(F.col("n_cooccur") >= F.col("t"))
+              .select("src", "dst"))
+    edges = strong.unionByName(
+        strong.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    e1 = edges.select(F.col("src").alias("w"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("w2"), F.col("dst").alias("b"))
+    wedge = (e1.join(e2, (F.col("w") == F.col("w2"))
+                     & (F.col("a") < F.col("b")))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cn")))
+    nonedge = wedge.join(
+        strong, (wedge.a == strong.src) & (wedge.b == strong.dst),
+        "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (nonedge.join(F.broadcast(da), "a")
+              .join(F.broadcast(db), "b")
+              .withColumn(
+                  "jaccard_micros",
+                  F.expr("1000000 * cn div (deg_a + deg_b - cn)")))
+    return (scored.select("a", "b", "cn", "deg_a", "deg_b",
+                          "jaccard_micros")
+            .orderBy(F.col("jaccard_micros").desc(), "a", "b")
+            .limit(10))
