@@ -319,12 +319,11 @@ def _mh_coeffs() -> list[tuple[int, int]]:
             for _ in range(_MH_N_PERM)]
 
 
-def _minhash_oracle() -> str:
-    """DuckDB replay of the full MinHash+LSH pipeline. The gram hash
-    is the first 8 md5 hex digits as an integer — a construction both
-    engines express exactly (Spark ``conv``, DuckDB hex cast) — so
-    signatures, bands, candidates, and the agreement filter are all
-    bit-reproducible; the probabilistic operator gets a REAL oracle."""
+def _mh_sql_parts() -> tuple[str, str, str, str]:
+    """Shared DuckDB fragments of the MinHash pipeline replay: the
+    per-permutation MIN list, the band UNION, the agreement sum, and
+    the base CTE chain (grams -> hashes -> signatures -> bands). One
+    source of truth for both the batch and the incremental oracle."""
     coeffs = _mh_coeffs()
     mins = ",\n               ".join(
         f"MIN((h * {a} + {b}) % {_MH_P}) AS mh{i}"
@@ -339,7 +338,7 @@ def _minhash_oracle() -> str:
     agree = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
         for i in range(_MH_N_PERM))
-    return f"""
+    base = f"""
     WITH g AS (
         SELECT DISTINCT doc_id, unnest(list_transform(
                    generate_series(1, len(string_split(text, ' ')) - 1),
@@ -357,7 +356,18 @@ def _minhash_oracle() -> str:
         FROM h GROUP BY doc_id
     ), bands AS (
 {band_rows}
-    ), cand AS (
+    )"""
+    return mins, band_rows, agree, base
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline. The gram hash
+    is the first 8 md5 hex digits as an integer — a construction both
+    engines express exactly (Spark ``conv``, DuckDB hex cast) — so
+    signatures, bands, candidates, and the agreement filter are all
+    bit-reproducible; the probabilistic operator gets a REAL oracle."""
+    _, _, agree, base = _mh_sql_parts()
+    return f"""{base}, cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -368,6 +378,30 @@ def _minhash_oracle() -> str:
     FROM cand
     JOIN sig sa ON sa.doc_id = doc_a
     JOIN sig sb ON sb.doc_id = doc_b
+    WHERE ({agree}) * 2 >= {_MH_N_PERM}
+    """
+
+
+def _minhash_incremental_oracle() -> str:
+    """The incremental restriction of the same replay: only pairs
+    with a batch doc on the right and (index doc OR earlier batch
+    doc) on the left."""
+    _, _, agree, base = _mh_sql_parts()
+    return f"""{base}, cand AS (
+        SELECT DISTINCT a.doc_id AS partner_doc, b.doc_id AS batch_doc
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND b.doc_id % 10 >= 8
+         AND (a.doc_id % 10 < 8 OR a.doc_id < b.doc_id)
+         AND a.doc_id <> b.doc_id
+    )
+    SELECT batch_doc, partner_doc,
+           CASE WHEN partner_doc % 10 >= 8 THEN 'batch' ELSE 'index' END
+               AS partner_src,
+           CAST(({agree}) AS DOUBLE) / {_MH_N_PERM} AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = partner_doc
+    JOIN sig sb ON sb.doc_id = batch_doc
     WHERE ({agree}) * 2 >= {_MH_N_PERM}
     """
 
@@ -2227,3 +2261,83 @@ def winnowing_tokengram_fingerprints(spark: SparkSession,
                  F.sum(F.expr(f"kmin div {_WN_POS}")).alias("fp_checksum"),
                  F.min(pos_of).alias("first_fp_pos"),
                  F.max(pos_of).alias("last_fp_pos")))
+
+
+@query("minhash_incremental_neardup", oracle=_minhash_incremental_oracle())
+def minhash_incremental_neardup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup — the MinHash sibling of
+    ``dedup_incremental_batch`` and the job a recurring crawl
+    actually runs: the new batch (doc_id % 10 >= 8) is checked
+    against the persisted BAND INDEX of the historical corpus plus
+    earlier batch docs, never all-pairs over the archive. Each batch
+    doc's band signatures probe the index via the same (band_id,
+    band_key) equi-join as the batch operator; matches verify by
+    signature agreement >= 0.5 and report whether the partner came
+    from the index or from within the batch (keep-first discipline:
+    only earlier batch ids count as partners).
+
+    At 100 TB the persisted state is the band table — 8 short keys
+    per indexed doc — and per-snapshot cost is O(batch bands x bucket
+    occupancy); novel docs' bands append to the index, closing the
+    loop exactly like the digest index. Fully oracle-checked via the
+    shared pipeline-replay fragments (md5 gram hashes, fixed
+    permutation coefficients).
+    """
+    d = Catalog(spark, sf_dir).documents
+    P = _MH_P
+    N_PERM, BANDS = _MH_N_PERM, _MH_BANDS
+    ROWS_PER_BAND = _MH_ROWS_PER_BAND
+    coeffs = _mh_coeffs()
+
+    exploded = _word_bigrams(d).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"))
+    signed = exploded.groupBy("doc_id").agg(*[
+        F.min((F.col("h") * a + b) % P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ])
+    bands = signed.select(
+        "doc_id", (F.col("doc_id") % 10 >= 8).alias("is_batch"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.concat_ws("-", *[
+                    F.col(f"mh{i * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ]).alias("band_key"),
+            )
+            for i in range(BANDS)
+        ])).alias("band"),
+    ).select("doc_id", "is_batch", "band.band_id", "band.band_key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & F.col("b.is_batch")
+               & (~F.col("a.is_batch")
+                  | (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("partner_doc"),
+                F.col("a.is_batch").alias("partner_is_batch"),
+                F.col("b.doc_id").alias("batch_doc"))
+        .distinct()
+    )
+    sig_a = signed.select(F.col("doc_id").alias("partner_doc"),
+                          *[F.col(f"mh{i}").alias(f"a{i}")
+                            for i in range(N_PERM)])
+    sig_b = signed.select(F.col("doc_id").alias("batch_doc"),
+                          *[F.col(f"mh{i}").alias(f"b{i}")
+                            for i in range(N_PERM)])
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(N_PERM))
+    return (
+        cand.join(sig_a, "partner_doc").join(sig_b, "batch_doc")
+        .withColumn("est_jaccard", agree.cast("double") / N_PERM)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("batch_doc", "partner_doc",
+                F.when(F.col("partner_is_batch"), F.lit("batch"))
+                .otherwise(F.lit("index")).alias("partner_src"),
+                "est_jaccard")
+    )
