@@ -297,3 +297,86 @@ def ks_statistic_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("d_num").cast("double")
                      / (F.col("n1") * F.col("n2"))).alias("ks_stat"),
                     "at_value"))
+
+
+@query(
+    "mannwhitney_u_value_drift",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), pv AS (
+        SELECT value, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(is1) AS BIGINT) AS k1
+        FROM s GROUP BY value
+    ), r AS (
+        SELECT value, k, k1,
+               SUM(k) OVER (ORDER BY value) AS cum,
+               COALESCE(SUM(k) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before
+        FROM pv
+    ), agg AS (
+        SELECT CAST(SUM(k1 * (CAST(cum_before AS BIGINT)
+                              + CAST(cum AS BIGINT) + 1)) AS BIGINT)
+                   AS r1_x2,
+               CAST(SUM(k1) AS BIGINT) AS n1,
+               CAST(SUM(k - k1) AS BIGINT) AS n2,
+               CAST(SUM(k * k * k - k) AS BIGINT) AS tie_term
+        FROM r
+    )
+    SELECT n1, n2,
+           2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS u_x2,
+           r1_x2,
+           tie_term,
+           CAST(1 AS BIGINT) AS ties_handled
+    FROM agg
+    """,
+)
+def mannwhitney_u_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U between the click and purchase value
+    samples — the rank-based location-shift test beside the
+    shape-sensitive KS statistic (``ks_statistic_value_drift``):
+    ranks are midranks under ties, kept integral by working in
+    DOUBLED units (midrank·2 = rank_before + rank_after + 1 summed
+    over the tied block), so R1·2, U·2 (U itself can be half-integral
+    under cross-group ties, so the doubled value is what stays exact;
+    U = u_x2 / 2 = n1·n2 + n1(n1+1)/2 − R1) and the tie-correction term
+    Σ(t³−t) are all exact integers and the whole statistic
+    hash-verifies with zero float ops. The z-normalization is one
+    fixed double chain a consumer applies to these integers; emitting
+    the integers keeps the oracle bit-exact.
+
+    Plan: one grouped pass per distinct value, one ordered cumulative
+    walk over the value domain (same shape and same 100 TB binning
+    remedy as the KS operator), then a single-row aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).events
+    s = (e.filter(F.col("event_type").isin("click", "purchase"))
+         .select("value",
+                 (F.col("event_type") == "click").cast("long")
+                 .alias("is1")))
+    pv = s.groupBy("value").agg(F.count(F.lit(1)).alias("k"),
+                                F.sum("is1").alias("k1"))
+    w = W.orderBy("value")
+    r = (pv.withColumn("cum", F.sum("k").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+         .withColumn("cum_before", F.coalesce(
+             F.sum("k").over(w.rowsBetween(W.unboundedPreceding, -1)),
+             F.lit(0))))
+    agg = r.agg(
+        F.sum(F.col("k1") * (F.col("cum_before") + F.col("cum") + 1))
+        .alias("r1_x2"),
+        F.sum("k1").alias("n1"),
+        F.sum(F.col("k") - F.col("k1")).alias("n2"),
+        F.sum(F.col("k") * F.col("k") * F.col("k") - F.col("k"))
+        .alias("tie_term"))
+    return agg.select(
+        "n1", "n2",
+        F.expr("2 * n1 * n2 + n1 * (n1 + 1) - r1_x2")
+        .alias("u_x2"),
+        "r1_x2", "tie_term",
+        F.lit(1).cast("long").alias("ties_handled"))

@@ -1526,3 +1526,79 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("1000000 div first_rel_rank"))
             .select("qid", "label", "first_rel_rank", "rr_micros",
                     "n_rel_top5"))
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH v AS (
+        SELECT label, vec_id % 2 = 0 AS half_a,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ), sums AS (
+        SELECT label, half_a, dim,
+               CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY label, half_a, dim
+    ), cent AS (
+        SELECT a.label, a.dim,
+               CAST(ROUND(CAST(a.sx AS DOUBLE) / a.n) AS BIGINT)
+                   AS ca,
+               CAST(ROUND(CAST(b.sx AS DOUBLE) / b.n) AS BIGINT)
+                   AS cb,
+               a.n AS n_a, b.n AS n_b
+        FROM sums a JOIN sums b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.half_a AND NOT b.half_a
+    )
+    SELECT label,
+           MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+           CAST(SUM((ca - cb) * (ca - cb)) AS BIGINT)
+               AS dist2_micros2,
+           CAST(MAX(abs(ca - cb)) AS BIGINT) AS max_dim_shift_micros
+    FROM cent GROUP BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space DRIFT monitor: per label, the squared L2
+    distance between the centroids of two halves of the corpus
+    (vec_id parity standing in for two snapshot epochs) plus the
+    worst single-dimension shift — the check that catches a retrained
+    or mis-versioned embedding model before its vectors pollute an
+    index built with the old one.
+
+    Exactness without float-sum order problems: each coordinate is
+    scaled to integer micros per row (the exact.py policy applied to
+    vectors), summed exactly, divided once per (label, half, dim) and
+    re-rounded to integer-micro centroids — so the distance is an
+    exact INTEGER in micro^2 units and hash-verifies. Scale shape:
+    the explode shuffles (label, half, dim, micros) partial sums —
+    64·|labels|·2 rows regardless of corpus size — and the centroid
+    join is dimension-aligned, metadata-sized.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    v = (e.select("label", (F.col("vec_id") % 2 == 0).alias("half_a"),
+                  F.posexplode(F.col("embedding")).alias("dim0", "x"))
+         .select("label", "half_a", (F.col("dim0") + 1).alias("dim"),
+                 F.round(F.col("x").cast("double") * 1_000_000)
+                 .cast("long").alias("micros")))
+    sums = v.groupBy("label", "half_a", "dim").agg(
+        F.sum("micros").alias("sx"), F.count(F.lit(1)).alias("n"))
+    a = (sums.filter(F.col("half_a"))
+         .select("label", "dim",
+                 F.round(F.col("sx").cast("double") / F.col("n"))
+                 .cast("long").alias("ca"),
+                 F.col("n").alias("n_a")))
+    b = (sums.filter(~F.col("half_a"))
+         .select(F.col("label").alias("lb"), F.col("dim").alias("db"),
+                 F.round(F.col("sx").cast("double") / F.col("n"))
+                 .cast("long").alias("cb"),
+                 F.col("n").alias("n_b")))
+    cent = a.join(b, (a.label == b.lb) & (a.dim == b.db))
+    d = F.col("ca") - F.col("cb")
+    return (cent.groupBy("label")
+            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                 F.sum(d * d).alias("dist2_micros2"),
+                 F.max(F.abs(d)).alias("max_dim_shift_micros")))
