@@ -98,6 +98,8 @@ HEADLINE = [
     "bitmap_distinct_rollup",       # exact bitmap distinct rollup
     "exact_median_two_pass",        # bucket-select global order statistic
     "dedup_incremental_batch",      # batch-vs-index digest dedup
+    "minhash_incremental_neardup",  # batch-vs-band-index near-dup probe
+    "winnowing_neardup_pairs",      # fingerprint-join containment near-dup
 ]
 
 

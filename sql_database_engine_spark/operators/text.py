@@ -2341,3 +2341,90 @@ def minhash_incremental_neardup(spark: SparkSession,
                 .otherwise(F.lit("index")).alias("partner_src"),
                 "est_jaccard")
     )
+
+
+@query(
+    "winnowing_neardup_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' ||
+               a[i+3] || ' ' || a[i+4] AS gram,
+               n - {_WN_K - 1} AS n_grams
+        FROM toks, LATERAL unnest(generate_series(1, n - {_WN_K - 1}))
+             AS t(i)
+        WHERE n >= {_WN_K}
+    ), keyed AS (
+        SELECT doc_id, pos, n_grams,
+               CAST(('0x' || substring(md5(gram), 1, 8))::UBIGINT
+                    AS BIGINT) * {_WN_POS}
+               + ({_WN_POS - 1} - pos) AS key
+        FROM grams
+    ), wins AS (
+        SELECT doc_id, pos, n_grams,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {_WN_W - 1} FOLLOWING) AS kmin
+        FROM keyed
+    ), fps AS (
+        SELECT DISTINCT doc_id, kmin // {_WN_POS} AS fp
+        FROM wins WHERE pos <= n_grams - {_WN_W}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup JOIN — what MOSS actually does
+    with the fingerprints: documents sharing >= 3 selected
+    fingerprints are candidate near-dups (the winnowing guarantee
+    makes this CONTAINMENT-sensitive — any shared run of k+w-1 tokens
+    forces a shared fingerprint — where MinHash estimates symmetric
+    Jaccard; a small plagiarized block inside a large document shows
+    up here and not there). Same equi-join scale shape as every LSH
+    family: the shuffle carries (fingerprint, doc_id), buckets are
+    fingerprint-frequency-bounded, never all-pairs.
+
+    Shares the md5/arithmetic-rightmost-min construction with
+    ``winnowing_tokengram_fingerprints``, so the whole pipeline —
+    selection AND join — is hash-verified.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id",
+                    F.posexplode(F.split(F.col("text"), " "))
+                    .alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(" ", "tok", *[F.lead("tok", i).over(w)
+                                     for i in range(1, _WN_K)])
+    grams = (toks
+             .withColumn("last_tok", F.lead("tok", _WN_K - 1).over(w))
+             .withColumn("gram", gram)
+             .filter(F.col("last_tok").isNotNull())
+             .select("doc_id", "pos", "gram"))
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    keyed = (grams
+             .withColumn("n_grams",
+                         F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+             .withColumn("key",
+                         h * _WN_POS + (F.lit(_WN_POS - 1) - F.col("pos"))))
+    kmin = F.min("key").over(w.rowsBetween(0, _WN_W - 1))
+    fps = (keyed.withColumn("kmin", kmin)
+           .filter(F.col("pos") <= F.col("n_grams") - _WN_W)
+           .select("doc_id",
+                   F.expr(f"kmin div {_WN_POS}").alias("fp"))
+           .distinct())
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"),
+                   F.col("fp").alias("fp_b"))
+    return (a.join(b, (F.col("fp") == F.col("fp_b"))
+                   & (F.col("doc_a") < F.col("doc_b")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 3))
