@@ -224,7 +224,8 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT value,
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is2
-        FROM events WHERE event_type IN ('click', 'purchase')
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ), n AS (
         SELECT CAST(SUM(is1) AS BIGINT) AS n1,
                CAST(SUM(is2) AS BIGINT) AS n2 FROM s
@@ -243,14 +244,15 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - CAST(c2 AS BIGINT) * n.n1) AS dnum,
                n.n1, n.n2
         FROM c, n
+    ), m AS (
+        SELECT *, MAX(dnum) OVER () AS mx FROM d
     )
     SELECT n1, n2,
            CAST(MAX(dnum) AS BIGINT) AS d_num,
            CAST(CAST(MAX(dnum) AS BIGINT) AS DOUBLE) / (n1 * n2)
                AS ks_stat,
-           MIN(CASE WHEN dnum = (SELECT MAX(dnum) FROM d)
-                    THEN value END) AS at_value
-    FROM d GROUP BY n1, n2
+           MIN(value) AS at_value
+    FROM m WHERE dnum = mx GROUP BY n1, n2
     """,
 )
 def ks_statistic_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,6 +264,11 @@ def ks_statistic_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled by the opposite sample size), with ONE double division at
     the end — order-free, bit-reproducible, and the argmax location
     reported deterministically (smallest value attaining the max).
+    NULL values are excluded on both sides before counting (a NULL
+    carries no ECDF mass and the two engines order NULLs differently).
+    The cross-product dnum fits int64 while n1·n2 < 2^63; at corpus
+    scales beyond that the binned variant (below) also shrinks the
+    counts, or the lanes widen to decimal(38) as in twap_user_value.
 
     Scale: the cumulative walk is a single ordered pass over DISTINCT
     values — fine while the value domain is bounded (prices,
@@ -273,7 +280,8 @@ def ks_statistic_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = Catalog(spark, sf_dir).events
-    s = (e.filter(F.col("event_type").isin("click", "purchase"))
+    s = (e.filter(F.col("event_type").isin("click", "purchase")
+                  & F.col("value").isNotNull())
          .select("value",
                  (F.col("event_type") == "click").cast("long").alias("is1"),
                  (F.col("event_type") == "purchase").cast("long")
@@ -288,11 +296,15 @@ def ks_statistic_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("value", "n1", "n2",
                  F.abs(F.col("c1") * F.col("n2")
                        - F.col("c2") * F.col("n1")).alias("dnum")))
-    dmax = d.groupBy("n1", "n2").agg(F.max("dnum").alias("d_num"))
-    return (d.join(F.broadcast(dmax), ["n1", "n2"])
-            .groupBy("n1", "n2", "d_num")
-            .agg(F.min(F.when(F.col("dnum") == F.col("d_num"),
-                              F.col("value"))).alias("at_value"))
+    # Single pass: the global-max window rides the same one-partition
+    # walk the cumulative sums already did — no second scan of the
+    # events lineage (the MMR-rescan lesson from the review pass).
+    m = d.withColumn("mx", F.max("dnum").over(
+        W.partitionBy("n1", "n2")))
+    return (m.filter(F.col("dnum") == F.col("mx"))
+            .groupBy("n1", "n2")
+            .agg(F.max("dnum").alias("d_num"),
+                 F.min("value").alias("at_value"))
             .select("n1", "n2", "d_num",
                     (F.col("d_num").cast("double")
                      / (F.col("n1") * F.col("n2"))).alias("ks_stat"),
@@ -305,7 +317,8 @@ def ks_statistic_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT value,
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
-        FROM events WHERE event_type IN ('click', 'purchase')
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ), pv AS (
         SELECT value, CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(is1) AS BIGINT) AS k1
@@ -344,7 +357,9 @@ def mannwhitney_u_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     under cross-group ties, so the doubled value is what stays exact;
     U = u_x2 / 2 = n1·n2 + n1(n1+1)/2 − R1) and the tie-correction term
     Σ(t³−t) are all exact integers and the whole statistic
-    hash-verifies with zero float ops. The z-normalization is one
+    hash-verifies with zero float ops. NULL values are excluded on
+    both sides (they are not observations, and the engines order
+    NULLs differently in the rank walk). The z-normalization is one
     fixed double chain a consumer applies to these integers; emitting
     the integers keeps the oracle bit-exact.
 
@@ -355,7 +370,8 @@ def mannwhitney_u_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = Catalog(spark, sf_dir).events
-    s = (e.filter(F.col("event_type").isin("click", "purchase"))
+    s = (e.filter(F.col("event_type").isin("click", "purchase")
+                  & F.col("value").isNotNull())
          .select("value",
                  (F.col("event_type") == "click").cast("long")
                  .alias("is1")))

@@ -319,6 +319,37 @@ def _mh_coeffs() -> list[tuple[int, int]]:
             for _ in range(_MH_N_PERM)]
 
 
+def _mh_signatures(d: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{N-1}: gram hashed
+    once, the permutation mins as vectorized partial aggregates.
+    Shared by the batch and incremental operators — one signature
+    scheme, one place to change it."""
+    exploded = _word_bigrams(d).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"))
+    return exploded.groupBy("doc_id").agg(*[
+        F.min((F.col("h") * a + b) % _MH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_mh_coeffs())
+    ])
+
+
+def _mh_bands(signed: DataFrame, *extra_cols: str) -> DataFrame:
+    """Band rows (doc_id, *extra_cols, band_id, band_key) from the
+    signature columns."""
+    return signed.select(
+        "doc_id", *extra_cols,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.concat_ws("-", *[
+                    F.col(f"mh{i * _MH_ROWS_PER_BAND + r}").cast("string")
+                    for r in range(_MH_ROWS_PER_BAND)
+                ]).alias("band_key"),
+            )
+            for i in range(_MH_BANDS)
+        ])).alias("band"),
+    ).select("doc_id", *extra_cols, "band.band_id", "band.band_key")
+
+
 def _mh_sql_parts() -> tuple[str, str, str, str]:
     """Shared DuckDB fragments of the MinHash pipeline replay: the
     per-permutation MIN list, the band UNION, the agreement sum, and
@@ -425,34 +456,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     # Permutation arithmetic stays within int64 under ANSI mode:
     # h < 2^32 and a,b < 2^30 keep h*a+b < 2^63 (no overflow).
-    P = _MH_P
-    N_PERM, BANDS = _MH_N_PERM, _MH_BANDS
-    ROWS_PER_BAND = _MH_ROWS_PER_BAND
-    coeffs = _mh_coeffs()
-
     # Signature via explode + hash-aggregate: the gram hashed ONCE,
     # the 32 permutation mins run as vectorized partial aggs map-side
     # (the shuffle carries at most one partial row per doc per
     # partition) — both faster locally and the right shape at 100 TB.
-    exploded = _word_bigrams(d).withColumn(
-        "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"))
-    signed = exploded.groupBy("doc_id").agg(*[
-        F.min((F.col("h") * a + b) % P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ])
-    bands = signed.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.concat_ws("-", *[
-                    F.col(f"mh{i * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ]).alias("band_key"),
-            )
-            for i in range(BANDS)
-        ])).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    N_PERM = _MH_N_PERM
+    signed = _mh_signatures(d)
+    bands = _mh_bands(signed)
 
     # Candidates dedup on the (doc_a, doc_b) ids alone — hashing two
     # 32-element signature arrays through the distinct would shuffle
@@ -2165,11 +2175,14 @@ _WN_K = 5
 _WN_W = 4
 _WN_POS = 1 << 20
 
-
-@query(
-    "winnowing_tokengram_fingerprints",
-    oracle=f"""
-    WITH toks AS (
+#: Shared DuckDB CTE chain selecting winnowing fingerprints:
+#: fps(doc_id, n_grams, kmin) where kmin = hash*2^20 + (2^20-1-pos).
+#: Short documents (fewer grams than one window) keep their single
+#: global-min selection via the GREATEST clamp, matching the kernel's
+#: short-input behavior. One source of truth for both winnowing
+#: oracles (the _mh_sql_parts pattern).
+_WN_FPS_SQL = f"""
+    toks AS (
         SELECT doc_id, string_split(text, ' ') AS a,
                len(string_split(text, ' ')) AS n
         FROM documents
@@ -2195,8 +2208,43 @@ _WN_POS = 1 << 20
         FROM keyed
     ), fps AS (
         SELECT DISTINCT doc_id, n_grams, kmin
-        FROM wins WHERE pos <= n_grams - {_WN_W}
-    )
+        FROM wins
+        WHERE pos <= GREATEST(n_grams - {_WN_W}, 0)
+    )"""
+
+
+def _winnow_fps(d: DataFrame) -> DataFrame:
+    """Spark twin of ``_WN_FPS_SQL``: distinct selected fingerprints
+    per document as (doc_id, n_grams, kmin). Both winnowing queries
+    build on this one pipeline so the construction cannot drift."""
+    toks = d.select("doc_id",
+                    F.posexplode(F.split(F.col("text"), " "))
+                    .alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(" ", "tok", *[F.lead("tok", i).over(w)
+                                     for i in range(1, _WN_K)])
+    grams = (toks
+             .withColumn("last_tok", F.lead("tok", _WN_K - 1).over(w))
+             .withColumn("gram", gram)
+             .filter(F.col("last_tok").isNotNull())
+             .select("doc_id", "pos", "gram"))
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    keyed = (grams
+             .withColumn("n_grams",
+                         F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+             .withColumn("key",
+                         h * _WN_POS + (F.lit(_WN_POS - 1) - F.col("pos"))))
+    kmin = F.min("key").over(w.rowsBetween(0, _WN_W - 1))
+    return (keyed.withColumn("kmin", kmin)
+            .filter(F.col("pos")
+                    <= F.greatest(F.col("n_grams") - _WN_W, F.lit(0)))
+            .select("doc_id", "n_grams", "kmin").distinct())
+
+
+@query(
+    "winnowing_tokengram_fingerprints",
+    oracle=f"""
+    WITH {_WN_FPS_SQL}
     SELECT doc_id,
            CAST(MAX(n_grams) AS BIGINT) AS n_grams,
            CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
@@ -2210,50 +2258,29 @@ _WN_POS = 1 << 20
 )
 def winnowing_tokengram_fingerprints(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
-    """Winnowing (SIGMOD'03) with a FULL oracle — the companion that
-    lifts the algorithm itself out of rows-only status (the byte-level
-    Karp-Rabin kernel in ``doc_winnowing_fingerprints`` stays
-    engine-private and pytest-pinned): token 5-gram hashes are the
-    md5-derived 32-bit integers both engines compute identically (the
-    MinHash upgrade precedent), and the paper's robust RIGHTMOST-MIN
-    selection is made relational by arithmetic encoding — key =
-    hash * 2^20 + (2^20-1 - pos), so an ordinary MIN over each
-    w-window picks the smallest hash with ties broken toward the
-    largest position, no argmin construct needed (declared bound:
-    documents under 2^20 tokens; beyond that, widen the shift).
+    """Winnowing fingerprint selection with a FULL oracle — the
+    companion that lifts the SELECTION SCHEME out of rows-only status:
+    token 5-gram hashes are the md5-derived 32-bit integers both
+    engines compute identically (the MinHash upgrade precedent), and
+    each w-window's minimum-hash gram is selected with ties broken
+    RIGHTMOST via arithmetic encoding — key = hash * 2^20 +
+    (2^20-1 - pos), so an ordinary window MIN needs no argmin
+    construct (declared bound: documents under 2^20 tokens).
 
-    Per doc: the guarantee-bearing summary — fingerprint count,
-    hash checksum over the selected set, first/last selected
-    positions. One exchange (doc_id) serves the gram window, the
-    w-window MIN, and the final aggregate; the window density
-    guarantee (every w-window contributes a selection, so any shared
-    substring of >= k+w-1 tokens shares a fingerprint) is inherited
-    from the paper and pinned by the existing winnowing pytest suite.
+    Scheme caveat, stated plainly: this is BASIC winnowing with a
+    per-window rightmost tie rule. The SIGMOD'03 ROBUST rule is
+    stateful (a window re-selects the previous fingerprint when it
+    can), selects FEWER fingerprints on runs of equal hashes, and
+    lives only in the byte-level ``doc_winnowing_fingerprints``
+    kernel (pytest-pinned, engine-private) — the two selection sets
+    agree on repetition-free text and diverge on boilerplate runs.
+    Documents shorter than one window keep a single global-min
+    selection (GREATEST clamp), matching the kernel's short-input
+    handling. Per doc: fingerprint count, hash checksum, first/last
+    selected positions — all hash-verified; one doc_id exchange
+    serves the gram window, the w-window MIN, and the aggregate.
     """
-    d = Catalog(spark, sf_dir).documents
-    toks = d.select("doc_id",
-                    F.posexplode(F.split(F.col("text"), " "))
-                    .alias("pos", "tok"))
-    w = W.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(" ", "tok", *[F.lead("tok", i).over(w).alias(f"t{i}")
-                                     for i in range(1, _WN_K)])
-    # lead() returns NULL past the end; a gram is valid only when the
-    # last member exists.
-    grams = (toks
-             .withColumn("last_tok", F.lead("tok", _WN_K - 1).over(w))
-             .withColumn("gram", gram)
-             .filter(F.col("last_tok").isNotNull())
-             .select("doc_id", "pos", "gram"))
-    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
-    keyed = (grams
-             .withColumn("n_grams",
-                         F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-             .withColumn("key",
-                         h * _WN_POS + (F.lit(_WN_POS - 1) - F.col("pos"))))
-    kmin = F.min("key").over(w.rowsBetween(0, _WN_W - 1))
-    fps = (keyed.withColumn("kmin", kmin)
-           .filter(F.col("pos") <= F.col("n_grams") - _WN_W)
-           .select("doc_id", "n_grams", "kmin").distinct())
+    fps = _winnow_fps(Catalog(spark, sf_dir).documents)
     pos_of = F.lit(_WN_POS - 1) - F.col("kmin") % _WN_POS
     return (fps.groupBy("doc_id")
             .agg(F.max("n_grams").alias("n_grams"),
@@ -2285,30 +2312,11 @@ def minhash_incremental_neardup(spark: SparkSession,
     permutation coefficients).
     """
     d = Catalog(spark, sf_dir).documents
-    P = _MH_P
-    N_PERM, BANDS = _MH_N_PERM, _MH_BANDS
-    ROWS_PER_BAND = _MH_ROWS_PER_BAND
-    coeffs = _mh_coeffs()
-
-    exploded = _word_bigrams(d).withColumn(
-        "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"))
-    signed = exploded.groupBy("doc_id").agg(*[
-        F.min((F.col("h") * a + b) % P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ])
-    bands = signed.select(
-        "doc_id", (F.col("doc_id") % 10 >= 8).alias("is_batch"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.concat_ws("-", *[
-                    F.col(f"mh{i * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ]).alias("band_key"),
-            )
-            for i in range(BANDS)
-        ])).alias("band"),
-    ).select("doc_id", "is_batch", "band.band_id", "band.band_key")
+    N_PERM = _MH_N_PERM
+    signed = _mh_signatures(d)
+    bands = _mh_bands(
+        signed.withColumn("is_batch", F.col("doc_id") % 10 >= 8),
+        "is_batch")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -2346,37 +2354,12 @@ def minhash_incremental_neardup(spark: SparkSession,
 @query(
     "winnowing_neardup_pairs",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS a,
-               len(string_split(text, ' ')) AS n
-        FROM documents
-    ), grams AS (
-        SELECT doc_id, i - 1 AS pos,
-               a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' ||
-               a[i+3] || ' ' || a[i+4] AS gram,
-               n - {_WN_K - 1} AS n_grams
-        FROM toks, LATERAL unnest(generate_series(1, n - {_WN_K - 1}))
-             AS t(i)
-        WHERE n >= {_WN_K}
-    ), keyed AS (
-        SELECT doc_id, pos, n_grams,
-               CAST(('0x' || substring(md5(gram), 1, 8))::UBIGINT
-                    AS BIGINT) * {_WN_POS}
-               + ({_WN_POS - 1} - pos) AS key
-        FROM grams
-    ), wins AS (
-        SELECT doc_id, pos, n_grams,
-               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
-                              ROWS BETWEEN CURRENT ROW
-                              AND {_WN_W - 1} FOLLOWING) AS kmin
-        FROM keyed
-    ), fps AS (
-        SELECT DISTINCT doc_id, kmin // {_WN_POS} AS fp
-        FROM wins WHERE pos <= n_grams - {_WN_W}
+    WITH {_WN_FPS_SQL}, fpd AS (
+        SELECT DISTINCT doc_id, kmin // {_WN_POS} AS fp FROM fps
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3
     """,
@@ -2390,35 +2373,18 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard; a small plagiarized block inside a large document shows
     up here and not there). Same equi-join scale shape as every LSH
     family: the shuffle carries (fingerprint, doc_id), buckets are
-    fingerprint-frequency-bounded, never all-pairs.
+    fingerprint-frequency-bounded, never all-pairs. Note the basic
+    scheme selects one fingerprint per window on runs of equal hashes
+    (see the companion's scheme caveat), so boilerplate-heavy corpora
+    see more shared fingerprints per true overlap — the >= 3 support
+    threshold absorbs that inflation.
 
-    Shares the md5/arithmetic-rightmost-min construction with
-    ``winnowing_tokengram_fingerprints``, so the whole pipeline —
-    selection AND join — is hash-verified.
+    Built on the SAME ``_winnow_fps`` pipeline / ``_WN_FPS_SQL``
+    fragment as ``winnowing_tokengram_fingerprints`` — selection and
+    join cannot drift apart.
     """
-    d = Catalog(spark, sf_dir).documents
-    toks = d.select("doc_id",
-                    F.posexplode(F.split(F.col("text"), " "))
-                    .alias("pos", "tok"))
-    w = W.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(" ", "tok", *[F.lead("tok", i).over(w)
-                                     for i in range(1, _WN_K)])
-    grams = (toks
-             .withColumn("last_tok", F.lead("tok", _WN_K - 1).over(w))
-             .withColumn("gram", gram)
-             .filter(F.col("last_tok").isNotNull())
-             .select("doc_id", "pos", "gram"))
-    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
-    keyed = (grams
-             .withColumn("n_grams",
-                         F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-             .withColumn("key",
-                         h * _WN_POS + (F.lit(_WN_POS - 1) - F.col("pos"))))
-    kmin = F.min("key").over(w.rowsBetween(0, _WN_W - 1))
-    fps = (keyed.withColumn("kmin", kmin)
-           .filter(F.col("pos") <= F.col("n_grams") - _WN_W)
-           .select("doc_id",
-                   F.expr(f"kmin div {_WN_POS}").alias("fp"))
+    fps = (_winnow_fps(Catalog(spark, sf_dir).documents)
+           .select("doc_id", F.expr(f"kmin div {_WN_POS}").alias("fp"))
            .distinct())
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"),
