@@ -2394,3 +2394,120 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= 3))
+
+
+def _bpe_round_sql(words: str, merges: str, out: str) -> str:
+    """One DuckDB BPE round over ``words(spaced, wn)``: count adjacent
+    symbol pairs (occurrences weighted by word count), pick the most
+    frequent (ties: lexicographically smallest pair), apply the merge
+    with the doubled-separator replace that preserves greedy
+    left-to-right, boundary-safe semantics."""
+    return f"""
+    {out}_pairs AS (
+        SELECT syms[i] AS a, syms[i + 1] AS b,
+               CAST(CAST(SUM(wn) AS BIGINT) AS BIGINT) AS cnt
+        FROM (SELECT string_split(spaced, ' ') AS syms, wn FROM {words}),
+             unnest(range(1, len(syms))) AS r(i)
+        GROUP BY 1, 2
+    ), {merges} AS (
+        SELECT a, b, a || b AS merged, cnt
+        FROM {out}_pairs ORDER BY cnt DESC, a, b LIMIT 1
+    ), {out} AS (
+        SELECT trim(replace(replace(
+                   ' ' || replace(w.spaced, ' ', '  ') || ' ',
+                   ' ' || m.a || '  ' || m.b || ' ',
+                   ' ' || m.merged || ' '),
+                   '  ', ' ')) AS spaced,
+               w.wn
+        FROM {words} w CROSS JOIN {merges} m
+    )"""
+
+
+@query(
+    "bpe_merge_induction",
+    oracle=f"""
+    WITH words AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY tok
+    ), w0 AS (
+        SELECT trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS spaced,
+               wn
+        FROM words
+    ),{_bpe_round_sql('w0', 'm1', 'w1')},
+    {_bpe_round_sql('w1', 'm2', 'w2')},
+    {_bpe_round_sql('w2', 'm3', 'w3')}
+    SELECT * FROM (
+        SELECT 1 AS round, a AS left_sym, b AS right_sym, merged,
+               cnt AS pair_count FROM m1
+        UNION ALL
+        SELECT 2, a, b, merged, cnt FROM m2
+        UNION ALL
+        SELECT 3, a, b, merged, cnt FROM m3
+    ) ORDER BY round
+    """,
+)
+def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge induction (Sennrich '16) — the first
+    three merge rules a BPE tokenizer trained on this corpus would
+    learn. Each round counts adjacent symbol pairs over the
+    (deduplicated) word-frequency table, picks the most frequent pair
+    (deterministic tie-break: lexicographically smallest), and merges
+    it greedily left-to-right in every word. Merging uses the
+    doubled-separator replace trick so a plain substring replace —
+    identical in Spark and DuckDB — is boundary-safe and handles
+    consecutive and overlapping occurrences exactly like the
+    reference greedy scan ("l l l" -> "ll l").
+
+    Scale shape: the corpus is touched once (token explode -> word
+    counts); every merge round then runs on the WORD table, whose
+    cardinality is the vocabulary, not the corpus — the standard BPE
+    trainer decomposition. Pair counting shuffles one row per
+    distinct (a, b) pair; the argmax is a vocabulary-sized TakeOrdered
+    and broadcasts back as a 1-row cross join. At 100 TB the word
+    table still fits a fraction of one executor; rounds 4..30000 are
+    the same plan in a loop with the word table checkpointed."""
+    d = Catalog(spark, sf_dir).documents
+    words = (d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+             .where(F.col("tok") != "")
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("wn")))
+    w = (words.select(
+            F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1 "))
+            .alias("spaced"), "wn")
+         .localCheckpoint(eager=False))
+
+    merges = []
+    for rnd in (1, 2, 3):
+        syms = F.split(F.col("spaced"), " ")
+        pairs = (w.select(syms.alias("syms"), "wn")
+                 .select(F.posexplode(F.expr(
+                     "transform(slice(syms, 1, size(syms) - 1),"
+                     " (s, i) -> struct(s AS a, syms[i + 1] AS b))"))
+                     .alias("p", "pair"), "wn")
+                 .select("pair.a", "pair.b", "wn")
+                 .groupBy("a", "b").agg(F.sum("wn").alias("cnt")))
+        m = (pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+             .select("a", "b", F.concat("a", "b").alias("merged"), "cnt")
+             .localCheckpoint(eager=False))
+        merges.append(m.select(F.lit(rnd).alias("round"),
+                               F.col("a").alias("left_sym"),
+                               F.col("b").alias("right_sym"),
+                               "merged",
+                               F.col("cnt").alias("pair_count")))
+        doubled = F.concat(F.lit(" "),
+                           F.regexp_replace(F.col("spaced"), " ", "  "),
+                           F.lit(" "))
+        merged = F.expr(
+            "replace(doubled, ' ' || a || '  ' || b || ' ',"
+            " ' ' || merged || ' ')")
+        w = (w.crossJoin(F.broadcast(m))
+             .withColumn("doubled", doubled)
+             .select(F.trim(F.regexp_replace(merged, "  ", " "))
+                     .alias("spaced"), "wn")
+             .localCheckpoint(eager=False))
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")

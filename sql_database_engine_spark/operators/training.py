@@ -915,3 +915,231 @@ def curriculum_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("position", pos.cast("long"))
             .select("position", "doc_id", "tier")
             .orderBy("position").limit(300))
+
+
+@query(
+    "kfold_crossval_assignment",
+    oracle=f"""
+    WITH folds AS (
+        SELECT ({_BUCKET_SQL} % 5) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(CAST(SUM(n_chars) AS BIGINT) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(CAST(SUM(n_docs) AS BIGINT) AS BIGINT) AS n_all,
+               CAST(CAST(SUM(sum_chars) AS BIGINT) AS BIGINT) AS chars_all
+        FROM folds
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_docs, sum_chars,
+           CAST(ROUND(CAST(chars_all - sum_chars AS DOUBLE) * 1000000.0
+                      / (n_all - n_docs)) AS BIGINT)
+               AS loo_mean_chars_micros
+    FROM folds CROSS JOIN tot
+    """,
+)
+def kfold_crossval_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment by hashed doc_id, with the
+    leave-one-out complement statistic each fold's training pass would
+    see (mean chars over the OTHER four folds, integer micros). Fold
+    membership is the module's md5 bucket mod 5 — no RNG, stable as
+    the corpus grows, identical on every engine — so fold k's
+    train/eval sets are reproducible from the corpus alone.
+
+    One hash aggregation to 5 rows plus a broadcast 1-row total
+    (the lazy cross-join idiom, no eager count); the leave-one-out
+    mean is computed by complement subtraction rather than a 5x
+    re-scan — at 100 TB the corpus is read once for all five folds."""
+    d = Catalog(spark, sf_dir).documents
+    folds = (d.select((_bucket().cast("long") % 5).alias("fold"), "n_chars")
+             .groupBy("fold")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("sum_chars")))
+    tot = folds.agg(F.sum("n_docs").alias("n_all"),
+                    F.sum("sum_chars").alias("chars_all"))
+    loo = F.round((F.col("chars_all") - F.col("sum_chars")).cast("double")
+                  * 1000000.0 / (F.col("n_all") - F.col("n_docs"))
+                  ).cast("long")
+    return (folds.crossJoin(F.broadcast(tot))
+            .select("fold", "n_docs", "sum_chars",
+                    loo.alias("loo_mean_chars_micros")))
+
+
+#: Priority-sampling sample size (Duffield–Lund–Thorup): keep the k
+#: highest-priority items, threshold at the (k+1)-th.
+_PRIO_K = 32
+
+#: u is a 6-hex-digit md5 draw mapped to [1, 1e6] — the uniform in the
+#: priority q = w/u. 1-based so the division never sees zero.
+_PRIO_U_SQL = ("((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))"
+               "::BIGINT % 1000000) + 1)")
+
+
+@query(
+    "priority_sample_estimate",
+    oracle=f"""
+    WITH drawn AS (
+        SELECT doc_id, n_chars,
+               {_PRIO_U_SQL} AS u,
+               (CAST(n_chars AS BIGINT) * 1000000000000)
+                   // {_PRIO_U_SQL} AS priority
+        FROM documents
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
+                   AS rn
+        FROM drawn
+    ), tau AS (
+        SELECT priority AS tau FROM ranked WHERE rn = {_PRIO_K + 1}
+    ), est AS (
+        SELECT r.doc_id, r.n_chars, r.u, r.priority,
+               GREATEST(CAST(r.n_chars AS BIGINT) * 1000000,
+                        t.tau // 1000000) AS est_weight_micros
+        FROM ranked r CROSS JOIN tau t WHERE r.rn <= {_PRIO_K}
+    ), tot AS (
+        SELECT CAST(CAST(SUM(n_chars) AS BIGINT) AS BIGINT) * 1000000
+                   AS true_total_micros
+        FROM documents
+    )
+    SELECT e.doc_id, e.n_chars, CAST(e.u AS BIGINT) AS u,
+           e.priority, e.est_weight_micros,
+           s.est_total_micros, t.true_total_micros
+    FROM est e
+    CROSS JOIN (SELECT CAST(CAST(SUM(est_weight_micros) AS BIGINT)
+                            AS BIGINT) AS est_total_micros FROM est) s
+    CROSS JOIN tot t
+    """,
+)
+def priority_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM '07): a k-item
+    weighted sample supporting unbiased subset-sum estimation. Each
+    doc draws u ~ U[1, 1e6] from md5(doc_id) and gets priority
+    q = w * 1e12 // u (w = n_chars); the k highest-priority items are
+    kept and every kept item's weight estimate is max(w, tau) where
+    tau is the (k+1)-th priority — the estimator whose subset sums
+    are unbiased with near-optimal variance. All arithmetic is
+    integer (the uniform is a rational hash draw; the division is
+    integer division), so sample AND estimates are bit-reproducible
+    on any engine — rerunning a 100 TB corpus audit yields the same
+    sample. Ties at tau are broken by doc_id (deterministic; the
+    textbook scheme assumes continuous u where ties are null events).
+
+    est_total_micros vs true_total_micros shows the estimator in
+    action: the k=32 sample reconstructs the corpus total weight.
+    Plan shape: one TakeOrdered top-(k+1) (no global sort), then
+    broadcast joins of the 1-row tau/total aggregates."""
+    d = Catalog(spark, sf_dir).documents
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                 16, 10).cast("bigint") % 1000000) + 1)
+    drawn = d.select(
+        "doc_id", "n_chars", u.alias("u"),
+        F.expr("n_chars * CAST(1000000000000 AS BIGINT)")
+         .cast("bigint").alias("num"))
+    drawn = drawn.withColumn("priority", F.expr("num div u")).drop("num")
+    top = (drawn.orderBy(F.col("priority").desc(), "doc_id")
+           .limit(_PRIO_K + 1).localCheckpoint(eager=False))
+    tau = (top.orderBy(F.col("priority").asc(), F.col("doc_id").desc())
+           .limit(1).select(F.col("priority").alias("tau"),
+                            F.col("doc_id").alias("tau_doc")))
+    est = (top.crossJoin(F.broadcast(tau))
+           .where((F.col("priority") > F.col("tau"))
+                  | ((F.col("priority") == F.col("tau"))
+                     & (F.col("doc_id") < F.col("tau_doc"))))
+           .select("doc_id", "n_chars", F.col("u").cast("long").alias("u"),
+                   "priority",
+                   F.greatest(F.col("n_chars").cast("bigint") * 1000000,
+                              F.expr("tau div 1000000"))
+                   .alias("est_weight_micros")))
+    est_tot = est.agg(F.sum("est_weight_micros").alias("est_total_micros"))
+    true_tot = d.agg((F.sum("n_chars") * 1000000)
+                     .cast("bigint").alias("true_total_micros"))
+    return (est.crossJoin(F.broadcast(est_tot))
+            .crossJoin(F.broadcast(true_tot)))
+
+
+@query(
+    "importance_resample_weights",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tgt AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM tok WHERE lang = 'en' GROUP BY tok
+    ), tgt_tot AS (
+        SELECT CAST(CAST(SUM(n_t) AS BIGINT) AS BIGINT) AS t FROM tgt
+    ), corpus AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_c FROM tok GROUP BY tok
+    ), corpus_tot AS (
+        SELECT CAST(CAST(SUM(n_c) AS BIGINT) AS BIGINT) AS t FROM corpus
+    ), rates AS (
+        SELECT c.tok,
+               COALESCE(CAST(ROUND(CAST(g.n_t AS DOUBLE) * 1000000.0
+                                   / gt.t) AS BIGINT), 0) AS p_tgt_micros,
+               CAST(ROUND(CAST(c.n_c AS DOUBLE) * 1000000.0 / ct.t)
+                    AS BIGINT) AS p_corpus_micros
+        FROM corpus c
+        LEFT JOIN tgt g USING (tok)
+        CROSS JOIN tgt_tot gt CROSS JOIN corpus_tot ct
+    ), scored AS (
+        SELECT k.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(CAST(SUM(r.p_tgt_micros - r.p_corpus_micros)
+                         AS BIGINT) AS BIGINT) AS score_micros
+        FROM tok k JOIN rates r USING (tok)
+        GROUP BY k.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, n_tokens, score_micros
+    FROM scored
+    ORDER BY rank LIMIT 25
+    """,
+)
+def importance_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-feature importance scoring (Xie et al. '23):
+    rank raw documents by how target-like their token distribution is,
+    here with target = the English slice. The textbook score is a sum
+    of log-probability ratios; ln is transcendental, so the engine
+    ships the same decision signal in a rational lane — per-token
+    (p_target - p_corpus) in integer micros, summed per document.
+    Positive score = overweights target-typical tokens; the ranking
+    it induces is the resampling order. Output: the 25 most
+    target-like documents (rank, token count, score).
+
+    Scale shape: one explode -> two vocabulary aggregates (distinct
+    tokens only — map-side combine absorbs occurrences), then the
+    vocabulary rate table joins back to the token stream. The rate
+    table is vocabulary-sized (tiny vs the corpus), so at 100 TB it
+    is a broadcast join against the exploded scan followed by one
+    per-doc aggregation — no corpus-sized shuffle beyond the doc
+    regroup, and the top-25 is a TakeOrdered, not a global sort."""
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select("doc_id", "lang",
+                   F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tgt = (tok.where(F.col("lang") == "en")
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("n_t")))
+    tgt_tot = tgt.agg(F.sum("n_t").alias("t_tgt"))
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_c"))
+    corpus_tot = corpus.agg(F.sum("n_c").alias("t_corpus"))
+    rates = (corpus.join(tgt, "tok", "left")
+             .crossJoin(F.broadcast(tgt_tot))
+             .crossJoin(F.broadcast(corpus_tot))
+             .select(
+                 "tok",
+                 F.coalesce(
+                     F.round(F.col("n_t").cast("double") * 1000000.0
+                             / F.col("t_tgt")).cast("bigint"),
+                     F.lit(0).cast("bigint")).alias("p_tgt_micros"),
+                 F.round(F.col("n_c").cast("double") * 1000000.0
+                         / F.col("t_corpus")).cast("bigint")
+                 .alias("p_corpus_micros")))
+    scored = (tok.join(F.broadcast(rates), "tok")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum(F.col("p_tgt_micros") - F.col("p_corpus_micros"))
+                   .alias("score_micros")))
+    from pyspark.sql import Window as W
+    rank = F.row_number().over(
+        W.orderBy(F.col("score_micros").desc(), "doc_id")).cast("long")
+    return (scored.select(rank.alias("rank"), "doc_id", "n_tokens",
+                          "score_micros")
+            .orderBy("rank").limit(25))
