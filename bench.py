@@ -100,6 +100,11 @@ HEADLINE = [
     "dedup_incremental_batch",      # batch-vs-index digest dedup
     "minhash_incremental_neardup",  # batch-vs-band-index near-dup probe
     "winnowing_neardup_pairs",      # fingerprint-join containment near-dup
+    # round-3 third wave (appended; prior sets unchanged)
+    "bpe_merge_induction",          # BPE trainer rounds on the word table
+    "priority_sample_estimate",     # weighted sample + subset-sum estimator
+    "importance_resample_weights",  # DSIR-style target-likeness scoring
+    "pca_power_iteration",          # integer-micro Gram + power iteration
 ]
 
 

@@ -1604,19 +1604,23 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.abs(d)).alias("max_dim_shift_micros")))
 
 
-def _pca_round_sql(g: str, vprev: str, wname: str, vname: str) -> str:
-    """One DuckDB power-iteration round: w = G·v, then L∞-normalize
-    v' = round(w * 1e6 / max|w|)."""
+def _pca_round_sql(vprev: str, sname: str, wname: str, vname: str) -> str:
+    """One DuckDB matrix-free power-iteration round over
+    ``em(vec_id, i, em)``: s = e·v per vector, w = Σ e s across the
+    corpus, then L∞-normalize v' = round(w * 1e6 / max|w|)."""
     return f"""
-    {wname} AS (
-        SELECT g.i,
-               CAST(CAST(SUM(g.g_micros * v.v) AS BIGINT) AS BIGINT) AS w
-        FROM {g} g JOIN {vprev} v ON g.j = v.i
-        GROUP BY g.i
+    {sname} AS (
+        SELECT e.vec_id,
+               CAST(FLOOR(CAST(CAST(SUM(e.em * v.v) AS BIGINT) AS DOUBLE)
+                          / 1000000.0) AS BIGINT) AS sf
+        FROM em e JOIN {vprev} v USING (i)
+        GROUP BY e.vec_id
+    ), {wname} AS (
+        SELECT e.i, CAST(SUM(e.em * s.sf) AS DOUBLE) AS w
+        FROM em e JOIN {sname} s USING (vec_id)
+        GROUP BY e.i
     ), {vname} AS (
-        SELECT w.i,
-               CAST(ROUND(CAST(w.w AS DOUBLE) * 1000000.0 / m.m)
-                    AS BIGINT) AS v
+        SELECT w.i, CAST(ROUND(w.w * 1000000.0 / m.m) AS BIGINT) AS v
         FROM {wname} w
         CROSS JOIN (SELECT MAX(ABS(w)) AS m FROM {wname}) m
     )"""
@@ -1625,31 +1629,24 @@ def _pca_round_sql(g: str, vprev: str, wname: str, vname: str) -> str:
 @query(
     "pca_power_iteration",
     oracle=f"""
-    WITH dims AS (
+    WITH em AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-               unnest(embedding) AS e
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS em
         FROM embeddings
-    ), gram AS (
-        SELECT a.i, b.i AS j,
-               CAST(ROUND(CAST(CAST(CAST(SUM(CAST(ROUND(
-                   CAST(a.e AS DOUBLE) * CAST(b.e AS DOUBLE) * 1000000.0)
-                   AS BIGINT)) AS BIGINT) AS BIGINT) AS DOUBLE)
-                   / (SELECT COUNT(*) FROM embeddings)) AS BIGINT)
-                   AS g_micros
-        FROM dims a JOIN dims b USING (vec_id)
-        GROUP BY a.i, b.i
     ), v0 AS (
-        SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM gram
-    ),{_pca_round_sql('gram', 'v0', 'w1', 'v1')},
-    {_pca_round_sql('gram', 'v1', 'w2', 'v2')},
-    {_pca_round_sql('gram', 'v2', 'w3', 'v3')},
+        SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM em
+    ),{_pca_round_sql('v0', 's1', 'w1', 'v1')},
+    {_pca_round_sql('v1', 's2', 'w2', 'v2')},
+    {_pca_round_sql('v2', 's3', 'w3', 'v3')},
     sgn AS (
         SELECT CASE WHEN MAX_BY(v, ABS(v) * 1000 + (1000 - i)) >= 0
                     THEN 1 ELSE -1 END AS s
         FROM v3
     ), eig AS (
-        SELECT CAST(MAX(ABS(w)) // 1000000 AS BIGINT) AS eig_est_micros
-        FROM w3
+        SELECT CAST(ROUND(m.m / n.n) AS BIGINT) AS eig_est_micros
+        FROM (SELECT MAX(ABS(w)) AS m FROM w3) m CROSS JOIN
+             (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings) n
     )
     SELECT CAST(v3.i AS BIGINT) AS dim,
            CAST(v3.v * sgn.s AS BIGINT) AS loading_micros,
@@ -1658,65 +1655,69 @@ def _pca_round_sql(g: str, vprev: str, wname: str, vname: str) -> str:
     """,
 )
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the embedding corpus by power
-    iteration on the (uncentered) Gram matrix G = Σ e eᵀ / n — the
-    spectral building block behind whitening, ANN rotation, and
-    anisotropy audits. The corpus is touched ONCE: a single
-    explode-to-(i,j) pass accumulates the 64×64 Gram matrix in exact
-    integer micros (per-vector products rounded to micros, integer
-    sum — order-independent, so partial aggregation across 1000
-    executors is bit-stable). Three power-iteration rounds then run
-    on the 4096-row Gram relation: w = G·v as a broadcast-size join +
-    64-key aggregate, L∞ normalization as a 1-row max cross-joined
-    back — all fixed-point (micros), the only doubles a fixed
-    round-and-divide sequence both engines execute identically.
+    """Top principal direction of the embedding corpus by MATRIX-FREE
+    power iteration — the spectral building block behind whitening,
+    ANN rotation, and anisotropy audits. The Gram matrix G = Σ e eᵀ
+    is never materialized: each round computes w = Σ_vec e (e·v)
+    directly, so a round is one corpus map-pass (per-row dot product
+    against the broadcast 64-value iterate — a higher-order-function
+    fold, no join) followed by a 64-key aggregate. That is the 100 TB
+    design choice: the Gram route explodes the corpus ×d² (4096 rows
+    per vector); the matrix-free route touches each row 3 times with
+    d-bounded work and its only shuffle carries 64 keys, partial-
+    aggregated map-side.
 
-    Sign is canonicalized by the dominant-|loading| component
-    (ties to the lower dim index), and eig_est_micros = ‖G v‖∞/‖v‖∞
-    is the Rayleigh-style eigenvalue estimate the iteration exposes
-    for free. At 100 TB only the Gram pass scales with data — the
-    iteration cost is dimension², independent of corpus size; for
-    d ≫ 64 the same plan shards the Gram matrix by (i-block,
-    j-block).
-
-    Note: 64-dim unit-ish embeddings keep every lane far from int64
-    edges (|g|≤1e6 micros, |w|≤64·1e12)."""
+    Arithmetic is fixed-point end to end: embedding elements round
+    once to integer micros; the dot product is an exact integer fold;
+    the corpus sum runs in a DECIMAL(38,0) lane (exact at any corpus
+    size — int64 would overflow near 1e9 vectors); normalization is
+    a fixed double round-and-divide both engines execute identically.
+    Like the connected-components operator, the iteration feeds each
+    round's 64-value result back via a driver action (64 ints — the
+    CC-convergence-count precedent); rounds one and two collect,
+    round three composes lazily into the returned plan. Sign is
+    canonicalized by the dominant-|loading| component and
+    eig_est_micros = max|w| / n is the Rayleigh-style eigenvalue
+    estimate the iteration exposes for free."""
     e = Catalog(spark, sf_dir).embeddings
-    n_row = e.agg(F.count(F.lit(1)).alias("n"))  # lazy 1-row total,
-    # broadcast into the plan (no eager count; the lazy single-plan
-    # contract every other operator follows)
-    dims = e.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("p", "e"))
-    dims = dims.select("vec_id", (F.col("p") + 1).alias("i"),
-                       F.col("e").cast("double").alias("e"))
-    pairs = dims.alias("a").join(dims.alias("b"), "vec_id").select(
-        F.col("a.i").alias("i"), F.col("b.i").alias("j"),
-        F.round(F.col("a.e") * F.col("b.e") * 1000000.0)
-        .cast("bigint").alias("c"))
-    gram = (pairs.groupBy("i", "j").agg(F.sum("c").alias("sc"))
-            .crossJoin(F.broadcast(n_row))
-            .select("i", "j",
-                    F.round(F.col("sc").cast("double") / F.col("n"))
-                    .cast("bigint").alias("g_micros"))
-            .localCheckpoint(eager=False))
+    em = F.expr("transform(embedding, x ->"
+                " CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
 
-    v = gram.select("i").distinct().select(
-        "i", F.lit(1000000).cast("bigint").alias("v"))
-    w = None
-    for _ in range(3):
-        w = (gram.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
-             .groupBy("i")
-             .agg(F.sum(F.col("g_micros") * F.col("v")).alias("w")))
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = (w.crossJoin(F.broadcast(m))
-             .select("i", F.round(F.col("w").cast("double") * 1000000.0
-                                  / F.col("m")).cast("bigint").alias("v"))
-             .localCheckpoint(eager=False))
+    def w_pass(v_lit: list[int]):
+        """One corpus pass: w[i] = Σ_vec em[i] * floor(em·v / 1e6)."""
+        v_arr = F.array(*[F.lit(int(x)).cast("bigint") for x in v_lit])
+        s = F.aggregate(
+            F.zip_with(em, v_arr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        sf_ = F.floor(s.cast("double") / 1000000.0).cast("bigint")
+        return (e.select(sf_.alias("sf"), em.alias("em"))
+                .select(F.posexplode(
+                    F.expr("transform(em, t -> t * sf)")).alias("p", "c"))
+                .select((F.col("p") + 1).alias("i"),
+                        F.col("c").cast("decimal(38,0)").alias("c"))
+                .groupBy("i")
+                .agg(F.sum("c").cast("double").alias("w")))
+
+    def normalize(w_df: DataFrame) -> DataFrame:
+        m = w_df.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        return (w_df.crossJoin(F.broadcast(m))
+                .select("i", F.round(F.col("w") * 1000000.0 / F.col("m"))
+                        .cast("bigint").alias("v")))
+
+    v_lit = [1000000] * 64
+    for _ in range(2):  # rounds 1-2: driver-fed 64-int feedback
+        rows = normalize(w_pass(v_lit)).collect()
+        v_lit = [r["v"] for r in sorted(rows, key=lambda r: r["i"])]
+    w = w_pass(v_lit).localCheckpoint(eager=False)  # round 3: lazy
+    v = normalize(w)
     sgn = v.agg(
         F.when(F.expr("max_by(v, abs(v) * 1000 + (1000 - i))") >= 0, 1)
         .otherwise(-1).alias("s"))
-    eig = w.agg(F.expr("CAST(max(abs(w)) div 1000000 AS BIGINT)")
-                .alias("eig_est_micros"))
+    n_row = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    eig = (w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+           .crossJoin(F.broadcast(n_row))
+           .select(F.round(F.col("m") / F.col("n")).cast("bigint")
+                   .alias("eig_est_micros")))
     return (v.crossJoin(F.broadcast(sgn)).crossJoin(F.broadcast(eig))
             .select(F.col("i").cast("bigint").alias("dim"),
                     (F.col("v") * F.col("s")).cast("bigint")

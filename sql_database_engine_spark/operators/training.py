@@ -1137,9 +1137,13 @@ def importance_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_tokens"),
                    F.sum(F.col("p_tgt_micros") - F.col("p_corpus_micros"))
                    .alias("score_micros")))
+    # TakeOrdered top-25 FIRST, then rank within the 25-row result —
+    # a global row_number window before the limit would single-
+    # partition the whole corpus.
+    top = (scored.orderBy(F.col("score_micros").desc(), "doc_id")
+           .limit(25))
     from pyspark.sql import Window as W
     rank = F.row_number().over(
         W.orderBy(F.col("score_micros").desc(), "doc_id")).cast("long")
-    return (scored.select(rank.alias("rank"), "doc_id", "n_tokens",
-                          "score_micros")
-            .orderBy("rank").limit(25))
+    return top.select(rank.alias("rank"), "doc_id", "n_tokens",
+                      "score_micros")

@@ -576,3 +576,38 @@ def test_incremental_dedup_shuffles_digests_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line
+
+
+def test_priority_sample_take_ordered_no_global_sort(spark):
+    plan = _plan(spark, "priority_sample_estimate")
+    # top-(k+1) must be TakeOrdered; tau/total joins broadcast 1-row.
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_weights_broadcast_rate_table(spark):
+    plan = _plan(spark, "importance_resample_weights")
+    # The vocabulary rate table joins the token stream broadcast-side;
+    # the only corpus-sized shuffle is the per-doc regroup.
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_matrix_free_no_joins_no_python(spark):
+    plan = _plan(spark, "pca_power_iteration")
+    # Matrix-free: the returned round-3 plan is a corpus map-pass
+    # (HOF dot product against literal iterate) + 64-key aggregate —
+    # no corpus join, no d^2 explode, no Python.
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_bpe_rounds_run_on_word_table_not_corpus(spark):
+    plan = _plan(spark, "bpe_merge_induction")
+    # Merge rounds cross-join the broadcast 1-row argmax; the corpus
+    # explode feeds ONE word-count aggregate (checkpoint-reused), so
+    # documents.parquet is scanned exactly once.
+    assert plan.count("FileScan parquet") <= 1
+    assert "CartesianProduct" not in plan
