@@ -104,7 +104,9 @@ HEADLINE = [
     "bpe_merge_induction",          # BPE trainer rounds on the word table
     "priority_sample_estimate",     # weighted sample + subset-sum estimator
     "importance_resample_weights",  # DSIR-style target-likeness scoring
-    "pca_power_iteration",          # integer-micro Gram + power iteration
+    "pca_power_iteration",          # matrix-free power-iteration PCA
+    "doc_novelty_fraction",         # per-source first-occurrence novelty
+    "kcore_decomposition",          # iterative k-core peeling
 ]
 
 

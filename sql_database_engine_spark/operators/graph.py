@@ -62,6 +62,35 @@ _EDGES_SQL = f"""
     )
 """
 
+#: p75 strong-tie variant of the edge derivation (threshold moves with
+#: the data so the graph stays sparse at any SF) — shared by
+#: link prediction and k-core; `strong` is src < dst, `edges` both
+#: directions.
+_P75_EDGES_SQL = f"""
+    ob AS ({_BASKET_SQL}),
+    pairs AS (
+        SELECT a.p_brand AS src, b.p_brand AS dst,
+               CAST(COUNT(*) AS BIGINT) AS n_cooccur
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    ), thr AS (
+        SELECT n_cooccur AS t FROM (
+            SELECT n_cooccur,
+                   ROW_NUMBER() OVER (ORDER BY n_cooccur) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM pairs
+        ) WHERE rn = (3 * n + 3) // 4
+    ), strong AS (
+        SELECT src, dst FROM pairs, thr WHERE n_cooccur >= thr.t
+    ), edges AS (
+        SELECT src, dst FROM strong
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM strong
+    )
+"""
+
+
 
 def _basket(cat: Catalog) -> DataFrame:
     return (cat.lineitem.select("l_orderkey", "l_partkey")
@@ -475,30 +504,41 @@ def sssp_weighted_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.asc_nulls_last("path_cost"), "brand"))
 
 
+def _p75_strong_edges(cat: Catalog) -> tuple[DataFrame, DataFrame]:
+    """Strong-tie (p75-support) edge derivation shared by link
+    prediction and k-core: co-occurring brand pairs thresholded at the
+    nearest-rank p75 support (a 1-row broadcast order statistic), so
+    the graph stays sparse at any SF. Returns (strong src<dst,
+    edges both directions). Spark twin of ``_P75_EDGES_SQL``."""
+    from pyspark.sql import Window as W
+
+    ob = _basket(cat)
+    a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"),
+                  F.col("p_brand").alias("dst"))
+    pairs = (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
+                    & (F.col("src") < F.col("dst")))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("n_cooccur")))
+    ranked = (pairs
+              .withColumn("rn", F.row_number().over(
+                  W.orderBy("n_cooccur")))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  W.partitionBy(F.lit(1)))))
+    thr = (ranked.filter(F.col("rn") == F.expr("(3 * n + 3) div 4"))
+           .select(F.col("n_cooccur").alias("t")))
+    strong = (pairs.crossJoin(F.broadcast(thr))
+              .filter(F.col("n_cooccur") >= F.col("t"))
+              .select("src", "dst"))
+    edges = strong.unionByName(
+        strong.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return strong, edges
+
+
 @query(
     "link_prediction_common_neighbors",
     oracle=f"""
-    WITH ob AS ({_BASKET_SQL}),
-    pairs AS (
-        SELECT a.p_brand AS src, b.p_brand AS dst,
-               CAST(COUNT(*) AS BIGINT) AS n_cooccur
-        FROM ob a JOIN ob b
-          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
-        GROUP BY a.p_brand, b.p_brand
-    ), thr AS (
-        SELECT n_cooccur AS t FROM (
-            SELECT n_cooccur,
-                   ROW_NUMBER() OVER (ORDER BY n_cooccur) AS rn,
-                   COUNT(*) OVER () AS n
-            FROM pairs
-        ) WHERE rn = (3 * n + 3) // 4
-    ), strong AS (
-        SELECT src, dst FROM pairs, thr WHERE n_cooccur >= thr.t
-    ), edges AS (
-        SELECT src, dst FROM strong
-        UNION ALL
-        SELECT dst AS src, src AS dst FROM strong
-    ), deg AS (
+    WITH {_P75_EDGES_SQL}, deg AS (
         SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
         FROM edges GROUP BY src
     ), wedge AS (
@@ -546,26 +586,7 @@ def link_prediction_common_neighbors(spark: SparkSession,
     from pyspark.sql import Window as W
 
     cat = Catalog(spark, sf_dir)
-    ob = _basket(cat)
-    a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"),
-                  F.col("p_brand").alias("dst"))
-    pairs = (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
-                    & (F.col("src") < F.col("dst")))
-             .groupBy("src", "dst")
-             .agg(F.count(F.lit(1)).alias("n_cooccur")))
-    ranked = (pairs
-              .withColumn("rn", F.row_number().over(
-                  W.orderBy("n_cooccur")))
-              .withColumn("n", F.count(F.lit(1)).over(
-                  W.partitionBy(F.lit(1)))))
-    thr = (ranked.filter(F.col("rn") == F.expr("(3 * n + 3) div 4"))
-           .select(F.col("n_cooccur").alias("t")))
-    strong = (pairs.crossJoin(F.broadcast(thr))
-              .filter(F.col("n_cooccur") >= F.col("t"))
-              .select("src", "dst"))
-    edges = strong.unionByName(
-        strong.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    strong, edges = _p75_strong_edges(cat)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg"))
     e1 = edges.select(F.col("src").alias("w"), F.col("dst").alias("a"))
@@ -587,3 +608,118 @@ def link_prediction_common_neighbors(spark: SparkSession,
                           "jaccard_micros")
             .orderBy(F.col("jaccard_micros").desc(), "a", "b")
             .limit(10))
+
+
+#: k-core threshold: nodes keep membership while their degree in the
+#: SURVIVING subgraph stays >= K.
+KCORE_K = 5
+
+
+def _kcore_round_sql(eprev: str, dprev: str, r: int) -> str:
+    """One DuckDB peel: remove sub-K nodes, induce the subgraph,
+    recompute degrees over the survivors (absent = 0)."""
+    return f"""
+    rem{r} AS (
+        SELECT node FROM {dprev} WHERE deg < {KCORE_K}
+    ), s{r} AS (
+        SELECT node FROM {dprev} WHERE deg >= {KCORE_K}
+    ), e{r} AS (
+        SELECT e.src, e.dst FROM {eprev} e
+        JOIN s{r} a ON e.src = a.node
+        JOIN s{r} b ON e.dst = b.node
+    ), d{r} AS (
+        SELECT s.node, CAST(COALESCE(c.c, 0) AS BIGINT) AS deg
+        FROM s{r} s LEFT JOIN (
+            SELECT src AS node, COUNT(*) AS c FROM e{r} GROUP BY src
+        ) c ON c.node = s.node
+    )"""
+
+
+def _kcore_peel_round(edges: DataFrame, deg: DataFrame,
+                      r: int) -> tuple[DataFrame, DataFrame,
+                                       DataFrame, DataFrame]:
+    """One k-core peel: (removed-this-round, survivors, induced
+    edges, survivor degrees). The induced subgraph is two SEMI-joins
+    against the survivor list — the edge relation shrinks in place,
+    never rebuilt from the original graph (plan-pinned)."""
+    rem = (deg.where(F.col("deg") < KCORE_K)
+           .select("node", F.lit(r).alias("removed_round")))
+    surv = (deg.where(F.col("deg") >= KCORE_K).select("node")
+            .localCheckpoint(eager=False))
+    new_edges = (edges
+                 .join(surv.withColumnRenamed("node", "src"),
+                       "src", "semi")
+                 .join(surv.withColumnRenamed("node", "dst"),
+                       "dst", "semi"))
+    cnt = (new_edges.groupBy(F.col("src").alias("node"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    new_deg = (surv.join(cnt, "node", "left")
+               .select("node", F.coalesce(F.col("c"), F.lit(0))
+                       .cast("bigint").alias("deg")))
+    return rem, surv, new_edges, new_deg
+
+
+@query(
+    "kcore_decomposition",
+    oracle=f"""
+    WITH {_P75_EDGES_SQL},
+    d0 AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ),{_kcore_round_sql('edges', 'd0', 1)},
+    {_kcore_round_sql('e1', 'd1', 2)},
+    {_kcore_round_sql('e2', 'd2', 3)}
+    SELECT d0.node, d0.deg AS deg0,
+           CAST(CASE WHEN d0.node IN (SELECT node FROM rem1) THEN 1
+                     WHEN d0.node IN (SELECT node FROM rem2) THEN 2
+                     WHEN d0.node IN (SELECT node FROM rem3) THEN 3
+                     ELSE 0 END AS BIGINT) AS removed_round,
+           CAST(COALESCE(d3.deg, 0) AS BIGINT) AS core_deg
+    FROM d0 LEFT JOIN d3 ON d3.node = d0.node
+    """,
+)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (K=5, three unrolled
+    rounds — the BFS/SSSP unroll precedent): repeatedly remove nodes
+    whose degree in the SURVIVING subgraph falls below K, reporting
+    each node's original degree, the round it was peeled (0 =
+    survived all three), and its degree inside the remaining core.
+    The core is the standard community/spam-pruning primitive — a
+    high-degree node whose neighbors are all peripheral is peeled
+    once its support evaporates, which plain degree thresholding
+    cannot express.
+
+    Runs on the p75 strong-tie graph (shared `_p75_strong_edges`
+    derivation — the fixed-threshold demo graph is complete, so there
+    would be nothing to peel). Each round is one degree aggregate +
+    two semi-joins to induce the surviving subgraph — shuffles carry
+    edges of the shrinking graph only; at 100 TB rounds continue to a
+    fixpoint with the CC convergence-count pattern, and the peel is
+    exactly Matula–Beck made data-parallel (all sub-K nodes peel at
+    once per round)."""
+    cat = Catalog(spark, sf_dir)
+    _, edges = _p75_strong_edges(cat)
+    edges = edges.localCheckpoint(eager=False)
+    d0 = (edges.groupBy(F.col("src").alias("node"))
+          .agg(F.count(F.lit(1)).alias("deg"))
+          .localCheckpoint(eager=False))
+
+    deg_cur, edges_cur = d0, edges
+    removed = []
+    for r in (1, 2, 3):
+        rem, surv, edges_cur, deg_cur = _kcore_peel_round(
+            edges_cur, deg_cur, r)
+        removed.append(rem)
+        edges_cur = edges_cur.localCheckpoint(eager=False)
+        deg_cur = deg_cur.localCheckpoint(eager=False)
+
+    rem = removed[0].unionByName(removed[1]).unionByName(removed[2])
+    return (d0.select("node", F.col("deg").alias("deg0"))
+            .join(rem, "node", "left")
+            .join(deg_cur.withColumnRenamed("deg", "core_deg"),
+                  "node", "left")
+            .select("node", "deg0",
+                    F.coalesce(F.col("removed_round"), F.lit(0))
+                    .cast("bigint").alias("removed_round"),
+                    F.coalesce(F.col("core_deg"), F.lit(0))
+                    .cast("bigint").alias("core_deg")))

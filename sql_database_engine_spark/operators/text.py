@@ -2511,3 +2511,78 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("round")
+
+
+@query(
+    "doc_novelty_fraction",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, source,
+               syms[i] || ' ' || syms[i + 1] || ' ' || syms[i + 2]
+                   || ' ' || syms[i + 3] || ' ' || syms[i + 4] AS gram
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS syms
+              FROM documents),
+             unnest(range(1, len(syms) - 3)) AS r(i)
+    ), doc_grams AS (
+        SELECT DISTINCT doc_id, source, gram FROM grams
+    ), first_seen AS (
+        SELECT gram, MIN(doc_id) AS first_doc
+        FROM doc_grams GROUP BY gram
+    ), per_doc AS (
+        SELECT g.doc_id, g.source,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1
+                                  ELSE 0 END) AS BIGINT) AS BIGINT)
+                   AS n_novel
+        FROM doc_grams g JOIN first_seen f USING (gram)
+        GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(n_grams) AS BIGINT) AS BIGINT) AS n_grams,
+           CAST(CAST(SUM(n_novel) AS BIGINT) AS BIGINT) AS n_novel,
+           CAST(CAST(SUM(n_novel) AS BIGINT) AS BIGINT) * 1000000
+               // CAST(CAST(SUM(n_grams) AS BIGINT) AS BIGINT)
+               AS novelty_micros
+    FROM per_doc GROUP BY source
+    """,
+)
+def doc_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty audit: for each source, the fraction of its
+    documents' distinct 5-grams whose FIRST corpus occurrence (by
+    doc_id order) is in that document — the inverse of the duplicated-
+    span signal. A source stamping out template text scores near
+    zero; a source of genuinely fresh material scores near one. The
+    per-source integer-micro ratio is the mixture-weighting signal
+    data curation uses next to TVD drift.
+
+    One gram explode -> distinct (doc, gram) -> gram-keyed MIN
+    aggregate (the shuffle carries distinct grams, vocabulary-bounded
+    after map-side combine) joined back to the per-doc gram sets,
+    then a source-keyed reduction. No self-joins, no windows over the
+    corpus; the gram relation is computed once and reused for both
+    sides of the join."""
+    d = Catalog(spark, sf_dir).documents
+    syms = F.split(F.col("text"), " ")
+    grams = (d.select("doc_id", "source", syms.alias("syms"))
+             .select("doc_id", "source",
+                     F.explode(F.expr(
+                         "transform(slice(syms, 1, size(syms) - 4),"
+                         " (s, i) -> concat_ws(' ', s, syms[i + 1],"
+                         " syms[i + 2], syms[i + 3], syms[i + 4]))"))
+                     .alias("gram"))
+             .dropDuplicates(["doc_id", "source", "gram"])
+             .localCheckpoint(eager=False))
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (grams.join(first_seen, "gram")
+               .groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                          .otherwise(0)).alias("n_novel")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_grams").alias("n_grams"),
+                 F.sum("n_novel").alias("n_novel"))
+            .select("source", "n_docs", "n_grams", "n_novel",
+                    F.expr("n_novel * CAST(1000000 AS BIGINT)"
+                           " div n_grams").alias("novelty_micros")))

@@ -1147,3 +1147,182 @@ def importance_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.orderBy(F.col("score_micros").desc(), "doc_id")).cast("long")
     return top.select(rank.alias("rank"), "doc_id", "n_tokens",
                       "score_micros")
+
+
+#: Width of the n_chars length bands for distribution matching.
+_LEN_BAND = 50
+
+#: md5-derived uniform in [0, 1e6) for resampling gates.
+_U6_SQL = ("(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))"
+           "::BIGINT % 1000000)")
+
+
+@query(
+    "length_dist_match_resample",
+    oracle=f"""
+    WITH banded AS (
+        SELECT doc_id, lang, n_chars // {_LEN_BAND} AS band,
+               {_U6_SQL} AS u
+        FROM documents
+    ), corpus AS (
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_corpus
+        FROM banded GROUP BY band
+    ), corpus_tot AS (
+        SELECT CAST(CAST(SUM(n_corpus) AS BIGINT) AS BIGINT) AS t
+        FROM corpus
+    ), tgt AS (
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_target
+        FROM banded WHERE lang = 'en' GROUP BY band
+    ), tgt_tot AS (
+        SELECT CAST(CAST(SUM(n_target) AS BIGINT) AS BIGINT) AS t
+        FROM tgt
+    ), rates AS (
+        SELECT c.band, c.n_corpus,
+               c.n_corpus * 1000000 // ct.t AS corpus_share_micros,
+               COALESCE(g.n_target, 0) AS n_target,
+               COALESCE(g.n_target, 0) * 1000000 // gt.t
+                   AS target_share_micros,
+               LEAST(CAST(1000000 AS BIGINT),
+                     (COALESCE(g.n_target, 0) * 1000000 // gt.t)
+                     * 1000000 // (c.n_corpus * 1000000 // ct.t))
+                   AS keep_rate_micros
+        FROM corpus c
+        LEFT JOIN tgt g USING (band)
+        CROSS JOIN corpus_tot ct CROSS JOIN tgt_tot gt
+    )
+    SELECT r.band, r.n_corpus, r.corpus_share_micros, r.n_target,
+           r.target_share_micros, r.keep_rate_micros,
+           CAST(CAST(SUM(CASE WHEN b.u < r.keep_rate_micros THEN 1
+                              ELSE 0 END) AS BIGINT) AS BIGINT)
+               AS n_kept
+    FROM rates r JOIN banded b USING (band)
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def length_dist_match_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matched rejection resampling: reshape the corpus
+    length distribution toward the target slice's (here lang='en') by
+    per-band keep rates min(1, target_share/corpus_share), realized
+    as a deterministic md5 gate per document — the standard move for
+    aligning a raw crawl's length/quality profile with a reference
+    corpus without scoring models. All shares and rates are exact
+    integer micros; the gate u < rate is an integer comparison, so
+    membership is bit-reproducible and stable under corpus growth
+    within a band.
+
+    One banded projection feeds both share aggregates and the gate
+    count; the rate table is band-cardinality-sized (broadcast at any
+    scale) and joins back onto the banded scan — no corpus shuffle
+    beyond the band-keyed aggregates."""
+    d = Catalog(spark, sf_dir).documents
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                16, 10).cast("bigint") % 1000000)
+    banded = d.select(
+        "doc_id", "lang",
+        F.expr(f"n_chars div {_LEN_BAND}").alias("band"), u.alias("u"))
+    corpus = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_corpus"))
+    corpus_tot = corpus.agg(F.sum("n_corpus").alias("ct"))
+    tgt = (banded.where(F.col("lang") == "en")
+           .groupBy("band").agg(F.count(F.lit(1)).alias("n_target")))
+    tgt_tot = tgt.agg(F.sum("n_target").alias("gt"))
+    rates = (corpus.join(tgt, "band", "left")
+             .crossJoin(F.broadcast(corpus_tot))
+             .crossJoin(F.broadcast(tgt_tot))
+             .select(
+                 "band", "n_corpus",
+                 F.expr("n_corpus * CAST(1000000 AS BIGINT) div ct")
+                 .alias("corpus_share_micros"),
+                 F.coalesce(F.col("n_target"), F.lit(0)).cast("bigint")
+                 .alias("n_target"),
+                 F.expr("COALESCE(n_target, 0)"
+                        " * CAST(1000000 AS BIGINT) div gt")
+                 .alias("target_share_micros"))
+             .withColumn(
+                 "keep_rate_micros",
+                 F.least(F.lit(1000000).cast("bigint"),
+                         F.expr("target_share_micros"
+                                " * CAST(1000000 AS BIGINT)"
+                                " div corpus_share_micros"))))
+    return (banded.join(F.broadcast(rates), "band")
+            .groupBy("band", "n_corpus", "corpus_share_micros",
+                     "n_target", "target_share_micros",
+                     "keep_rate_micros")
+            .agg(F.sum(F.when(F.col("u") < F.col("keep_rate_micros"), 1)
+                       .otherwise(0)).alias("n_kept")))
+
+
+#: Total sample size apportioned across sources.
+_ALLOC_N = 200
+
+
+@query(
+    "sample_allocation_largest_remainder",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(CAST(SUM(n_docs) AS BIGINT) AS BIGINT) AS t FROM src
+    ), quota AS (
+        SELECT s.source, s.n_docs,
+               s.n_docs * {_ALLOC_N} // t.t AS base_alloc,
+               s.n_docs * {_ALLOC_N} % t.t AS remainder_scaled
+        FROM src s CROSS JOIN tot t
+    ), seats AS (
+        SELECT {_ALLOC_N} - CAST(CAST(SUM(base_alloc) AS BIGINT)
+                                 AS BIGINT) AS left_over
+        FROM quota
+    ), ranked AS (
+        SELECT q.*, ROW_NUMBER() OVER (
+                   ORDER BY q.remainder_scaled DESC, q.source) AS rn
+        FROM quota q
+    )
+    SELECT r.source, r.n_docs, r.base_alloc, r.remainder_scaled,
+           CAST(CASE WHEN r.rn <= s.left_over THEN 1 ELSE 0 END
+                AS BIGINT) AS extra,
+           r.base_alloc + CASE WHEN r.rn <= s.left_over THEN 1 ELSE 0
+                          END AS alloc
+    FROM ranked r CROSS JOIN seats s
+    """,
+)
+def sample_allocation_largest_remainder(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sample
+    budget across sources: each source gets floor(n·N/total), and the
+    leftover seats go to the largest integer remainders (ties by
+    source name). The method every proportional-sampling plan needs
+    once quotas must be INTEGERS that sum exactly to N — naive
+    per-source rounding over- or under-shoots the budget. All
+    arithmetic is integer (the remainder comparison uses the exact
+    scaled remainder n·N mod total, never a float fraction), so the
+    allocation is bit-stable across engines and reruns.
+
+    One source-keyed aggregate (20 rows), a broadcast 1-row total,
+    and a window over the source-cardinality relation — corpus
+    touched once; the allocation table then drives per-source
+    hash-rank sampling (`sample_k_per_group` pattern) unchanged at
+    any scale."""
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir).documents
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").alias("t"))
+    quota = (src.crossJoin(F.broadcast(tot))
+             .select("source", "n_docs",
+                     F.expr(f"n_docs * {_ALLOC_N} div t")
+                     .alias("base_alloc"),
+                     F.expr(f"n_docs * {_ALLOC_N} % t")
+                     .alias("remainder_scaled")))
+    seats = quota.agg(
+        (F.lit(_ALLOC_N) - F.sum("base_alloc")).cast("bigint")
+        .alias("left_over"))
+    ranked = quota.withColumn(
+        "rn", F.row_number().over(
+            W.orderBy(F.col("remainder_scaled").desc(), "source")))
+    return (ranked.crossJoin(F.broadcast(seats))
+            .select("source", "n_docs", "base_alloc", "remainder_scaled",
+                    F.when(F.col("rn") <= F.col("left_over"), 1)
+                    .otherwise(0).cast("bigint").alias("extra"),
+                    (F.col("base_alloc")
+                     + F.when(F.col("rn") <= F.col("left_over"), 1)
+                     .otherwise(0)).alias("alloc")))

@@ -611,3 +611,34 @@ def test_bpe_rounds_run_on_word_table_not_corpus(spark):
     # documents.parquet is scanned exactly once.
     assert plan.count("FileScan parquet") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_novelty_gram_join_no_self_join_on_corpus(spark):
+    plan = _plan(spark, "doc_novelty_fraction")
+    # One gram relation reused for both join sides (checkpoint), the
+    # first-seen aggregate carries distinct grams; no cartesian.
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") <= 1
+
+
+def test_kcore_peels_induce_shrinking_subgraph(spark):
+    # The full-query plan hides rounds behind lazy checkpoints, so
+    # pin the round primitive itself: inducing the surviving subgraph
+    # must be two SEMI-joins against the survivor list, never an
+    # outer rebuild of the original edge relation.
+    from pyspark.sql import functions as F
+    from sql_database_engine_spark.operators.graph import (
+        _kcore_peel_round)
+
+    pairs = spark.range(40).select(
+        (F.col("id") % 10).cast("string").alias("src"),
+        ((F.col("id") + 3) % 10).cast("string").alias("dst"))
+    deg = pairs.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg"))
+    _, _, new_edges, _ = _kcore_peel_round(pairs, deg, 1)
+    plan = new_edges._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") == 2
+    assert "CartesianProduct" not in plan
+
+    full = _plan(spark, "kcore_decomposition")
+    assert "CartesianProduct" not in full
