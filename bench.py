@@ -107,6 +107,8 @@ HEADLINE = [
     "pca_power_iteration",          # matrix-free power-iteration PCA
     "doc_novelty_fraction",         # per-source first-occurrence novelty
     "kcore_decomposition",          # iterative k-core peeling
+    "score_auc_exact",              # exact midrank ROC AUC
+    "label_propagation_communities",  # 3-round deterministic LPA
 ]
 
 

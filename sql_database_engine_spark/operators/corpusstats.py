@@ -396,3 +396,70 @@ def mannwhitney_u_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("u_x2"),
         "r1_x2", "tie_term",
         F.lit(1).cast("long").alias("ties_handled"))
+
+
+@query(
+    "key_skew_gini",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT n_events,
+               ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS i
+        FROM x
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(CAST(SUM(n_events) AS BIGINT) AS BIGINT) AS total,
+               CAST(CAST(SUM(i * n_events) AS BIGINT) AS BIGINT) AS s,
+               CAST(MAX(n_events) AS BIGINT) AS max_key
+        FROM ranked
+    )
+    SELECT n_keys, total, max_key,
+           CAST(1000000 * (2 * s - (n_keys + 1) * total)
+                // (n_keys * total) AS BIGINT) AS gini_micros,
+           CAST(1000000 * max_key // total AS BIGINT)
+               AS max_key_share_micros
+    FROM agg
+    """,
+)
+def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis as a single exact statistic: the
+    Gini concentration coefficient of per-key row counts (here
+    events per user — the key a sessionization or per-user window
+    would shuffle on). Gini 0 = perfectly balanced partitions;
+    approaching 1 = a few hot keys carry the table, and a groupBy on
+    the key stragglers at 100 TB (the decision input for the salting
+    / AQE-skew-join remedies in ``functions/skew.py``).
+
+    Exact rational lane: with counts sorted ascending and 1-based
+    rank i, G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — tie-order
+    invariant (equal x swap ranks freely), so the md5-free
+    deterministic rank walk is safe. gini_micros is one integer
+    floor-div; no float enters the statistic. max_key_share (top
+    key's share of rows) rides along as the direct straggler bound.
+
+    Plan: one (key → count) aggregate — the only corpus-sized
+    shuffle — then the rank walk runs on the DISTINCT-KEY relation
+    (single-partition window bounded by key cardinality; the KS
+    binning remedy applies if keys themselves explode), then a 1-row
+    reduction.
+    """
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).events
+    x = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ranked = x.select(
+        "n_events",
+        F.row_number().over(W.orderBy("n_events", "user_id")).alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_events").alias("total"),
+        F.sum(F.col("i") * F.col("n_events")).alias("s"),
+        F.max("n_events").alias("max_key"))
+    return agg.select(
+        "n_keys", "total", "max_key",
+        F.expr("1000000 * (2 * s - (n_keys + 1) * total)"
+               " div (n_keys * total)").alias("gini_micros"),
+        F.expr("1000000 * max_key div total")
+        .alias("max_key_share_micros"))

@@ -723,3 +723,85 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("removed_round"),
                     F.coalesce(F.col("core_deg"), F.lit(0))
                     .cast("bigint").alias("core_deg")))
+
+
+def _lpa_round_sql(lab_prev: str, r: int) -> str:
+    """One synchronous LPA round in DuckDB: each node adopts the most
+    frequent label among its neighbors, ties to the smallest label."""
+    return f"""lab{r} AS (
+        SELECT node, label FROM (
+            SELECT e.src AS node, l.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.src
+                       ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM edges e JOIN {lab_prev} l ON l.node = e.dst
+            GROUP BY e.src, l.label
+        ) WHERE rn = 1
+    )"""
+
+
+def _lpa_round(edges: DataFrame, lab: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_lpa_round_sql`: argmax-count by one
+    struct-min aggregate (no window) — min(struct(-count, label))
+    is "most frequent, smallest label on ties"."""
+    msg = (edges.join(lab, edges.dst == lab.node)
+           .select(edges.src.alias("node"), "label"))
+    cnt = msg.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+    best = (cnt.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("label").alias("label")))
+                 .alias("b")))
+    return best.select("node", F.col("b.label").alias("label"))
+
+
+@query(
+    "label_propagation_communities",
+    oracle=f"""
+    WITH {_P75_EDGES_SQL}, lab0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+    ),
+    {_lpa_round_sql('lab0', 1)},
+    {_lpa_round_sql('lab1', 2)},
+    {_lpa_round_sql('lab2', 3)}
+    SELECT node, label AS community,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
+               AS community_size
+    FROM lab3
+    ORDER BY community, node
+    """,
+)
+def label_propagation_communities(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA)
+    over the p75 strong-tie brand graph — the third resident of the
+    shared-graph family beside ``link_prediction_common_neighbors``
+    and ``kcore_decomposition``. Three fixed synchronous rounds:
+    every node simultaneously adopts the most frequent label among
+    its neighbors, ties broken to the SMALLEST label — the
+    deterministic variant (classic LPA randomizes tie-breaks and
+    update order; a data engine cannot, so the tie rule and the
+    synchronous schedule are part of the contract and the oracle
+    replays both exactly).
+
+    Each round is one edges⋈labels equi-join plus two aggregates; the
+    argmax is a struct-min (min(struct(-count, label))), not a
+    window, so per-round shuffles carry (node, label, count) rows
+    bounded by Σ degree — at 100 TB this is the standard
+    message-passing shape (same as PageRank's), and the fixed round
+    count composes into ONE lazy Catalyst plan with no driver
+    round-trips.
+    """
+    cat = Catalog(spark, sf_dir)
+    _, edges = _p75_strong_edges(cat)
+    edges = edges.localCheckpoint(eager=False)
+    from pyspark.sql import Window as W
+
+    lab = edges.select(F.col("src").alias("node")).distinct() \
+               .select("node", F.col("node").alias("label"))
+    for _ in range(3):
+        lab = _lpa_round(edges, lab)
+    return (lab.select(
+                F.col("node"), F.col("label").alias("community"),
+                F.count(F.lit(1)).over(
+                    W.partitionBy("label")).alias("community_size"))
+            .orderBy("community", "node"))

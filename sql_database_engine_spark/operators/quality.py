@@ -485,3 +485,170 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (audit("o_orderkey", "o_orderdate")
             .unionByName(audit("o_custkey", "o_orderstatus"))
             .unionByName(audit("o_orderdate", "o_orderpriority")))
+
+
+@query(
+    "score_auc_exact",
+    oracle="""
+    WITH s AS (
+        SELECT n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+        FROM documents
+        WHERE n_chars IS NOT NULL
+    ), pv AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(is_pos) AS BIGINT) AS k1
+        FROM s GROUP BY score
+    ), r AS (
+        SELECT score, k, k1,
+               SUM(k) OVER (ORDER BY score) AS cum,
+               COALESCE(SUM(k) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before
+        FROM pv
+    ), agg AS (
+        SELECT CAST(SUM(k1 * (CAST(cum_before AS BIGINT)
+                              + CAST(cum AS BIGINT) + 1)) AS BIGINT)
+                   AS r1_x2,
+               CAST(SUM(k1) AS BIGINT) AS n_pos,
+               CAST(SUM(k - k1) AS BIGINT) AS n_neg
+        FROM r
+    )
+    SELECT n_pos, n_neg,
+           r1_x2 - n_pos * (n_pos + 1) AS u_pos_x2,
+           CAST((r1_x2 - n_pos * (n_pos + 1)) * 1000000
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_micros
+    FROM agg
+    """,
+)
+def score_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of a scalar score against a binary label — the
+    classifier-evaluation primitive, here grading "does raw document
+    length predict English?" (score = n_chars, positive = lang='en').
+
+    AUC is the probability a random positive outranks a random
+    negative, which is the Mann-Whitney statistic normalized:
+    AUC = U_pos / (n_pos * n_neg) with midranks under ties. The
+    engine reuses the doubled-midrank lane proved out by
+    ``mannwhitney_u_value_drift`` (midrank*2 = rank_before +
+    rank_after + 1 summed over the tied block), so R1*2 and U*2 are
+    exact integers and auc_micros = U*2 * 10^6 div (2*n_pos*n_neg)
+    hash-verifies with ZERO float ops — ties (heavily present: score
+    is an integer length) handled exactly, not by tie-breaking luck.
+
+    Plan: one grouped pass per distinct score, one ordered cumulative
+    walk over the score domain (the distinct-value relation, not the
+    corpus; at 100 TB the walk's single-partition window is bounded
+    by score cardinality and the KS operator's binning remedy
+    applies), then a 1-row aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir).documents
+    s = (d.filter(F.col("n_chars").isNotNull())
+         .select(F.col("n_chars").alias("score"),
+                 (F.col("lang") == "en").cast("long").alias("is_pos")))
+    pv = s.groupBy("score").agg(F.count(F.lit(1)).alias("k"),
+                                F.sum("is_pos").alias("k1"))
+    w = W.orderBy("score")
+    r = (pv.withColumn("cum", F.sum("k").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+         .withColumn("cum_before", F.coalesce(
+             F.sum("k").over(w.rowsBetween(W.unboundedPreceding, -1)),
+             F.lit(0))))
+    agg = r.agg(
+        F.sum(F.col("k1") * (F.col("cum_before") + F.col("cum") + 1))
+        .alias("r1_x2"),
+        F.sum("k1").alias("n_pos"),
+        F.sum(F.col("k") - F.col("k1")).alias("n_neg"))
+    return agg.select(
+        "n_pos", "n_neg",
+        F.expr("r1_x2 - n_pos * (n_pos + 1)").alias("u_pos_x2"),
+        F.expr("(r1_x2 - n_pos * (n_pos + 1)) * 1000000"
+               " div (2 * n_pos * n_neg)").alias("auc_micros"))
+
+
+@query(
+    "score_calibration_bins",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_pos
+        FROM events
+        WHERE value IS NOT NULL
+    ), mx AS (
+        SELECT CAST(MAX(cents) AS BIGINT) AS max_cents FROM base
+    ), scored AS (
+        SELECT CAST(b.cents * 1000000 // m.max_cents AS BIGINT)
+                   AS pred_micros,
+               b.is_pos
+        FROM base b CROSS JOIN mx m
+    ), binned AS (
+        SELECT LEAST(9, pred_micros // 100000) AS bin,
+               pred_micros, is_pos
+        FROM scored
+    ), per_bin AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(pred_micros) AS BIGINT) // COUNT(*)
+                    AS BIGINT) AS mean_pred_micros,
+               CAST(1000000 * CAST(SUM(is_pos) AS BIGINT) // COUNT(*)
+                    AS BIGINT) AS obs_rate_micros
+        FROM binned GROUP BY bin
+    )
+    SELECT bin, n, mean_pred_micros, obs_rate_micros,
+           ABS(mean_pred_micros - obs_rate_micros) AS gap_micros,
+           CAST(ABS(mean_pred_micros - obs_rate_micros) * n
+                // SUM(n) OVER () AS BIGINT) AS ece_contrib_micros
+    FROM per_bin
+    ORDER BY bin
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability diagram for a [0,1]-scaled score —
+    the companion to ``score_auc_exact`` (AUC measures ranking,
+    calibration measures whether the score's VALUE means what it
+    says). The demo score is event value min-max-scaled to micros
+    (predicting "is this a purchase?"); production swaps in a model
+    probability column unchanged.
+
+    Ten equal-WIDTH bins over the predicted score (the standard
+    reliability-diagram binning, and — unlike ntile's equal-count
+    bins — a pure scan-level expression: no global sort, no
+    single-partition window). Per bin: exact integer mean predicted
+    score, observed positive rate, |gap|, and the bin's contribution
+    to expected calibration error (ECE = Σ n_b/N · |gap_b|), every
+    lane floor-div integer micros so both engines agree bitwise. The
+    scale max is a broadcast 1-row aggregate inside the lazy plan
+    (the ``leading_digit_profile`` remedy); the ECE denominator is a
+    window SUM over the 10-row bin relation, not a second scan.
+    """
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).events
+    base = (e.filter(F.col("value").isNotNull())
+            .select(F.round(F.col("value") * 100).cast("long").alias("cents"),
+                    (F.col("event_type") == "purchase").cast("long")
+                    .alias("is_pos")))
+    mx = base.agg(F.max("cents").alias("max_cents"))
+    scored = (base.crossJoin(F.broadcast(mx))
+              .select(F.expr("cents * 1000000 div max_cents")
+                      .alias("pred_micros"), "is_pos"))
+    binned = scored.select(
+        F.least(F.lit(9), F.expr("pred_micros div 100000")).alias("bin"),
+        "pred_micros", "is_pos")
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(pred_micros) div count(1)").alias("mean_pred_micros"),
+        F.expr("1000000 * sum(is_pos) div count(1)").alias("obs_rate_micros"))
+    gap = F.abs(F.col("mean_pred_micros") - F.col("obs_rate_micros"))
+    return (per_bin
+            .withColumn("gap_micros", gap)
+            .withColumn("total_n",
+                        F.sum("n").over(W.partitionBy(F.lit(1))))
+            .withColumn("ece_contrib_micros",
+                        F.expr("gap_micros * n div total_n"))
+            .select("bin", "n", "mean_pred_micros", "obs_rate_micros",
+                    "gap_micros", "ece_contrib_micros")
+            .orderBy("bin"))

@@ -642,3 +642,51 @@ def test_kcore_peels_induce_shrinking_subgraph(spark):
 
     full = _plan(spark, "kcore_decomposition")
     assert "CartesianProduct" not in full
+
+
+def test_auc_walk_runs_on_distinct_scores(spark):
+    plan = _plan(spark, "score_auc_exact")
+    # The single-partition rank walk must consume the (score -> k)
+    # aggregate, never raw rows: a partial+final HashAggregate pair
+    # precedes the window's SinglePartition exchange.
+    assert "CartesianProduct" not in plan
+    walk = plan[:plan.index("Window")]
+    assert "HashAggregate" in walk or "SortAggregate" in walk
+
+
+def test_calibration_bins_are_scan_level_no_ntile(spark):
+    plan = _plan(spark, "score_calibration_bins")
+    # Equal-width binning is a scan expression: no global sort and no
+    # ntile before the per-bin aggregate. The only single-partition
+    # exchanges are 1-row/10-row relations: the broadcast scale-max
+    # final aggregate and the ECE-denominator window.
+    assert "ntile" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_gini_rank_walk_on_key_counts_not_rows(spark):
+    plan = _plan(spark, "key_skew_gini")
+    assert "CartesianProduct" not in plan
+    # The row_number walk consumes the per-key aggregate.
+    walk = plan[:plan.index("Window")]
+    assert "HashAggregate" in walk or "SortAggregate" in walk
+
+
+def test_lpa_argmax_is_struct_min_not_window(spark):
+    plan = _plan(spark, "label_propagation_communities")
+    # Per-round argmax must be the struct-min aggregate; the ONLY
+    # window is the final community_size count over the node relation.
+    assert plan.count("Window") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_equi_joins_on_rank(spark):
+    plan = _plan(spark, "sorted_neighborhood_pairs")
+    # The w=3 window comparison is equi-joins on (rn + off), so the
+    # candidate join must be hash/merge on the rank key — no range
+    # join turned nested loop, no cartesian beyond the broadcast
+    # 3-row offset relation.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or \
+        plan.count("BroadcastNestedLoopJoin") == 1  # 3-row offsets only
