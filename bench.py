@@ -109,6 +109,8 @@ HEADLINE = [
     "kcore_decomposition",          # iterative k-core peeling
     "score_auc_exact",              # exact midrank ROC AUC
     "label_propagation_communities",  # 3-round deterministic LPA
+    "community_modularity",         # Newman Q of the LPA partition
+    "business_days_latency",        # closed-form weekday SLA metric
 ]
 
 

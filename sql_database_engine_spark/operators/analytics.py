@@ -2047,3 +2047,148 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("rn_b") - F.col("rn_a")).alias("rank_gap"),
                     "n_rows_a", "n_rows_b")
             .orderBy("name_a", "name_b"))
+
+
+@query(
+    "share_of_parent_rollup",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS BIGINT) AS nation_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    ), shares AS (
+        SELECT region, nation, nation_cents,
+               CAST(SUM(nation_cents) OVER (PARTITION BY region)
+                    AS BIGINT) AS region_cents,
+               CAST(SUM(nation_cents) OVER () AS BIGINT) AS grand_cents
+        FROM rev
+    )
+    SELECT region, nation, nation_cents, region_cents, grand_cents,
+           CAST(1000000 * nation_cents // region_cents AS BIGINT)
+               AS share_of_region_micros,
+           CAST(1000000 * region_cents // grand_cents AS BIGINT)
+               AS region_share_micros
+    FROM shares
+    ORDER BY region, nation
+    """,
+)
+def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent along the region → nation hierarchy — the BI
+    drill-down companion to plain ROLLUP (which gives LEVEL subtotals
+    but not each row's share OF its parent): per nation, revenue, its
+    share of its region, and the region's share of the grand total,
+    every share an exact integer-micros floor-div over exact cent
+    sums.
+
+    Plan: ONE fact-table aggregate (orders joined to broadcast
+    customer/nation/region dims, grouped at the finest level), then
+    both parent totals are window sums over the 25-row nation
+    relation — the parent levels are re-aggregations of the child
+    aggregate, never second fact scans.
+    """
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    rev = (cat.orders
+           .join(F.broadcast(cat.customer.select("c_custkey",
+                                                 "c_nationkey")),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(cat.nation.select("n_nationkey",
+                                               "n_name", "n_regionkey")),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(cat.region.select("r_regionkey", "r_name")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .alias("nation_cents")))
+    shares = (rev
+              .withColumn("region_cents",
+                          F.sum("nation_cents").over(
+                              W.partitionBy("region")))
+              .withColumn("grand_cents",
+                          F.sum("nation_cents").over(
+                              W.partitionBy(F.lit(1)))))
+    return (shares.select(
+        "region", "nation", "nation_cents", "region_cents", "grand_cents",
+        F.expr("1000000 * nation_cents div region_cents")
+        .alias("share_of_region_micros"),
+        F.expr("1000000 * region_cents div grand_cents")
+        .alias("region_share_micros"))
+        .orderBy("region", "nation"))
+
+
+@query(
+    "business_days_latency",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_orderpriority,
+               CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+                    AS BIGINT) AS n,
+               CAST(isodow(o.o_orderdate) - 1 AS BIGINT) AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), bd AS (
+        SELECT o_orderpriority,
+               (n // 7) * 5 + (n % 7)
+               - (GREATEST(0, LEAST(s + (n % 7), 6) - GREATEST(s + 1, 5)
+                              + 1)
+                  + CASE WHEN s + (n % 7) >= 12 THEN 1 ELSE 0 END)
+                   AS busdays
+        FROM base
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(busdays) AS BIGINT) AS min_busdays,
+           CAST(MAX(busdays) AS BIGINT) AS max_busdays,
+           CAST(1000000 * CAST(SUM(busdays) AS BIGINT) // COUNT(*)
+                AS BIGINT) AS avg_busdays_micros
+    FROM bd
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency in BUSINESS days per order priority —
+    the SLA metric operations teams actually track (calendar-day
+    latency overstates weekend-spanning orders by up to 2 days).
+
+    Weekday counting is a CLOSED FORM, not a calendar explode: with
+    n = calendar days and s = isodow(start) − 1, the business days in
+    (start, start+n] are n//7·5 + (n%7) − |weekend hits in the
+    remainder|, where the remainder's weekend hits reduce to one
+    LEAST/GREATEST interval intersection plus one wrap term (the
+    remainder walk s+1..s+(n%7) ≤ 12 crosses absolute weekend
+    positions {5, 6, 12}). Pure integer scan-level arithmetic — no
+    7× row multiplier, no calendar dim join — then one per-priority
+    aggregate. Spark's weekday() (0 = Monday) mirrors DuckDB's
+    isodow − 1 exactly.
+    """
+    cat = Catalog(spark, sf_dir)
+    base = (cat.lineitem.select("l_orderkey", "l_shipdate")
+            .join(cat.orders.select("o_orderkey", "o_orderdate",
+                                    "o_orderpriority"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("o_orderpriority",
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                    .cast("long").alias("n"),
+                    F.weekday(F.col("o_orderdate")).cast("long")
+                    .alias("s")))
+    bd = base.select(
+        "o_orderpriority",
+        F.expr("(n div 7) * 5 + (n % 7)"
+               " - (GREATEST(0L, LEAST(s + (n % 7), 6L)"
+               "               - GREATEST(s + 1, 5L) + 1)"
+               "    + CASE WHEN s + (n % 7) >= 12 THEN 1 ELSE 0 END)")
+        .alias("busdays"))
+    return (bd.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.min("busdays").alias("min_busdays"),
+                 F.max("busdays").alias("max_busdays"),
+                 F.expr("1000000 * sum(busdays) div count(1)")
+                 .alias("avg_busdays_micros"))
+            .orderBy("o_orderpriority"))

@@ -754,15 +754,31 @@ def _lpa_round(edges: DataFrame, lab: DataFrame) -> DataFrame:
     return best.select("node", F.col("b.label").alias("label"))
 
 
-@query(
-    "label_propagation_communities",
-    oracle=f"""
-    WITH {_P75_EDGES_SQL}, lab0 AS (
+#: The full 3-round LPA label derivation, shared by the community
+#: listing and the modularity score (same contract, one definition).
+_LPA_CHAIN_SQL = f"""lab0 AS (
         SELECT DISTINCT src AS node, src AS label FROM edges
     ),
     {_lpa_round_sql('lab0', 1)},
     {_lpa_round_sql('lab1', 2)},
-    {_lpa_round_sql('lab2', 3)}
+    {_lpa_round_sql('lab2', 3)}"""
+
+
+def _lpa_labels(edges: DataFrame) -> DataFrame:
+    """(node, label) after 3 synchronous rounds — Spark twin of
+    ``_LPA_CHAIN_SQL``; callers pass an already-checkpointed edge
+    relation so the basket derivation runs once per plan."""
+    lab = (edges.select(F.col("src").alias("node")).distinct()
+           .select("node", F.col("node").alias("label")))
+    for _ in range(3):
+        lab = _lpa_round(edges, lab)
+    return lab
+
+
+@query(
+    "label_propagation_communities",
+    oracle=f"""
+    WITH {_P75_EDGES_SQL}, {_LPA_CHAIN_SQL}
     SELECT node, label AS community,
            CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
                AS community_size
@@ -796,12 +812,106 @@ def label_propagation_communities(spark: SparkSession,
     edges = edges.localCheckpoint(eager=False)
     from pyspark.sql import Window as W
 
-    lab = edges.select(F.col("src").alias("node")).distinct() \
-               .select("node", F.col("node").alias("label"))
-    for _ in range(3):
-        lab = _lpa_round(edges, lab)
+    lab = _lpa_labels(edges)
     return (lab.select(
                 F.col("node"), F.col("label").alias("community"),
                 F.count(F.lit(1)).over(
                     W.partitionBy("label")).alias("community_size"))
             .orderBy("community", "node"))
+
+
+@query(
+    "community_modularity",
+    oracle=f"""
+    WITH {_P75_EDGES_SQL}, {_LPA_CHAIN_SQL}, mm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m FROM strong
+    ), within AS (
+        SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM strong s
+        JOIN lab3 la ON la.node = s.src
+        JOIN lab3 lb ON lb.node = s.dst
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ), per_comm AS (
+        SELECT l.label AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(CAST(SUM(d.deg) AS BIGINT) AS BIGINT) AS d_c
+        FROM lab3 l JOIN deg d ON d.node = l.node
+        GROUP BY l.label
+    )
+    SELECT p.community, p.n_nodes,
+           COALESCE(w.e_c, 0) AS e_c, p.d_c, mm.m,
+           CAST(1000000 * COALESCE(w.e_c, 0) // mm.m AS BIGINT)
+               AS within_micros,
+           CAST(1000000 * p.d_c * p.d_c // (4 * mm.m * mm.m)
+                AS BIGINT) AS expected_micros,
+           CAST(1000000 * COALESCE(w.e_c, 0) // mm.m
+                - 1000000 * p.d_c * p.d_c // (4 * mm.m * mm.m)
+                AS BIGINT) AS contribution_micros
+    FROM per_comm p
+    LEFT JOIN within w ON w.community = p.community
+    CROSS JOIN mm
+    ORDER BY p.community
+    """,
+)
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the quality score
+    that tells you whether ``label_propagation_communities`` found
+    structure or noise: Q = Σ_c (e_c/m − (d_c/2m)²), per-community
+    contributions emitted so the global Q is their plain sum.
+
+    Exact-arithmetic shape: both terms are floor-divs of NONNEGATIVE
+    integers (within_micros = 10⁶·e_c div m, expected_micros =
+    10⁶·d_c² div 4m²), so Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree; the possibly-negative contribution is a
+    SUBTRACTION of the already-floored terms, never a negative
+    floor-div (where the two engines' rounding directions differ —
+    the determinism rule that shaped this lane).
+
+    Plan: the strong-edge relation is lazily checkpointed and reused
+    by the LPA chain, the within-community edge count (two
+    label-table joins — broadcast-sized at any SF since labels live
+    on the node relation), and the degree sum. Everything after the
+    shared basket aggregate shuffles graph-metadata rows only.
+    """
+    cat = Catalog(spark, sf_dir)
+    strong, _ = _p75_strong_edges(cat)
+    strong = strong.localCheckpoint(eager=False)
+    edges = strong.unionByName(
+        strong.select(F.col("dst").alias("src"),
+                      F.col("src").alias("dst")))
+    lab = _lpa_labels(edges).localCheckpoint(eager=False)
+
+    mm = strong.agg(F.count(F.lit(1)).alias("m"))
+    la = lab.select(F.col("node").alias("src"),
+                    F.col("label").alias("lab_a"))
+    lb = lab.select(F.col("node").alias("dst"),
+                    F.col("label").alias("lab_b"))
+    within = (strong.join(F.broadcast(la), "src")
+              .join(F.broadcast(lb), "dst")
+              .filter(F.col("lab_a") == F.col("lab_b"))
+              .groupBy(F.col("lab_a").alias("community"))
+              .agg(F.count(F.lit(1)).alias("e_c")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    per_comm = (lab.join(deg, "node")
+                .groupBy(F.col("label").alias("community"))
+                .agg(F.count(F.lit(1)).alias("n_nodes"),
+                     F.sum("deg").alias("d_c")))
+    return (per_comm
+            .join(within, "community", "left")
+            .crossJoin(F.broadcast(mm))
+            .select(
+                "community", "n_nodes",
+                F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+                "d_c", "m",
+                F.expr("1000000 * coalesce(e_c, 0) div m")
+                .alias("within_micros"),
+                F.expr("1000000 * d_c * d_c div (4 * m * m)")
+                .alias("expected_micros"))
+            .withColumn("contribution_micros",
+                        F.col("within_micros") - F.col("expected_micros"))
+            .orderBy("community"))

@@ -1326,3 +1326,113 @@ def sample_allocation_largest_remainder(spark: SparkSession,
                     (F.col("base_alloc")
                      + F.when(F.col("rn") <= F.col("left_over"), 1)
                      .otherwise(0)).alias("alloc")))
+
+
+@query(
+    "feature_hash_buckets",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hashed AS (
+        SELECT tok,
+               (('0x' || substring(md5(tok), 1, 4))::INTEGER % 64)
+                   AS bucket
+        FROM tok
+    ), per_bucket AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+        FROM hashed GROUP BY bucket
+    )
+    SELECT bucket, n_occurrences, n_distinct_tokens,
+           CAST(n_distinct_tokens - 1 AS BIGINT) AS n_collisions
+    FROM per_bucket
+    ORDER BY bucket
+    """,
+)
+def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing): project an unbounded token
+    vocabulary onto a FIXED 64-dimensional feature space via an
+    engine-independent md5 bucket — how a scale pipeline featurizes
+    text without materializing (or shipping) a vocabulary dictionary.
+    Per bucket: occurrence mass, distinct tokens mapped there, and the
+    collision count (distinct − 1) — the audit that tells you whether
+    64 dims is too tight for this vocabulary (it is, deliberately:
+    the demo surfaces the collision/width trade the method lives on).
+
+    The bucket is a pure per-row expression (md5 → 4 hex chars →
+    int % 64) — the same avalanche idiom as the split/shard
+    operators, zero shuffle to assign; the only exchange carries
+    (bucket, token) partial aggregates, vocabulary-bounded.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    hex4 = F.substring(F.md5(F.col("tok")), 1, 4)
+    hashed = toks.select(
+        "tok", (F.conv(hex4, 16, 10).cast("int") % 64).alias("bucket"))
+    per_bucket = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("tok").alias("n_distinct_tokens"))
+    return (per_bucket
+            .withColumn("n_collisions",
+                        (F.col("n_distinct_tokens") - 1).cast("long"))
+            .orderBy("bucket"))
+
+
+@query(
+    "target_encode_loo",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS own_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), seg AS (
+        SELECT segment,
+               CAST(CAST(SUM(own_cents) AS BIGINT) AS BIGINT)
+                   AS seg_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_seg
+        FROM base GROUP BY segment
+    )
+    SELECT b.o_orderkey, b.segment, b.own_cents,
+           s.n_seg,
+           CAST((s.seg_cents - b.own_cents) // (s.n_seg - 1)
+                AS BIGINT) AS loo_mean_cents
+    FROM base b JOIN seg s USING (segment)
+    WHERE b.o_orderkey % 97 = 0
+    ORDER BY b.o_orderkey
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature
+    encoding that replaces a category with the mean target of the
+    OTHER rows in the category (excluding self prevents the leakage
+    that makes naive target encoding overfit): for each order, the
+    LOO mean of order value within the customer's market segment.
+
+    The LOO subtraction trick (the ``kfold_crossval_assignment``
+    complement-stats pattern): one per-segment aggregate broadcast
+    back onto the row scan, loo = (seg_sum − own) div (n − 1) — no
+    per-row subquery, no self-join, exact integer cents throughout.
+    Output is the deterministic o_orderkey % 97 = 0 slice so the
+    checked result stays bounded while the encoding is computed over
+    ALL rows (the aggregate sees everything; the filter applies
+    after).
+    """
+    cat = Catalog(spark, sf_dir)
+    base = (cat.orders
+            .join(F.broadcast(cat.customer
+                              .select("c_custkey", "c_mktsegment")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey",
+                    F.col("c_mktsegment").alias("segment"),
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    .alias("own_cents")))
+    seg = base.groupBy("segment").agg(
+        F.sum("own_cents").alias("seg_cents"),
+        F.count(F.lit(1)).alias("n_seg"))
+    return (base.join(F.broadcast(seg), "segment")
+            .filter(F.col("o_orderkey") % 97 == 0)
+            .select("o_orderkey", "segment", "own_cents", "n_seg",
+                    F.expr("(seg_cents - own_cents) div (n_seg - 1)")
+                    .alias("loo_mean_cents"))
+            .orderBy("o_orderkey"))

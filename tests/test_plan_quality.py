@@ -690,3 +690,45 @@ def test_sorted_neighborhood_equi_joins_on_rank(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan or \
         plan.count("BroadcastNestedLoopJoin") == 1  # 3-row offsets only
+
+
+def test_share_of_parent_single_fact_aggregate(spark):
+    plan = _plan(spark, "share_of_parent_rollup")
+    # Parent totals re-aggregate the 25-row child relation: exactly
+    # one orders scan, dims broadcast, no second fact pass.
+    assert plan.count("FileScan parquet") == 4  # orders + 3 dims
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_business_days_closed_form_no_calendar_explode(spark):
+    plan = _plan(spark, "business_days_latency")
+    # Weekday counting is scan-level arithmetic: no Generate (explode)
+    # node, no calendar-dim join — one lineitem-orders join only.
+    assert "Generate" not in plan
+    assert plan.count("FileScan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_hash_bucket_is_scan_level(spark):
+    plan = _plan(spark, "feature_hash_buckets")
+    # One documents scan; the bucket is a per-row md5 expression, so
+    # the only exchange carries (bucket, tok) partial aggregates.
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_target_encode_loo_broadcasts_segment_stats(spark):
+    plan = _plan(spark, "target_encode_loo")
+    # The per-segment aggregate joins back by broadcast (5 rows);
+    # no window over the fact table, no self-join shuffle.
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_reuses_checkpointed_edges(spark):
+    plan = _plan(spark, "community_modularity")
+    assert "CartesianProduct" not in plan
+    # The 1-row m relation is the only nested-loop (broadcast cross).
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
