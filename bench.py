@@ -111,6 +111,8 @@ HEADLINE = [
     "label_propagation_communities",  # 3-round deterministic LPA
     "community_modularity",         # Newman Q of the LPA partition
     "business_days_latency",        # closed-form weekday SLA metric
+    "prorate_order_total",          # exact largest-remainder proration
+    "abc_pareto_classes",           # Pareto 80/15/5 classification
 ]
 
 

@@ -2192,3 +2192,167 @@ def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("1000000 * sum(busdays) div count(1)")
                  .alias("avg_busdays_micros"))
             .orderBy("o_orderpriority"))
+
+
+@query(
+    "prorate_order_total",
+    oracle="""
+    WITH lines AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(l.l_quantity AS BIGINT) AS qty,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_orderkey % 97 = 0
+    ), grouped AS (
+        SELECT l_orderkey, l_linenumber, qty, total_cents,
+               CAST(SUM(qty) OVER (PARTITION BY l_orderkey) AS BIGINT)
+                   AS q_tot
+        FROM lines
+    ), based AS (
+        SELECT l_orderkey, l_linenumber, qty, total_cents, q_tot,
+               total_cents * qty // q_tot AS base_cents,
+               total_cents * qty % q_tot AS rem_scaled,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY total_cents * qty % q_tot DESC,
+                            l_linenumber) AS rk,
+               CAST(SUM(total_cents * qty % q_tot)
+                    OVER (PARTITION BY l_orderkey) // q_tot AS BIGINT)
+                   AS n_extra
+        FROM grouped
+    )
+    SELECT l_orderkey, l_linenumber, qty,
+           CAST(base_cents + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents,
+           total_cents
+    FROM based
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def prorate_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact header-to-line proration — the finance/billing staple:
+    spread each order's header total across its lines proportionally
+    to quantity so the per-line allocations are integral cents AND
+    sum back to the header total EXACTLY (naive rounding leaks ±n/2
+    cents per order; auditors notice). Largest-remainder method per
+    group: base = floor(T·q_i/Q), then one extra cent to the
+    r = Σ(T·q_i mod Q)/Q lines with the largest scaled remainders
+    (deterministic linenumber tie-break) — Hamilton apportionment
+    (``sample_allocation_largest_remainder``) applied per-order via
+    keyed windows.
+
+    Scale shape: all three windows (quantity total, remainder rank,
+    remainder sum) partition on l_orderkey — ONE keyed exchange, no
+    global sort, no driver round-trip; the %97 slice bounds checked
+    output while exercising the full per-group arithmetic.
+    """
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    lines = (cat.lineitem
+             .filter(F.col("l_orderkey") % 97 == 0)
+             .select("l_orderkey", "l_linenumber",
+                     F.col("l_quantity").cast("long").alias("qty"))
+             .join(cat.orders.filter(F.col("o_orderkey") % 97 == 0)
+                   .select("o_orderkey",
+                           F.round(F.col("o_totalprice") * 100)
+                           .cast("long").alias("total_cents")),
+                   F.col("l_orderkey") == F.col("o_orderkey")))
+    wk = W.partitionBy("l_orderkey")
+    based = (lines
+             .withColumn("q_tot", F.sum("qty").over(wk))
+             .withColumn("base_cents",
+                         F.expr("total_cents * qty div q_tot"))
+             .withColumn("rem_scaled",
+                         F.expr("total_cents * qty % q_tot"))
+             .withColumn("rk", F.row_number().over(
+                 wk.orderBy(F.col("rem_scaled").desc(), "l_linenumber")))
+             .withColumn("n_extra",
+                         F.expr("sum(rem_scaled)").over(wk)
+                         .cast("long"))
+             .withColumn("n_extra", F.expr("n_extra div q_tot")))
+    return (based.select(
+        "l_orderkey", "l_linenumber", "qty",
+        (F.col("base_cents")
+         + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0))
+        .cast("long").alias("alloc_cents"),
+        "total_cents")
+        .orderBy("l_orderkey", "l_linenumber"))
+
+
+@query(
+    "abc_pareto_classes",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS BIGINT) AS part_cents
+        FROM lineitem GROUP BY l_partkey
+    ), walked AS (
+        SELECT l_partkey, part_cents,
+               CAST(SUM(part_cents) OVER (
+                   ORDER BY part_cents DESC, l_partkey) AS BIGINT)
+                   AS cum_cents,
+               CAST(SUM(part_cents) OVER () AS BIGINT) AS total_cents
+        FROM per_part
+    ), classed AS (
+        SELECT CASE WHEN 1000000 * cum_cents // total_cents <= 800000
+                    THEN 'A'
+                    WHEN 1000000 * cum_cents // total_cents <= 950000
+                    THEN 'B' ELSE 'C' END AS abc_class,
+               part_cents
+        FROM walked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(part_cents) AS BIGINT) AS BIGINT)
+               AS class_cents,
+           CAST(1000000 * CAST(SUM(part_cents) AS BIGINT)
+                // MAX(total_cents) AS BIGINT) AS share_micros
+    FROM (SELECT c.*, w.total_cents
+          FROM classed c CROSS JOIN (SELECT DISTINCT total_cents
+                                     FROM walked) w)
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/15/5) inventory classification: parts whose
+    cumulative revenue share reaches 80% are class A, to 95% class B,
+    the long tail class C — the purchasing/inventory-policy
+    segmentation every supply-chain stack ships. Classification
+    threshold is the exact integer cumulative share (10⁶·cum div
+    total), deterministic order (revenue desc, partkey).
+
+    Plan: ONE fact aggregate (part → exact cents, the only
+    corpus-sized shuffle), then the cumulative walk runs over the
+    part DICTIONARY relation (the KS-binning caveat applies at
+    extreme part counts; the standard remedy — classify bands of
+    parts by a first-pass histogram — composes without changing the
+    output contract), and a 3-row rollup.
+    """
+    from pyspark.sql import Window as W
+
+    li = Catalog(spark, sf_dir).lineitem
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("part_cents"))
+    walked = (per_part
+              .withColumn("cum_cents", F.sum("part_cents").over(
+                  W.orderBy(F.col("part_cents").desc(), "l_partkey")
+                  .rowsBetween(W.unboundedPreceding, W.currentRow)))
+              .withColumn("total_cents", F.sum("part_cents").over(
+                  W.partitionBy(F.lit(1)))))
+    classed = walked.withColumn(
+        "abc_class",
+        F.when(F.expr("1000000 * cum_cents div total_cents") <= 800000,
+               "A")
+        .when(F.expr("1000000 * cum_cents div total_cents") <= 950000,
+              "B")
+        .otherwise("C"))
+    return (classed.groupBy("abc_class")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("part_cents").alias("class_cents"),
+                 F.expr("1000000 * sum(part_cents) div max(total_cents)")
+                 .alias("share_micros"))
+            .orderBy("abc_class"))

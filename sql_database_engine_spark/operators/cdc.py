@@ -435,3 +435,89 @@ def ivm_retract_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n_orders").alias("n_orders"),
                  (F.sum("cents").cast("double") / 100.0)
                  .alias("total_revenue")))
+
+
+@query(
+    "deletion_impact_audit",
+    oracle="""
+    WITH del_users AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 101 = 13
+    ), del_custs AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 101 = 13
+    ), ev AS (
+        SELECT 'events' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_to_delete,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_entities
+        FROM events e JOIN del_users d ON d.user_id = e.user_id
+    ), cu AS (
+        SELECT 'customer' AS table_name,
+               CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        FROM del_custs
+    ), orx AS (
+        SELECT 'orders' AS table_name,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+        FROM orders o JOIN del_custs d ON d.c_custkey = o.o_custkey
+    ), li AS (
+        SELECT 'lineitem' AS table_name,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN del_custs d ON d.c_custkey = o.o_custkey
+    )
+    SELECT * FROM ev UNION ALL SELECT * FROM cu
+    UNION ALL SELECT * FROM orx UNION ALL SELECT * FROM li
+    ORDER BY table_name
+    """,
+)
+def deletion_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: BEFORE executing a GDPR
+    deletion request, count exactly what it touches — per table, the
+    rows that reference the requested entities and how many entities
+    actually appear there. The demo request set is deterministic
+    (user_id / custkey ≡ 13 mod 101); production swaps in the DSR
+    queue unchanged. The cascade follows the FK graph: customer →
+    orders → lineitem (lineitem carries no custkey — its exposure is
+    THROUGH orders, which is why impact analysis needs the join,
+    not a per-table WHERE).
+
+    Plan: the deletion set is a broadcast semi-side (bounded by the
+    request queue, never the fact table); each count is one
+    fact-scan aggregate; the lineitem leg reuses the orders join the
+    warehouse already bucket-optimizes. Deleting itself is the MERGE
+    machinery (``merge_upsert_latest_state``) with WHEN MATCHED THEN
+    DELETE — this operator is the blast-radius report that gates it.
+    """
+    cat = Catalog(spark, sf_dir)
+    del_users = (cat.events.filter(F.col("user_id") % 101 == 13)
+                 .select("user_id").distinct())
+    del_custs = (cat.customer.filter(F.col("c_custkey") % 101 == 13)
+                 .select("c_custkey"))
+    ev = (cat.events.join(F.broadcast(del_users), "user_id")
+          .agg(F.count(F.lit(1)).alias("n_rows_to_delete"),
+               F.countDistinct("user_id").alias("n_entities"))
+          .select(F.lit("events").alias("table_name"),
+                  "n_rows_to_delete", "n_entities"))
+    cu = (del_custs
+          .agg(F.count(F.lit(1)).alias("n_rows_to_delete"),
+               F.count(F.lit(1)).alias("n_entities"))
+          .select(F.lit("customer").alias("table_name"),
+                  "n_rows_to_delete", "n_entities"))
+    orx = (cat.orders.join(F.broadcast(del_custs),
+                           F.col("o_custkey") == F.col("c_custkey"))
+           .agg(F.count(F.lit(1)).alias("n_rows_to_delete"),
+                F.countDistinct("o_custkey").alias("n_entities"))
+           .select(F.lit("orders").alias("table_name"),
+                   "n_rows_to_delete", "n_entities"))
+    li = (cat.lineitem.select("l_orderkey")
+          .join(cat.orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .join(F.broadcast(del_custs),
+                F.col("o_custkey") == F.col("c_custkey"))
+          .agg(F.count(F.lit(1)).alias("n_rows_to_delete"),
+               F.countDistinct("o_custkey").alias("n_entities"))
+          .select(F.lit("lineitem").alias("table_name"),
+                  "n_rows_to_delete", "n_entities"))
+    return (ev.unionByName(cu).unionByName(orx).unionByName(li)
+            .orderBy("table_name"))

@@ -652,3 +652,81 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("bin", "n", "mean_pred_micros", "obs_rate_micros",
                     "gap_micros", "ece_contrib_micros")
             .orderBy("bin"))
+
+
+@query(
+    "surrogate_key_gap_audit",
+    oracle="""
+    WITH keys AS (
+        SELECT o_orderkey AS k FROM orders
+    ), bounds AS (
+        SELECT CAST(MIN(k) AS BIGINT) AS lo_key,
+               CAST(MAX(k) AS BIGINT) AS hi_key
+        FROM keys
+    ), per_bucket AS (
+        SELECT k // 100 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_present
+        FROM keys GROUP BY k // 100
+    ), audited AS (
+        SELECT p.bucket,
+               GREATEST(p.bucket * 100, b.lo_key) AS lo,
+               LEAST(p.bucket * 100 + 99, b.hi_key) AS hi,
+               LEAST(p.bucket * 100 + 99, b.hi_key)
+               - GREATEST(p.bucket * 100, b.lo_key) + 1 AS expected,
+               p.n_present, p.n_rows,
+               LEAST(p.bucket * 100 + 99, b.hi_key)
+               - GREATEST(p.bucket * 100, b.lo_key) + 1 - p.n_present
+                   AS n_missing,
+               p.n_rows - p.n_present AS n_dup_rows
+        FROM per_bucket p CROSS JOIN bounds b
+    )
+    SELECT bucket, lo, hi, expected, n_present,
+           CAST(n_missing AS BIGINT) AS n_missing,
+           CAST(n_dup_rows AS BIGINT) AS n_dup_rows
+    FROM audited
+    ORDER BY n_missing DESC, bucket
+    LIMIT 5
+    """,
+)
+def surrogate_key_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuity audit: find WHERE the key sequence
+    has holes or duplicates — the ingest-integrity check that catches
+    dropped batches (a gap) and replayed batches (duplicates) without
+    ever sorting the key column globally. Keys are bucketed by
+    k div 100; per bucket the expected population is the bucket's
+    overlap with [min_key, max_key] (global bounds broadcast from a
+    1-row aggregate), so missing = expected − distinct and
+    dup_rows = rows − distinct are pure integer arithmetic on
+    scan-level buckets. Top-5 worst buckets by missing keys.
+
+    At 100 TB this is one hash aggregate on a derived bucket key —
+    embarrassingly partial-aggregable — versus the naive
+    lead(key)-over-global-sort plan whose single ordered partition is
+    the exact shape the engine's determinism rules exist to avoid.
+    (TPC-H populates ~1/4 of the orderkey space, so the audit
+    flags real gaps at any SF — non-vacuous by construction.)
+    """
+    o = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"))
+    bounds = o.agg(F.min("k").alias("lo_key"), F.max("k").alias("hi_key"))
+    per_bucket = (o.groupBy(F.expr("k div 100").alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.countDistinct("k").alias("n_present")))
+    audited = (per_bucket.crossJoin(F.broadcast(bounds))
+               .withColumn("lo", F.greatest(F.col("bucket") * 100,
+                                            F.col("lo_key")))
+               .withColumn("hi", F.least(F.col("bucket") * 100 + 99,
+                                         F.col("hi_key")))
+               .withColumn("expected",
+                           F.col("hi") - F.col("lo") + F.lit(1))
+               .withColumn("n_missing",
+                           (F.col("expected") - F.col("n_present"))
+                           .cast("long"))
+               .withColumn("n_dup_rows",
+                           (F.col("n_rows") - F.col("n_present"))
+                           .cast("long")))
+    return (audited.select("bucket", "lo", "hi", "expected",
+                           "n_present", "n_missing", "n_dup_rows")
+            .orderBy(F.col("n_missing").desc(), "bucket")
+            .limit(5))

@@ -1436,3 +1436,83 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("(seg_cents - own_cents) div (n_seg - 1)")
                     .alias("loo_mean_cents"))
             .orderBy("o_orderkey"))
+
+
+@query(
+    "generalize_to_k_anonymity",
+    oracle=f"""
+    WITH l0 AS (
+        SELECT CAST(0 AS BIGINT) AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(COUNT_IF(n < {K_ANON}) AS BIGINT)
+                   AS n_violating_groups,
+               CAST(COALESCE(SUM(n) FILTER (n < {K_ANON}), 0)
+                    AS BIGINT) AS n_rows_at_risk
+        FROM (SELECT COUNT(*) AS n FROM documents
+              GROUP BY lang, source, n_chars // 200)
+    ), l1 AS (
+        SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT_IF(n < {K_ANON}) AS BIGINT),
+               CAST(COALESCE(SUM(n) FILTER (n < {K_ANON}), 0)
+                    AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM documents
+              GROUP BY lang, source, n_chars // 1000)
+    ), l2 AS (
+        SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT_IF(n < {K_ANON}) AS BIGINT),
+               CAST(COALESCE(SUM(n) FILTER (n < {K_ANON}), 0)
+                    AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM documents
+              GROUP BY lang, source)
+    ), l3 AS (
+        SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT_IF(n < {K_ANON}) AS BIGINT),
+               CAST(COALESCE(SUM(n) FILTER (n < {K_ANON}), 0)
+                    AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)
+    )
+    SELECT * FROM l0 UNION ALL SELECT * FROM l1
+    UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+    ORDER BY level
+    """,
+)
+def generalize_to_k_anonymity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The generalization ladder that REPAIRS what
+    ``k_anonymity_violations`` finds: re-audit k-anonymity at
+    successively coarser quasi-identifier resolutions — level 0 the
+    original (lang, source, 200-char band), level 1 widens the band
+    to 1000, level 2 drops the band, level 3 keeps language only —
+    reporting groups, violating groups, and rows at re-identification
+    risk per level. The release pipeline picks the FIRST level whose
+    risk hits zero: the minimal information loss satisfying k (the
+    Datafly/Incognito decision step, as a query).
+
+    Each level is one hash aggregate over a coarser key — four scans
+    today; the production fusion (aggregate once at level 0, re-roll
+    coarser levels from the level-0 group relation — possible because
+    every coarser QI is a function of the finest) composes without
+    changing the contract, and levels 1–3 would then shuffle group
+    metadata only.
+    """
+    d = Catalog(spark, sf_dir).documents
+
+    def level(lv: int, keys) -> DataFrame:
+        g = d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        return g.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n") < K_ANON).cast("long"))
+            .alias("n_violating_groups"),
+            F.coalesce(F.sum(F.when(F.col("n") < K_ANON, F.col("n"))),
+                       F.lit(0)).cast("long").alias("n_rows_at_risk")
+        ).select(F.lit(lv).cast("long").alias("level"), "n_groups",
+                 "n_violating_groups", "n_rows_at_risk")
+
+    return (level(0, ["lang", "source",
+                      F.expr("n_chars div 200").alias("band")])
+            .unionByName(level(1, ["lang", "source",
+                                   F.expr("n_chars div 1000")
+                                   .alias("band")]))
+            .unionByName(level(2, ["lang", "source"]))
+            .unionByName(level(3, ["lang"]))
+            .orderBy("level"))

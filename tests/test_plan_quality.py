@@ -732,3 +732,43 @@ def test_modularity_reuses_checkpointed_edges(spark):
     assert "CartesianProduct" not in plan
     # The 1-row m relation is the only nested-loop (broadcast cross).
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_prorate_windows_share_one_keyed_exchange(spark):
+    plan = _plan(spark, "prorate_order_total")
+    # All three per-order windows (qty total, remainder rank,
+    # remainder sum) must ride ONE hashpartitioning(l_orderkey)
+    # exchange; no single-partition window anywhere.
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 1
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_audit_takeordered_and_bucket_agg(spark):
+    plan = _plan(spark, "surrogate_key_gap_audit")
+    # Top-5 worst buckets via TakeOrdered (never a global sort) over
+    # the scan-level bucket aggregate; bounds is the only extra scan.
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FileScan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_abc_walk_runs_on_part_aggregate(spark):
+    plan = _plan(spark, "abc_pareto_classes")
+    # One lineitem scan; the cumulative walk consumes the per-part
+    # aggregate, not raw rows.
+    assert plan.count("FileScan parquet") == 1
+    walk = plan[:plan.index("Window")]
+    assert "HashAggregate" in walk or "SortAggregate" in walk
+
+
+def test_deletion_audit_broadcasts_request_set(spark):
+    plan = _plan(spark, "deletion_impact_audit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_generalization_ladder_is_pure_aggregates(spark):
+    plan = _plan(spark, "generalize_to_k_anonymity")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
