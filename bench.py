@@ -113,6 +113,8 @@ HEADLINE = [
     "business_days_latency",        # closed-form weekday SLA metric
     "prorate_order_total",          # exact largest-remainder proration
     "abc_pareto_classes",           # Pareto 80/15/5 classification
+    "autocorrelation_daily_revenue",  # exact ACF lags 1-7
+    "jaccard_threshold_sweep",      # shared-candidate threshold curve
 ]
 
 

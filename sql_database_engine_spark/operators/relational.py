@@ -841,3 +841,63 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").alias("total_chars"),
                  F.countDistinct(F.sha2(F.col("text"), 256))
                  .alias("n_distinct_texts")))
+
+
+@query(
+    "fixed_width_ingest",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name,
+           MAX(n_name) AS last_name,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (COBOL/mainframe layout) text ingest — the legacy
+    interchange format ETL teams still receive nightly: records are
+    positional, no delimiters, schema = (offset, width) pairs. The
+    fixture exports nation as 33-char records (key 4, name
+    right-padded 25, regionkey 4), the operator reads them back
+    through ``spark.read.text`` and parses with pure substring/trim
+    expressions — scan-level, codegen'd, no UDF — then aggregates.
+    The oracle computes from the original table, so a one-column
+    offset error, a padding character surviving the trim, or an
+    integer parse slip hash-fails.
+
+    Layout declaration is explicit (as CSV schema inference is off,
+    so is any "guess the columns" pass); at 100 TB fixed-width is
+    actually the CHEAPEST text format to split — every record is the
+    same byte length, so readers can seek to exact offsets without
+    scanning for newlines.
+    """
+    import os
+
+    from ..scratch import scratch_dir, source_fingerprint
+
+    cat = Catalog(spark, sf_dir)
+    stage = scratch_dir(
+        "fixedwidth", sf_dir,
+        version="v1|" + source_fingerprint(sf_dir, "nation.parquet"))
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (cat.nation.select(
+            F.concat(
+                F.lpad(F.col("n_nationkey").cast("string"), 4, "0"),
+                F.rpad(F.col("n_name"), 25, " "),
+                F.lpad(F.col("n_regionkey").cast("string"), 4, "0"))
+            .alias("value"))
+         .write.mode("overwrite").text(stage))
+    raw = spark.read.text(stage)
+    parsed = raw.select(
+        F.substring("value", 1, 4).cast("long").alias("n_nationkey"),
+        F.rtrim(F.substring("value", 5, 25)).alias("n_name"),
+        F.substring("value", 30, 4).cast("long").alias("n_regionkey"))
+    return (parsed.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.min("n_name").alias("first_name"),
+                 F.max("n_name").alias("last_name"),
+                 F.sum("n_nationkey").alias("key_sum"))
+            .orderBy("n_regionkey"))

@@ -2586,3 +2586,88 @@ def doc_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n_docs", "n_grams", "n_novel",
                     F.expr("n_novel * CAST(1000000 AS BIGINT)"
                            " div n_grams").alias("novelty_micros")))
+
+
+@query(
+    "jaccard_threshold_sweep",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, source, unnest(list_distinct(g)) AS gram,
+               len(list_distinct(g)) AS n_grams
+        FROM (
+            SELECT doc_id, source,
+                   list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1]) AS g
+            FROM documents
+        )
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(1000000 * COUNT(*)
+                    // (any_value(a.n_grams) + any_value(b.n_grams)
+                        - COUNT(*)) AS BIGINT) AS jac_micros
+        FROM grams a JOIN grams b
+          ON a.source = b.source AND a.gram = b.gram
+             AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), thresholds AS (
+        SELECT unnest([500000, 600000, 700000, 800000, 900000]) AS t
+    ), hits AS (
+        SELECT t, doc_a, doc_b
+        FROM pairs CROSS JOIN thresholds
+        WHERE jac_micros >= t
+    ), exploded AS (
+        SELECT t, unnest([doc_a, doc_b]) AS doc FROM hits
+    )
+    SELECT CAST(t AS BIGINT) AS threshold_micros,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_involved
+    FROM exploded
+    GROUP BY t
+    ORDER BY t
+    """,
+)
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold TUNING CURVE: how many near-dup pairs (and how
+    many documents they involve) survive at Jaccard thresholds 0.5 …
+    0.9 — the sweep a curation team runs before committing a
+    threshold, answering "how much does the corpus shrink if we
+    tighten to 0.8?" without re-running the pipeline per candidate
+    value.
+
+    One pass computes the full pair relation ONCE (the
+    ``ngram_jaccard_neardup`` (source, gram)-bounded skeleton, with
+    the similarity as exact integer micros instead of a float
+    HAVING), then the 5-row threshold relation cross-applies as a
+    broadcast — the expensive candidate generation is shared across
+    all thresholds, which is the entire point of sweeping in-engine.
+    """
+    d = Catalog(spark, sf_dir).documents
+    g = (_word_bigrams(d, "source")
+         .withColumn("n_grams",
+                     F.count(F.lit(1)).over(W.partitionBy("doc_id"))))
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"),
+             F.first(F.col("a.n_grams")).alias("na"),
+             F.first(F.col("b.n_grams")).alias("nb"))
+        .select("doc_a", "doc_b",
+                F.expr("1000000 * n_common div (na + nb - n_common)")
+                .alias("jac_micros")))
+    thresholds = (spark.range(5, 10)
+                  .select((F.col("id") * 100000).alias("t")))
+    hits = (pairs.crossJoin(F.broadcast(thresholds))
+            .filter(F.col("jac_micros") >= F.col("t")))
+    exploded = hits.select(
+        "t", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+    return (exploded.groupBy(F.col("t").alias("threshold_micros"))
+            .agg(F.expr("count(1) div 2").alias("n_pairs"),
+                 F.countDistinct("doc").alias("n_docs_involved"))
+            .orderBy("threshold_micros"))

@@ -1592,3 +1592,233 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(n_days))
             .select("n_days", F.col("n").alias("n_pairs"),
                     F.col("slope").alias("median_slope_cents_per_day")))
+
+
+@query(
+    "autocorrelation_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ), mn AS (SELECT min(d) AS d0 FROM daily),
+    idx AS (
+        SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+        FROM daily CROSS JOIN mn
+    ), lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+    pairs AS (
+        SELECT l.lag, a.y AS ya, b.y AS yb
+        FROM idx a CROSS JOIN lags l
+        JOIN idx b ON b.x = a.x + l.lag
+    ), s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ya) AS BIGINT) AS sa,
+               CAST(SUM(yb) AS BIGINT) AS sb,
+               SUM(CAST(ya AS HUGEINT) * CAST(yb AS HUGEINT)) AS sab,
+               SUM(CAST(ya AS HUGEINT) * CAST(ya AS HUGEINT)) AS saa,
+               SUM(CAST(yb AS HUGEINT) * CAST(yb AS HUGEINT)) AS sbb
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           CAST(CAST(n AS HUGEINT) * sab
+                - CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT) AS DOUBLE)
+           / sqrt(CAST(CAST(n AS HUGEINT) * saa
+                  - CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT)
+                  AS DOUBLE))
+           / sqrt(CAST(CAST(n AS HUGEINT) * sbb
+                  - CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT)
+                  AS DOUBLE)) AS acf
+    FROM s
+    ORDER BY lag
+    """,
+)
+def autocorrelation_daily_revenue(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1–7 — the
+    seasonality detector (a weekly cycle puts a spike at lag 7) and
+    the residual-whiteness check behind every forecasting model.
+    Pearson ACF per lag over the (y_t, y_{t+k}) pair set, computed on
+    the ``trend_daily_revenue_ols`` exact-moment lane: whole-unit
+    integer daily revenue, five integer moments per lag in 128-bit
+    lanes (DECIMAL(38,0) / HUGEINT), one fixed double chain at the
+    end.
+
+    Shape: the daily series keys on an INTEGER day index (days since
+    min date, 1-row broadcast), so each lag's pair set is an
+    EQUI-join on x + lag — 7 lags via one exploded lag relation, one
+    hash join, no date-arithmetic divergence and no range join; all
+    moment aggregates partial map-side. The series relation is
+    calendar-bounded, so every post-aggregate step is metadata-sized.
+    """
+    o = Catalog(spark, sf_dir).orders
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
+                  .alias("y")))
+    mn = daily.agg(F.min("d").alias("d0"))
+    idx = (daily.crossJoin(F.broadcast(mn))
+           .select(F.datediff(F.col("d"), F.col("d0")).cast("long")
+                   .alias("x"), "y")
+           .localCheckpoint(eager=False))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = idx.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = idx.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+             .withColumn("xb", F.col("xa") + F.col("lag"))
+             .join(b, "xb"))
+    ad = F.col("ya").cast("decimal(19,0)")
+    bd = F.col("yb").cast("decimal(19,0)")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("ya").alias("sa"), F.sum("yb").alias("sb"),
+        F.sum(ad * bd).alias("sab"),
+        F.sum(ad * ad).alias("saa"),
+        F.sum(bd * bd).alias("sbb"))
+
+    def wide(name: str):
+        return F.col(name).cast("decimal(38,0)")
+
+    num = wide("n_pairs") * wide("sab") - wide("sa") * wide("sb")
+    den_a = wide("n_pairs") * wide("saa") - wide("sa") * wide("sa")
+    den_b = wide("n_pairs") * wide("sbb") - wide("sb") * wide("sb")
+    return (s.select(
+        "lag", "n_pairs",
+        (num.cast("double") / F.sqrt(den_a.cast("double"))
+         / F.sqrt(den_b.cast("double"))).alias("acf"))
+        .orderBy("lag"))
+
+
+@query(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ), deltas AS (
+        SELECT d, y - lag(y) OVER (ORDER BY d) AS dy FROM daily
+    ), signs AS (
+        SELECT d, CASE WHEN dy > 0 THEN 1 ELSE -1 END AS s
+        FROM deltas WHERE dy IS NOT NULL AND dy <> 0
+    ), runs AS (
+        SELECT s,
+               CASE WHEN s <> lag(s) OVER (ORDER BY d) THEN 1
+                    ELSE 0 END AS boundary
+        FROM signs
+    )
+    SELECT CAST(COUNT_IF(s = 1) AS BIGINT) AS n_plus,
+           CAST(COUNT_IF(s = -1) AS BIGINT) AS n_minus,
+           CAST(CAST(SUM(boundary) AS BIGINT) + 1 AS BIGINT) AS n_runs,
+           CAST(1000000 + 2000000 * COUNT_IF(s = 1)
+                * COUNT_IF(s = -1) // COUNT(*) AS BIGINT)
+               AS expected_runs_micros
+    FROM runs
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue delta signs —
+    the nonparametric "is this series random or trending/oscillating?"
+    check beside the drift detectors: too FEW runs means momentum
+    (trend), too MANY means mean-reversion (oscillation). Emits the
+    exact integers (n_plus, n_minus, observed runs) plus the expected
+    run count 1 + 2·n₊·n₋/(n₊+n₋) in floor-div micros — the
+    z-normalization is a fixed double chain a consumer applies; the
+    engine's contract stays integer-exact (zero deltas dropped, the
+    standard tie rule; the first delta of the sign sequence opens run
+    #1, hence boundary-sum + 1).
+
+    Both windows (delta lag, sign-change lag) order by date over the
+    CALENDAR-BOUNDED daily relation — the same single-partition-walk
+    envelope as the KS/OLS family, metadata-sized after the one
+    corpus aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    o = Catalog(spark, sf_dir).orders
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
+                  .alias("y")))
+    w = W.orderBy("d")
+    deltas = daily.withColumn("dy", F.col("y") - F.lag("y").over(w))
+    signs = (deltas.filter(F.col("dy").isNotNull() & (F.col("dy") != 0))
+             .select("d", F.when(F.col("dy") > 0, 1).otherwise(-1)
+                     .alias("s")))
+    runs = signs.withColumn(
+        "boundary",
+        F.when(F.col("s") != F.lag("s").over(w), 1).otherwise(0))
+    return runs.agg(
+        F.sum((F.col("s") == 1).cast("long")).alias("n_plus"),
+        F.sum((F.col("s") == -1).cast("long")).alias("n_minus"),
+        (F.sum("boundary") + 1).cast("long").alias("n_runs"),
+        F.expr("1000000 + 2000000 * sum(cast(s = 1 as long))"
+               " * sum(cast(s = -1 as long)) div count(1)")
+        .cast("long").alias("expected_runs_micros"))
+
+
+@query(
+    "weekday_seasonality_index",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ), wd AS (
+        SELECT CAST(isodow(d) AS BIGINT) AS weekday,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(CAST(SUM(y) AS BIGINT) AS BIGINT) AS wd_units
+        FROM daily GROUP BY 1
+    ), tot AS (
+        SELECT weekday, n_days, wd_units,
+               CAST(SUM(n_days) OVER () AS BIGINT) AS total_days,
+               CAST(SUM(wd_units) OVER () AS BIGINT) AS total_units
+        FROM wd
+    )
+    SELECT weekday, n_days, wd_units,
+           wd_units // n_days AS avg_units,
+           CAST(1000000 * (wd_units // n_days)
+                // (total_units // total_days) AS BIGINT)
+               AS index_micros
+    FROM tot
+    ORDER BY weekday
+    """,
+)
+def weekday_seasonality_index(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index — average revenue per weekday
+    relative to the overall daily average (index 1 000 000 = an
+    average day). The denominator normalizes by DAY COUNTS per
+    weekday, not row counts, so a dataset that doesn't start/end on
+    a week boundary doesn't bias the index. The two-step floor lane
+    (per-weekday average, then ratio in micros) is the declared
+    deterministic contract — both engines evaluate the identical
+    floor sequence, and the ~1e-6 quantization is far below any
+    seasonal signal worth acting on.
+
+    One orders aggregate to the daily relation, a 7-row weekday
+    rollup, window totals over those 7 rows — everything after the
+    first aggregate is metadata-sized.
+    """
+    from pyspark.sql import Window as W
+
+    o = Catalog(spark, sf_dir).orders
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
+                  .alias("y")))
+    wd = (daily.groupBy((F.weekday("d") + 1).cast("long")
+                        .alias("weekday"))
+          .agg(F.count(F.lit(1)).alias("n_days"),
+               F.sum("y").alias("wd_units")))
+    tot = (wd.withColumn("total_days",
+                         F.sum("n_days").over(W.partitionBy(F.lit(1))))
+           .withColumn("total_units",
+                       F.sum("wd_units").over(W.partitionBy(F.lit(1)))))
+    return (tot.select(
+        "weekday", "n_days", "wd_units",
+        F.expr("wd_units div n_days").alias("avg_units"),
+        F.expr("1000000 * (wd_units div n_days)"
+               " div (total_units div total_days)")
+        .alias("index_micros"))
+        .orderBy("weekday"))

@@ -772,3 +772,38 @@ def test_generalization_ladder_is_pure_aggregates(spark):
     plan = _plan(spark, "generalize_to_k_anonymity")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_acf_lags_are_equi_joins(spark):
+    plan = _plan(spark, "autocorrelation_daily_revenue")
+    # Pair generation must be a hash join on the integer day index;
+    # the only nested-loops are the 1-row min-date and 7-row lag
+    # broadcasts.
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_runs_test_windows_share_the_calendar_walk(spark):
+    plan = _plan(spark, "runs_test_randomness")
+    # Both sign/boundary lags ride the post-aggregate daily relation;
+    # at most the walk + final 1-row agg go single-partition.
+    assert plan.count("Exchange SinglePartition") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_threshold_sweep_broadcasts_thresholds(spark):
+    plan = _plan(spark, "jaccard_threshold_sweep")
+    # The 5-row threshold relation must be the broadcast side; the
+    # pair relation is computed once upstream of it.
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_fixed_width_parse_is_codegen_not_python(spark):
+    plan = _plan(spark, "fixed_width_ingest")
+    # substring/trim parsing stays JVM-side.
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FileScan text" in plan
