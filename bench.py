@@ -115,6 +115,8 @@ HEADLINE = [
     "abc_pareto_classes",           # Pareto 80/15/5 classification
     "autocorrelation_daily_revenue",  # exact ACF lags 1-7
     "jaccard_threshold_sweep",      # shared-candidate threshold curve
+    "multimodal_image_ppm_decode",  # real P6 image decode kernel
+    "rolling_ols_slope_7d",         # shared-walk windowed regression
 ]
 
 

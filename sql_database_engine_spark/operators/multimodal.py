@@ -643,3 +643,119 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimate_wav_batches,
         schema=("doc_id bigint, n_out bigint, out_rate int, "
                 "sum_out bigint, min_out bigint, max_out bigint"))
+
+
+def ppm_bytes(doc_id: int) -> bytes:
+    """Deterministic P6 PPM image: ASCII header ``P6\\n{w} {h}\\n255\\n``
+    + w*h RGB24 pixels. Byte j of doc d is ``(d*11 + j*3) % 256`` —
+    pure byte math so the oracle predicts every decoded statistic."""
+    w = 8 + doc_id % 9
+    h = 6 + doc_id % 7
+    hdr = f"P6\n{w} {h}\n255\n".encode("ascii")
+    body = bytes((doc_id * 11 + j * 3) % 256 for j in range(w * h * 3))
+    return hdr + body
+
+
+def decode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: REAL NetPBM P6 decode. Unlike WAV/RVID
+    (fixed-offset binary headers) the PPM header is ASCII with
+    variable-width fields, so the kernel genuinely tokenizes it:
+    magic, dimensions, maxval, then exactly one whitespace byte
+    before the raster. Emits per-image per-channel integer stats."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [],
+               "r_sum": [], "g_sum": [], "b_sum": [],
+               "px_min": [], "px_max": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            blob = bytes(blob)
+            if blob[:2] != b"P6":
+                raise ValueError(f"doc {doc_id}: not a P6 PPM")
+            # Tokenize the ASCII header: three whitespace-separated
+            # fields after the magic, then ONE whitespace byte.
+            pos, fields = 2, []
+            while len(fields) < 3:
+                while blob[pos:pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while not blob[pos:pos + 1].isspace():
+                    pos += 1
+                fields.append(int(blob[start:pos]))
+            pos += 1  # the single whitespace terminating the header
+            w, h, maxval = fields
+            if maxval != 255:
+                raise ValueError(f"doc {doc_id}: unsupported maxval {maxval}")
+            raster = np.frombuffer(blob, dtype=np.uint8, offset=pos)
+            if raster.size != w * h * 3:
+                raise ValueError(f"doc {doc_id}: raster size mismatch")
+            px = raster.astype(np.int64).reshape(-1, 3)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["r_sum"].append(int(px[:, 0].sum()))
+            out["g_sum"].append(int(px[:, 1].sum()))
+            out["b_sum"].append(int(px[:, 2].sum()))
+            out["px_min"].append(int(px.min()))
+            out["px_max"].append(int(px.max()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_image_ppm_decode",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               6 + doc_id % 7 AS h
+        FROM documents WHERE doc_id < 200
+    ), px AS (
+        SELECT doc_id, w, h, j % 3 AS channel,
+               (doc_id * 11 + j * 3) % 256 AS v
+        FROM params,
+             LATERAL unnest(generate_series(0, w * h * 3 - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(SUM(v) FILTER (channel = 0) AS BIGINT) AS r_sum,
+           CAST(SUM(v) FILTER (channel = 1) AS BIGINT) AS g_sum,
+           CAST(SUM(v) FILTER (channel = 2) AS BIGINT) AS b_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_image_ppm_decode(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end to end — the image
+    modality's counterpart to the WAV (audio) and RVID (video)
+    kernels: NetPBM P6 is the one image container raw bytes can carry
+    without a codec library, and its ASCII header (variable-width
+    dimension fields + exactly one whitespace before the raster)
+    exercises a genuinely different parse than the fixed-offset
+    binary headers. The kernel tokenizes the header, validates
+    maxval and raster length, and emits per-channel integer sums +
+    global min/max; the DuckDB oracle predicts every value from the
+    generation parameters, so a tokenizer slip, a channel-interleave
+    error, or an off-by-one raster offset hash-fails.
+
+    Scale shape: one row per image; payloads stay in executor-local
+    Arrow batches (the binary column never shuffles — the doc_id
+    repartition moves ids before blob synthesis, mirroring how a
+    production pipeline reads assets node-locally).
+    """
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 200).select("doc_id"))
+
+    @F.pandas_udf("binary")
+    def make_ppm(ids: pd.Series) -> pd.Series:
+        return ids.map(ppm_bytes)
+
+    imgs = (d.repartition("doc_id")
+            .select("doc_id", make_ppm(F.col("doc_id")).alias("payload")))
+    return imgs.mapInPandas(
+        decode_ppm_batches,
+        schema=("doc_id bigint, width int, height int, r_sum bigint, "
+                "g_sum bigint, b_sum bigint, px_min bigint, "
+                "px_max bigint"))

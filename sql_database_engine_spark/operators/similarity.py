@@ -1723,3 +1723,66 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("v") * F.col("s")).cast("bigint")
                     .alias("loading_micros"),
                     "eig_est_micros"))
+
+
+@query(
+    "vector_range_search",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.qid, e.vec_id, e.label,
+               ROUND({COSINE_SQL.format(a='e.embedding', b='q.qv')}, 6)
+                   AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT qid,
+           CAST(COUNT_IF(cos_sim >= 0.6) AS BIGINT) AS n_in_radius,
+           CAST(COUNT_IF(cos_sim >= 0.8) AS BIGINT) AS n_in_tight,
+           MAX(cos_sim) AS best_sim,
+           CAST(MIN(CASE WHEN cos_sim >= 0.6 THEN vec_id END)
+                AS BIGINT) AS first_neighbor
+    FROM scored GROUP BY qid
+    ORDER BY qid
+    """,
+)
+def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) vector search — the other retrieval primitive
+    beside top-k: all corpus vectors within a similarity radius of
+    each query, here summarized per query as neighborhood counts at
+    two radii (cos ≥ 0.6, ≥ 0.8), the best similarity, and the
+    smallest qualifying id. Radius queries are what dedup and
+    clustering pipelines actually issue (a THRESHOLD defines a
+    duplicate; k does not), and unlike top-k the result size is
+    data-dependent — which is why the operator aggregates the
+    neighborhood instead of exploding it.
+
+    Plan: the 8-query batch broadcasts onto one corpus scan (the
+    ``knn_join_bruteforce`` shape) — scoring is a single pass, the
+    radius predicates are COUNT_IF inside ONE aggregate, no window,
+    no sort. Cosines compare via round-to-6 (the similarity family's
+    pure-comparison guard; comparisons are float-safe, arithmetic is
+    not). The LSH/IVF variants bound the scanned set at 100 TB
+    exactly as in the top-k family.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    scored = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      F.round(sim, 6).alias("cos_sim")))
+    return (scored.groupBy("qid")
+            .agg(F.sum((F.col("cos_sim") >= 0.6).cast("long"))
+                 .alias("n_in_radius"),
+                 F.sum((F.col("cos_sim") >= 0.8).cast("long"))
+                 .alias("n_in_tight"),
+                 F.max("cos_sim").alias("best_sim"),
+                 F.min(F.when(F.col("cos_sim") >= 0.6,
+                              F.col("vec_id"))).cast("long")
+                 .alias("first_neighbor"))
+            .orderBy("qid"))

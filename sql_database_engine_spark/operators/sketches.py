@@ -410,3 +410,76 @@ def bitmap_retention_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("active_next") - F.coalesce("retained", F.lit(0)))
             .alias("new_users"))
     )
+
+
+@query(
+    "hll_setop_contract",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ), b AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), ex AS (
+        SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+               (SELECT COUNT(*) FROM b) AS exact_b,
+               (SELECT COUNT(*) FROM (SELECT user_id FROM a
+                                      UNION SELECT user_id FROM b))
+                   AS exact_union
+    )
+    SELECT CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_a + exact_b - exact_union AS BIGINT)
+               AS exact_intersection,
+           CAST(1 AS BIGINT) AS union_within_5pct,
+           CAST(1 AS BIGINT) AS intersection_within_10pct
+    FROM ex
+    """,
+)
+def hll_setop_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA with error contracts — the audience-overlap
+    query every marketing/analytics stack runs ("how many users
+    clicked AND purchased?") answered from mergeable sketches:
+    |A∪B| is ``hll_union_agg`` over the two audience sketches (HLL
+    unions are lossless — register max), and |A∩B| falls out of
+    inclusion-exclusion |A|+|B|−|A∪B|. At 100 TB the audiences are
+    one sketch each (KB-sized, maintained incrementally); the overlap
+    matrix over N audiences costs N² sketch unions, never N² joins
+    of user sets.
+
+    Contract shape (5th use of the pattern): exact values computed
+    identically in both engines ride with integer-only flags —
+    union within 5% (HLL RSE ~1.6% at lgK=12, so >3σ), intersection
+    within 10% OF THE UNION size (inclusion-exclusion differences
+    amplify relative error — the flag's denominator states that
+    honestly; |est∩ − exact∩|·10 ≤ exact∪).
+    """
+    e = Catalog(spark, sf_dir).events
+    uid = F.col("user_id").cast("string")
+    sk = (e.filter(F.col("event_type").isin("click", "purchase"))
+          .groupBy("event_type")
+          .agg(F.hll_sketch_agg(uid).alias("sk"),
+               F.count_distinct("user_id").alias("exact")))
+    # Pivot the 2-row sketch relation into one row: the set-op lane.
+    one = sk.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("exact")))
+        .alias("exact_a"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("exact")))
+        .alias("exact_b"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"))
+    exact_union = (e.filter(F.col("event_type")
+                            .isin("click", "purchase"))
+                   .agg(F.count_distinct("user_id")
+                        .alias("exact_union")))
+    j = one.crossJoin(F.broadcast(exact_union))
+    est_inter = (F.col("exact_a") + F.col("exact_b")
+                 - F.col("est_union"))
+    exact_inter = (F.col("exact_a") + F.col("exact_b")
+                   - F.col("exact_union"))
+    return j.select(
+        "exact_a", "exact_b", "exact_union",
+        exact_inter.cast("long").alias("exact_intersection"),
+        (F.abs(F.col("est_union") - F.col("exact_union")) * 20
+         <= F.col("exact_union")).cast("long").alias("union_within_5pct"),
+        (F.abs(est_inter - exact_inter) * 10 <= F.col("exact_union"))
+        .cast("long").alias("intersection_within_10pct"))

@@ -339,3 +339,79 @@ def topk_with_ties_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
                      tier.alias("tier"))
             .filter(F.col("tier") <= 3)
             .select("n_name", "tier", "c_custkey", "c_acctbal"))
+
+
+@query(
+    "rolling_ols_slope_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ), mn AS (SELECT min(d) AS d0 FROM daily),
+    idx AS (
+        SELECT d, CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+        FROM daily CROSS JOIN mn
+    ), w AS (
+        SELECT d, x, y,
+               CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+               CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+               CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx
+        FROM idx
+        WINDOW fr AS (ORDER BY x RANGE BETWEEN 6 PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT d, n AS n_days_in_window,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                END AS slope_per_day
+    FROM w
+    ORDER BY d
+    """,
+)
+def rolling_ols_slope_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day regression slope of daily revenue — the local
+    trend signal dashboards plot next to the raw series (a moving
+    average smooths level; this smooths DIRECTION). The window is a
+    RANGE frame over the integer day index, so calendar gaps shrink
+    the fitted set instead of silently stretching the window across
+    them (the ROWS-frame bug); all five frame moments are integer
+    window sums (whole-unit revenue, recentered day index — products
+    bounded far under 2⁶³ in a 7-row frame), and the slope is one
+    guarded double division. Degenerate frames (n < 2 or zero
+    x-variance) yield NULL, matching both engines' CASE semantics.
+
+    One orders aggregate, a 1-row broadcast min-date, then every
+    window sum shares the single ordered walk over the
+    calendar-bounded daily relation (the KS-family envelope).
+    """
+    from pyspark.sql import Window as W
+
+    o = Catalog(spark, sf_dir).orders
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
+                  .alias("y")))
+    mn = daily.agg(F.min("d").alias("d0"))
+    idx = (daily.crossJoin(F.broadcast(mn))
+           .select("d",
+                   F.datediff(F.col("d"), F.col("d0")).cast("long")
+                   .alias("x"), "y"))
+    fr = W.orderBy("x").rangeBetween(-6, 0)
+    w = (idx
+         .withColumn("n", F.count(F.lit(1)).over(fr))
+         .withColumn("sx", F.sum("x").over(fr))
+         .withColumn("sy", F.sum("y").over(fr))
+         .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(fr))
+         .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(fr)))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (w.select(
+        "d", F.col("n").alias("n_days_in_window"),
+        F.when((F.col("n") >= 2) & (den != 0),
+               num.cast("double") / den.cast("double"))
+        .alias("slope_per_day"))
+        .orderBy("d"))

@@ -807,3 +807,41 @@ def test_fixed_width_parse_is_codegen_not_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FileScan text" in plan
+
+
+def test_ppm_decode_payloads_stay_executor_local(spark):
+    plan = _plan(spark, "multimodal_image_ppm_decode")
+    # The repartition moves doc_ids BEFORE blob synthesis; no exchange
+    # may carry the payload column.
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("payload" not in l for l in exchanges), exchanges
+
+
+def test_range_search_is_one_aggregate_no_window(spark):
+    plan = _plan(spark, "vector_range_search")
+    # Radius counting is COUNT_IF inside one aggregate over the
+    # broadcast-query scan — no per-neighbor window, no sort.
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 8-row query batch
+
+
+def test_hll_setop_runs_on_sketches_not_user_joins(spark):
+    plan = _plan(spark, "hll_setop_contract")
+    # The union estimate must come from hll_union_agg over 2 sketch
+    # rows — no join keyed on user_id anywhere.
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert not any("user_id" in l for l in joins), joins
+    assert "hll_union_agg" in plan or "hllunionagg" in plan.lower()
+
+
+def test_rolling_slope_moments_share_one_walk(spark):
+    plan = _plan(spark, "rolling_ols_slope_7d")
+    # Catalyst splits the product-moment windows into a stack of
+    # Window nodes (projecting x*y between them), but they must all
+    # ride ONE ordered walk: a single sort on x, and the only
+    # single-partition exchanges are the walk + the 1-row min-date.
+    import re
+    walk_sorts = re.findall(r"Sort \[x#\d+L ASC", plan)
+    assert len(walk_sorts) == 1, walk_sorts
+    assert plan.count("Exchange SinglePartition") <= 2
+    assert "CartesianProduct" not in plan
