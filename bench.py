@@ -117,6 +117,8 @@ HEADLINE = [
     "jaccard_threshold_sweep",      # shared-candidate threshold curve
     "multimodal_image_ppm_decode",  # real P6 image decode kernel
     "rolling_ols_slope_7d",         # shared-walk windowed regression
+    "cep_purchase_error_absence",   # absence CEP via following-frame min
+    "attribution_position_based",   # U-shaped multi-touch credits
 ]
 
 

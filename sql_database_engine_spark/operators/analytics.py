@@ -2356,3 +2356,78 @@ def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("1000000 * sum(part_cents) div max(total_cents)")
                  .alias("share_micros"))
             .orderBy("abc_class"))
+
+
+@query(
+    "bitpacked_flags_audit",
+    oracle="""
+    WITH line_stats AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS any_returned
+        FROM lineitem GROUP BY l_orderkey
+    ), flags AS (
+        SELECT (CASE WHEN o.o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END)
+               | (CASE WHEN o.o_totalprice > 150000
+                       THEN 2 ELSE 0 END)
+               | (CASE WHEN ls.n_lines > 4 THEN 4 ELSE 0 END)
+               | (CASE WHEN ls.any_returned = 1 THEN 8 ELSE 0 END)
+                   AS flag_mask
+        FROM orders o JOIN line_stats ls
+          ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(flag_mask AS BIGINT) AS flag_mask,
+           CAST(bit_count(CAST(flag_mask AS BIGINT)) AS BIGINT)
+               AS n_flags_set,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM flags
+    GROUP BY flag_mask
+    ORDER BY flag_mask
+    """,
+)
+def bitpacked_flags_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-packed boolean flag encoding + combination census — the
+    warehouse idiom that stores N boolean attributes in ONE integer
+    column (urgent|high-value|multi-line|any-returned here): the
+    flag mask is pure scan-level bit arithmetic (CASE·2ᵏ OR-folded),
+    and the census over 2⁴ possible masks answers every conjunction
+    query ("urgent AND returned" = masks with bits 0+3 set) from a
+    16-row summary instead of a fact rescan. bit_count grades
+    flag co-occurrence density.
+
+    At 100 TB this is the segmentation-cube pattern: one orders ⋈
+    per-order line aggregate (the only shuffles, both on the join
+    key), one 16-row rollup; adding a flag is a new bit, not a new
+    column or pass. Both engines share the identical |, <<-free
+    literal-weight arithmetic and bit_count.
+    """
+    cat = Catalog(spark, sf_dir)
+    line_stats = (cat.lineitem
+                  .groupBy("l_orderkey")
+                  .agg(F.count(F.lit(1)).alias("n_lines"),
+                       F.max((F.col("l_returnflag") == "R")
+                             .cast("long")).alias("any_returned")))
+    flags = (cat.orders
+             .join(line_stats,
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(
+                 (F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                  .otherwise(0)
+                  .bitwiseOR(
+                      F.when(F.col("o_totalprice") > 150000, 2)
+                      .otherwise(0))
+                  .bitwiseOR(
+                      F.when(F.col("n_lines") > 4, 4).otherwise(0))
+                  .bitwiseOR(
+                      F.when(F.col("any_returned") == 1, 8)
+                      .otherwise(0)))
+                 .cast("long").alias("flag_mask")))
+    return (flags.groupBy("flag_mask")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .select("flag_mask",
+                    F.bit_count("flag_mask").cast("long")
+                    .alias("n_flags_set"),
+                    "n_orders")
+            .orderBy("flag_mask"))

@@ -755,3 +755,71 @@ def cep_click_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                            & ok_click & no_error)
             .select("user_id", F.col("event_id").alias("purchase_id"),
                     F.col("ts").alias("purchase_ts")))
+
+
+@query(
+    "cep_purchase_error_absence",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               event_id,
+               MIN(CASE WHEN event_type = 'error'
+                        THEN CAST(ts AS TIMESTAMP) END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id
+                         ROWS BETWEEN 1 FOLLOWING
+                         AND UNBOUNDED FOLLOWING) AS next_error_ts
+        FROM events
+    ), purchases AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN next_error_ts IS NOT NULL
+                         AND next_error_ts <= ts + INTERVAL 1 HOUR
+                    THEN 1 ELSE 0 END AS followed_by_error
+        FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(followed_by_error) AS BIGINT) AS n_error_within_1h,
+           CAST(COUNT(*) - SUM(followed_by_error) AS BIGINT) AS n_clean
+    FROM purchases
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def cep_purchase_error_absence(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ABSENCE pattern detection — the CEP shape
+    ``cep_click_purchase_no_error`` doesn't cover: instead of
+    matching a sequence that happened, flag whether a FOLLOWING event
+    fails to happen in a horizon (purchase NOT followed by an error
+    within 1 hour = clean checkout; the complement is the incident
+    signal an alerting pipeline pages on). Negation-over-time is the
+    classically awkward CEP primitive — a join formulation needs a
+    NOT EXISTS per event — but as a window it is one conditional MIN
+    over the strictly-following frame: the earliest future error per
+    user, compared against the horizon at scan level.
+
+    One keyed exchange (user_id), O(1) frame state (Spark keeps the
+    running conditional min, not the row buffer), then a per-day
+    rollup. The event_id tiebreak pins same-microsecond ordering on
+    both engines.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(1, W.unboundedFollowing))
+    seq = ev.select(
+        "user_id", "event_type", "ts",
+        F.min(F.when(F.col("event_type") == "error", F.col("ts")))
+        .over(w).alias("next_error_ts"))
+    purchases = (seq.filter(F.col("event_type") == "purchase")
+                 .select(F.to_date("ts").alias("day"),
+                         (F.col("next_error_ts").isNotNull()
+                          & (F.col("next_error_ts")
+                             <= F.col("ts") + F.expr("INTERVAL 1 HOUR")))
+                         .cast("long").alias("followed_by_error")))
+    return (purchases.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("followed_by_error").alias("n_error_within_1h"),
+                 (F.count(F.lit(1)) - F.sum("followed_by_error"))
+                 .alias("n_clean"))
+            .orderBy("day"))

@@ -1822,3 +1822,94 @@ def weekday_seasonality_index(spark: SparkSession,
                " div (total_units div total_days)")
         .alias("index_micros"))
         .orderBy("weekday"))
+
+
+@query(
+    "attribution_position_based",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id,
+               CAST(ts AS TIMESTAMP) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_type, event_id,
+               CAST(ts AS TIMESTAMP) AS tts
+        FROM events WHERE event_type <> 'purchase'
+    ), credits AS (
+        SELECT p.purchase_id, t.event_type, t.tts, t.event_id
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
+    ), ranked AS (
+        SELECT purchase_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                  ORDER BY tts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY purchase_id) AS n
+        FROM credits
+    ), weighted AS (
+        SELECT purchase_id, event_type,
+               CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN rn = 1 OR rn = n THEN 400000
+                    ELSE 200000 // (n - 2)
+                         + CASE WHEN rn = 2 THEN 200000 % (n - 2)
+                                ELSE 0 END
+               END AS w_micros
+        FROM ranked
+    )
+    SELECT event_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(CAST(SUM(w_micros) AS BIGINT) AS BIGINT)
+               AS total_weight_micros
+    FROM weighted
+    GROUP BY event_type
+    ORDER BY touch_type
+    """,
+)
+def attribution_position_based(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped) multi-touch attribution — the
+    multi-credit sibling of ``attribution_last_touch``: each
+    purchase's credit splits 40% to the first touch in the 7-day
+    lookback, 40% to the last, and the middle 20% equally across
+    interior touches, every weight an exact integer in micros (the
+    equal-split floor remainder goes to the earliest middle touch, so
+    per-purchase weights sum to exactly 10⁶ — the proration
+    discipline). n = 1 → 100%, n = 2 → 50/50 by declared convention.
+
+    Unlike last-touch (a pure window carry), multi-touch inherently
+    materializes (purchase × qualifying touch) rows; the join is
+    user-keyed equi + time predicate, so per-user work is bounded by
+    that user's touch×purchase density, never cross-user (hot users
+    get the standard salting remedy). Both windows ride one
+    purchase-keyed exchange.
+    """
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("pts")))
+    t = (ev.filter(F.col("event_type") != "purchase")
+         .select(F.col("user_id").alias("t_user"), "event_type",
+                 "event_id", F.col("ts").alias("tts")))
+    credits = p.join(
+        t, (F.col("t_user") == F.col("user_id"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")))
+    wp = W.partitionBy("purchase_id")
+    ranked = (credits
+              .withColumn("rn", F.row_number().over(
+                  wp.orderBy("tts", "event_id")))
+              .withColumn("n", F.count(F.lit(1)).over(wp)))
+    w_micros = (
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 400000)
+        .otherwise(F.expr("200000 div (n - 2)")
+                   + F.when(F.col("rn") == 2,
+                            F.expr("200000 % (n - 2)")).otherwise(0)))
+    return (ranked.withColumn("w_micros", w_micros)
+            .groupBy(F.col("event_type").alias("touch_type"))
+            .agg(F.count(F.lit(1)).alias("n_credits"),
+                 F.sum("w_micros").alias("total_weight_micros"))
+            .orderBy("touch_type"))

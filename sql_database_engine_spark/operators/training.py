@@ -1516,3 +1516,94 @@ def generalize_to_k_anonymity(spark: SparkSession,
             .unionByName(level(2, ["lang", "source"]))
             .unionByName(level(3, ["lang"]))
             .orderBy("level"))
+
+
+@query(
+    "span_corruption_transform",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+        WHERE doc_id % 37 = 0 AND len(string_split(text, ' ')) >= 12
+    ), cuts AS (
+        SELECT doc_id, toks, n,
+               2 + (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    ::INTEGER % (n // 2 - 5)) AS p1,
+               n // 2 + 1
+               + (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+                  ::INTEGER % (n - n // 2 - 3)) AS p2
+        FROM base
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(p1 AS BIGINT) AS span1_start,
+           CAST(p2 AS BIGINT) AS span2_start,
+           array_to_string(list_slice(toks, 1, p1 - 1), ' ')
+             || ' <X> '
+             || array_to_string(list_slice(toks, p1 + 3, p2 - 1), ' ')
+             || ' <Y> '
+             || array_to_string(list_slice(toks, p2 + 3, n), ' ')
+               AS corrupted_input,
+           '<X> ' || array_to_string(list_slice(toks, p1, p1 + 2), ' ')
+             || ' <Y> '
+             || array_to_string(list_slice(toks, p2, p2 + 2), ' ')
+             || ' <Z>' AS target
+    FROM cuts
+    ORDER BY doc_id
+    """,
+)
+def span_corruption_transform(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """T5-style SPAN CORRUPTION — the denoising objective's data
+    transform, beside ``fim_transform_sample``'s PSM split: two
+    3-token spans are cut at md5-derived positions (span 1 strictly
+    inside the first half, span 2 in the second, so spans never
+    overlap and never touch the document edges — every emitted slice
+    is non-empty, which also sidesteps DuckDB's NULL-on-empty
+    list_slice),
+    the input keeps sentinels <X>/<Y> where the spans were, and the
+    target is the sentinel-delimited span sequence. Deterministic by
+    construction — no RNG state, the cut positions are a pure
+    function of doc_id, so re-runs, backfills, and both engines
+    produce byte-identical training pairs (the oracle hash-checks
+    the STRINGS, not just counts).
+
+    Pure codegen array ops (split → slice → join); one scan, no
+    shuffle before the deterministic %37 sampling filter, which
+    applies at the scan. Docs under 12 tokens are excluded by the
+    same predicate in both engines.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split(F.col("text"), " ")
+    base = (d.filter((F.col("doc_id") % 37 == 0)
+                     & (F.size(F.split(F.col("text"), " ")) >= 12))
+            .select("doc_id", toks.alias("toks"),
+                    F.size(toks).alias("n")))
+    h1 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                            1, 4), 16, 10).cast("int")
+    h2 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                            5, 4), 16, 10).cast("int")
+    cuts = (base
+            .withColumn("p1", F.lit(2) + h1 % (F.expr("n div 2") - 5))
+            .withColumn("p2", F.expr("n div 2") + F.lit(1)
+                        + h2 % (F.col("n") - F.expr("n div 2") - 3)))
+
+    def join_slice(start, length):
+        return F.array_join(F.slice(F.col("toks"), start, length), " ")
+
+    corrupted = F.concat(
+        join_slice(F.lit(1), F.col("p1") - 1), F.lit(" <X> "),
+        join_slice(F.col("p1") + 3, F.col("p2") - F.col("p1") - 3),
+        F.lit(" <Y> "),
+        join_slice(F.col("p2") + 3, F.col("n") - F.col("p2") - 2))
+    target = F.concat(
+        F.lit("<X> "), join_slice(F.col("p1"), F.lit(3)),
+        F.lit(" <Y> "), join_slice(F.col("p2"), F.lit(3)),
+        F.lit(" <Z>"))
+    return (cuts.select(
+        "doc_id", F.col("n").cast("long").alias("n_tokens"),
+        F.col("p1").cast("long").alias("span1_start"),
+        F.col("p2").cast("long").alias("span2_start"),
+        corrupted.alias("corrupted_input"),
+        target.alias("target"))
+        .orderBy("doc_id"))

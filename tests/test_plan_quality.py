@@ -845,3 +845,39 @@ def test_rolling_slope_moments_share_one_walk(spark):
     assert len(walk_sorts) == 1, walk_sorts
     assert plan.count("Exchange SinglePartition") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_absence_cep_is_window_not_not_exists_join(spark):
+    plan = _plan(spark, "cep_purchase_error_absence")
+    # Negation-over-time must be the conditional-min window, not a
+    # per-purchase NOT EXISTS join.
+    assert "Window" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_position_attribution_joins_on_user_key(spark):
+    plan = _plan(spark, "attribution_position_based")
+    # The purchase x touch join must carry the user_id equi-key (the
+    # time predicate rides as a post-join filter), never a pure theta
+    # join.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_corruption_is_codegen_scan(spark):
+    plan = _plan(spark, "span_corruption_transform")
+    # Pure array expressions: no Python, no shuffle before the
+    # deterministic sample filter (one scan + final sort only).
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_flag_mask_is_scan_level_bit_arithmetic(spark):
+    plan = _plan(spark, "bitpacked_flags_audit")
+    # One orders scan + one lineitem scan; the mask is computed in
+    # the projection, the census groups on it directly.
+    assert plan.count("FileScan parquet") == 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
