@@ -119,6 +119,8 @@ HEADLINE = [
     "rolling_ols_slope_7d",         # shared-walk windowed regression
     "cep_purchase_error_absence",   # absence CEP via following-frame min
     "attribution_position_based",   # U-shaped multi-touch credits
+    "grid_proximity_join",          # spatial grid-binned neighbor join
+    "token_cooccurrence_lift",      # head-vocab collocation mining
 ]
 
 

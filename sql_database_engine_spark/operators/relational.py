@@ -901,3 +901,94 @@ def fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n_name").alias("last_name"),
                  F.sum("n_nationkey").alias("key_sum"))
             .orderBy("n_regionkey"))
+
+
+@query(
+    "grid_proximity_join",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+                   ::BIGINT % 1000 AS x,
+               ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+                   ::BIGINT % 1000 AS y
+        FROM customer
+    ), cells AS (
+        SELECT id, x, y, x // 8 AS cx, y // 8 AS cy FROM pts
+    ), offs AS (
+        SELECT dx.d AS dx, dy.d AS dy
+        FROM (SELECT unnest([-1, 0, 1]) AS d) dx,
+             (SELECT unnest([-1, 0, 1]) AS d) dy
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS cheb
+        FROM cells a
+        CROSS JOIN offs o
+        JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        WHERE a.id < b.id
+          AND ABS(a.x - b.x) <= 8 AND ABS(a.y - b.y) <= 8
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT_IF(cheb <= 2) AS BIGINT) AS n_within_2,
+           CAST(COUNT_IF(cheb BETWEEN 3 AND 5) AS BIGINT) AS n_3_to_5,
+           CAST(COUNT_IF(cheb BETWEEN 6 AND 8) AS BIGINT) AS n_6_to_8,
+           CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_left_points
+    FROM pairs
+    """,
+)
+def grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL proximity join by grid binning — the scale pattern
+    behind every geo/embedding-space neighbor query: bucket points
+    into fixed cells sized to the search radius, probe only the 3×3
+    neighbor cells, verify the exact distance on candidates. Never
+    all-pairs: candidate count is density-bounded per cell, and the
+    join is a pure EQUI-join on (cell_x + dx, cell_y + dy) — the
+    9-offset explode turns the spatial predicate into hash-join keys
+    (the same decomposition ``events_interval_join_binned`` uses for
+    time). Each qualifying pair is found exactly once (the probed
+    point's cell is unique), so no distinct is needed.
+
+    Points are md5-derived synthetic coordinates on a 1000×1000 grid
+    (engine-independent, SF-scaling density); distance is Chebyshev
+    (exact integers — Euclidean would need no sqrt either, comparing
+    squared sums, but the banded histogram here stays pure-integer).
+    Output is the one-row pair census with distance bands.
+    """
+    c = Catalog(spark, sf_dir).customer
+    hex6 = lambda s, p: F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), p, 6),
+        16, 10).cast("long")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (hex6("c_custkey", 1) % 1000).alias("x"),
+        (hex6("c_custkey", 7) % 1000).alias("y"))
+    cells = (pts.withColumn("cx", F.expr("x div 8"))
+             .withColumn("cy", F.expr("y div 8"))
+             .localCheckpoint(eager=False))
+    offs = (spark.range(0, 9)
+            .select((F.col("id") % 3 - 1).alias("dx"),
+                    (F.col("id") / 3).cast("long").alias("dy"))
+            .select("dx", (F.col("dy") - 1).alias("dy")))
+    a = cells.select(F.col("id").alias("id_a"), F.col("x").alias("xa"),
+                     F.col("y").alias("ya"),
+                     F.col("cx").alias("cxa"), F.col("cy").alias("cya"))
+    b = cells.select(F.col("id").alias("id_b"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"),
+                     F.col("cx").alias("cxb"), F.col("cy").alias("cyb"))
+    pairs = (a.crossJoin(F.broadcast(offs))
+             .withColumn("cxb", F.col("cxa") + F.col("dx"))
+             .withColumn("cyb", F.col("cya") + F.col("dy"))
+             .join(b, ["cxb", "cyb"])
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & (F.abs(F.col("xa") - F.col("xb")) <= 8)
+                     & (F.abs(F.col("ya") - F.col("yb")) <= 8))
+             .select("id_a",
+                     F.greatest(F.abs(F.col("xa") - F.col("xb")),
+                                F.abs(F.col("ya") - F.col("yb")))
+                     .alias("cheb")))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("cheb") <= 2).cast("long")).alias("n_within_2"),
+        F.sum(F.col("cheb").between(3, 5).cast("long")).alias("n_3_to_5"),
+        F.sum(F.col("cheb").between(6, 8).cast("long")).alias("n_6_to_8"),
+        F.countDistinct("id_a").alias("n_left_points"))

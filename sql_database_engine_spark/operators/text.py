@@ -2671,3 +2671,82 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("count(1) div 2").alias("n_pairs"),
                  F.countDistinct("doc").alias("n_docs_involved"))
             .orderBy("threshold_micros"))
+
+
+@query(
+    "token_cooccurrence_lift",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs_tok
+        FROM tok GROUP BY tok
+        ORDER BY n_docs_tok DESC, tok LIMIT 50
+    ), nd AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok
+    ), pres AS (
+        SELECT t.doc_id, t.tok, v.n_docs_tok
+        FROM tok t JOIN vocab v USING (tok)
+    ), pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair,
+               any_value(a.n_docs_tok) AS n_a,
+               any_value(b.n_docs_tok) AS n_b
+        FROM pres a JOIN pres b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, n_pair, n_a, n_b,
+           CAST(1000000 * n_pair * nd.n_docs // (n_a * n_b) AS BIGINT)
+               AS lift_micros
+    FROM pairs CROSS JOIN nd
+    ORDER BY lift_micros DESC, tok_a, tok_b
+    LIMIT 15
+    """,
+)
+def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence LIFT over the head vocabulary — the
+    collocation detector (PMI's rational twin: lift = P(a,b) /
+    (P(a)·P(b)) as the exact integer ratio n_pair·N div (n_a·n_b),
+    no log, so it hash-verifies): which of the top-50 tokens appear
+    in the same documents far more often than independence predicts?
+    The text-side sibling of ``basket_brand_pair_lift``.
+
+    Scale discipline: pairing the FULL vocabulary is |V|² death, so
+    the candidate space is cut to the top-50 head tokens FIRST (one
+    vocabulary aggregate, a 50-row broadcast), and the pair join
+    runs on the presence relation filtered to that head — per-doc
+    fan-out is at most C(50,2) regardless of document length or
+    corpus size. Document-level presence (DISTINCT doc, tok) keeps
+    multiplicity out of the probability estimates. Top-15 via
+    TakeOrdered.
+    """
+    d = Catalog(spark, sf_dir).documents
+    tok = (d.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("tok"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    vocab = (tok.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("n_docs_tok"))
+             .orderBy(F.col("n_docs_tok").desc(), "tok").limit(50))
+    nd = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    pres = tok.join(F.broadcast(vocab), "tok")
+    a = pres.select("doc_id", F.col("tok").alias("tok_a"),
+                    F.col("n_docs_tok").alias("n_a"))
+    b = pres.select(F.col("doc_id").alias("doc_b"),
+                    F.col("tok").alias("tok_b"),
+                    F.col("n_docs_tok").alias("n_b"))
+    pairs = (a.join(b, (F.col("doc_id") == F.col("doc_b"))
+                    & (F.col("tok_a") < F.col("tok_b")))
+             .groupBy("tok_a", "tok_b")
+             .agg(F.count(F.lit(1)).alias("n_pair"),
+                  F.first("n_a").alias("n_a"),
+                  F.first("n_b").alias("n_b")))
+    return (pairs.crossJoin(F.broadcast(nd))
+            .select("tok_a", "tok_b", "n_pair", "n_a", "n_b",
+                    F.expr("1000000 * n_pair * n_docs div (n_a * n_b)")
+                    .alias("lift_micros"))
+            .orderBy(F.col("lift_micros").desc(), "tok_a", "tok_b")
+            .limit(15))

@@ -1913,3 +1913,73 @@ def attribution_position_based(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_credits"),
                  F.sum("w_micros").alias("total_weight_micros"))
             .orderBy("touch_type"))
+
+
+@query(
+    "value_quintile_mobility",
+    oracle="""
+    WITH halves AS (
+        SELECT user_id,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 1 ELSE 2 END AS half,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), per_user AS (
+        SELECT half, user_id,
+               CAST(CAST(SUM(cents) AS BIGINT) AS BIGINT) AS total_cents
+        FROM halves GROUP BY half, user_id
+    ), ranked AS (
+        SELECT half, user_id,
+               NTILE(5) OVER (PARTITION BY half
+                              ORDER BY total_cents, user_id) AS quintile
+        FROM per_user
+    )
+    SELECT a.quintile AS q_first_half, b.quintile AS q_second_half,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ranked a JOIN ranked b
+      ON a.user_id = b.user_id AND a.half = 1 AND b.half = 2
+    GROUP BY a.quintile, b.quintile
+    ORDER BY q_first_half, q_second_half
+    """,
+)
+def value_quintile_mobility(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Quintile MOBILITY matrix — the rank-persistence analysis
+    behind "do our whales stay whales?": users are quintiled by total
+    event value in each half of the month, and the 5×5 transition
+    counts show how much rank movement the second half saw (a heavy
+    diagonal = sticky value tiers; uniform rows = value rank is
+    noise). The user_id ntile tie-break makes equal-value boundary
+    assignments deterministic on both engines.
+
+    One events aggregate to (half, user) totals, an ntile per half
+    (two ordered walks over the USER relation — the bounded-key
+    envelope; a production run quintiles by pre-aggregated
+    percentile cutpoints instead, composing without changing the
+    matrix), one self-join on user_id, a 25-row rollup.
+    """
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).events
+    halves = (e.filter(F.col("value").isNotNull())
+              .select("user_id",
+                      F.when(F.to_date("ts") < F.lit("2024-01-16")
+                             .cast("date"), 1).otherwise(2).alias("half"),
+                      F.round(F.col("value") * 100).cast("long")
+                      .alias("cents")))
+    per_user = halves.groupBy("half", "user_id").agg(
+        F.sum("cents").alias("total_cents"))
+    ranked = per_user.select(
+        "half", "user_id",
+        F.ntile(5).over(W.partitionBy("half")
+                        .orderBy("total_cents", "user_id"))
+        .alias("quintile"))
+    a = (ranked.filter(F.col("half") == 1)
+         .select("user_id", F.col("quintile").alias("q_first_half")))
+    b = (ranked.filter(F.col("half") == 2)
+         .select(F.col("user_id").alias("uid_b"),
+                 F.col("quintile").alias("q_second_half")))
+    return (a.join(b, F.col("user_id") == F.col("uid_b"))
+            .groupBy("q_first_half", "q_second_half")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("q_first_half", "q_second_half"))

@@ -881,3 +881,32 @@ def test_flag_mask_is_scan_level_bit_arithmetic(spark):
     assert plan.count("FileScan parquet") == 2
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grid_join_is_equi_on_cell_keys(spark):
+    plan = _plan(spark, "grid_proximity_join")
+    # The spatial predicate must become hash-join keys (cxb, cyb) —
+    # the only nested loop is the 9-row offset broadcast; no
+    # point-x-point cartesian.
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_cooccurrence_pairs_bounded_by_head_vocab(spark):
+    plan = _plan(spark, "token_cooccurrence_lift")
+    # The pair join must run on the head-filtered presence relation:
+    # the 50-row vocabulary joins by broadcast BEFORE pairing, and
+    # top-15 is TakeOrdered, never a global sort.
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_mobility_ntile_runs_on_user_aggregate(spark):
+    plan = _plan(spark, "value_quintile_mobility")
+    # ntile consumes the (half, user) aggregate, not raw events.
+    walk = plan[:plan.index("Window")]
+    assert "HashAggregate" in walk or "SortAggregate" in walk
+    assert "CartesianProduct" not in plan
