@@ -121,6 +121,8 @@ HEADLINE = [
     "attribution_position_based",   # U-shaped multi-touch credits
     "grid_proximity_join",          # spatial grid-binned neighbor join
     "token_cooccurrence_lift",      # head-vocab collocation mining
+    "seasonal_decomposition_additive",  # STL-lite trend/seasonal/residual
+    "kfold_auc_eval",               # per-fold exact midrank AUC
 ]
 
 

@@ -823,3 +823,94 @@ def cep_purchase_error_absence(spark: SparkSession,
                  (F.count(F.lit(1)) - F.sum("followed_by_error"))
                  .alias("n_clean"))
             .orderBy("day"))
+
+
+@query(
+    "robust_scale_features",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ), thr AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = CAST(FLOOR(0.25 * (n - 1)) AS BIGINT)
+                             + 1 THEN x END) AS q1,
+               MIN(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT)
+                             + 1 THEN x END) AS med,
+               MIN(CASE WHEN rn = CAST(FLOOR(0.75 * (n - 1)) AS BIGINT)
+                             + 1 THEN x END) AS q3
+        FROM r GROUP BY event_type
+    ), scaled AS (
+        SELECT c.event_type, t.med, t.q3 - t.q1 AS iqr,
+               ((c.x - t.med) * 1000000
+                + 1000000000 * (t.q3 - t.q1)) // (t.q3 - t.q1)
+               - 1000000000 AS z_robust_micros
+        FROM c JOIN thr t USING (event_type)
+        WHERE t.q3 > t.q1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(any_value(med) AS BIGINT) AS median_cents,
+           CAST(any_value(iqr) AS BIGINT) AS iqr_cents,
+           CAST(MIN(z_robust_micros) AS BIGINT) AS min_scaled_micros,
+           CAST(MAX(z_robust_micros) AS BIGINT) AS max_scaled_micros,
+           CAST(COUNT_IF(ABS(z_robust_micros) > 3000000) AS BIGINT)
+               AS n_robust_outliers
+    FROM scaled
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def robust_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling — (x − median) / IQR, the scaler that
+    shrugs off the outliers a z-score would let poison μ and σ
+    (sklearn's RobustScaler, as a query). Completes the engine's
+    scaling trio: min-max (``score_calibration_bins``'s lane),
+    z-score (``zscore_event_values``), robust. Quartiles are
+    nearest-rank exact picks (the ``winsorize_event_values``
+    discipline); the scaled value is integer micros via the
+    +K·IQR offset trick, because (x − median) goes negative where
+    Spark's div truncates and DuckDB's // floors. Per-type summary:
+    scaled range and the |z_robust| > 3 outlier census (the robust
+    fence that MAD-based fences approximate).
+
+    One keyed rank window, a per-type threshold aggregate broadcast
+    back, one scan-level scaling expression, one rollup.
+    """
+    ev = Catalog(spark, sf_dir).events
+    c = (ev.filter(F.col("value").isNotNull())
+         .select("event_type", "event_id",
+                 F.round(F.col("value") * 100).cast("long").alias("x")))
+    w = W.partitionBy("event_type")
+    r = c.select(
+        "event_type", "x",
+        F.row_number().over(w.orderBy("x", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"))
+    k = lambda p: F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1
+    thr = r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == k(0.25), F.col("x"))).alias("q1"),
+        F.min(F.when(F.col("rn") == k(0.5), F.col("x"))).alias("med"),
+        F.min(F.when(F.col("rn") == k(0.75), F.col("x"))).alias("q3"))
+    scaled = (c.join(F.broadcast(thr), "event_type")
+              .filter(F.col("q3") > F.col("q1"))
+              .withColumn("iqr", F.col("q3") - F.col("q1"))
+              .withColumn(
+                  "z_robust_micros",
+                  F.expr("((x - med) * 1000000 + 1000000000 * iqr)"
+                         " div iqr - 1000000000")))
+    return (scaled.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.first("med").alias("median_cents"),
+                 F.first("iqr").alias("iqr_cents"),
+                 F.min("z_robust_micros").alias("min_scaled_micros"),
+                 F.max("z_robust_micros").alias("max_scaled_micros"),
+                 F.sum((F.abs(F.col("z_robust_micros")) > 3000000)
+                       .cast("long")).alias("n_robust_outliers"))
+            .orderBy("event_type"))

@@ -1983,3 +1983,96 @@ def value_quintile_mobility(spark: SparkSession,
             .groupBy("q_first_half", "q_second_half")
             .agg(F.count(F.lit(1)).alias("n_users"))
             .orderBy("q_first_half", "q_second_half"))
+
+
+@query(
+    "seasonal_decomposition_additive",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ), mn AS (SELECT min(d) AS d0 FROM daily),
+    idx AS (
+        SELECT d, CAST(date_diff('day', d0, d) AS BIGINT) AS x,
+               CAST(isodow(d) AS BIGINT) AS weekday, y
+        FROM daily CROSS JOIN mn
+    ), trended AS (
+        SELECT d, x, weekday, y,
+               (CAST(SUM(y) OVER fr AS BIGINT)
+                + CAST(COUNT(*) OVER fr AS BIGINT) * 1000000000)
+               // CAST(COUNT(*) OVER fr AS BIGINT) - 1000000000
+                   AS trend
+        FROM idx
+        WINDOW fr AS (ORDER BY x RANGE BETWEEN 3 PRECEDING
+                      AND 3 FOLLOWING)
+    ), seasonal AS (
+        SELECT weekday,
+               (CAST(SUM(y - trend) AS BIGINT)
+                + CAST(COUNT(*) AS BIGINT) * 1000000000)
+               // CAST(COUNT(*) AS BIGINT) - 1000000000 AS s_w
+        FROM trended GROUP BY weekday
+    )
+    SELECT t.d, t.y, CAST(t.trend AS BIGINT) AS trend,
+           CAST(s.s_w AS BIGINT) AS seasonal,
+           CAST(t.y - t.trend - s.s_w AS BIGINT) AS residual
+    FROM trended t JOIN seasonal s USING (weekday)
+    ORDER BY t.d
+    """,
+)
+def seasonal_decomposition_additive(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite): daily revenue =
+    trend + weekly seasonal + residual, the forecasting
+    preprocessor. Trend is a centered 7-day moving average (RANGE
+    frame on the day index, so edges average what exists); the
+    seasonal component is the mean detrended value per weekday; the
+    residual is what's left — the series anomaly detectors should
+    actually run on.
+
+    Every mean is a FLOOR-DIV with the +K·n offset trick
+    ((Σ + n·10⁹) div n − 10⁹), because detrended values go negative
+    and Spark's div truncates toward zero while DuckDB's // floors —
+    the offset moves the numerator positive where the two agree, a
+    declared 1-unit quantization far below the signal. One orders
+    aggregate, one centered walk, a 7-row seasonal aggregate
+    broadcast back onto the daily relation.
+    """
+    from pyspark.sql import Window as W
+
+    o = Catalog(spark, sf_dir).orders
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
+                  .alias("y")))
+    mn = daily.agg(F.min("d").alias("d0"))
+    idx = (daily.crossJoin(F.broadcast(mn))
+           .select("d", F.datediff(F.col("d"), F.col("d0")).cast("long")
+                   .alias("x"),
+                   (F.weekday("d") + 1).cast("long").alias("weekday"),
+                   "y"))
+    fr = W.orderBy("x").rangeBetween(-3, 3)
+    trended = (idx
+               .withColumn("w_sum", F.sum("y").over(fr))
+               .withColumn("w_n", F.count(F.lit(1)).over(fr))
+               .withColumn("trend",
+                           F.expr("(w_sum + w_n * 1000000000) div w_n"
+                                  " - 1000000000"))
+               .drop("w_sum", "w_n")
+               # Both the seasonal aggregate and the final join read
+               # this relation: checkpoint lazily so the centered
+               # walk runs once (the MMR-rescan lesson).
+               .localCheckpoint(eager=False))
+    seasonal = (trended
+                .groupBy("weekday")
+                .agg(F.sum(F.col("y") - F.col("trend")).alias("sd"),
+                     F.count(F.lit(1)).alias("n"))
+                .select("weekday",
+                        F.expr("(sd + n * 1000000000) div n"
+                               " - 1000000000").alias("s_w")))
+    return (trended.join(F.broadcast(seasonal), "weekday")
+            .select("d", "y", F.col("trend").cast("long").alias("trend"),
+                    F.col("s_w").cast("long").alias("seasonal"),
+                    (F.col("y") - F.col("trend") - F.col("s_w"))
+                    .cast("long").alias("residual"))
+            .orderBy("d"))

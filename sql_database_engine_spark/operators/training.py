@@ -1607,3 +1607,77 @@ def span_corruption_transform(spark: SparkSession,
         corrupted.alias("corrupted_input"),
         target.alias("target"))
         .orderBy("doc_id"))
+
+
+@query(
+    "kfold_auc_eval",
+    oracle=f"""
+    WITH s AS (
+        SELECT ({_BUCKET_SQL} % 5) AS fold, n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+        FROM documents WHERE n_chars IS NOT NULL
+    ), pv AS (
+        SELECT fold, score, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(is_pos) AS BIGINT) AS k1
+        FROM s GROUP BY fold, score
+    ), r AS (
+        SELECT fold, score, k, k1,
+               SUM(k) OVER (PARTITION BY fold ORDER BY score) AS cum,
+               COALESCE(SUM(k) OVER (PARTITION BY fold ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before
+        FROM pv
+    ), agg AS (
+        SELECT fold,
+               CAST(SUM(k1 * (CAST(cum_before AS BIGINT)
+                              + CAST(cum AS BIGINT) + 1)) AS BIGINT)
+                   AS r1_x2,
+               CAST(SUM(k1) AS BIGINT) AS n_pos,
+               CAST(SUM(k - k1) AS BIGINT) AS n_neg
+        FROM r GROUP BY fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_pos, n_neg,
+           CAST((r1_x2 - n_pos * (n_pos + 1)) * 1000000
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_micros
+    FROM agg
+    ORDER BY fold
+    """,
+)
+def kfold_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold metric evaluation — the composition that makes the
+    eval layer USABLE: the hashed 5-fold assignment
+    (``kfold_crossval_assignment``) crossed with the exact midrank
+    AUC (``score_auc_exact``), yielding one AUC per fold so the
+    metric's fold-to-fold spread (the thing cross-validation exists
+    to measure) is itself a query. Same doc_id-pure fold function,
+    same doubled-midrank zero-float lane — the rank walk just gains
+    PARTITION BY fold, turning the single-partition walk into five
+    keyed ones (strictly better parallelism than the global AUC).
+    """
+    from pyspark.sql import Window as W
+
+    d = Catalog(spark, sf_dir).documents
+    hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    fold = ((F.conv(hex4, 16, 10).cast("int") % _BUCKETS) % 5) \
+        .alias("fold")
+    s = (d.filter(F.col("n_chars").isNotNull())
+         .select(fold, F.col("n_chars").alias("score"),
+                 (F.col("lang") == "en").cast("long").alias("is_pos")))
+    pv = s.groupBy("fold", "score").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("is_pos").alias("k1"))
+    w = W.partitionBy("fold").orderBy("score")
+    r = (pv.withColumn("cum", F.sum("k").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+         .withColumn("cum_before", F.coalesce(
+             F.sum("k").over(w.rowsBetween(W.unboundedPreceding, -1)),
+             F.lit(0))))
+    agg = r.groupBy("fold").agg(
+        F.sum(F.col("k1") * (F.col("cum_before") + F.col("cum") + 1))
+        .alias("r1_x2"),
+        F.sum("k1").alias("n_pos"),
+        F.sum(F.col("k") - F.col("k1")).alias("n_neg"))
+    return (agg.select(
+        F.col("fold").cast("long").alias("fold"), "n_pos", "n_neg",
+        F.expr("(r1_x2 - n_pos * (n_pos + 1)) * 1000000"
+               " div (2 * n_pos * n_neg)").alias("auc_micros"))
+        .orderBy("fold"))

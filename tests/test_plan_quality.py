@@ -910,3 +910,32 @@ def test_mobility_ntile_runs_on_user_aggregate(spark):
     walk = plan[:plan.index("Window")]
     assert "HashAggregate" in walk or "SortAggregate" in walk
     assert "CartesianProduct" not in plan
+
+
+def test_kfold_auc_walk_is_fold_keyed(spark):
+    plan = _plan(spark, "kfold_auc_eval")
+    # The rank walk partitions by fold — NO single-partition window
+    # (strictly better parallelism than the global AUC).
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+    assert "hashpartitioning(fold" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_decomposition_one_centered_walk(spark):
+    plan = _plan(spark, "seasonal_decomposition_additive")
+    # The trended relation is lazily checkpointed: both the seasonal
+    # aggregate and the final join read the SAME materialized walk
+    # (two ExistingRDD scans, zero recomputed x-sorts downstream).
+    import re
+    assert len(re.findall(r"Sort \[x#\d+L ASC", plan)) == 0
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robust_scaler_broadcasts_thresholds(spark):
+    plan = _plan(spark, "robust_scale_features")
+    # Quartile thresholds re-join by broadcast; the scaling is a
+    # scan-level expression, no second rank walk.
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
