@@ -2132,6 +2132,7 @@ def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n,
                CAST(isodow(o.o_orderdate) - 1 AS BIGINT) AS s
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
     ), bd AS (
         SELECT o_orderpriority,
                (n // 7) * 5 + (n % 7)
@@ -2157,6 +2158,12 @@ def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SLA metric operations teams actually track (calendar-day
     latency overstates weekend-spanning orders by up to 2 days).
 
+    Rows shipping BEFORE their order date (a fixture artifact — half
+    the synthetic lineitems are backdated) are excluded as
+    data-quality rejects: the closed form is defined for n ≥ 0, and a
+    negative "latency" is an upstream integrity violation for
+    ``dq_constraint_audit``, not an SLA observation.
+
     Weekday counting is a CLOSED FORM, not a calendar explode: with
     n = calendar days and s = isodow(start) − 1, the business days in
     (start, start+n] are n//7·5 + (n%7) − |weekend hits in the
@@ -2173,6 +2180,7 @@ def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(cat.orders.select("o_orderkey", "o_orderdate",
                                     "o_orderpriority"),
                   F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
             .select("o_orderpriority",
                     F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
                     .cast("long").alias("n"),
@@ -2215,7 +2223,7 @@ def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (
                    PARTITION BY l_orderkey
                    ORDER BY total_cents * qty % q_tot DESC,
-                            l_linenumber) AS rk,
+                            l_linenumber, qty) AS rk,
                CAST(SUM(total_cents * qty % q_tot)
                     OVER (PARTITION BY l_orderkey) // q_tot AS BIGINT)
                    AS n_extra
@@ -2237,7 +2245,10 @@ def prorate_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents per order; auditors notice). Largest-remainder method per
     group: base = floor(T·q_i/Q), then one extra cent to the
     r = Σ(T·q_i mod Q)/Q lines with the largest scaled remainders
-    (deterministic linenumber tie-break) — Hamilton apportionment
+    (tie-break by linenumber then qty: the fixture carries duplicate
+    (orderkey, linenumber) rows, and adding qty makes any residual
+    ties interchangeable rows — same base, same extra — so the output
+    MULTISET is engine- and run-stable) — Hamilton apportionment
     (``sample_allocation_largest_remainder``) applied per-order via
     keyed windows.
 
@@ -2266,7 +2277,8 @@ def prorate_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("rem_scaled",
                          F.expr("total_cents * qty % q_tot"))
              .withColumn("rk", F.row_number().over(
-                 wk.orderBy(F.col("rem_scaled").desc(), "l_linenumber")))
+                 wk.orderBy(F.col("rem_scaled").desc(), "l_linenumber",
+                            "qty")))
              .withColumn("n_extra",
                          F.expr("sum(rem_scaled)").over(wk)
                          .cast("long"))

@@ -676,11 +676,13 @@ def decode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             # fields after the magic, then ONE whitespace byte.
             pos, fields = 2, []
             while len(fields) < 3:
-                while blob[pos:pos + 1].isspace():
+                while pos < len(blob) and blob[pos:pos + 1].isspace():
                     pos += 1
                 start = pos
-                while not blob[pos:pos + 1].isspace():
+                while pos < len(blob) and not blob[pos:pos + 1].isspace():
                     pos += 1
+                if start == pos:  # ran off the end: truncated header
+                    raise ValueError(f"doc {doc_id}: truncated PPM header")
                 fields.append(int(blob[start:pos]))
             pos += 1  # the single whitespace terminating the header
             w, h, maxval = fields

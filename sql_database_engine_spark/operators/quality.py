@@ -668,18 +668,25 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT(DISTINCT k) AS BIGINT) AS n_present
         FROM keys GROUP BY k // 100
+    ), all_buckets AS (
+        SELECT unnest(generate_series(b.lo_key // 100, b.hi_key // 100))
+                   AS bucket,
+               b.lo_key, b.hi_key
+        FROM bounds b
     ), audited AS (
-        SELECT p.bucket,
-               GREATEST(p.bucket * 100, b.lo_key) AS lo,
-               LEAST(p.bucket * 100 + 99, b.hi_key) AS hi,
-               LEAST(p.bucket * 100 + 99, b.hi_key)
-               - GREATEST(p.bucket * 100, b.lo_key) + 1 AS expected,
-               p.n_present, p.n_rows,
-               LEAST(p.bucket * 100 + 99, b.hi_key)
-               - GREATEST(p.bucket * 100, b.lo_key) + 1 - p.n_present
-                   AS n_missing,
-               p.n_rows - p.n_present AS n_dup_rows
-        FROM per_bucket p CROSS JOIN bounds b
+        SELECT a.bucket,
+               GREATEST(a.bucket * 100, a.lo_key) AS lo,
+               LEAST(a.bucket * 100 + 99, a.hi_key) AS hi,
+               LEAST(a.bucket * 100 + 99, a.hi_key)
+               - GREATEST(a.bucket * 100, a.lo_key) + 1 AS expected,
+               COALESCE(p.n_present, 0) AS n_present,
+               COALESCE(p.n_rows, 0) AS n_rows,
+               LEAST(a.bucket * 100 + 99, a.hi_key)
+               - GREATEST(a.bucket * 100, a.lo_key) + 1
+               - COALESCE(p.n_present, 0) AS n_missing,
+               COALESCE(p.n_rows, 0) - COALESCE(p.n_present, 0)
+                   AS n_dup_rows
+        FROM all_buckets a LEFT JOIN per_bucket p USING (bucket)
     )
     SELECT bucket, lo, hi, expected, n_present,
            CAST(n_missing AS BIGINT) AS n_missing,
@@ -704,8 +711,9 @@ def surrogate_key_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly partial-aggregable — versus the naive
     lead(key)-over-global-sort plan whose single ordered partition is
     the exact shape the engine's determinism rules exist to avoid.
-    (TPC-H populates ~1/4 of the orderkey space, so the audit
-    flags real gaps at any SF — non-vacuous by construction.)
+Bucket enumeration comes from the key RANGE
+    (a sequence explode over the broadcast bounds), not from present
+    keys, so an entirely-missing bucket is still reported.
     """
     o = Catalog(spark, sf_dir).orders.select(
         F.col("o_orderkey").alias("k"))
@@ -713,7 +721,20 @@ def surrogate_key_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bucket = (o.groupBy(F.expr("k div 100").alias("bucket"))
                   .agg(F.count(F.lit(1)).alias("n_rows"),
                        F.countDistinct("k").alias("n_present")))
-    audited = (per_bucket.crossJoin(F.broadcast(bounds))
+    # Enumerate EVERY bucket in the key range (sequence explode over
+    # the 1-row bounds — keyspace/100-sized metadata), so a bucket
+    # whose keys are ALL missing still gets an audit row; deriving
+    # buckets from present keys alone would make a fully dropped
+    # batch invisible — the audit's headline failure mode.
+    all_buckets = (bounds.select(
+        F.explode(F.sequence(F.expr("lo_key div 100"),
+                             F.expr("hi_key div 100"))).alias("bucket"),
+        "lo_key", "hi_key"))
+    audited = (all_buckets.join(per_bucket, "bucket", "left")
+               .withColumn("n_present",
+                           F.coalesce(F.col("n_present"), F.lit(0)))
+               .withColumn("n_rows",
+                           F.coalesce(F.col("n_rows"), F.lit(0)))
                .withColumn("lo", F.greatest(F.col("bucket") * 100,
                                             F.col("lo_key")))
                .withColumn("hi", F.least(F.col("bucket") * 100 + 99,

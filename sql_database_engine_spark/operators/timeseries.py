@@ -12,6 +12,25 @@ from ..catalog import Catalog
 from . import query
 
 
+#: The daily whole-unit revenue series shared by the trend/ACF/runs/
+#: seasonality family — ONE definition of the rounding policy (whole
+#: units, not cents: keeps 128-bit moment products in range).
+_DAILY_REVENUE_SQL = """daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    )"""
+
+
+def _daily_revenue(cat: Catalog) -> DataFrame:
+    """Spark twin of ``_DAILY_REVENUE_SQL``."""
+    return (cat.orders
+            .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+            .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
+                 .alias("y")))
+
+
 @query(
     "funnel_signup_click_purchase",
     oracle="""
@@ -622,13 +641,8 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "trend_daily_revenue_ols",
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS y
-        FROM orders GROUP BY 1
-    ), mn AS (
+    oracle=f"""
+    WITH {_DAILY_REVENUE_SQL}, mn AS (
         SELECT min(d) AS d0 FROM daily
     ), xy AS (
         SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
@@ -682,10 +696,7 @@ def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     then round the exact integer to the nearest double once, which is
     deterministic by IEEE-754.
     """
-    o = Catalog(spark, sf_dir).orders
-    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
-                  .alias("y")))
+    daily = _daily_revenue(Catalog(spark, sf_dir))
     mn = daily.agg(F.min("d").alias("d0"))
     xy = (daily.crossJoin(F.broadcast(mn))
           .select(F.datediff(F.col("d"), F.col("d0")).cast("long").alias("x"),
@@ -1596,13 +1607,8 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "autocorrelation_daily_revenue",
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS y
-        FROM orders GROUP BY 1
-    ), mn AS (SELECT min(d) AS d0 FROM daily),
+    oracle=f"""
+    WITH {_DAILY_REVENUE_SQL}, mn AS (SELECT min(d) AS d0 FROM daily),
     idx AS (
         SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
         FROM daily CROSS JOIN mn
@@ -1652,10 +1658,7 @@ def autocorrelation_daily_revenue(spark: SparkSession,
     moment aggregates partial map-side. The series relation is
     calendar-bounded, so every post-aggregate step is metadata-sized.
     """
-    o = Catalog(spark, sf_dir).orders
-    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
-                  .alias("y")))
+    daily = _daily_revenue(Catalog(spark, sf_dir))
     mn = daily.agg(F.min("d").alias("d0"))
     idx = (daily.crossJoin(F.broadcast(mn))
            .select(F.datediff(F.col("d"), F.col("d0")).cast("long")
@@ -1691,13 +1694,8 @@ def autocorrelation_daily_revenue(spark: SparkSession,
 
 @query(
     "runs_test_randomness",
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS y
-        FROM orders GROUP BY 1
-    ), deltas AS (
+    oracle=f"""
+    WITH {_DAILY_REVENUE_SQL}, deltas AS (
         SELECT d, y - lag(y) OVER (ORDER BY d) AS dy FROM daily
     ), signs AS (
         SELECT d, CASE WHEN dy > 0 THEN 1 ELSE -1 END AS s
@@ -1736,10 +1734,7 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    o = Catalog(spark, sf_dir).orders
-    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
-                  .alias("y")))
+    daily = _daily_revenue(Catalog(spark, sf_dir))
     w = W.orderBy("d")
     deltas = daily.withColumn("dy", F.col("y") - F.lag("y").over(w))
     signs = (deltas.filter(F.col("dy").isNotNull() & (F.col("dy") != 0))
@@ -1759,13 +1754,8 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "weekday_seasonality_index",
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS y
-        FROM orders GROUP BY 1
-    ), wd AS (
+    oracle=f"""
+    WITH {_DAILY_REVENUE_SQL}, wd AS (
         SELECT CAST(isodow(d) AS BIGINT) AS weekday,
                CAST(COUNT(*) AS BIGINT) AS n_days,
                CAST(CAST(SUM(y) AS BIGINT) AS BIGINT) AS wd_units
@@ -1803,10 +1793,7 @@ def weekday_seasonality_index(spark: SparkSession,
     """
     from pyspark.sql import Window as W
 
-    o = Catalog(spark, sf_dir).orders
-    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
-                  .alias("y")))
+    daily = _daily_revenue(Catalog(spark, sf_dir))
     wd = (daily.groupBy((F.weekday("d") + 1).cast("long")
                         .alias("weekday"))
           .agg(F.count(F.lit(1)).alias("n_days"),
@@ -1987,13 +1974,8 @@ def value_quintile_mobility(spark: SparkSession,
 
 @query(
     "seasonal_decomposition_additive",
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS y
-        FROM orders GROUP BY 1
-    ), mn AS (SELECT min(d) AS d0 FROM daily),
+    oracle=f"""
+    WITH {_DAILY_REVENUE_SQL}, mn AS (SELECT min(d) AS d0 FROM daily),
     idx AS (
         SELECT d, CAST(date_diff('day', d0, d) AS BIGINT) AS x,
                CAST(isodow(d) AS BIGINT) AS weekday, y
@@ -2041,10 +2023,7 @@ def seasonal_decomposition_additive(spark: SparkSession,
     """
     from pyspark.sql import Window as W
 
-    o = Catalog(spark, sf_dir).orders
-    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
-                  .alias("y")))
+    daily = _daily_revenue(Catalog(spark, sf_dir))
     mn = daily.agg(F.min("d").alias("d0"))
     idx = (daily.crossJoin(F.broadcast(mn))
            .select("d", F.datediff(F.col("d"), F.col("d0")).cast("long")

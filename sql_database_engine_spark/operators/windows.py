@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import Catalog
 from . import query
+from .timeseries import (_DAILY_REVENUE_SQL,  # noqa: F401
+                         _daily_revenue)
 
 
 @query(
@@ -343,13 +345,8 @@ def topk_with_ties_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rolling_ols_slope_7d",
-    oracle="""
-    WITH daily AS (
-        SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS y
-        FROM orders GROUP BY 1
-    ), mn AS (SELECT min(d) AS d0 FROM daily),
+    oracle=f"""
+    WITH {_DAILY_REVENUE_SQL}, mn AS (SELECT min(d) AS d0 FROM daily),
     idx AS (
         SELECT d, CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
         FROM daily CROSS JOIN mn
@@ -391,10 +388,7 @@ def rolling_ols_slope_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    o = Catalog(spark, sf_dir).orders
-    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
-                  .alias("y")))
+    daily = _daily_revenue(Catalog(spark, sf_dir))
     mn = daily.agg(F.min("d").alias("d0"))
     idx = (daily.crossJoin(F.broadcast(mn))
            .select("d",

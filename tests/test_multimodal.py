@@ -151,3 +151,44 @@ def test_parse_wav16_rejects_nonpcm_and_wrong_depth():
     eight_bit[34:36] = (8).to_bytes(2, "little")  # bits per sample
     with pytest.raises(NotImplementedError):
         mm._parse_wav16(7, bytes(eight_bit))
+
+
+def test_ppm_decode_roundtrip_local():
+    """The P6 kernel must recover exactly what the generator wrote —
+    pure local check, no Spark."""
+    import pandas as pd
+
+    blob = mm.ppm_bytes(23)
+    out = next(mm.decode_ppm_batches(
+        iter([pd.DataFrame({"doc_id": [23], "payload": [blob]})])))
+    w, h = 8 + 23 % 9, 6 + 23 % 7
+    px = [(23 * 11 + j * 3) % 256 for j in range(w * h * 3)]
+    assert out.width[0] == w and out.height[0] == h
+    assert out.r_sum[0] == sum(px[0::3])
+    assert out.g_sum[0] == sum(px[1::3])
+    assert out.b_sum[0] == sum(px[2::3])
+    assert out.px_min[0] == min(px) and out.px_max[0] == max(px)
+
+
+def test_ppm_decode_rejects_truncated_header():
+    """A header cut off mid-field must raise, not spin the tokenizer
+    forever (the unbounded-while trap a review pass caught)."""
+    import pandas as pd
+
+    for bad in (b"P6\n8", b"P6", b"P6\n8 6\n", b"P6\n  "):
+        with pytest.raises(ValueError):
+            next(mm.decode_ppm_batches(
+                iter([pd.DataFrame({"doc_id": [1], "payload": [bad]})])))
+
+
+def test_ppm_decode_rejects_bad_raster_and_maxval():
+    import pandas as pd
+
+    good = mm.ppm_bytes(5)
+    with pytest.raises(ValueError):  # truncated raster
+        next(mm.decode_ppm_batches(
+            iter([pd.DataFrame({"doc_id": [5], "payload": [good[:-4]]})])))
+    bad_maxval = good.replace(b"255", b"127", 1)
+    with pytest.raises(ValueError):
+        next(mm.decode_ppm_batches(
+            iter([pd.DataFrame({"doc_id": [5], "payload": [bad_maxval]})])))
