@@ -2443,3 +2443,87 @@ def bitpacked_flags_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_flags_set"),
                     "n_orders")
             .orderBy("flag_mask"))
+
+
+@query(
+    "diff_in_diff_estimate",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                          1, 4))::INTEGER % 2 = 0
+                    THEN 'treat' ELSE 'control' END AS arm,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 'pre' ELSE 'post' END AS period,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               user_id
+        FROM events WHERE value IS NOT NULL
+    ), cell AS (
+        SELECT arm, period,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(CAST(SUM(cents) AS BIGINT) AS BIGINT) AS cents
+        FROM assigned GROUP BY arm, period
+    ), wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 'treat' AND period = 'pre'
+                     THEN cents * 1000000 // n_users END) AS t_pre,
+            MAX(CASE WHEN arm = 'treat' AND period = 'post'
+                     THEN cents * 1000000 // n_users END) AS t_post,
+            MAX(CASE WHEN arm = 'control' AND period = 'pre'
+                     THEN cents * 1000000 // n_users END) AS c_pre,
+            MAX(CASE WHEN arm = 'control' AND period = 'post'
+                     THEN cents * 1000000 // n_users END) AS c_post
+        FROM cell
+    )
+    SELECT CAST(t_pre AS BIGINT) AS treat_pre_micros,
+           CAST(t_post AS BIGINT) AS treat_post_micros,
+           CAST(c_pre AS BIGINT) AS control_pre_micros,
+           CAST(c_post AS BIGINT) AS control_post_micros,
+           CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT)
+               AS did_micros
+    FROM wide
+    """,
+)
+def diff_in_diff_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-inference workhorse
+    when an A/B split exists but the metric trends over time: the
+    treatment effect is (post − pre) in the treated arm MINUS
+    (post − pre) in control, which cancels both the arm-level
+    baseline difference and the common time trend. Arms come from
+    the ``ab_test_arm_metrics`` md5 hash (pure user_id function),
+    periods from the month halves; the per-cell statistic is revenue
+    per distinct user in integer micro-cents (cents·10⁶ is exact in
+    int64 through sf100; the per-user division is DuckDB integer
+    division on BIGINTs, mirrored by Spark's div — one declared
+    floor per cell, subtractions thereafter exact).
+
+    One fact aggregate to the 4-cell (arm, period) relation, one
+    4-row pivot — the entire causal readout costs one shuffle.
+    """
+    e = Catalog(spark, sf_dir).events
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+               16, 10).cast("int") % 2 == 0, "treat").otherwise("control")
+    period = F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"),
+                    "pre").otherwise("post")
+    assigned = (e.filter(F.col("value").isNotNull())
+                .select(arm.alias("arm"), period.alias("period"),
+                        F.round(F.col("value") * 100).cast("long")
+                        .alias("cents"), "user_id"))
+    cell = assigned.groupBy("arm", "period").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").alias("cents"))
+    pick = lambda a, p: F.max(
+        F.when((F.col("arm") == a) & (F.col("period") == p),
+               F.expr("cents * 1000000 div n_users")))
+    wide = cell.agg(
+        pick("treat", "pre").alias("t_pre"),
+        pick("treat", "post").alias("t_post"),
+        pick("control", "pre").alias("c_pre"),
+        pick("control", "post").alias("c_post"))
+    return wide.select(
+        F.col("t_pre").alias("treat_pre_micros"),
+        F.col("t_post").alias("treat_post_micros"),
+        F.col("c_pre").alias("control_pre_micros"),
+        F.col("c_post").alias("control_post_micros"),
+        ((F.col("t_post") - F.col("t_pre"))
+         - (F.col("c_post") - F.col("c_pre"))).alias("did_micros"))

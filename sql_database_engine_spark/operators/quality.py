@@ -751,3 +751,184 @@ Bucket enumeration comes from the key RANGE
                            "n_present", "n_missing", "n_dup_rows")
             .orderBy(F.col("n_missing").desc(), "bucket")
             .limit(5))
+
+
+@query(
+    "impute_group_median",
+    oracle="""
+    WITH masked AS (
+        SELECT event_type, event_id,
+               CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                          1, 4))::INTEGER % 20 = 0
+                    THEN NULL
+                    ELSE CAST(ROUND(value * 100) AS BIGINT) END AS x
+        FROM events
+    ), present AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM masked WHERE x IS NOT NULL
+    ), med AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT)
+                             + 1 THEN x END) AS median_cents
+        FROM present GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT_IF(m.x IS NULL) AS BIGINT) AS n_imputed,
+           CAST(any_value(d.median_cents) AS BIGINT) AS median_cents,
+           CAST(CAST(SUM(COALESCE(m.x, d.median_cents)) AS BIGINT)
+                AS BIGINT) AS imputed_sum_cents
+    FROM masked m JOIN med d USING (event_type)
+    GROUP BY m.event_type
+    ORDER BY m.event_type
+    """,
+)
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation by group median — the ML-prep repair
+    step between the NULL audit (``dq_null_ratio_profile``) and
+    feature consumption: fill each missing value with its group's
+    exact nearest-rank median and report the imputation audit
+    (how many filled, with what, and the post-imputation sum a
+    downstream reconciliation can pin). The fixture has no NULLs, so
+    missingness is SIMULATED by a deterministic md5 gate (5% dropout,
+    a pure function of event_id — both engines mask the same rows;
+    production deletes the mask expression and keeps everything
+    else).
+
+    One rank window over present values per group, a per-group
+    median broadcast back, one COALESCE scan — imputation never
+    shuffles the fact table a second time.
+    """
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    gate = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                               1, 4), 16, 10).cast("int") % 20 == 0)
+    masked = ev.select(
+        "event_type", "event_id",
+        F.when(gate, F.lit(None)).otherwise(
+            F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w = W.partitionBy("event_type")
+    present = (masked.filter(F.col("x").isNotNull())
+               .select("event_type", "x",
+                       F.row_number().over(
+                           w.orderBy("x", "event_id")).alias("rn"),
+                       F.count(F.lit(1)).over(w).alias("n")))
+    med = present.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == F.floor(F.lit(0.5) * (F.col("n") - 1))
+                     .cast("long") + 1, F.col("x")))
+        .alias("median_cents"))
+    return (masked.join(F.broadcast(med), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("x").isNull().cast("long"))
+                 .alias("n_imputed"),
+                 F.first("median_cents").alias("median_cents"),
+                 F.sum(F.coalesce(F.col("x"), F.col("median_cents")))
+                 .alias("imputed_sum_cents"))
+            .orderBy("event_type"))
+
+
+@query(
+    "pinball_loss_eval",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ), qhat AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT)
+                             + 1 THEN x END) AS q90
+        FROM r GROUP BY event_type
+    ), gq AS (
+        SELECT MIN(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT)
+                             + 1 THEN x END) AS g90
+        FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+                     COUNT(*) OVER () AS n FROM c)
+    ), losses AS (
+        SELECT c.event_type,
+               CASE WHEN c.x >= q.q90 THEN 9 * (c.x - q.q90)
+                    ELSE (q.q90 - c.x) END AS loss_grp_decicents,
+               CASE WHEN c.x >= g.g90 THEN 9 * (c.x - g.g90)
+                    ELSE (g.g90 - c.x) END AS loss_glob_decicents
+        FROM c JOIN qhat q USING (event_type) CROSS JOIN gq g
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(loss_grp_decicents) AS BIGINT) AS BIGINT)
+               AS group_pinball_decicents,
+           CAST(CAST(SUM(loss_glob_decicents) AS BIGINT) AS BIGINT)
+               AS global_pinball_decicents,
+           CAST(CASE WHEN SUM(loss_grp_decicents)
+                          <= SUM(loss_glob_decicents)
+                     THEN 1 ELSE 0 END AS BIGINT) AS group_model_wins
+    FROM losses
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast evaluation by PINBALL (quantile) loss — the
+    proper scoring rule for quantile predictors: loss_τ(x, q̂) =
+    τ·(x − q̂) if x ≥ q̂ else (1 − τ)·(q̂ − x). Two predictors of the
+    per-type p90 compete: the per-group empirical q90 vs the global
+    q90 — the group model must win (lower loss) wherever types
+    genuinely differ, and the integer win flag makes that a checked
+    CONTRACT, not a claim. At τ = 0.9 the two branch weights are
+    9/10 and 1/10 of a cent: in DECIcent units both are integers, so
+    the whole evaluation is exact (column names carry the unit).
+
+    One rank walk per group + one global walk (both on integer
+    cents), thresholds broadcast back, one fused loss scan.
+    """
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    c = (ev.filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("long").alias("x")))
+    w = W.partitionBy("event_type")
+    r = c.select("event_type", "x",
+                 F.row_number().over(w.orderBy("x")).alias("rn"),
+                 F.count(F.lit(1)).over(w).alias("n"))
+    pick = lambda: F.min(
+        F.when(F.col("rn") == F.floor(F.lit(0.9) * (F.col("n") - 1))
+               .cast("long") + 1, F.col("x")))
+    qhat = r.groupBy("event_type").agg(pick().alias("q90"))
+    gw = W.partitionBy(F.lit(1))
+    gr = c.select("x", F.row_number().over(gw.orderBy("x")).alias("rn"),
+                  F.count(F.lit(1)).over(gw).alias("n"))
+    gq = gr.agg(pick().alias("g90"))
+    losses = (c.join(F.broadcast(qhat), "event_type")
+              .crossJoin(F.broadcast(gq))
+              .select(
+                  "event_type",
+                  F.when(F.col("x") >= F.col("q90"),
+                         9 * (F.col("x") - F.col("q90")))
+                  .otherwise(F.col("q90") - F.col("x"))
+                  .alias("loss_grp_decicents"),
+                  F.when(F.col("x") >= F.col("g90"),
+                         9 * (F.col("x") - F.col("g90")))
+                  .otherwise(F.col("g90") - F.col("x"))
+                  .alias("loss_glob_decicents")))
+    return (losses.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("loss_grp_decicents")
+                 .alias("group_pinball_decicents"),
+                 F.sum("loss_glob_decicents")
+                 .alias("global_pinball_decicents"))
+            .withColumn("group_model_wins",
+                        (F.col("group_pinball_decicents")
+                         <= F.col("global_pinball_decicents"))
+                        .cast("long"))
+            .orderBy("event_type"))

@@ -939,3 +939,28 @@ def test_robust_scaler_broadcasts_thresholds(spark):
     # scan-level expression, no second rank walk.
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_imputation_broadcasts_medians_one_fact_rescan(spark):
+    plan = _plan(spark, "impute_group_median")
+    # Median thresholds re-join by broadcast; the COALESCE scan is
+    # the only second pass over events.
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pinball_thresholds_broadcast_one_loss_scan(spark):
+    plan = _plan(spark, "pinball_loss_eval")
+    # Both quantile predictors broadcast onto ONE fused loss scan.
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row global q
+    assert "CartesianProduct" not in plan
+
+
+def test_did_is_one_aggregate_and_pivot(spark):
+    plan = _plan(spark, "diff_in_diff_estimate")
+    # One events scan into the 4-cell aggregate; the pivot is a 1-row
+    # conditional aggregate, no join at all.
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
