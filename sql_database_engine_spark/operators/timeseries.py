@@ -2055,3 +2055,108 @@ def seasonal_decomposition_additive(spark: SparkSession,
                     (F.col("y") - F.col("trend") - F.col("s_w"))
                     .cast("long").alias("residual"))
             .orderBy("d"))
+
+
+@query(
+    "session_bounce_rate",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                   AS session_idx
+        FROM ordered
+    ), per_session AS (
+        SELECT user_id, session_idx,
+               CAST(min(CAST(ts AS DATE)) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS depth
+        FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT_IF(depth = 1) AS BIGINT) AS n_bounces,
+           CAST(1000000 * COUNT_IF(depth = 1) // COUNT(*) AS BIGINT)
+               AS bounce_rate_micros,
+           CAST(MAX(depth) AS BIGINT) AS max_depth
+    FROM per_session
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate — the web-analytics KPI built on sessionization:
+    single-event sessions over total sessions per day (keyed to the
+    session's FIRST day, so a midnight-spanning session counts
+    once). Reuses the 30-minute-gap session definition of
+    ``events_sessionize`` verbatim (one rule, two consumers), then
+    one session-level rollup; the rate is a floor-div integer.
+
+    Same plan skeleton as sessionize (one user-keyed window
+    exchange, gap flag + running sum on a shared walk), plus a
+    session aggregate and a per-day rollup — both over the SESSION
+    relation, corpus-sized shuffles stop at the first window.
+    """
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros(F.col("ts"))
+              - F.unix_micros(F.lag("ts").over(w)))
+    ordered = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(gap_us > 1_800_000_000, 1).otherwise(0)
+        .alias("new_session"))
+    sess = ordered.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    per_session = (sess.groupBy("user_id", "session_idx")
+                   .agg(F.min(F.to_date("ts")).alias("day"),
+                        F.count(F.lit(1)).alias("depth")))
+    return (per_session.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum((F.col("depth") == 1).cast("long"))
+                 .alias("n_bounces"),
+                 F.expr("1000000 * sum(cast(depth = 1 as long))"
+                        " div count(1)").alias("bounce_rate_micros"),
+                 F.max("depth").alias("max_depth"))
+            .orderBy("day"))
+
+
+@query(
+    "hour_weekday_heatmap",
+    oracle="""
+    SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS weekday,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY weekday, hour
+    """,
+)
+def hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activity heatmap — event count and exact value by
+    (weekday, hour): the 7×24 matrix behind every "when are users
+    active" dashboard panel and the empirical input to load-aware
+    scheduling. One scan, one 168-cell hash aggregate (map-side
+    partials collapse almost everything), exact cents.
+    """
+    ev = Catalog(spark, sf_dir).events
+    return (ev.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("weekday"),
+        F.hour("ts").cast("long").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("cents"))
+        .orderBy("weekday", "hour"))

@@ -964,3 +964,19 @@ def test_did_is_one_aggregate_and_pivot(spark):
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_bounce_rate_shares_the_sessionize_walk(spark):
+    plan = _plan(spark, "session_bounce_rate")
+    # Gap flag + running session index ride ONE user-keyed exchange;
+    # everything after the first aggregate is session-relation-sized.
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heatmap_is_one_hash_aggregate(spark):
+    plan = _plan(spark, "hour_weekday_heatmap")
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
