@@ -360,3 +360,75 @@ def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_null_division"),
                  F.sum(F.round(F.col("ratio") * 100).cast("long"))
                  .alias("sum_ratio_cents")))
+
+
+@query(
+    "pii_dictionary_scrub",
+    oracle="""
+    WITH dict AS (
+        SELECT lower(n_name) AS term FROM nation
+    ), toks AS (
+        SELECT d.doc_id, d.source, t.i AS pos,
+               string_split(d.text, ' ')[t.i] AS tok
+        FROM documents d,
+             LATERAL unnest(generate_series(
+                 1, len(string_split(d.text, ' ')))) AS t(i)
+    ), masked AS (
+        SELECT k.doc_id, k.source, k.pos,
+               CASE WHEN x.term IS NOT NULL THEN '[NAME]'
+                    ELSE k.tok END AS out_tok
+        FROM toks k LEFT JOIN dict x ON lower(k.tok) = x.term
+    ), rebuilt AS (
+        SELECT doc_id, source,
+               string_agg(out_tok, ' ' ORDER BY pos) AS scrubbed
+        FROM masked
+        GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(scrubbed)) AS BIGINT)
+               AS n_distinct_scrubbed
+    FROM rebuilt
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_dictionary_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICTIONARY-based PII scrubbing — the denylist companion to
+    ``pii_mask_redaction``'s regex pass (real pipelines run both: a
+    regex catches structured PII, a broadcast dictionary catches
+    known names/entities a regex can't describe). Every token
+    matching the broadcast term dictionary (nation names stand in
+    for a name denylist) is replaced with ``[NAME]``; the check
+    digests the REBUILT documents per source, so a missed token, a
+    case-sensitivity slip, or a reassembly-order bug hash-fails.
+
+    Scale shape: the dictionary broadcasts onto an ordinality-keyed
+    token explode (positions preserved for exact reassembly); the
+    rebuild groups per doc and concatenates in position order — the
+    ``dup_span_trim_corpus`` reconstruction discipline. One corpus
+    explode, one broadcast hash join, one per-doc reassembly.
+    """
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    dic = cat.nation.select(F.lower(F.col("n_name")).alias("term"))
+    toks = (cat.documents
+            .select("doc_id", "source",
+                    F.posexplode(F.split(F.col("text"), " "))
+                    .alias("pos", "tok")))
+    joined = (toks.join(F.broadcast(dic),
+                        F.lower(F.col("tok")) == F.col("term"), "left")
+              .select("doc_id", "source", "pos",
+                      F.when(F.col("term").isNotNull(), "[NAME]")
+                      .otherwise(F.col("tok")).alias("out_tok")))
+    rebuilt = (joined.groupBy("doc_id", "source")
+               .agg(F.array_join(
+                   F.array_sort(F.collect_list(
+                       F.struct("pos", "out_tok"))).out_tok, " ")
+                   .alias("scrubbed")))
+    return (rebuilt.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(F.md5("scrubbed"))
+                 .alias("n_distinct_scrubbed"))
+            .orderBy("source"))

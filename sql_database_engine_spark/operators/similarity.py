@@ -1786,3 +1786,98 @@ def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("vec_id"))).cast("long")
                  .alias("first_neighbor"))
             .orderBy("qid"))
+
+
+@query(
+    "matryoshka_prefix_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id < 8
+    ), full_rank AS (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND({COSINE_SQL.format(
+                       a='e.embedding', b='q.qv')}, 6) DESC,
+                            e.vec_id) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ), pfx AS (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND({COSINE_SQL.format(
+                       a='list_slice(e.embedding, 1, 16)',
+                       b='list_slice(q.qv, 1, 16)')}, 6) DESC,
+                            e.vec_id) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ), hits AS (
+        SELECT f.qid,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM full_rank f JOIN pfx p
+          ON p.qid = f.qid AND p.vec_id = f.vec_id
+             AND f.rn <= 3 AND p.rn <= 3
+        GROUP BY f.qid
+    )
+    SELECT CAST(COALESCE(SUM(n_overlap), 0) AS BIGINT) AS total_hits,
+           CAST(24 AS BIGINT) AS total_slots,
+           CAST(1000 * COALESCE(SUM(n_overlap), 0) // 24 AS BIGINT)
+               AS recall_millis
+    FROM hits
+    """,
+)
+def matryoshka_prefix_recall(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Matryoshka-style PREFIX-dimension retrieval audit — the
+    modern embedding-compression question: if we keep only the first
+    16 of 64 dimensions (4× cheaper storage and scoring — MRL-trained
+    models front-load information exactly for this), how much of the
+    exact top-3 neighborhood survives? Both rankings are EXACT
+    cosine top-3 (full dims vs prefix dims), so unlike the ANN
+    family this measurement is fully oracle-checked: total
+    overlapping slots across the 8 query anchors, as exact integers.
+    On the fixture's RANDOM embeddings the overlap is near zero —
+    the honest adversarial baseline, since random vectors spread
+    information uniformly across dimensions; an MRL-trained model
+    front-loads it, and this operator is the query that would verify
+    that before committing to prefix-serving. (No recall floor is
+    asserted: the exact value IS the hash-checked contract.)
+
+    Plan: one corpus scan scores BOTH similarities (the prefix is a
+    slice of the same row — no second scan), two per-query top-3
+    windows over the 8-key partition, one overlap join on
+    (qid, vec_id). At 100 TB the prefix ranking is the cheap first
+    pass and the full ranking reranks its shortlist; here both run
+    exact to MEASURE what that staging costs in recall.
+    """
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    full_sim = cosine(_as_double(F.col("embedding")),
+                      _as_double(F.col("qv")))
+    pfx_sim = cosine(_as_double(F.slice(F.col("embedding"), 1, 16)),
+                     _as_double(F.slice(F.col("qv"), 1, 16)))
+    scored = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      F.round(full_sim, 6).alias("fs"),
+                      F.round(pfx_sim, 6).alias("ps")))
+    wq = W.partitionBy("qid")
+    ranked = (scored
+              .withColumn("rn_full", F.row_number().over(
+                  wq.orderBy(F.col("fs").desc(), "vec_id")))
+              .withColumn("rn_pfx", F.row_number().over(
+                  wq.orderBy(F.col("ps").desc(), "vec_id"))))
+    hits = (ranked
+            .filter((F.col("rn_full") <= 3) & (F.col("rn_pfx") <= 3))
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return hits.agg(
+        F.coalesce(F.sum("n_overlap"), F.lit(0)).cast("long")
+        .alias("total_hits"),
+        F.lit(24).cast("long").alias("total_slots"),
+        F.expr("1000 * coalesce(sum(n_overlap), 0) div 24")
+        .cast("long").alias("recall_millis"))

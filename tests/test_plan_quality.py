@@ -980,3 +980,20 @@ def test_heatmap_is_one_hash_aggregate(spark):
     assert plan.count("FileScan parquet") == 1
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_pii_scrub_broadcasts_dictionary(spark):
+    plan = _plan(spark, "pii_dictionary_scrub")
+    # The term dictionary must be the broadcast side of the token
+    # join; reassembly runs on the doc key.
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_scores_both_sims_in_one_scan(spark):
+    plan = _plan(spark, "matryoshka_prefix_recall")
+    # Full and prefix similarities are projections of the SAME
+    # broadcast-query scan — one embeddings-corpus pass plus the
+    # 8-row query side.
+    assert plan.count("FileScan parquet") <= 2
+    assert "BroadcastNestedLoopJoin" in plan
