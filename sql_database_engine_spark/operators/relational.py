@@ -992,3 +992,48 @@ def grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cheb").between(3, 5).cast("long")).alias("n_3_to_5"),
         F.sum(F.col("cheb").between(6, 8).cast("long")).alias("n_6_to_8"),
         F.countDistinct("id_a").alias("n_left_points"))
+
+
+@query(
+    "python_datasource_ingest",
+    oracle="""
+    WITH rows_gen AS (
+        SELECT i AS id, i % 10 AS bucket, (i * 37) % 10000 AS cents
+        FROM generate_series(0, 1999) t(i)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(cents) AS BIGINT) AS BIGINT) AS total_cents,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM rows_gen
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def python_datasource_ingest(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """CUSTOM Python DataSource ingest (Spark 4 DataSource API) — the
+    connector escape hatch for systems with no built-in reader: a
+    Python class declares schema + PARTITIONS + a per-partition
+    generator, and Spark plans it like any parquet scan (8 input
+    partitions = 8 parallel tasks here; a real connector derives
+    partitions from the backing system's shards). The deterministic
+    arithmetic generator makes the MECHANISM oracle-checkable: the
+    DuckDB twin regenerates the same sequence, so a partition-range
+    bug, a dropped partition, or a schema drift hash-fails.
+
+    This is the engine's answer to the reference's "open any file"
+    layer at the extensibility end: sources the built-ins can't read
+    join the catalog as first-class, partition-parallel relations.
+    """
+    from ..sources.pydatasource import register
+
+    register(spark)
+    rows = spark.read.format("seqgen").load()
+    return (rows.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").alias("total_cents"),
+                 F.min("id").alias("min_id"),
+                 F.max("id").alias("max_id"))
+            .orderBy("bucket"))

@@ -997,3 +997,14 @@ def test_matryoshka_scores_both_sims_in_one_scan(spark):
     # 8-row query side.
     assert plan.count("FileScan parquet") <= 2
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_python_datasource_plans_eight_partitions(spark):
+    from sql_database_engine_spark.sources.pydatasource import (
+        SEQ_PARTS, register)
+
+    register(spark)
+    rows = spark.read.format("seqgen").load()
+    assert rows.rdd.getNumPartitions() == SEQ_PARTS
+    plan = _plan(spark, "python_datasource_ingest")
+    assert "CartesianProduct" not in plan
