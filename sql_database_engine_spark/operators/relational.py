@@ -1037,3 +1037,62 @@ def python_datasource_ingest(spark: SparkSession,
                  F.min("id").alias("min_id"),
                  F.max("id").alias("max_id"))
             .orderBy("bucket"))
+
+
+@query(
+    "python_stream_datasource_drain",
+    oracle="""
+    WITH rows_gen AS (
+        SELECT i AS id, i % 10 AS bucket, (i * 37) % 10000 AS cents
+        FROM generate_series(0, 599) t(i)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(cents) AS BIGINT) AS BIGINT) AS total_cents
+    FROM rows_gen
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def python_stream_datasource_drain(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """CUSTOM STREAMING Python DataSource, drained through the real
+    incremental engine — the Kafka-shaped mechanism (initialOffset /
+    read-next-batch / replay-between-offsets) implemented in Python
+    and driven by repeated availableNow runs over ONE checkpoint: 600
+    rows arrive in 200-row micro-batches, each run resumes from the
+    committed offset, and the appended parquet output is exactly-once
+    (the oracle regenerates the full sequence, so a duplicated or
+    dropped micro-batch hash-fails — the replay path included, since
+    recovery calls readBetweenOffsets).
+
+    Staging is version-keyed scratch; a fully drained checkpoint
+    makes further runs no-ops, which is itself the exactly-once
+    property under test. Aggregation then runs on the drained table
+    like any batch relation.
+    """
+    import os
+
+    from ..scratch import scratch_dir
+    from ..sources.pydatasource import (N_STREAM_TOTAL, register_stream)
+
+    register_stream(spark)
+    stage = scratch_dir("seqstream", sf_dir, version="v1")
+    ckpt = os.path.join(stage, "ckpt")
+    out = os.path.join(stage, "out")
+    for _ in range(5):
+        q = (spark.readStream.format("seqstream").load()
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        try:
+            if spark.read.parquet(out).count() >= N_STREAM_TOTAL:
+                break
+        except Exception:
+            continue
+    drained = spark.read.parquet(out)
+    return (drained.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .orderBy("bucket"))

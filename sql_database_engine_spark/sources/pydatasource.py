@@ -18,7 +18,8 @@ materialization.
 from __future__ import annotations
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 
 #: Generator contract (shared with the oracle): N_ROWS ids, value
 #: cents = (id * 37) % 10000, bucket = id % 10.
@@ -59,3 +60,52 @@ class SeqDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the custom source."""
     spark.dataSource.register(SeqDataSource)
+
+
+#: Streaming variant: N_STREAM_TOTAL rows arriving in BATCH-sized
+#: micro-batches; value lane shared with the oracle.
+N_STREAM_TOTAL = 600
+STREAM_BATCH = 200
+
+
+class SeqStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch reader: each planning cycle serves
+    the next STREAM_BATCH ids and advances the committed offset —
+    the Kafka shape (initialOffset / read / replay-between-offsets)
+    over a deterministic generator."""
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        s = start["pos"]
+        if s >= N_STREAM_TOTAL:
+            return iter([]), start
+        e = min(s + STREAM_BATCH, N_STREAM_TOTAL)
+        return (iter([(i, i % 10, (i * 37) % 10000)
+                      for i in range(s, e)]), {"pos": e})
+
+    def readBetweenOffsets(self, start, end):
+        # Replay path for recovery: must regenerate EXACTLY the rows
+        # between two committed offsets.
+        return iter([(i, i % 10, (i * 37) % 10000)
+                     for i in range(start["pos"], end["pos"])])
+
+
+class SeqStreamSource(DataSource):
+    """``spark.readStream.format("seqstream")`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "seqstream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket bigint, cents bigint"
+
+    def simpleStreamReader(self, schema) -> SeqStreamReader:
+        return SeqStreamReader()
+
+
+def register_stream(spark) -> None:
+    """Idempotent registration of the custom streaming source."""
+    spark.dataSource.register(SeqStreamSource)

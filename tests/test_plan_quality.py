@@ -1008,3 +1008,15 @@ def test_python_datasource_plans_eight_partitions(spark):
     assert rows.rdd.getNumPartitions() == SEQ_PARTS
     plan = _plan(spark, "python_datasource_ingest")
     assert "CartesianProduct" not in plan
+
+
+def test_stream_datasource_drain_is_exactly_once(spark):
+    # Draining twice from the same checkpoint must not duplicate
+    # rows: the second invocation is a no-op on a drained offset.
+    from sql_database_engine_spark import operators
+    operators.load_all()
+    q = operators.QUERIES["python_stream_datasource_drain"]
+    a = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    assert a == b
+    assert sum(r[1] for r in a) == 600  # every id exactly once
