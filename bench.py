@@ -123,6 +123,8 @@ HEADLINE = [
     "token_cooccurrence_lift",      # head-vocab collocation mining
     "seasonal_decomposition_additive",  # STL-lite trend/seasonal/residual
     "kfold_auc_eval",               # per-fold exact midrank AUC
+    "arrow_batch_token_stats",      # zero-copy mapInArrow tier
+    "python_stream_datasource_drain",  # custom streaming source drain
 ]
 
 

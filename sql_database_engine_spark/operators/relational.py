@@ -1096,3 +1096,59 @@ def python_stream_datasource_drain(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("cents").alias("total_cents"))
             .orderBy("bucket"))
+
+
+@query(
+    "python_datasource_sink_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def python_datasource_sink_roundtrip(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """CUSTOM Python SINK round-trip — the write side of the
+    DataSource API: nation flows through a Python
+    ``DataSourceWriter`` whose executors write temp-named
+    per-partition line files and whose DRIVER renames winners at
+    commit (two-phase commit — a failed or speculative task's output
+    can never leak into the committed set, the property every real
+    sink must carry). The committed files are read back through the
+    text reader, parsed at scan level, and aggregated; the oracle
+    computes from the original table, so a lost partition file, a
+    double-committed task, or a serialization slip hash-fails.
+
+    The staging dir is cleared per invocation (the sink demonstrates
+    append-mode commit; idempotence here comes from the clean slate,
+    where the streaming sibling gets it from offsets).
+    """
+    import os
+    import shutil
+
+    from ..scratch import scratch_dir
+    from ..sources.pydatasource import register_sink
+
+    register_sink(spark)
+    stage = scratch_dir("lineswriter", sf_dir, version="v1")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    (Catalog(spark, sf_dir).nation
+     .select("n_nationkey", "n_name", "n_regionkey")
+     .write.format("lineswriter").option("path", stage)
+     .mode("append").save())
+    raw = spark.read.text(stage)
+    parts = F.split(F.col("value"), "\\|")
+    parsed = raw.select(
+        parts.getItem(0).cast("long").alias("n_nationkey"),
+        parts.getItem(1).alias("n_name"),
+        parts.getItem(2).cast("long").alias("n_regionkey"))
+    return (parsed.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.sum("n_nationkey").alias("key_sum"),
+                 F.min("n_name").alias("first_name"))
+            .orderBy("n_regionkey"))

@@ -300,3 +300,74 @@ def clamped_running_balance_kernel(spark: SparkSession,
         (F.col("final_balance") / 100.0).alias("final_balance"),
         "n_clamps",
         (F.col("max_balance").cast("double") / 100.0).alias("max_balance"))
+
+
+def arrow_token_stats_batches(batches):
+    """mapInArrow kernel: ZERO-COPY columnar token statistics.
+
+    Unlike the pandas tiers (which convert Arrow -> pandas and back),
+    this operates on the Arrow RecordBatch directly with vectorized
+    ``pyarrow.compute`` kernels — the cheapest possible Python hop:
+    split on the single-space pattern (exactly the engines' split
+    semantics, NOT whitespace-collapsing), list lengths, utf8 lengths.
+    No per-row Python, no pandas materialization."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        out = pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"),
+             batch.column("source"),
+             pc.cast(pc.list_value_length(toks), pa.int64()),
+             pc.cast(pc.utf8_length(batch.column("text")), pa.int64())],
+            names=["doc_id", "source", "n_tokens", "n_chars_arrow"])
+        yield out
+
+
+@query(
+    "arrow_batch_token_stats",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_arrow
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(n_tokens) AS BIGINT) AS BIGINT)
+               AS total_tokens,
+           CAST(CAST(SUM(n_chars_arrow) AS BIGINT) AS BIGINT)
+               AS total_chars
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def arrow_batch_token_stats(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the fourth and leanest rung of the Python
+    UDF ladder (row UDF → pandas UDF → applyInPandas → mapInArrow):
+    the kernel receives the Arrow RecordBatch Spark already holds and
+    runs vectorized ``pyarrow.compute`` kernels on it, skipping the
+    Arrow→pandas→Arrow conversion the pandas tiers pay. Token counts
+    use the single-space split pattern (exact match to both engines'
+    split semantics, not whitespace collapsing), so the per-doc
+    numbers — and the per-source rollup the JVM side aggregates —
+    hash-verify against the oracle.
+
+    Use this tier when the computation is expressible in Arrow
+    compute but not in Spark SQL functions; here it is deliberately
+    also SQL-expressible so the MECHANISM is oracle-checked.
+    """
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "source", "text")
+    stats = d.mapInArrow(
+        arrow_token_stats_batches,
+        schema=("doc_id bigint, source string, n_tokens bigint, "
+                "n_chars_arrow bigint"))
+    return (stats.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_chars_arrow").alias("total_chars"))
+            .orderBy("source"))

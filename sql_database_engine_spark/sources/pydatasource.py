@@ -19,7 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     InputPartition,
-                                    SimpleDataSourceStreamReader)
+                                    SimpleDataSourceStreamReader,
+                                    DataSourceWriter,
+                                    WriterCommitMessage)
 
 #: Generator contract (shared with the oracle): N_ROWS ids, value
 #: cents = (id * 37) % 10000, bucket = id % 10.
@@ -109,3 +111,62 @@ class SeqStreamSource(DataSource):
 def register_stream(spark) -> None:
     """Idempotent registration of the custom streaming source."""
     spark.dataSource.register(SeqStreamSource)
+
+
+class _LineCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class LinesWriter(DataSourceWriter):
+    """Per-partition pipe-delimited line files with the two-phase
+    commit every real sink needs: executors write to temp names and
+    report a commit message; the DRIVER renames winners on commit and
+    deletes strays on abort — a speculative or failed task's file can
+    never appear in the committed output."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, rows):
+        import os
+        import uuid
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.txt")
+        n = 0
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write("|".join(str(v) for v in r) + "\n")
+                n += 1
+        return _LineCommit(path=tmp, n_rows=n)
+
+    def commit(self, messages):
+        import os
+        for m in messages:
+            if m is None:
+                continue
+            if m.n_rows:
+                os.rename(m.path, m.path.replace("_tmp_", "part_"))
+            else:
+                os.remove(m.path)
+
+    def abort(self, messages):
+        import os
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class LinesSink(DataSource):
+    """``df.write.format("lineswriter").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lineswriter"
+
+    def writer(self, schema, overwrite):
+        return LinesWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    """Idempotent registration of the custom sink."""
+    spark.dataSource.register(LinesSink)

@@ -1020,3 +1020,23 @@ def test_stream_datasource_drain_is_exactly_once(spark):
     b = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
     assert a == b
     assert sum(r[1] for r in a) == 600  # every id exactly once
+
+
+def test_sink_roundtrip_commits_all_partitions(spark):
+    # The committed output must carry every row exactly once even
+    # across re-invocations (clean-slate append).
+    from sql_database_engine_spark import operators
+    operators.load_all()
+    q = operators.QUERIES["python_datasource_sink_roundtrip"]
+    a = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    assert a == b
+    assert sum(r[1] for r in a) == 25  # all nations, once
+
+
+def test_map_in_arrow_is_arrow_eval(spark):
+    plan = _plan(spark, "arrow_batch_token_stats")
+    # The kernel must plan as an Arrow map, not pickled-row Python.
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or \
+        "PythonMapInArrow" in plan
+    assert "BatchEvalPython" not in plan
