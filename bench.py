@@ -125,6 +125,8 @@ HEADLINE = [
     "kfold_auc_eval",               # per-fold exact midrank AUC
     "arrow_batch_token_stats",      # zero-copy mapInArrow tier
     "python_stream_datasource_drain",  # custom streaming source drain
+    "ndcg_at_10_eval",              # literal-discount graded relevance
+    "forecast_wape_eval",           # seasonal-naive WAPE benchmark
 ]
 
 

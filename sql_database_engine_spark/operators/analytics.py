@@ -2527,3 +2527,105 @@ def diff_in_diff_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_post").alias("control_post_micros"),
         ((F.col("t_post") - F.col("t_pre"))
          - (F.col("c_post") - F.col("c_pre"))).alias("did_micros"))
+
+
+@query(
+    "simpson_paradox_check",
+    oracle="""
+    WITH c AS (
+        SELECT e.event_type,
+               CAST(ROUND(e.value * 100) AS BIGINT) AS x,
+               CAST(hour(CAST(e.ts AS TIMESTAMP)) AS BIGINT) AS y
+        FROM events e WHERE e.value IS NOT NULL
+    ), per_group AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        FROM c GROUP BY event_type
+    ), signs AS (
+        SELECT event_type, n,
+               CASE WHEN CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+                         > 0 THEN 1
+                    WHEN CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+                         < 0 THEN -1
+                    ELSE 0 END AS group_sign
+        FROM per_group
+    ), pooled AS (
+        SELECT CASE
+            WHEN CAST(COUNT(*) AS HUGEINT)
+                 * SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                 - CAST(SUM(x) AS HUGEINT) * CAST(SUM(y) AS HUGEINT)
+                 > 0 THEN 1
+            WHEN CAST(COUNT(*) AS HUGEINT)
+                 * SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                 - CAST(SUM(x) AS HUGEINT) * CAST(SUM(y) AS HUGEINT)
+                 < 0 THEN -1
+            ELSE 0 END AS pooled_sign
+        FROM c
+    )
+    SELECT s.event_type, s.n, s.group_sign,
+           p.pooled_sign,
+           CAST(CASE WHEN s.group_sign <> 0 AND p.pooled_sign <> 0
+                          AND s.group_sign <> p.pooled_sign
+                     THEN 1 ELSE 0 END AS BIGINT) AS sign_reversed
+    FROM signs s CROSS JOIN pooled p
+    ORDER BY s.event_type
+    """,
+)
+def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen — does the value↔hour association
+    REVERSE sign inside any event-type stratum relative to the pooled
+    data? The analytics-QA check that catches aggregation over a
+    confounder before a dashboard ships the wrong conclusion.
+
+    The trick that keeps it exact: only the SIGN of the association
+    matters, and sign(cov) = sign(n·Σxy − Σx·Σy) — an exact 128-bit
+    integer comparison, no division, no sqrt, no correlation value at
+    all. Per-stratum signs come from one grouped pass, the pooled
+    sign from a 1-row aggregate of the same scan lineage; the flag is
+    integer equality logic.
+    """
+    e = Catalog(spark, sf_dir).events
+    c = (e.filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("long").alias("x"),
+                 F.hour("ts").cast("long").alias("y"))
+         .localCheckpoint(eager=False))
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+
+    def num(df):
+        s = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                   F.sum(xd * yd).alias("sxy"))
+        w = lambda col: F.col(col).cast("decimal(38,0)")
+        return s.select(
+            "n", (w("n") * w("sxy") - w("sx") * w("sy")).alias("numr"))
+
+    per_group = (c.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                      F.sum(xd * yd).alias("sxy")))
+    w = lambda col: F.col(col).cast("decimal(38,0)")
+    signs = per_group.select(
+        "event_type", "n",
+        F.when(w("n") * w("sxy") - w("sx") * w("sy") > 0, 1)
+        .when(w("n") * w("sxy") - w("sx") * w("sy") < 0, -1)
+        .otherwise(0).cast("long").alias("group_sign"))
+    pooled = num(c).select(
+        F.when(F.col("numr") > 0, 1)
+        .when(F.col("numr") < 0, -1)
+        .otherwise(0).cast("long").alias("pooled_sign"))
+    return (signs.crossJoin(F.broadcast(pooled))
+            .withColumn("sign_reversed",
+                        ((F.col("group_sign") != 0)
+                         & (F.col("pooled_sign") != 0)
+                         & (F.col("group_sign") != F.col("pooled_sign")))
+                        .cast("long"))
+            .select("event_type", "n", "group_sign", "pooled_sign",
+                    "sign_reversed")
+            .orderBy("event_type"))

@@ -1881,3 +1881,113 @@ def matryoshka_prefix_recall(spark: SparkSession,
         F.lit(24).cast("long").alias("total_slots"),
         F.expr("1000 * coalesce(sum(n_overlap), 0) div 24")
         .cast("long").alias("recall_millis"))
+
+
+#: nDCG@10 discount table: floor(10^6 / log2(rank+1)). The discounts
+#: are FIXED LITERAL CONSTANTS of the metric (like z = 1.96 in the
+#: Wilson interval) — no runtime log is ever evaluated, so the
+#: libm-free determinism policy holds.
+_NDCG_DISCOUNT_MICROS = {1: 1000000, 2: 630930, 3: 500000, 4: 430677,
+                         5: 386853, 6: 356207, 7: 333333, 8: 315465,
+                         9: 301030, 10: 289065}
+
+_NDCG_SQL_CASE = "CASE rnk " + " ".join(
+    f"WHEN {r} THEN {d}" for r, d in _NDCG_DISCOUNT_MICROS.items()
+) + " END"
+
+
+@query(
+    "ndcg_at_10_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 8
+    ), ranked AS (
+        SELECT q.qid,
+               CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND({{cos}}, 6) DESC, e.vec_id) AS rnk
+        FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ), top10 AS (
+        SELECT qid, rel, rnk, {_NDCG_SQL_CASE} AS disc
+        FROM ranked WHERE rnk <= 10
+    ), dcg AS (
+        SELECT qid,
+               CAST(CAST(SUM(rel * disc) AS BIGINT) AS BIGINT)
+                   AS dcg_micros,
+               CAST(CAST(SUM(rel) AS BIGINT) AS BIGINT) AS n_rel
+        FROM top10 GROUP BY qid
+    ), ideal AS (
+        SELECT d.qid, d.dcg_micros, d.n_rel,
+               CAST(CASE WHEN d.n_rel = 0 THEN 0 ELSE (
+                   SELECT SUM(v.d) FROM (VALUES {", ".join(
+                       f"({r}, {d})"
+                       for r, d in _NDCG_DISCOUNT_MICROS.items())})
+                       v(r, d)
+                   WHERE v.r <= d.n_rel) END AS BIGINT) AS idcg_micros
+        FROM dcg d
+    )
+    SELECT qid, n_rel, dcg_micros, idcg_micros,
+           CAST(CASE WHEN idcg_micros = 0 THEN 0
+                ELSE 1000000 * dcg_micros // idcg_micros END
+                AS BIGINT) AS ndcg_micros
+    FROM ideal
+    ORDER BY qid
+    """.format(cos=COSINE_SQL.format(a='e.embedding', b='q.qv')),
+)
+def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 over the exact cosine ranking — the graded-relevance
+    retrieval metric completing the eval tail (reciprocal rank and
+    precision@k live in ``knn_label_eval``): DCG sums a positional
+    discount over relevant hits (relevance = label match), IDCG is
+    the best arrangement of the same hits, nDCG their ratio. The
+    1/log2(rank+1) discounts enter as FIXED INTEGER LITERALS of the
+    metric definition (the Wilson-z precedent) — no runtime
+    transcendental, so every lane is exact and the ratio is one
+    floor-div in micros.
+
+    One broadcast-query corpus scan, a per-query top-10 window, a
+    10-row-per-query reduction; IDCG is a prefix sum over the same
+    literal table keyed by the hit count.
+    """
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv"),
+                 F.col("label").alias("qlabel")))
+    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    ranked = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid",
+                      (F.col("label") == F.col("qlabel")).cast("long")
+                      .alias("rel"),
+                      F.round(sim, 6).alias("s"), "vec_id")
+              .withColumn("rnk", F.row_number().over(
+                  W.partitionBy("qid")
+                  .orderBy(F.col("s").desc(), "vec_id")))
+              .filter(F.col("rnk") <= 10))
+    disc = F.create_map(*[x for r, d in _NDCG_DISCOUNT_MICROS.items()
+                          for x in (F.lit(r), F.lit(d))])
+    prefix = {0: 0}
+    acc = 0
+    for r in range(1, 11):
+        acc += _NDCG_DISCOUNT_MICROS[r]
+        prefix[r] = acc
+    idcg = F.create_map(*[x for k, v in prefix.items()
+                          for x in (F.lit(k), F.lit(v))])
+    dcg = (ranked
+           .withColumn("disc", disc[F.col("rnk")])
+           .groupBy("qid")
+           .agg(F.sum(F.col("rel") * F.col("disc")).alias("dcg_micros"),
+                F.sum("rel").alias("n_rel")))
+    return (dcg
+            .withColumn("idcg_micros",
+                        idcg[F.col("n_rel")].cast("long"))
+            .select("qid", "n_rel", "dcg_micros", "idcg_micros",
+                    F.expr("CASE WHEN idcg_micros = 0 THEN 0"
+                           " ELSE 1000000 * dcg_micros div idcg_micros"
+                           " END").cast("long").alias("ndcg_micros"))
+            .orderBy("qid"))

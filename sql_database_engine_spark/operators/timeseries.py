@@ -2160,3 +2160,59 @@ def hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.round(F.col("value") * 100).cast("long"))
              .alias("cents"))
         .orderBy("weekday", "hour"))
+
+
+@query(
+    "forecast_wape_eval",
+    oracle=f"""
+    WITH {_DAILY_REVENUE_SQL}, mn AS (SELECT min(d) AS d0 FROM daily),
+    idx AS (
+        SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+        FROM daily CROSS JOIN mn
+    ), joined AS (
+        SELECT a.x, a.y AS actual, f.y AS forecast
+        FROM idx a JOIN idx f ON f.x = a.x - 7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS BIGINT)
+               AS abs_err_units,
+           CAST(CAST(SUM(actual) AS BIGINT) AS BIGINT) AS actual_units,
+           CAST(1000000 * CAST(SUM(ABS(actual - forecast)) AS BIGINT)
+                // CAST(SUM(actual) AS BIGINT) AS BIGINT)
+               AS wape_micros,
+           CAST(CAST(SUM(actual - forecast) AS BIGINT) AS BIGINT)
+               AS bias_units
+    FROM joined
+    """,
+)
+def forecast_wape_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation by WAPE (weighted absolute
+    percentage error) against the SEASONAL-NAIVE baseline (forecast =
+    the value 7 days earlier) — the benchmark every forecasting model
+    must beat before it earns compute, and the denominator-summed
+    metric that — unlike MAPE — never divides by a single day's zero.
+    WAPE = Σ|err| / Σactual as one exact integer ratio in micros;
+    the signed bias rides along (systematic over/under-forecast).
+
+    The lag join is an equi-join on the integer day index (x − 7),
+    the ``autocorrelation_daily_revenue`` decomposition; one daily
+    aggregate, one metadata-sized join, a 1-row reduction.
+    """
+    daily = _daily_revenue(Catalog(spark, sf_dir))
+    mn = daily.agg(F.min("d").alias("d0"))
+    idx = (daily.crossJoin(F.broadcast(mn))
+           .select(F.datediff(F.col("d"), F.col("d0")).cast("long")
+                   .alias("x"), "y")
+           .localCheckpoint(eager=False))
+    a = idx.select(F.col("x"), F.col("y").alias("actual"))
+    f = idx.select((F.col("x") + 7).alias("x"),
+                   F.col("y").alias("forecast"))
+    joined = a.join(f, "x")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast")))
+        .alias("abs_err_units"),
+        F.sum("actual").alias("actual_units"),
+        F.expr("1000000 * sum(abs(actual - forecast))"
+               " div sum(actual)").alias("wape_micros"),
+        F.sum(F.col("actual") - F.col("forecast")).alias("bias_units"))

@@ -1040,3 +1040,27 @@ def test_map_in_arrow_is_arrow_eval(spark):
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan or \
         "PythonMapInArrow" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ndcg_discounts_are_literal_maps(spark):
+    plan = _plan(spark, "ndcg_at_10_eval")
+    # Discounts are literal map lookups — no log evaluation, and the
+    # top-10 cut is a keyed window over the broadcast-query scan.
+    assert "LOG" not in plan.upper().replace("CATALOG", "")
+    assert "BroadcastNestedLoopJoin" in plan  # 8-row query batch
+    assert "CartesianProduct" not in plan
+
+
+def test_simpson_signs_share_one_scan_lineage(spark):
+    plan = _plan(spark, "simpson_paradox_check")
+    # Group and pooled signs both read the checkpointed scan; the
+    # pooled side is a 1-row broadcast.
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_wape_lag_is_equi_join_on_day_index(spark):
+    plan = _plan(spark, "forecast_wape_eval")
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+    assert "CartesianProduct" not in plan
