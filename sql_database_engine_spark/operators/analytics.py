@@ -2629,3 +2629,79 @@ def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n", "group_sign", "pooled_sign",
                     "sign_reversed")
             .orderBy("event_type"))
+
+
+@query(
+    "golden_record_survivorship",
+    oracle="""
+    WITH grp AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_records
+        FROM part GROUP BY p_name HAVING COUNT(*) > 1
+    ), brand_votes AS (
+        SELECT p.p_name, p.p_brand, CAST(COUNT(*) AS BIGINT) AS c
+        FROM part p JOIN grp g ON g.p_name = p.p_name
+        GROUP BY p.p_name, p.p_brand
+    ), brand_pick AS (
+        SELECT p_name, p_brand AS survivor_brand FROM (
+            SELECT p_name, p_brand,
+                   ROW_NUMBER() OVER (PARTITION BY p_name
+                                      ORDER BY c DESC, p_brand) AS rn
+            FROM brand_votes
+        ) WHERE rn = 1
+    ), fields AS (
+        SELECT p.p_name,
+               CAST(MIN(p.p_partkey) AS BIGINT) AS survivor_key,
+               CAST(MAX(CAST(ROUND(p.p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) AS best_price_cents,
+               CAST(MAX(p.p_size) AS BIGINT) AS max_size
+        FROM part p JOIN grp g ON g.p_name = p.p_name
+        GROUP BY p.p_name
+    )
+    SELECT f.p_name, g.n_records, f.survivor_key,
+           b.survivor_brand, f.best_price_cents, f.max_size
+    FROM fields f
+    JOIN grp g ON g.p_name = f.p_name
+    JOIN brand_pick b ON b.p_name = f.p_name
+    ORDER BY f.p_name
+    """,
+)
+def golden_record_survivorship(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """SURVIVORSHIP — the master-data-management step after entity
+    matching (``fuzzy_name_pairs`` / ``sorted_neighborhood_pairs``
+    find the duplicate groups; this builds the golden record each
+    group ships): per duplicate-spelling group, field-level merge
+    rules pick the surviving value — stable minimum key as the
+    survivor id, MODE for the brand (most votes, lexicographic
+    tie-break), MAX for price and size (the "most complete/recent
+    wins" family). Every rule is deterministic, so the golden
+    records hash-verify.
+
+    One grouped pass finds the groups, one per-(group, brand) vote
+    count feeds a struct-argmax-shaped pick, one fused field
+    aggregate computes the rest — group-keyed shuffles only, and
+    the vote relation is bounded by (groups × brands present).
+    """
+    from pyspark.sql import Window as W
+
+    p = Catalog(spark, sf_dir).part
+    grp = (p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_records"))
+           .filter(F.col("n_records") > 1))
+    dups = p.join(F.broadcast(grp.select("p_name")), "p_name")
+    votes = dups.groupBy("p_name", "p_brand").agg(
+        F.count(F.lit(1)).alias("c"))
+    pick = (votes.groupBy("p_name")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("p_brand").alias("b"))).alias("s"))
+            .select("p_name", F.col("s.b").alias("survivor_brand")))
+    fields = dups.groupBy("p_name").agg(
+        F.min("p_partkey").alias("survivor_key"),
+        F.max(F.round(F.col("p_retailprice") * 100).cast("long"))
+        .alias("best_price_cents"),
+        F.max("p_size").cast("long").alias("max_size"))
+    return (fields
+            .join(grp, "p_name")
+            .join(pick, "p_name")
+            .select("p_name", "n_records", "survivor_key",
+                    "survivor_brand", "best_price_cents", "max_size")
+            .orderBy("p_name"))

@@ -521,3 +521,78 @@ def deletion_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "n_rows_to_delete", "n_entities"))
     return (ev.unionByName(cu).unionByName(orx).unionByName(li)
             .orderBy("table_name"))
+
+
+@query(
+    "currency_normalize_asof",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT date_trunc('month', o_orderdate) AS month
+        FROM orders
+    ), rates AS (
+        SELECT month,
+               1000000 + (CAST(year(month) * 12 + month(month)
+                          AS BIGINT) * 7919) % 100000 AS rate_micros
+        FROM months
+    ), converted AS (
+        SELECT o.o_orderkey,
+               date_trunc('month', o.o_orderdate) AS month,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+               r.rate_micros,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                   * r.rate_micros // 1000000 AS converted_cents
+        FROM orders o
+        JOIN rates r ON r.month = date_trunc('month', o.o_orderdate)
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(any_value(rate_micros) AS BIGINT) AS rate_micros,
+           CAST(CAST(SUM(cents) AS BIGINT) AS BIGINT) AS local_cents,
+           CAST(CAST(SUM(converted_cents) AS BIGINT) AS BIGINT)
+               AS converted_cents
+    FROM converted
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def currency_normalize_asof(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Currency normalization against a time-varying rate table —
+    the multi-entity warehouse staple: every order converts at the
+    rate IN EFFECT for its month. Because the rate table is
+    month-grain, the as-of lookup collapses to an EQUI-join on the
+    truncated month (the cheapest as-of there is — the general
+    irregular-timestamp case is the ``events_asof_join`` family);
+    conversion is exact integer micros (cents·rate div 10⁶). The
+    deterministic synthetic rate curve is a pure function of the
+    month, so both engines derive the identical table — production
+    swaps in its rates dimension unchanged.
+
+    One orders scan, a broadcast month-rate dimension derived from
+    the data's own month range, one month-grain rollup that pins the
+    local/converted reconciliation.
+    """
+    o = Catalog(spark, sf_dir).orders
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    months = o.select(month.alias("month")).distinct()
+    rates = months.select(
+        "month",
+        (F.lit(1000000)
+         + (F.year("month").cast("long") * 12
+            + F.month("month").cast("long")) * 7919 % 100000)
+        .alias("rate_micros"))
+    converted = (o.select(month.alias("month"),
+                          F.round(F.col("o_totalprice") * 100)
+                          .cast("long").alias("cents"))
+                 .join(F.broadcast(rates), "month")
+                 .withColumn("converted_cents",
+                             F.expr("cents * rate_micros div 1000000")))
+    return (converted.groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.first("rate_micros").alias("rate_micros"),
+                 F.sum("cents").alias("local_cents"),
+                 F.sum("converted_cents").alias("converted_cents"))
+            .select(F.col("month").cast("date").alias("month"),
+                    "n_orders", "rate_micros", "local_cents",
+                    "converted_cents")
+            .orderBy("month"))

@@ -915,3 +915,66 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("contribution_micros",
                         F.col("within_micros") - F.col("expected_micros"))
             .orderBy("community"))
+
+
+@query(
+    "item_cf_similarity",
+    oracle=f"""
+    WITH ob AS ({_BASKET_SQL}),
+    deg AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ob GROUP BY p_brand
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           da.n AS n_a, db.n AS n_b,
+           CAST(1000000000000 * p.n_ab * p.n_ab // (da.n * db.n)
+                AS BIGINT) AS cosine_sq_picos
+    FROM pairs p
+    JOIN deg da ON da.p_brand = p.brand_a
+    JOIN deg db ON db.p_brand = p.brand_b
+    ORDER BY cosine_sq_picos DESC, brand_a, brand_b
+    LIMIT 10
+    """,
+)
+def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering similarity — the
+    "customers who bought X also bought Y" primitive: cosine over
+    binary basket vectors, cos(a,b) = n_ab / √(n_a·n_b). The
+    engine's determinism policy forbids runtime sqrt, so the RANKING
+    statistic is the SQUARED cosine in exact pico units
+    (10¹²·n_ab² div (n_a·n_b)) — a monotone transform, so the top-10
+    is the same list cosine would give, and every emitted value
+    hash-verifies. The normalization distinguishes this from
+    ``basket_brand_pair_lift``: lift finds surprising pairs, cosine
+    finds strong pairs (popularity-damped by both degrees).
+
+    One deduped basket aggregate, one (order-key-bounded) pair join,
+    degree joins by broadcast, TakeOrdered top-10.
+    """
+    cat = Catalog(spark, sf_dir)
+    ob = _basket(cat)
+    deg = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"),
+                  F.col("p_brand").alias("brand_b"))
+    pairs = (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
+                    & (F.col("brand_a") < F.col("brand_b")))
+             .groupBy("brand_a", "brand_b")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    da = F.broadcast(deg.select(F.col("p_brand").alias("brand_a"),
+                                F.col("n").alias("n_a")))
+    db = F.broadcast(deg.select(F.col("p_brand").alias("brand_b"),
+                                F.col("n").alias("n_b")))
+    return (pairs.join(da, "brand_a").join(db, "brand_b")
+            .select("brand_a", "brand_b", "n_ab", "n_a", "n_b",
+                    F.expr("1000000000000 * n_ab * n_ab"
+                           " div (n_a * n_b)").alias("cosine_sq_picos"))
+            .orderBy(F.col("cosine_sq_picos").desc(),
+                     "brand_a", "brand_b")
+            .limit(10))

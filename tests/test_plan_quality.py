@@ -1064,3 +1064,26 @@ def test_wape_lag_is_equi_join_on_day_index(spark):
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan)
     assert "CartesianProduct" not in plan
+
+
+def test_item_cf_topk_is_take_ordered(spark):
+    plan = _plan(spark, "item_cf_similarity")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both degree joins
+    assert "CartesianProduct" not in plan
+
+
+def test_currency_rates_broadcast_dimension(spark):
+    plan = _plan(spark, "currency_normalize_asof")
+    # The month-rate dimension broadcasts; the as-of is an equi-join.
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_survivorship_mode_is_struct_min_no_row_window(spark):
+    plan = _plan(spark, "golden_record_survivorship")
+    # The brand mode is a struct-min aggregate, not a per-group
+    # row_number window over the vote relation.
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan
