@@ -2705,3 +2705,112 @@ def golden_record_survivorship(spark: SparkSession,
             .select("p_name", "n_records", "survivor_key",
                     "survivor_brand", "best_price_cents", "max_size")
             .orderBy("p_name"))
+
+
+@query(
+    "uplift_by_decile",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                          1, 4))::INTEGER % 2 = 0
+                    THEN 'treat' ELSE 'control' END AS arm,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 'pre' ELSE 'post' END AS period,
+               event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), pre_value AS (
+        SELECT user_id, any_value(arm) AS arm,
+               CAST(CAST(SUM(CASE WHEN period = 'pre' THEN cents
+                                  ELSE 0 END) AS BIGINT) AS BIGINT)
+                   AS pre_cents,
+               CAST(MAX(CASE WHEN period = 'post'
+                                  AND event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS converted_post
+        FROM assigned GROUP BY user_id
+    ), ranked AS (
+        SELECT *, NTILE(5) OVER (ORDER BY pre_cents, user_id)
+                   AS quintile
+        FROM pre_value
+    ), cells AS (
+        SELECT quintile, arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(CAST(SUM(converted_post) AS BIGINT) AS BIGINT)
+                   AS n_converted
+        FROM ranked GROUP BY quintile, arm
+    )
+    SELECT CAST(t.quintile AS BIGINT) AS quintile,
+           t.n_users AS n_treat, c.n_users AS n_control,
+           CAST(1000000 * t.n_converted // t.n_users AS BIGINT)
+               AS treat_rate_micros,
+           CAST(1000000 * c.n_converted // c.n_users AS BIGINT)
+               AS control_rate_micros,
+           CAST(1000000 * t.n_converted // t.n_users
+                - 1000000 * c.n_converted // c.n_users AS BIGINT)
+               AS uplift_micros
+    FROM cells t JOIN cells c
+      ON c.quintile = t.quintile AND t.arm = 'treat'
+         AND c.arm = 'control'
+    ORDER BY quintile
+    """,
+)
+def uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPLIFT segmentation (Qini-style readout without a model):
+    post-period conversion-rate difference between the md5 arms
+    WITHIN each pre-period value quintile — the growth-analytics
+    question "where does the treatment actually work?" answered by
+    stratifying on pre-exposure behavior (a pure covariate, so the
+    split stays unconfounded). Completes the experimentation family:
+    arm metrics (``ab_test_arm_metrics``) → trend-robust effect
+    (``diff_in_diff_estimate``) → heterogeneous effect (this).
+
+    One events aggregate to per-user (arm, pre-value, converted),
+    one quintile rank over the USER relation with the deterministic
+    user_id tie-break, a 10-cell rollup self-joined treat-vs-control
+    per quintile; every rate a floor-div in micros.
+    """
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).events
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+               16, 10).cast("int") % 2 == 0, "treat").otherwise("control")
+    period_pre = F.to_date("ts") < F.lit("2024-01-16").cast("date")
+    assigned = (e.filter(F.col("value").isNotNull())
+                .select("user_id", arm.alias("arm"),
+                        period_pre.alias("is_pre"), "event_type",
+                        F.round(F.col("value") * 100).cast("long")
+                        .alias("cents")))
+    pre_value = assigned.groupBy("user_id").agg(
+        F.first("arm").alias("arm"),
+        F.sum(F.when(F.col("is_pre"), F.col("cents")).otherwise(0))
+        .alias("pre_cents"),
+        F.max((~F.col("is_pre")
+               & (F.col("event_type") == "purchase")).cast("long"))
+        .alias("converted_post"))
+    ranked = pre_value.withColumn(
+        "quintile", F.ntile(5).over(W.orderBy("pre_cents", "user_id")))
+    cells = ranked.groupBy("quintile", "arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted_post").alias("n_converted"))
+    t = (cells.filter(F.col("arm") == "treat")
+         .select("quintile", F.col("n_users").alias("n_treat"),
+                 F.col("n_converted").alias("conv_t")))
+    c = (cells.filter(F.col("arm") == "control")
+         .select(F.col("quintile").alias("q_c"),
+                 F.col("n_users").alias("n_control"),
+                 F.col("n_converted").alias("conv_c")))
+    return (t.join(c, F.col("quintile") == F.col("q_c"))
+            .select(
+                F.col("quintile").cast("long").alias("quintile"),
+                "n_treat", "n_control",
+                F.expr("1000000 * conv_t div n_treat")
+                .alias("treat_rate_micros"),
+                F.expr("1000000 * conv_c div n_control")
+                .alias("control_rate_micros"),
+                F.expr("1000000 * conv_t div n_treat"
+                       " - 1000000 * conv_c div n_control")
+                .alias("uplift_micros"))
+            .orderBy("quintile"))

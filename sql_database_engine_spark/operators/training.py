@@ -1681,3 +1681,87 @@ def kfold_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(r1_x2 - n_pos * (n_pos + 1)) * 1000000"
                " div (2 * n_pos * n_neg)").alias("auc_micros"))
         .orderBy("fold"))
+
+
+@query(
+    "negative_sampling_triples",
+    oracle="""
+    WITH brands AS (
+        SELECT DISTINCT p_brand FROM part
+    ), pos AS (
+        SELECT DISTINCT c.c_custkey, p.p_brand
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE c.c_custkey % 13 = 0
+    ), cand AS (
+        SELECT u.c_custkey, b.p_brand,
+               md5(CAST(u.c_custkey AS VARCHAR) || '|' || b.p_brand)
+                   AS h
+        FROM (SELECT DISTINCT c_custkey FROM pos) u
+        CROSS JOIN brands b
+    ), negs AS (
+        SELECT c.c_custkey, c.p_brand, c.h
+        FROM cand c LEFT JOIN pos p
+          ON p.c_custkey = c.c_custkey AND p.p_brand = c.p_brand
+        WHERE p.c_custkey IS NULL
+    ), ranked AS (
+        SELECT c_custkey, p_brand,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                  ORDER BY h, p_brand) AS rn
+        FROM negs
+    )
+    SELECT c_custkey AS user_key,
+           CAST(rn AS BIGINT) AS neg_rank,
+           p_brand AS negative_brand
+    FROM ranked WHERE rn <= 3
+    ORDER BY user_key, neg_rank
+    """,
+)
+def negative_sampling_triples(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING — the contrastive-training
+    data builder every recommender/retrieval trainer needs: for each
+    user, k = 3 brands the user has NOT interacted with, chosen by
+    md5 order so the "random" negatives are a pure function of
+    (user, brand) — re-runs, backfills, and both engines emit the
+    same triples (the no-RNG-state policy that owns this module).
+
+    Scale shape: the candidate space is user × BRAND-DIMENSION (25,
+    broadcast) — never user × item-instances; positives knock out by
+    LEFT anti-join; the per-user top-3 rides a keyed rank window.
+    The %13 user slice bounds checked output while exercising the
+    full pipeline. With an unbounded item dim, the standard remedy
+    is hash-bucketed candidate proposal (propose c·k per user from
+    md5 buckets, re-ranked after the anti-join) — composing without
+    changing the contract.
+    """
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    brands = cat.part.select("p_brand").distinct()
+    pos = (cat.orders
+           .join(cat.customer.select("c_custkey"),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .filter(F.col("c_custkey") % 13 == 0)
+           .join(cat.lineitem.select("l_orderkey", "l_partkey"),
+                 F.col("o_orderkey") == F.col("l_orderkey"))
+           .join(F.broadcast(cat.part.select("p_partkey", "p_brand")),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .select("c_custkey", "p_brand").distinct()
+           .localCheckpoint(eager=False))
+    users = pos.select("c_custkey").distinct()
+    cand = (users.crossJoin(F.broadcast(brands))
+            .withColumn("h", F.md5(F.concat(
+                F.col("c_custkey").cast("string"), F.lit("|"),
+                F.col("p_brand")))))
+    negs = cand.join(pos, ["c_custkey", "p_brand"], "left_anti")
+    ranked = negs.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("c_custkey").orderBy("h", "p_brand")))
+    return (ranked.filter(F.col("rn") <= 3)
+            .select(F.col("c_custkey").alias("user_key"),
+                    F.col("rn").cast("long").alias("neg_rank"),
+                    F.col("p_brand").alias("negative_brand"))
+            .orderBy("user_key", "neg_rank"))

@@ -1087,3 +1087,20 @@ def test_survivorship_mode_is_struct_min_no_row_window(spark):
     # row_number window over the vote relation.
     assert "row_number" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_negative_sampling_candidates_are_user_x_dim(spark):
+    plan = _plan(spark, "negative_sampling_triples")
+    # Candidate space = users x broadcast 25-brand DIMENSION (one
+    # nested loop), positives knock out via anti-join.
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_uplift_quintiles_rank_user_aggregate(spark):
+    plan = _plan(spark, "uplift_by_decile")
+    # ntile consumes the per-user aggregate, never raw events.
+    walk = plan[:plan.index("Window")]
+    assert "HashAggregate" in walk or "SortAggregate" in walk
+    assert "CartesianProduct" not in plan
