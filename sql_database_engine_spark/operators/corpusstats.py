@@ -416,8 +416,10 @@ def mannwhitney_u_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     )
     SELECT n_keys, total, max_key,
-           CAST(1000000 * (2 * s - (n_keys + 1) * total)
-                // (n_keys * total) AS BIGINT) AS gini_micros,
+           CAST(1000000 * (2 * CAST(s AS HUGEINT)
+                           - (n_keys + 1) * CAST(total AS HUGEINT))
+                // (CAST(n_keys AS HUGEINT) * total) AS BIGINT)
+               AS gini_micros,
            CAST(1000000 * max_key // total AS BIGINT)
                AS max_key_share_micros
     FROM agg
@@ -459,7 +461,13 @@ def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("max_key"))
     return agg.select(
         "n_keys", "total", "max_key",
-        F.expr("1000000 * (2 * s - (n_keys + 1) * total)"
-               " div (n_keys * total)").alias("gini_micros"),
+        # 128-bit lane: s = SUM(i * x) reaches 10^12 already at
+        # moderate key counts, and the 10^6 scaling would overflow
+        # int64 around sf10.
+        F.expr("CAST(CAST(1000000 AS DECIMAL(38,0))"
+               " * (2 * CAST(s AS DECIMAL(38,0))"
+               "    - (n_keys + 1) * CAST(total AS DECIMAL(38,0)))"
+               " div (CAST(n_keys AS DECIMAL(38,0)) * total)"
+               " AS BIGINT)").alias("gini_micros"),
         F.expr("1000000 * max_key div total")
         .alias("max_key_share_micros"))

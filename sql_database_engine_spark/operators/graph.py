@@ -933,7 +933,8 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.brand_a, p.brand_b, p.n_ab,
            da.n AS n_a, db.n AS n_b,
-           CAST(1000000000000 * p.n_ab * p.n_ab // (da.n * db.n)
+           CAST(1000000000000 * CAST(p.n_ab AS HUGEINT) * p.n_ab
+                // (CAST(da.n AS HUGEINT) * db.n)
                 AS BIGINT) AS cosine_sq_picos
     FROM pairs p
     JOIN deg da ON da.p_brand = p.brand_a
@@ -973,8 +974,15 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("n").alias("n_b")))
     return (pairs.join(da, "brand_a").join(db, "brand_b")
             .select("brand_a", "brand_b", "n_ab", "n_a", "n_b",
-                    F.expr("1000000000000 * n_ab * n_ab"
-                           " div (n_a * n_b)").alias("cosine_sq_picos"))
+                    # 128-bit lane: 10^12 * n_ab^2 overflows int64 once
+                    # pair support passes ~3000 (seen at sf0.1) — the
+                    # numerator runs in DECIMAL(38,0)/HUGEINT and only
+                    # the quotient (<= 10^12 by cosine <= 1) comes back
+                    # to BIGINT.
+                    F.expr("CAST(CAST(1000000000000 AS DECIMAL(38,0))"
+                           " * n_ab * n_ab"
+                           " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                           " AS BIGINT)").alias("cosine_sq_picos"))
             .orderBy(F.col("cosine_sq_picos").desc(),
                      "brand_a", "brand_b")
             .limit(10))

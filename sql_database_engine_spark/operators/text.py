@@ -2699,7 +2699,8 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.tok, b.tok
     )
     SELECT tok_a, tok_b, n_pair, n_a, n_b,
-           CAST(1000000 * n_pair * nd.n_docs // (n_a * n_b) AS BIGINT)
+           CAST(1000000 * CAST(n_pair AS HUGEINT) * nd.n_docs
+                // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
                AS lift_micros
     FROM pairs CROSS JOIN nd
     ORDER BY lift_micros DESC, tok_a, tok_b
@@ -2746,7 +2747,11 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.first("n_b").alias("n_b")))
     return (pairs.crossJoin(F.broadcast(nd))
             .select("tok_a", "tok_b", "n_pair", "n_a", "n_b",
-                    F.expr("1000000 * n_pair * n_docs div (n_a * n_b)")
-                    .alias("lift_micros"))
+                    # 128-bit lane: 10^6 * n_pair * n_docs passes int64
+                    # once the corpus reaches ~10^6 documents.
+                    F.expr("CAST(CAST(1000000 AS DECIMAL(38,0))"
+                           " * n_pair * n_docs"
+                           " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                           " AS BIGINT)").alias("lift_micros"))
             .orderBy(F.col("lift_micros").desc(), "tok_a", "tok_b")
             .limit(15))

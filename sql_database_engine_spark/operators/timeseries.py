@@ -2177,8 +2177,8 @@ def hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS BIGINT)
                AS abs_err_units,
            CAST(CAST(SUM(actual) AS BIGINT) AS BIGINT) AS actual_units,
-           CAST(1000000 * CAST(SUM(ABS(actual - forecast)) AS BIGINT)
-                // CAST(SUM(actual) AS BIGINT) AS BIGINT)
+           CAST(1000000 * CAST(SUM(ABS(actual - forecast)) AS HUGEINT)
+                // CAST(SUM(actual) AS HUGEINT) AS BIGINT)
                AS wape_micros,
            CAST(CAST(SUM(actual - forecast) AS BIGINT) AS BIGINT)
                AS bias_units
@@ -2213,6 +2213,8 @@ def forecast_wape_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("actual") - F.col("forecast")))
         .alias("abs_err_units"),
         F.sum("actual").alias("actual_units"),
-        F.expr("1000000 * sum(abs(actual - forecast))"
-               " div sum(actual)").alias("wape_micros"),
+        F.expr("CAST(CAST(1000000 AS DECIMAL(38,0))"
+               " * sum(abs(actual - forecast))"
+               " div CAST(sum(actual) AS DECIMAL(38,0))"
+               " AS BIGINT)").alias("wape_micros"),
         F.sum(F.col("actual") - F.col("forecast")).alias("bias_units"))
