@@ -2069,10 +2069,10 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev
     )
     SELECT region, nation, nation_cents, region_cents, grand_cents,
-           CAST(1000000 * nation_cents // region_cents AS BIGINT)
-               AS share_of_region_micros,
-           CAST(1000000 * region_cents // grand_cents AS BIGINT)
-               AS region_share_micros
+           CAST(1000000 * CAST(nation_cents AS HUGEINT)
+                // region_cents AS BIGINT) AS share_of_region_micros,
+           CAST(1000000 * CAST(region_cents AS HUGEINT)
+                // grand_cents AS BIGINT) AS region_share_micros
     FROM shares
     ORDER BY region, nation
     """,
@@ -2116,9 +2116,13 @@ def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                               W.partitionBy(F.lit(1)))))
     return (shares.select(
         "region", "nation", "nation_cents", "region_cents", "grand_cents",
-        F.expr("1000000 * nation_cents div region_cents")
+        # 128-bit lanes: 10^6 x corpus-level cent sums pass int64
+        # around sf100.
+        F.expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * nation_cents"
+               " div CAST(region_cents AS DECIMAL(38,0)) AS BIGINT)")
         .alias("share_of_region_micros"),
-        F.expr("1000000 * region_cents div grand_cents")
+        F.expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * region_cents"
+               " div CAST(grand_cents AS DECIMAL(38,0)) AS BIGINT)")
         .alias("region_share_micros"))
         .orderBy("region", "nation"))
 
@@ -2308,9 +2312,11 @@ def prorate_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(part_cents) OVER () AS BIGINT) AS total_cents
         FROM per_part
     ), classed AS (
-        SELECT CASE WHEN 1000000 * cum_cents // total_cents <= 800000
+        SELECT CASE WHEN 1000000 * CAST(cum_cents AS HUGEINT)
+                         // total_cents <= 800000
                     THEN 'A'
-                    WHEN 1000000 * cum_cents // total_cents <= 950000
+                    WHEN 1000000 * CAST(cum_cents AS HUGEINT)
+                         // total_cents <= 950000
                     THEN 'B' ELSE 'C' END AS abc_class,
                part_cents
         FROM walked
@@ -2319,7 +2325,7 @@ def prorate_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_parts,
            CAST(CAST(SUM(part_cents) AS BIGINT) AS BIGINT)
                AS class_cents,
-           CAST(1000000 * CAST(SUM(part_cents) AS BIGINT)
+           CAST(1000000 * CAST(SUM(part_cents) AS HUGEINT)
                 // MAX(total_cents) AS BIGINT) AS share_micros
     FROM (SELECT c.*, w.total_cents
           FROM classed c CROSS JOIN (SELECT DISTINCT total_cents
@@ -2357,16 +2363,20 @@ def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
                   W.partitionBy(F.lit(1)))))
     classed = walked.withColumn(
         "abc_class",
-        F.when(F.expr("1000000 * cum_cents div total_cents") <= 800000,
-               "A")
-        .when(F.expr("1000000 * cum_cents div total_cents") <= 950000,
-              "B")
+        F.when(F.expr("CAST(1000000 AS DECIMAL(38,0)) * cum_cents"
+                      " div CAST(total_cents AS DECIMAL(38,0))")
+               <= 800000, "A")
+        .when(F.expr("CAST(1000000 AS DECIMAL(38,0)) * cum_cents"
+                     " div CAST(total_cents AS DECIMAL(38,0))")
+              <= 950000, "B")
         .otherwise("C"))
     return (classed.groupBy("abc_class")
             .agg(F.count(F.lit(1)).alias("n_parts"),
                  F.sum("part_cents").alias("class_cents"),
-                 F.expr("1000000 * sum(part_cents) div max(total_cents)")
-                 .alias("share_micros"))
+                 F.expr("CAST(CAST(1000000 AS DECIMAL(38,0))"
+                        " * sum(part_cents)"
+                        " div CAST(max(total_cents) AS DECIMAL(38,0))"
+                        " AS BIGINT)").alias("share_micros"))
             .orderBy("abc_class"))
 
 
@@ -2465,13 +2475,17 @@ def bitpacked_flags_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), wide AS (
         SELECT
             MAX(CASE WHEN arm = 'treat' AND period = 'pre'
-                     THEN cents * 1000000 // n_users END) AS t_pre,
+                     THEN CAST(cents AS HUGEINT) * 1000000
+                          // n_users END) AS t_pre,
             MAX(CASE WHEN arm = 'treat' AND period = 'post'
-                     THEN cents * 1000000 // n_users END) AS t_post,
+                     THEN CAST(cents AS HUGEINT) * 1000000
+                          // n_users END) AS t_post,
             MAX(CASE WHEN arm = 'control' AND period = 'pre'
-                     THEN cents * 1000000 // n_users END) AS c_pre,
+                     THEN CAST(cents AS HUGEINT) * 1000000
+                          // n_users END) AS c_pre,
             MAX(CASE WHEN arm = 'control' AND period = 'post'
-                     THEN cents * 1000000 // n_users END) AS c_post
+                     THEN CAST(cents AS HUGEINT) * 1000000
+                          // n_users END) AS c_post
         FROM cell
     )
     SELECT CAST(t_pre AS BIGINT) AS treat_pre_micros,
@@ -2514,7 +2528,9 @@ def diff_in_diff_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents"))
     pick = lambda a, p: F.max(
         F.when((F.col("arm") == a) & (F.col("period") == p),
-               F.expr("cents * 1000000 div n_users")))
+               F.expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000"
+                      " div CAST(n_users AS DECIMAL(38,0))"
+                      " AS BIGINT)")))
     wide = cell.agg(
         pick("treat", "pre").alias("t_pre"),
         pick("treat", "post").alias("t_post"),
