@@ -406,8 +406,46 @@ def _register_streaming() -> None:
     QUERIES.setdefault("stream_user_event_type_sets",
                        stream_user_event_type_sets)
     QUERIES.setdefault("stream_session_windows", stream_session_windows)
+    def stream_hourly_topk_drain(spark, sf_dir):
+        """Streaming -> batch composition: drain the tumbling hourly
+        counts through the incremental engine, then rank the top-2
+        event types per hour on the DRAINED relation — the
+        feed-the-dashboard shape (stream maintains the aggregate;
+        ranking is a cheap batch pass over window-grain rows, never
+        over events)."""
+        from pyspark.sql import Window as W
+
+        drained = es.run_available_now(
+            es.tumbling_counts(es.events_stream(spark, sf_dir)),
+            "q_stream_hourly_topk", output_mode="complete")
+        rn = F.row_number().over(
+            W.partitionBy("window_start")
+            .orderBy(F.col("n").desc(), "event_type"))
+        return (drained.withColumn("rn", rn)
+                .filter(F.col("rn") <= 2)
+                .select("window_start", "event_type", "n",
+                        F.col("rn").cast("long").alias("rank"))
+                .orderBy("window_start", "rank"))
+
+    QUERIES.setdefault("stream_hourly_topk_drain",
+                       stream_hourly_topk_drain)
     QUERIES.setdefault("stream_distinct_users_hourly",
                        stream_distinct_users_hourly)
+    ORACLES.setdefault("stream_hourly_topk_drain", """
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT window_start, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, event_type) AS rank
+        FROM hourly
+    )
+    SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 2
+    ORDER BY window_start, rank
+    """)
     ORACLES.setdefault("stream_distinct_users_hourly", """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users

@@ -656,6 +656,35 @@ def ppm_bytes(doc_id: int) -> bytes:
     return hdr + body
 
 
+def _parse_ppm(doc_id, blob: bytes):
+    """Shared P6 parser for both image kernels: tokenize the ASCII
+    header (bounds-checked), validate maxval and raster length,
+    return (w, h, raster ndarray)."""
+    import numpy as np
+
+    blob = bytes(blob)
+    if blob[:2] != b"P6":
+        raise ValueError(f"doc {doc_id}: not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(blob) and not blob[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError(f"doc {doc_id}: truncated PPM header")
+        fields.append(int(blob[start:pos]))
+    pos += 1
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"doc {doc_id}: unsupported maxval {maxval}")
+    raster = np.frombuffer(blob, dtype=np.uint8, offset=pos)
+    if raster.size != w * h * 3:
+        raise ValueError(f"doc {doc_id}: raster size mismatch")
+    return w, h, raster
+
+
 def decode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: REAL NetPBM P6 decode. Unlike WAV/RVID
     (fixed-offset binary headers) the PPM header is ASCII with
@@ -669,28 +698,7 @@ def decode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                "r_sum": [], "g_sum": [], "b_sum": [],
                "px_min": [], "px_max": []}
         for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
-            blob = bytes(blob)
-            if blob[:2] != b"P6":
-                raise ValueError(f"doc {doc_id}: not a P6 PPM")
-            # Tokenize the ASCII header: three whitespace-separated
-            # fields after the magic, then ONE whitespace byte.
-            pos, fields = 2, []
-            while len(fields) < 3:
-                while pos < len(blob) and blob[pos:pos + 1].isspace():
-                    pos += 1
-                start = pos
-                while pos < len(blob) and not blob[pos:pos + 1].isspace():
-                    pos += 1
-                if start == pos:  # ran off the end: truncated header
-                    raise ValueError(f"doc {doc_id}: truncated PPM header")
-                fields.append(int(blob[start:pos]))
-            pos += 1  # the single whitespace terminating the header
-            w, h, maxval = fields
-            if maxval != 255:
-                raise ValueError(f"doc {doc_id}: unsupported maxval {maxval}")
-            raster = np.frombuffer(blob, dtype=np.uint8, offset=pos)
-            if raster.size != w * h * 3:
-                raise ValueError(f"doc {doc_id}: raster size mismatch")
+            w, h, raster = _parse_ppm(doc_id, blob)
             px = raster.astype(np.int64).reshape(-1, 3)
             out["doc_id"].append(doc_id)
             out["width"].append(w)
@@ -761,3 +769,85 @@ def multimodal_image_ppm_decode(spark: SparkSession,
         schema=("doc_id bigint, width int, height int, r_sum bigint, "
                 "g_sum bigint, b_sum bigint, px_min bigint, "
                 "px_max bigint"))
+
+
+def downsample_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode P6 -> nearest-neighbor 2x
+    downsample (keep every even row/column) -> per-channel stats of
+    the RESAMPLED raster. The image sibling of the audio decimation
+    kernel: decode -> TRANSFORM -> featurize, all integer."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "out_w": [], "out_h": [],
+               "r_sum": [], "g_sum": [], "b_sum": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, raster = _parse_ppm(doc_id, blob)
+            img = raster.astype(np.int64).reshape(h, w, 3)
+            small = img[::2, ::2, :]
+            out["doc_id"].append(doc_id)
+            out["out_h"].append(small.shape[0])
+            out["out_w"].append(small.shape[1])
+            out["r_sum"].append(int(small[:, :, 0].sum()))
+            out["g_sum"].append(int(small[:, :, 1].sum()))
+            out["b_sum"].append(int(small[:, :, 2].sum()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_image_downsample",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               6 + doc_id % 7 AS h
+        FROM documents WHERE doc_id < 200
+    ), px AS (
+        SELECT doc_id, w, h, r.y, c.x, ch.c AS channel,
+               (doc_id * 11 + ((r.y * w + c.x) * 3 + ch.c) * 3) % 256
+                   AS v
+        FROM params,
+             LATERAL unnest(generate_series(0, h - 1)) AS r(y),
+             LATERAL unnest(generate_series(0, w - 1)) AS c(x),
+             LATERAL unnest([0, 1, 2]) AS ch(c)
+        WHERE r.y % 2 = 0 AND c.x % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(any_value((w + 1) // 2) AS INT) AS out_w,
+           CAST(any_value((h + 1) // 2) AS INT) AS out_h,
+           CAST(SUM(v) FILTER (channel = 0) AS BIGINT) AS r_sum,
+           CAST(SUM(v) FILTER (channel = 1) AS BIGINT) AS g_sum,
+           CAST(SUM(v) FILTER (channel = 2) AS BIGINT) AS b_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_image_downsample(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Image decode → RESIZE → featurize — the transform tier for the
+    image modality (the audio sibling is
+    ``multimodal_audio_decimate``): the kernel parses the P6 header,
+    reshapes the raster to (h, w, 3), keeps every even row and
+    column (nearest-neighbor 2× downsample — the stride semantics a
+    thumbnail pipeline uses before embedding), and emits per-channel
+    integer sums of the RESAMPLED image. The oracle replays the
+    generator arithmetic through the same (row, col) stride — pixel
+    (y, x) channel c is byte (y·w + x)·3 + c — so a stride phase
+    error, a row/column-major mix-up, or an off-by-one in the
+    output dimensions hash-fails.
+
+    Payloads stay executor-local (ids repartition before blob
+    synthesis); one row per image.
+    """
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 200).select("doc_id"))
+
+    @F.pandas_udf("binary")
+    def make_ppm(ids: pd.Series) -> pd.Series:
+        return ids.map(ppm_bytes)
+
+    imgs = (d.repartition("doc_id")
+            .select("doc_id", make_ppm(F.col("doc_id")).alias("payload")))
+    return imgs.mapInPandas(
+        downsample_ppm_batches,
+        schema=("doc_id bigint, out_w int, out_h int, r_sum bigint, "
+                "g_sum bigint, b_sum bigint"))

@@ -1765,3 +1765,75 @@ def negative_sampling_triples(spark: SparkSession,
                     F.col("rn").cast("long").alias("neg_rank"),
                     F.col("p_brand").alias("negative_brand"))
             .orderBy("user_key", "neg_rank"))
+
+
+@query(
+    "epoch_repetition_plan",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS BIGINT) AS source_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(CAST(SUM(source_tokens) AS BIGINT) AS BIGINT)
+                   AS corpus_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM per_source
+    ), planned AS (
+        SELECT p.source, p.source_tokens, t.corpus_tokens,
+               10 * t.corpus_tokens AS budget_tokens,
+               (10 * t.corpus_tokens // t.n_sources) AS share_tokens,
+               ((10 * t.corpus_tokens // t.n_sources)
+                + p.source_tokens - 1) // p.source_tokens AS n_epochs
+        FROM per_source p CROSS JOIN tot t
+    )
+    SELECT source, source_tokens, share_tokens,
+           CAST(n_epochs AS BIGINT) AS n_epochs,
+           CAST(n_epochs * source_tokens - share_tokens AS BIGINT)
+               AS overshoot_tokens,
+           CAST(CASE WHEN n_epochs > 4 THEN 1 ELSE 0 END AS BIGINT)
+               AS exceeds_4_epochs
+    FROM planned
+    ORDER BY source
+    """,
+)
+def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH/REPETITION planning — the data-mixing arithmetic behind
+    "train for B tokens with equal source shares": each source must
+    supply share = B/n_sources tokens, so it repeats for
+    ceil(share / source_tokens) epochs; the plan reports the epoch
+    count, the overshoot the sampler will trim, and a >4-epochs flag
+    (the empirical repetition ceiling beyond which quality degrades —
+    the signal to re-weight rather than repeat). Demo budget B = 10×
+    the corpus (derived from the data so the plan is SF-stable);
+    production passes its real budget. Every lane integer: ceil is
+    the (a + b − 1) div b idiom.
+
+    One token-count aggregate per source, a 1-row total broadcast,
+    pure scan-level arithmetic — the plan costs one corpus pass.
+    """
+    d = Catalog(spark, sf_dir).documents
+    per_source = (d.groupBy("source")
+                  .agg(F.sum(F.size(F.split(F.col("text"), " ")))
+                       .cast("long").alias("source_tokens"))
+                  # both the total and the plan read this 20-row
+                  # relation: checkpoint lazily so the corpus scan
+                  # runs once.
+                  .localCheckpoint(eager=False))
+    tot = per_source.agg(
+        F.sum("source_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_sources"))
+    planned = (per_source.crossJoin(F.broadcast(tot))
+               .withColumn("share_tokens",
+                           F.expr("10 * corpus_tokens div n_sources"))
+               .withColumn("n_epochs",
+                           F.expr("(share_tokens + source_tokens - 1)"
+                                  " div source_tokens")))
+    return (planned.select(
+        "source", "source_tokens", "share_tokens",
+        F.col("n_epochs").cast("long").alias("n_epochs"),
+        (F.col("n_epochs") * F.col("source_tokens")
+         - F.col("share_tokens")).cast("long").alias("overshoot_tokens"),
+        (F.col("n_epochs") > 4).cast("long").alias("exceeds_4_epochs"))
+        .orderBy("source"))

@@ -1104,3 +1104,19 @@ def test_uplift_quintiles_rank_user_aggregate(spark):
     walk = plan[:plan.index("Window")]
     assert "HashAggregate" in walk or "SortAggregate" in walk
     assert "CartesianProduct" not in plan
+
+
+def test_image_downsample_payloads_stay_local(spark):
+    plan = _plan(spark, "multimodal_image_downsample")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("payload" not in l for l in exchanges), exchanges
+
+
+def test_epoch_plan_is_one_corpus_pass(spark):
+    plan = _plan(spark, "epoch_repetition_plan")
+    # The per-source relation is checkpointed: the corpus scan runs
+    # once upstream; this plan reads only the materialized 20 rows.
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
