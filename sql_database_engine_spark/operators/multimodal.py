@@ -685,6 +685,23 @@ def _parse_ppm(doc_id, blob: bytes):
     return w, h, raster
 
 
+
+def _ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared P6 fixture relation for both image kernels: doc_id < 200
+    blobs synthesized executor-side AFTER the doc_id repartition, so
+    payloads never cross an exchange (the locality contract both
+    payload plan tests pin)."""
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 200).select("doc_id"))
+
+    @F.pandas_udf("binary")
+    def make_ppm(ids: pd.Series) -> pd.Series:
+        return ids.map(ppm_bytes)
+
+    return (d.repartition("doc_id")
+            .select("doc_id", make_ppm(F.col("doc_id")).alias("payload")))
+
+
 def decode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: REAL NetPBM P6 decode. Unlike WAV/RVID
     (fixed-offset binary headers) the PPM header is ASCII with
@@ -755,16 +772,7 @@ def multimodal_image_ppm_decode(spark: SparkSession,
     repartition moves ids before blob synthesis, mirroring how a
     production pipeline reads assets node-locally).
     """
-    d = (Catalog(spark, sf_dir).documents
-         .filter(F.col("doc_id") < 200).select("doc_id"))
-
-    @F.pandas_udf("binary")
-    def make_ppm(ids: pd.Series) -> pd.Series:
-        return ids.map(ppm_bytes)
-
-    imgs = (d.repartition("doc_id")
-            .select("doc_id", make_ppm(F.col("doc_id")).alias("payload")))
-    return imgs.mapInPandas(
+    return _ppm_assets(spark, sf_dir).mapInPandas(
         decode_ppm_batches,
         schema=("doc_id bigint, width int, height int, r_sum bigint, "
                 "g_sum bigint, b_sum bigint, px_min bigint, "
@@ -838,16 +846,7 @@ def multimodal_image_downsample(spark: SparkSession,
     Payloads stay executor-local (ids repartition before blob
     synthesis); one row per image.
     """
-    d = (Catalog(spark, sf_dir).documents
-         .filter(F.col("doc_id") < 200).select("doc_id"))
-
-    @F.pandas_udf("binary")
-    def make_ppm(ids: pd.Series) -> pd.Series:
-        return ids.map(ppm_bytes)
-
-    imgs = (d.repartition("doc_id")
-            .select("doc_id", make_ppm(F.col("doc_id")).alias("payload")))
-    return imgs.mapInPandas(
+    return _ppm_assets(spark, sf_dir).mapInPandas(
         downsample_ppm_batches,
         schema=("doc_id bigint, out_w int, out_h int, r_sum bigint, "
                 "g_sum bigint, b_sum bigint"))

@@ -516,8 +516,9 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_pos, n_neg,
            r1_x2 - n_pos * (n_pos + 1) AS u_pos_x2,
-           CAST((r1_x2 - n_pos * (n_pos + 1)) * 1000000
-                // (2 * n_pos * n_neg) AS BIGINT) AS auc_micros
+           CAST(CAST(r1_x2 - n_pos * (n_pos + 1) AS HUGEINT) * 1000000
+                // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+               AS auc_micros
     FROM agg
     """,
 )
@@ -564,8 +565,12 @@ def score_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_pos", "n_neg",
         F.expr("r1_x2 - n_pos * (n_pos + 1)").alias("u_pos_x2"),
-        F.expr("(r1_x2 - n_pos * (n_pos + 1)) * 1000000"
-               " div (2 * n_pos * n_neg)").alias("auc_micros"))
+        # 128-bit lane: U*2 ~ 2*n_pos*n_neg, so the 10^6 scaling
+        # passes int64 once a (fold's) corpus holds ~4M documents.
+        F.expr("CAST(CAST(r1_x2 - n_pos * (n_pos + 1)"
+               " AS DECIMAL(38,0)) * 1000000"
+               " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+               " AS BIGINT)").alias("auc_micros"))
 
 
 @query(

@@ -1637,8 +1637,9 @@ def span_corruption_transform(spark: SparkSession,
         FROM r GROUP BY fold
     )
     SELECT CAST(fold AS BIGINT) AS fold, n_pos, n_neg,
-           CAST((r1_x2 - n_pos * (n_pos + 1)) * 1000000
-                // (2 * n_pos * n_neg) AS BIGINT) AS auc_micros
+           CAST(CAST(r1_x2 - n_pos * (n_pos + 1) AS HUGEINT) * 1000000
+                // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+               AS auc_micros
     FROM agg
     ORDER BY fold
     """,
@@ -1678,8 +1679,12 @@ def kfold_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("k") - F.col("k1")).alias("n_neg"))
     return (agg.select(
         F.col("fold").cast("long").alias("fold"), "n_pos", "n_neg",
-        F.expr("(r1_x2 - n_pos * (n_pos + 1)) * 1000000"
-               " div (2 * n_pos * n_neg)").alias("auc_micros"))
+        # 128-bit lane: U*2 ~ 2*n_pos*n_neg, so the 10^6 scaling
+        # passes int64 once a (fold's) corpus holds ~4M documents.
+        F.expr("CAST(CAST(r1_x2 - n_pos * (n_pos + 1)"
+               " AS DECIMAL(38,0)) * 1000000"
+               " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+               " AS BIGINT)").alias("auc_micros"))
         .orderBy("fold"))
 
 
@@ -1782,7 +1787,6 @@ def negative_sampling_triples(spark: SparkSession,
         FROM per_source
     ), planned AS (
         SELECT p.source, p.source_tokens, t.corpus_tokens,
-               10 * t.corpus_tokens AS budget_tokens,
                (10 * t.corpus_tokens // t.n_sources) AS share_tokens,
                ((10 * t.corpus_tokens // t.n_sources)
                 + p.source_tokens - 1) // p.source_tokens AS n_epochs
