@@ -1152,3 +1152,53 @@ def python_datasource_sink_roundtrip(spark: SparkSession,
                  F.sum("n_nationkey").alias("key_sum"),
                  F.min("n_name").alias("first_name"))
             .orderBy("n_regionkey"))
+
+
+@query(
+    "catalog_table_census",
+    oracle="""
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows
+    UNION ALL SELECT 'documents',
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+    UNION ALL SELECT 'embeddings',
+           CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
+    UNION ALL SELECT 'events',
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT)
+    UNION ALL SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL SELECT 'nation',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
+    UNION ALL SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL SELECT 'part',
+           CAST((SELECT COUNT(*) FROM part) AS BIGINT)
+    UNION ALL SELECT 'region',
+           CAST((SELECT COUNT(*) FROM region) AS BIGINT)
+    UNION ALL SELECT 'supplier',
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT)
+    ORDER BY table_name
+    """,
+)
+def catalog_table_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES + row statistics — the catalog introspection
+    surface (the reference's `.btree`/`.constants` commands scaled
+    up): one row per registered table with its exact row count, the
+    numbers an optimizer's cost model and a freshness monitor both
+    start from. Each count is a parquet metadata-level aggregate
+    (COUNT(*) with no filter reads footer statistics, not data), so
+    the census costs ~zero I/O at any scale; the union of ten 1-row
+    aggregates composes into one lazy plan.
+    """
+    cat = Catalog(spark, sf_dir)
+    parts = []
+    for name in ["customer", "documents", "embeddings", "events",
+                 "lineitem", "nation", "orders", "part", "region",
+                 "supplier"]:
+        df = getattr(cat, name)
+        parts.append(df.agg(F.count(F.lit(1)).alias("n_rows"))
+                     .select(F.lit(name).alias("table_name"), "n_rows"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")

@@ -2218,3 +2218,55 @@ def forecast_wape_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                " div CAST(sum(actual) AS DECIMAL(38,0))"
                " AS BIGINT)").alias("wape_micros"),
         F.sum(F.col("actual") - F.col("forecast")).alias("bias_units"))
+
+
+@query(
+    "timezone_daily_rollup",
+    oracle="""
+    WITH shifted AS (
+        SELECT CAST(ts AS DATE) AS utc_day,
+               CAST(timezone('America/New_York',
+                             CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+                    AS DATE) AS ny_day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT ny_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(cents) AS BIGINT) AS BIGINT) AS cents,
+           CAST(COUNT_IF(utc_day <> ny_day) AS BIGINT)
+               AS n_shifted_from_utc_day
+    FROM shifted
+    GROUP BY ny_day
+    ORDER BY ny_day
+    """,
+)
+def timezone_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-AWARE daily rollup — the correctness trap every
+    global warehouse hits: "daily revenue" grouped by UTC date is
+    wrong for a New York business day, and the two partitions
+    disagree exactly for events between 00:00 and 05:00 UTC (the
+    n_shifted column COUNTS the rows this query reclassifies, so the
+    stake is visible, not hypothetical). Conversion is
+    from_utc_timestamp against the IANA zone — DST rules included —
+    and the engine pins session.timeZone=UTC in ``tune()`` so the
+    result is independent of where the cluster runs; the DuckDB twin
+    uses AT TIME ZONE arithmetic that is likewise
+    session-timezone-independent (verified under an adversarial
+    session zone).
+
+    One scan, one date-key aggregate — the cost of being correct is
+    one expression.
+    """
+    e = Catalog(spark, sf_dir).events
+    shifted = e.select(
+        F.to_date("ts").alias("utc_day"),
+        F.to_date(F.from_utc_timestamp("ts", "America/New_York"))
+        .alias("ny_day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return (shifted.groupBy("ny_day")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("cents"),
+                 F.sum((F.col("utc_day") != F.col("ny_day"))
+                       .cast("long")).alias("n_shifted_from_utc_day"))
+            .orderBy("ny_day"))

@@ -1120,3 +1120,19 @@ def test_epoch_plan_is_one_corpus_pass(spark):
     assert plan.count("Scan ExistingRDD") == 2
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_timezone_rollup_is_one_scan(spark):
+    plan = _plan(spark, "timezone_daily_rollup")
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" not in plan
+
+
+def test_catalog_census_counts_from_metadata(spark):
+    plan = _plan(spark, "catalog_table_census")
+    # Unfiltered COUNT(*) per table: scans carry empty ReadSchema
+    # (footer-statistics counting), no join, no window.
+    assert plan.count("FileScan parquet") == 10
+    assert "Join" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert all("ReadSchema: struct<>" in l for l in scans), scans[:2]
