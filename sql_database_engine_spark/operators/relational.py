@@ -1202,3 +1202,46 @@ def catalog_table_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("table_name")
+
+
+@query(
+    "sql_parameterized_front_door",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(ROUND(l_extendedprice
+                                    * (1 - l_discount) * 100)
+                              AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0
+               AS revenue
+    FROM lineitem
+    WHERE l_quantity < 24 AND l_discount >= 0.03
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_parameterized_front_door(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL front door (Spark 4 named parameters) — the
+    injection-safe API every SQL-facing service needs: the query text
+    carries ``:max_qty`` / ``:min_disc`` placeholders and the values
+    arrive as typed arguments, never string-concatenated; the table
+    arrives as a registered temp view (the session-catalog surface).
+    Same revenue arithmetic as the exact-cents policy; the oracle
+    inlines the literals, so a parameter-binding bug (wrong order,
+    wrong coercion) hash-fails.
+    """
+    cat = Catalog(spark, sf_dir)
+    cat.lineitem.createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_extendedprice
+                                   * (1 - l_discount) * 100)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        FROM lineitem_v
+        WHERE l_quantity < :max_qty AND l_discount >= :min_disc
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        args={"max_qty": 24, "min_disc": 0.03})

@@ -1136,3 +1136,13 @@ def test_catalog_census_counts_from_metadata(spark):
     assert "Join" not in plan
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert all("ReadSchema: struct<>" in l for l in scans), scans[:2]
+
+
+def test_per_group_topk_gets_window_group_limit(spark):
+    """Catalyst's WindowGroupLimit must prune per-group rows BEFORE
+    the rank window (partial at the map side, final after the
+    exchange) — at 100 TB this is the difference between shuffling
+    3 rows per nation and shuffling every customer."""
+    plan = _plan(spark, "top_spenders_per_nation")
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "Partial" in plan and "Final" in plan
