@@ -1245,3 +1245,47 @@ def sql_parameterized_front_door(spark: SparkSession,
         ORDER BY l_returnflag
         """,
         args={"max_qty": 24, "min_disc": 0.03})
+
+
+@query(
+    "orc_roundtrip_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 100.0 AS total_price
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round-trip — the third columnar format made
+    driver-visible (CSV and JSONL round-trips are
+    ``csv_roundtrip_agg`` / ``jsonl_roundtrip_docs``): an orders
+    projection exports to ORC in a version-keyed staging dir, reads
+    back with the declared schema, and aggregates; the oracle
+    computes from the original parquet, so a type-mapping slip
+    (ORC's timestamp/decimal encodings differ from parquet's) or a
+    lost stripe hash-fails. Staging is the fixture (skip on
+    _SUCCESS), the measured plan is the ORC scan + one aggregate.
+    """
+    import os
+
+    from ..scratch import scratch_dir, source_fingerprint
+
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderpriority", "o_totalprice")
+    stage = scratch_dir(
+        "orc", sf_dir,
+        version="v1|" + source_fingerprint(sf_dir, "orders.parquet"))
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        o.write.mode("overwrite").orc(stage)
+    back = (spark.read
+            .schema("o_orderpriority string, o_totalprice double")
+            .orc(stage))
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 (F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).cast("double") / 100.0)
+                 .alias("total_price"))
+            .orderBy("o_orderpriority"))
