@@ -1628,14 +1628,22 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs GROUP BY lag
     )
     SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
-           CAST(CAST(n AS HUGEINT) * sab
-                - CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT) AS DOUBLE)
-           / sqrt(CAST(CAST(n AS HUGEINT) * saa
-                  - CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT)
-                  AS DOUBLE))
-           / sqrt(CAST(CAST(n AS HUGEINT) * sbb
-                  - CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT)
-                  AS DOUBLE)) AS acf
+           CAST(CASE WHEN CAST(n AS HUGEINT) * sab
+                          - CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)
+                          > 0 THEN 1
+                     WHEN CAST(n AS HUGEINT) * sab
+                          - CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)
+                          < 0 THEN -1 ELSE 0 END AS BIGINT) AS acf_sign,
+           CAST((1000000
+                 * ABS(CAST(n AS HUGEINT) * sab
+                       - CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT))
+                 // (CAST(n AS HUGEINT) * saa
+                     - CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT)))
+                * ABS(CAST(n AS HUGEINT) * sab
+                      - CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT))
+                // (CAST(n AS HUGEINT) * sbb
+                    - CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT))
+                AS BIGINT) AS acf_sq_micros
     FROM s
     ORDER BY lag
     """,
@@ -1648,8 +1656,12 @@ def autocorrelation_daily_revenue(spark: SparkSession,
     Pearson ACF per lag over the (y_t, y_{t+k}) pair set, computed on
     the ``trend_daily_revenue_ols`` exact-moment lane: whole-unit
     integer daily revenue, five integer moments per lag in 128-bit
-    lanes (DECIMAL(38,0) / HUGEINT), one fixed double chain at the
-    end.
+    lanes (DECIMAL(38,0) / HUGEINT). The statistic is emitted in its
+    EXACT form — (sign, squared value in micros) — because the
+    moments exceed 2^53 and int128→double conversion rounds
+    differently across engines (observed: one ulp at sf0.1, lag 5, in
+    the sf0.1 assurance sweep); acf = sign·sqrt(micros/10⁶) is one
+    consumer-side fixed op.
 
     Shape: the daily series keys on an INTEGER day index (days since
     min date, 1-row broadcast), so each lag's pair set is an
@@ -1685,10 +1697,34 @@ def autocorrelation_daily_revenue(spark: SparkSession,
     num = wide("n_pairs") * wide("sab") - wide("sa") * wide("sb")
     den_a = wide("n_pairs") * wide("saa") - wide("sa") * wide("sa")
     den_b = wide("n_pairs") * wide("sbb") - wide("sb") * wide("sb")
+    # acf emitted as (sign, squared value in micros): the covariance
+    # moments exceed 2^53, and int128 -> double conversion rounds
+    # differently across engines (observed: one ulp at sf0.1, lag 5),
+    # so the float form cannot hash-verify. sign(num) and
+    # 10^6*num^2 div (den_a*den_b) are exact integers; acf =
+    # sign * sqrt(micros/1e6) is one consumer-side fixed op.
     return (s.select(
         "lag", "n_pairs",
-        (num.cast("double") / F.sqrt(den_a.cast("double"))
-         / F.sqrt(den_b.cast("double"))).alias("acf"))
+        F.when(num > 0, 1).when(num < 0, -1).otherwise(0)
+        .cast("long").alias("acf_sign"),
+        # Two sequential integer floors (the declared two-step floor
+        # lane) over |num| — squares are sign-free and a negative
+        # numerator would hit the div-truncates-vs-//-floors trap:
+        # floor(floor(1e6*|num|/den_a)*|num|/den_b). A single-floor
+        # 1e6*num^2/(den_a*den_b) would need ~45 digits at sf1 —
+        # beyond both DECIMAL(38,0) and HUGEINT — while each step here
+        # stays ~26 digits; both engines evaluate the identical floor
+        # sequence.
+        F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * ({num})"
+               " div ({dena})) * ({num}) div ({denb}) AS BIGINT)"
+               .format(
+                   num="ABS(n_pairs * CAST(sab AS DECIMAL(38,0))"
+                       " - CAST(sa AS DECIMAL(38,0)) * sb)",
+                   dena="n_pairs * CAST(saa AS DECIMAL(38,0))"
+                        " - CAST(sa AS DECIMAL(38,0)) * sa",
+                   denb="n_pairs * CAST(sbb AS DECIMAL(38,0))"
+                        " - CAST(sb AS DECIMAL(38,0)) * sb"))
+        .alias("acf_sq_micros"))
         .orderBy("lag"))
 
 
