@@ -693,8 +693,13 @@ def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row moment aggregate. The closed-form products n·Σy² etc.
     exceed 2⁶³ already at sf0.1, so they run in 128-bit exact integer
     lanes — DECIMAL(38,0) here, HUGEINT in the oracle; both engines
-    then round the exact integer to the nearest double once, which is
-    deterministic by IEEE-754.
+    then round the exact integer to the nearest double once. Caveat
+    discovered by the sf0.1 assurance sweep (via the ACF sibling):
+    the two engines' int128→double conversions can differ by one ulp
+    once the moment products exceed 2^53 substantially — green at the
+    driver's sf0.01 gate and at sf0.1 for THESE values, but a
+    production variant emitting slope at sf1+ should switch to the
+    ACF's exact (sign, squared-micros) form.
     """
     daily = _daily_revenue(Catalog(spark, sf_dir))
     mn = daily.agg(F.min("d").alias("d0"))
