@@ -127,6 +127,17 @@ HEADLINE = [
     "python_stream_datasource_drain",  # custom streaming source drain
     "ndcg_at_10_eval",              # literal-discount graded relevance
     "forecast_wape_eval",           # seasonal-naive WAPE benchmark
+    # round-4 additions (prior sets unchanged): every query that
+    # benched >2s in any PERF.md table now has a driver-visible
+    # timing (VERDICT r3 item 6)
+    "sssp_weighted_brands",         # weighted Bellman-Ford unroll
+    "mmr_diversified_topk",         # greedy diversity re-ranking
+    "sorted_neighborhood_pairs",    # rank-offset blocking joins
+    "pii_dictionary_scrub",         # broadcast-denylist scrub + rebuild
+    "triangle_count_brands",        # oriented-edge triangle join
+    "stream_click_purchase_full_join_settled",  # FULL outer stream join
+    "stream_distinct_users_hourly", # chained stateful dedup -> count
+    "link_prediction_common_neighbors",  # neighborhood-Jaccard recs
 ]
 
 
@@ -172,12 +183,37 @@ def main() -> None:
         timings[name] = run(name)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    subset = [n for n in HEADLINE[:24] if n in timings]
+    subset_total = round(sum(timings[n] for n in subset), 3)
+    full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "r01_subset_24": subset_total,
+    }
+    # The driver records only a bounded TAIL of stdout (~2.2 kB), and
+    # the full per-query map outgrew it in round 3 (BENCH_r03.json
+    # "parsed": null — the official number was lost). So: write the
+    # full result to a committed sidecar and print it FIRST, then emit
+    # a compact final line the tail always captures — headline total,
+    # r01-comparable 24-subset, and the 24-subset per-query map (the
+    # round-over-round comparable set), ~1 kB total.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(json.dumps(full))
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "r01_subset_24": subset_total,
+        "queries": {n: timings[n] for n in subset},
     }))
     spark.stop()
 

@@ -76,13 +76,9 @@ def _driver_checked() -> set[str]:
     # queries rewritten since their last driver row must re-enter the
     # prefix so the hard signal covers the code that actually ships.
     # Curated per round; clear entries once the next CORRECTNESS file
-    # shows their fresh green row.
-    rewritten_since_sampled = {
-        "clamped_running_balance",      # applyInPandas -> Lindley window
-        "cep_click_purchase_no_error",  # ROWS -> RANGE-over-micros frame
-        "leading_digit_profile",        # eager count -> lazy broadcast
-        "setsim_prefix_join",           # integer bound + repartitions
-    }
+    # shows their fresh green row. (Round 4: the four round-3 rewrites
+    # all re-sampled green in CORRECTNESS_r03.json — set cleared.)
+    rewritten_since_sampled: set[str] = set()
     return seen - rewritten_since_sampled
 
 
@@ -112,6 +108,10 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship representatives first; within each family, queries
         # that have never had a hard-signal row outrank ones already
         # green in a prior round's sample
+        # round-4 engine-surface additions (VERDICT r3 item 4): the
+        # snapshot/time-travel and CTAS/compaction read paths must
+        # land in this round's driver prefix
+        "snapshot_time_travel_diff", "ctas_compaction_census",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",
@@ -183,12 +183,18 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         names.sort(key=lambda n: (n in seen, rank.get(n, len(priority)),
                                   n not in ORACLES, reg[n]))
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # Two interleave passes: all never-driver-checked queries first
-    # (round-robin across families), then the already-checked tail —
-    # a family that runs out of fresh queries must not push its
-    # already-green ones into the prefix ahead of another family's
-    # fresh ones.
-    for tier in (lambda n: n not in seen, lambda n: n in seen):
+    # Three interleave passes: never-driver-checked oracle-backed
+    # queries first (round-robin across families), then never-checked
+    # rows-only ones, then the already-checked tail. Rows-only queries
+    # can never earn a hash-green row, so they must not burn a prefix
+    # slot while ANY oracle-backed query still lacks one — the two
+    # legacy non-green rows (agg_sketch_percentiles,
+    # cms_token_count_estimates) are exactly that cost, paid once and
+    # not again (VERDICT r3 item 5; their contract twins are the
+    # driver surface, see QUERIES.md).
+    for tier in (lambda n: n not in seen and n in ORACLES,
+                 lambda n: n not in seen and n not in ORACLES,
+                 lambda n: n in seen):
         queues = [[n for n in names if tier(n)]
                   for names in families.values()]
         while any(queues):

@@ -596,3 +596,173 @@ def currency_normalize_asof(spark: SparkSession,
                     "n_orders", "rate_micros", "local_cents",
                     "converted_cents")
             .orderBy("month"))
+
+
+@query(
+    "snapshot_time_travel_diff",
+    oracle="""
+    WITH snap AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ), v2 AS (
+        -- v1 (even keys) + odd-key upserts - (key % 10 = 0) deletes
+        SELECT * FROM snap
+        WHERE c_custkey % 2 = 1 OR c_custkey % 10 <> 0
+    ), v3 AS (
+        -- v2 with a +10.00 balance adjustment upsert on key % 7 = 0
+        SELECT c_custkey, c_mktsegment,
+               bal_cents + CASE WHEN c_custkey % 7 = 0
+                                THEN 1000 ELSE 0 END AS bal_cents
+        FROM v2
+    ), u AS (
+        SELECT 2 AS version, c_mktsegment,
+               COUNT(*) AS n_customers, SUM(bal_cents) AS total_bal_cents
+        FROM v2 GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 3, c_mktsegment, COUNT(*), SUM(bal_cents)
+        FROM v3 GROUP BY c_mktsegment
+    )
+    SELECT CAST(version AS BIGINT) AS version, c_mktsegment,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(total_bal_cents AS BIGINT) AS total_bal_cents,
+           CAST(2 AS BIGINT) AS n_live_versions
+    FROM u
+    ORDER BY version, c_mktsegment
+    """,
+)
+def snapshot_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table time travel, driver-visible end to end: commit
+    v1 (even-keyed customers), MERGE to v2 (odd-key upserts + key%10
+    deletes), MERGE to v3 (+10.00 balance adjustment on key%7), then
+    VACUUM keep=2 — and read the two SURVIVING versions back through
+    the manifest-resolved time-travel path (``sources/snapshots.py``),
+    aggregating each per market segment. The oracle recomputes both
+    version states from the base customer table via the same modular
+    derivations, so a broken commit, a merge that mis-applies deletes,
+    a vacuum that drops a live version (``n_live_versions`` pins
+    retention), or a time-travel read that resolves the wrong data
+    dir all hash-fail. Staging is the fixture (skipped once versions
+    [2, 3] are the committed set); the measured plan is two
+    manifest-schema parquet scans + one union-aggregate.
+
+    At 100 TB this is the table-format core: immutable snapshot dirs,
+    tiny manifest commits (one atomic rename), readers never
+    coordinate with writers, and vacuum is the only deleting op.
+    """
+    import shutil
+
+    from ..functions.exact import cents
+    from ..scratch import scratch_dir, source_fingerprint
+    from ..sources.snapshots import (merge_snapshot, read_snapshot,
+                                     snapshots, vacuum, write_snapshot)
+
+    stage = scratch_dir(
+        "snapshot_tt", sf_dir,
+        version="v1|" + source_fingerprint(sf_dir, "customer.parquet"))
+    base = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", "c_mktsegment",
+        cents(F.col("c_acctbal")).alias("bal_cents"))
+
+    try:
+        done = [s["version"] for s in snapshots(stage)] == [2, 3]
+    except (OSError, ValueError, KeyError):
+        done = False
+    if not done:
+        # Any partial prior state rebuilds from scratch: the whole
+        # staging sequence is deterministic, so a wipe is the simple
+        # correct recovery (crash-orphan data dirs included).
+        shutil.rmtree(stage, ignore_errors=True)
+        write_snapshot(base.filter(F.col("c_custkey") % 2 == 0), stage)
+        changes2 = (base.filter(F.col("c_custkey") % 2 == 1)
+                    .withColumn("is_delete", F.lit(False))
+                    .unionByName(
+                        base.filter((F.col("c_custkey") % 2 == 0)
+                                    & (F.col("c_custkey") % 10 == 0))
+                        .withColumn("is_delete", F.lit(True))))
+        merge_snapshot(spark, stage, changes2, "c_custkey", "is_delete")
+        current = read_snapshot(spark, stage)
+        changes3 = (current.filter(F.col("c_custkey") % 7 == 0)
+                    .withColumn("bal_cents", F.col("bal_cents") + 1000))
+        merge_snapshot(spark, stage, changes3, "c_custkey")
+        vacuum(stage, keep=2)
+
+    n_live = len(snapshots(stage))
+    parts = []
+    for v in (2, 3):
+        df = read_snapshot(spark, stage, v)
+        parts.append(
+            df.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("bal_cents").alias("total_bal_cents"))
+            .select(F.lit(v).cast("long").alias("version"),
+                    "c_mktsegment", "n_customers", "total_bal_cents"))
+    return (parts[0].unionByName(parts[1])
+            .withColumn("n_live_versions", F.lit(n_live).cast("long"))
+            .orderBy("version", "c_mktsegment"))
+
+
+@query(
+    "ctas_compaction_census",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(1 AS BIGINT) AS files_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ctas_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS + small-file compaction, driver-visible end to end: CREATE
+    TABLE AS a 16-way round-robin-repartitioned orders projection
+    partitioned by o_orderpriority (16 files per partition dir — the
+    streaming-sink small-file accretion pattern), then
+    ``Engine.compact_table(target_files=2)`` rewrites every directory
+    down to at most 2 files via the (partition cols, row-hash bucket)
+    repartition, preserving Hive layout. The returned census
+    aggregates the COMPACTED table per priority; ``files_ok`` pins
+    the file bound from INSIDE the plan (count_distinct of
+    input_file_name() per group, entirely JVM-side), and the oracle's
+    counts/sums come from the original parquet — so a compaction that
+    loses rows, flattens the partition layout, or leaves the rewrite
+    un-swapped all hash-fail. Staging is the fixture (skip on the
+    _COMPACTED marker); the measured plan is one partitioned scan +
+    aggregate.
+
+    At 100 TB compaction is the maintenance op that keeps scan plans
+    healthy — per-file open/footer overhead dominates once appends
+    accrete; the bucketed rewrite bounds output files per directory
+    without losing pruning.
+    """
+    import os
+
+    from ..engine import Engine
+    from ..functions.exact import cents
+    from ..scratch import scratch_dir, source_fingerprint
+
+    root = scratch_dir(
+        "ctas_compact", sf_dir,
+        version="v1|" + source_fingerprint(sf_dir, "orders.parquet"))
+    tbl = os.path.join(root, "orders_by_priority")
+    marker = os.path.join(root, "_COMPACTED")
+    eng = Engine(spark, sf_dir)
+    src = eng.table("orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("cents"),
+        "o_orderpriority")
+    if not os.path.exists(marker):
+        eng.create_table("ctas_orders_by_priority",
+                         src.repartition(16), tbl,
+                         partition_by=("o_orderpriority",))
+        eng.compact_table(tbl, target_files=2)
+        open(marker, "w").close()
+    back = (spark.read.schema(src.schema).parquet(tbl)
+            .withColumn("_file", F.input_file_name()))
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").alias("total_cents"),
+                 (F.count_distinct(F.col("_file")) <= 2)
+                 .cast("long").alias("files_ok"))
+            .orderBy("o_orderpriority"))
