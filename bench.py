@@ -138,6 +138,13 @@ HEADLINE = [
     "stream_click_purchase_full_join_settled",  # FULL outer stream join
     "stream_distinct_users_hourly", # chained stateful dedup -> count
     "link_prediction_common_neighbors",  # neighborhood-Jaccard recs
+    # round-4 first wave
+    "kmeans_lloyd_centroids",       # 3 Lloyd rounds, broadcast centroids
+    "bpe_apply_token_counts",       # vocabulary-factored tokenization
+    "concurrent_sessions_peak",     # sweep-line peak concurrency
+    "snapshot_time_travel_diff",    # snapshot table time travel reads
+    "ctas_compaction_census",       # compacted-table census
+    "t_closeness_audit",            # EMD sensitive-distribution audit
 ]
 
 

@@ -112,6 +112,10 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot/time-travel and CTAS/compaction read paths must
         # land in this round's driver prefix
         "snapshot_time_travel_diff", "ctas_compaction_census",
+        # round-4 first-wave flagships (new this round, never sampled)
+        "kmeans_lloyd_centroids", "bpe_apply_token_counts",
+        "t_closeness_audit", "concurrent_sessions_peak",
+        "xml_roundtrip_agg", "cumulative_distinct_users",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",

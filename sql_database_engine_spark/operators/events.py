@@ -914,3 +914,103 @@ def robust_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.abs(F.col("z_robust_micros")) > 3000000)
                        .cast("long")).alias("n_robust_outliers"))
             .orderBy("event_type"))
+
+
+@query(
+    "concurrent_sessions_peak",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM ordered
+    ), s AS (
+        SELECT user_id, session_idx,
+               min(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
+               max(epoch_us(CAST(ts AS TIMESTAMP))) + 1800000000 AS end_us
+        FROM sess GROUP BY user_id, session_idx
+    ), b AS (
+        SELECT start_us AS t, 1 AS d FROM s
+        UNION ALL
+        SELECT end_us AS t, -1 AS d FROM s
+    ), g AS (
+        SELECT t, SUM(d) AS delta,
+               SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts
+        FROM b GROUP BY t
+    ), r AS (
+        SELECT t, n_starts,
+               SUM(delta) OVER (ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS running
+        FROM g
+    ), m AS (SELECT MAX(running) AS peak FROM r)
+    SELECT CAST((SELECT SUM(n_starts) FROM r) AS BIGINT) AS n_sessions,
+           CAST(m.peak AS BIGINT) AS peak_concurrent,
+           CAST(MIN(r.t) AS BIGINT) AS peak_at_us
+    FROM r, m WHERE r.running = m.peak GROUP BY m.peak
+    """,
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line — "how many sessions were open
+    at once, and when?", the capacity-planning readout behind license
+    sizing and surge alerts. Sessions come from the shared 30-minute
+    inactivity rule (each extended 30 minutes past its last event,
+    matching ``session_window`` semantics); every session emits a +1
+    boundary at its start and a -1 at its end, boundaries aggregate to
+    INSTANT grain (delta, n_starts), and one running sum ordered by
+    instant gives the active count after each instant. Processing ends
+    before starts within an instant means per-instant max is
+    max(prev, running-after) — so the global peak is simply
+    MAX(running) over instant rows, and the reported instant is the
+    earliest achieving it (struct-max over (running, -t), one
+    aggregate, no second pass).
+
+    Scale: events shuffle once on user_id (session assignment), then
+    the sweep runs over boundary rows at SESSION-INSTANT grain — two
+    orders of magnitude smaller than events. The single ordered
+    running sum is the textbook two-level prefix-sum at 100 TB
+    (per-partition partials + broadcast offsets); at instant grain a
+    single-partition window is the honest local plan and is the same
+    shape the other day/instant-grain walks use.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros(F.col("ts"))
+              - F.lag(F.unix_micros(F.col("ts"))).over(w))
+    sess_idx = F.sum(
+        F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, 0))
+    s = (ev.withColumn("session_idx", sess_idx)
+         .groupBy("user_id", "session_idx")
+         .agg(F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
+              (F.max(F.unix_micros(F.col("ts"))) + 1_800_000_000)
+              .alias("end_us")))
+    # Both boundaries from ONE pass over the session relation (a
+    # union of two selects would recompute the whole sessionize
+    # pipeline — and rescan events — once per side).
+    b = s.select(F.explode(F.array(
+        F.struct(F.col("start_us").alias("t"), F.lit(1).alias("d")),
+        F.struct(F.col("end_us").alias("t"), F.lit(-1).alias("d"))))
+        .alias("bd")).select("bd.t", "bd.d")
+    g = (b.groupBy("t")
+         .agg(F.sum("d").alias("delta"),
+              F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+              .alias("n_starts")))
+    r = g.withColumn(
+        "running",
+        F.sum("delta").over(
+            W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)))
+    return (r.agg(F.sum("n_starts").alias("n_sessions"),
+                  F.max(F.struct(F.col("running"), (-F.col("t")).alias("negt")))
+                  .alias("m"))
+            .select(F.col("n_sessions").cast("long").alias("n_sessions"),
+                    F.col("m.running").cast("long").alias("peak_concurrent"),
+                    (-F.col("m.negt")).cast("long").alias("peak_at_us")))

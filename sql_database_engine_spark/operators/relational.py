@@ -1289,3 +1289,60 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long")).cast("double") / 100.0)
                  .alias("total_price"))
             .orderBy("o_orderpriority"))
+
+
+@query(
+    "xml_roundtrip_agg",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
+                AS BIGINT) AS total_bal_cents
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → source round-trip — the fourth text format made
+    driver-visible (CSV/JSONL/fixed-width are already hash-checked;
+    ORC covers columnar). Spark 4 ships the former spark-xml module
+    natively: the supplier dimension exports as one <row> element per
+    record under a declared rowTag, reads back with an explicit
+    schema (never inference — XML's everything-is-a-string surface
+    makes inferred numerics fragile), joins to nation, and
+    aggregates. The oracle computes from the original parquet, so an
+    escaping bug (XML entity encoding), a type-mapping slip, or a
+    dropped element hash-fails. Staging is the fixture (skip on
+    _SUCCESS); the measured plan is the XML scan + broadcast join +
+    aggregate.
+
+    XML is the legacy-interchange format of enterprise ingest (SOAP
+    feeds, regulatory filings); at 100 TB you parse it once into
+    parquet exactly like this, never query it in place.
+    """
+    import os
+
+    from ..scratch import scratch_dir, source_fingerprint
+
+    cat = Catalog(spark, sf_dir)
+    s = cat.supplier.select("s_suppkey", "s_nationkey", "s_acctbal")
+    stage = scratch_dir(
+        "xml", sf_dir,
+        version="v1|" + source_fingerprint(sf_dir, "supplier.parquet"))
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (s.write.mode("overwrite")
+         .option("rootTag", "suppliers").option("rowTag", "supplier")
+         .format("xml").save(stage))
+    back = (spark.read
+            .schema("s_suppkey bigint, s_nationkey int, s_acctbal double")
+            .option("rowTag", "supplier")
+            .format("xml").load(stage))
+    n = cat.nation.select("n_nationkey", "n_name")
+    return (back.join(F.broadcast(n),
+                      back.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+                 .alias("total_bal_cents"))
+            .orderBy("n_name"))

@@ -1991,3 +1991,124 @@ def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " ELSE 1000000 * dcg_micros div idcg_micros"
                            " END").cast("long").alias("ndcg_micros"))
             .orderBy("qid"))
+
+
+def _kmeans_round_sql(cents: str, assign: str, out: str) -> str:
+    """One DuckDB Lloyd round: assign every vector to its nearest
+    centroid (exact integer squared-L2 over micro-scaled lanes,
+    lexicographic (dist, cid) tie-break), then recompute each
+    centroid as the per-dimension floor-mean of its members via the
+    +n*OFF offset trick (Spark `div` truncates, DuckDB `//` floors;
+    a positive numerator makes them agree)."""
+    dist = ("list_sum([ (ev[i] - cv[i]) * (ev[i] - cv[i]) "
+            "for i in range(1, 65) ])")
+    sums = ", ".join(f"SUM(ev[{d}]) AS s{d}" for d in range(1, 65))
+    means = ", ".join(f"(s{d} + n * 1000000) // n - 1000000"
+                      for d in range(1, 65))
+    return f"""
+    {assign} AS (
+        SELECT vec_id, ev, min([d, cid])[2] AS cid
+        FROM (SELECT vec_id, ev, cid, {dist} AS d
+              FROM (SELECT p.vec_id, p.ev, c.cid, c.c AS cv
+                    FROM (SELECT vec_id, e AS ev FROM e) p, {cents} c))
+        GROUP BY vec_id, ev
+    ), {out}_s AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n, {sums}
+        FROM {assign} GROUP BY cid
+    ), {out} AS (
+        SELECT cid, n, [{means}] AS c FROM {out}_s
+    )"""
+
+
+@query(
+    "kmeans_lloyd_centroids",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                for x in embedding] AS e
+        FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < 4
+    ),{_kmeans_round_sql('c0', 'a1', 'c1')},
+    {_kmeans_round_sql('c1', 'a2', 'c2')},
+    {_kmeans_round_sql('c2', 'a3', 'c3')}
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(i AS BIGINT) AS dim,
+           CAST(c[i] AS BIGINT) AS centroid_micros,
+           CAST(n AS BIGINT) AS n_members
+    FROM c3, unnest(range(1, 65)) AS r(i)
+    ORDER BY cluster_id, dim
+    """,
+)
+def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means via Lloyd's algorithm, exact-integer and fully
+    oracle-checked — the TRAINING step the ANN family's IVF index
+    presupposes (``ann_ivf_topk`` seeds centroids and refines once,
+    rows-only; this operator is the deterministic trainer whose
+    output an oracle can replay bit-for-bit). k=4 centroids seed from
+    vec_id < 4, then three unrolled Lloyd rounds: assign each vector
+    to the nearest centroid by exact squared L2 over integer-micro
+    lanes (float→double→round(1e6) — no float comparison anywhere;
+    ties break to the smaller centroid id via lexicographic
+    struct-min), recompute centroids as per-dimension floor-means
+    (the +n·OFF offset trick keeps Spark's truncating `div` and
+    DuckDB's flooring `//` identical on negative sums).
+
+    Scale shape: centroids are a k×64 broadcast (bytes); each round
+    is one corpus scan with a 4-row broadcast join and ONE hash
+    aggregate computing all 64 dimension sums as separate aggregate
+    expressions — no posexplode, so the shuffle carries k rows of 64
+    columns, never corpus×64 rows. Per-cluster member counts ride
+    the same aggregate. This is exactly how you train an IVF
+    codebook on 100 TB: rounds are linear scans, reducer state is
+    k×d integers, and more rounds/larger k change only loop bounds.
+    Round count is plan-pinned (test_plan_quality).
+    """
+    emb = Catalog(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> "
+               "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .alias("e"))
+    cents = (e.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").cast("long").alias("cid"),
+                     F.col("e").alias("c"))
+             .localCheckpoint(eager=False))
+    for _ in range(3):
+        cents = _lloyd_round(e, cents).localCheckpoint(eager=False)
+    return (cents.select(
+                F.col("cid").alias("cluster_id"),
+                F.posexplode("c").alias("pos", "centroid_micros"),
+                F.col("n"))
+            .select("cluster_id",
+                    (F.col("pos") + 1).cast("long").alias("dim"),
+                    "centroid_micros",
+                    F.col("n").cast("long").alias("n_members"))
+            .orderBy("cluster_id", "dim"))
+
+
+def _lloyd_round(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd round (the plan-pinned primitive): broadcast the
+    k-row centroid table against the vector scan, argmin by
+    lexicographic (dist, cid) struct-min, then ONE hash aggregate
+    computing count + all 64 per-dimension sums as separate aggregate
+    expressions (no posexplode — reducer state is k×d integers) and
+    the floor-mean via the +n·OFF offset trick."""
+    OFF = 1_000_000
+    dist = F.expr("aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
+                  "0L, (acc, v) -> acc + v)")
+    assign = (e.crossJoin(F.broadcast(cents.select("cid", "c")))
+              .select("vec_id", "e", "cid", dist.alias("d"))
+              .groupBy("vec_id")
+              .agg(F.first("e").alias("e"),
+                   F.min(F.struct("d", "cid")).alias("m"))
+              .select("vec_id", "e", F.col("m.cid").alias("cid")))
+    sums = (assign.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.col("e")[d]).alias(f"s{d}")
+                   for d in range(64)]))
+    return sums.select(
+        "cid", "n",
+        F.array(*[F.expr(f"(s{d} + n * {OFF}) div n - {OFF}")
+                  for d in range(64)]).alias("c"))

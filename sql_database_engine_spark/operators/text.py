@@ -2396,12 +2396,16 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_shared") >= 3))
 
 
-def _bpe_round_sql(words: str, merges: str, out: str) -> str:
+def _bpe_round_sql(words: str, merges: str, out: str,
+                   carry: str = "") -> str:
     """One DuckDB BPE round over ``words(spaced, wn)``: count adjacent
     symbol pairs (occurrences weighted by word count), pick the most
     frequent (ties: lexicographically smallest pair), apply the merge
     with the doubled-separator replace that preserves greedy
-    left-to-right, boundary-safe semantics."""
+    left-to-right, boundary-safe semantics. ``carry`` names extra
+    word-table columns (e.g. the original token for the apply-side
+    pipeline) that ride through the merge unchanged."""
+    carry_sel = "".join(f" w.{c}," for c in carry.split(",") if c)
     return f"""
     {out}_pairs AS (
         SELECT syms[i] AS a, syms[i + 1] AS b,
@@ -2418,7 +2422,7 @@ def _bpe_round_sql(words: str, merges: str, out: str) -> str:
                    ' ' || m.a || '  ' || m.b || ' ',
                    ' ' || m.merged || ' '),
                    '  ', ' ')) AS spaced,
-               w.wn
+              {carry_sel} w.wn
         FROM {words} w CROSS JOIN {merges} m
     )"""
 
@@ -2468,17 +2472,42 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcasts back as a 1-row cross join. At 100 TB the word
     table still fits a fraction of one executor; rounds 4..30000 are
     the same plan in a loop with the word table checkpointed."""
+    _, merges = _bpe_rounds(_bpe_word_table(spark, sf_dir))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")
+
+
+def _bpe_word_table(spark: SparkSession, sf_dir: str,
+                    carry_tok: bool = False) -> DataFrame:
+    """The BPE trainer's word-frequency table: one row per distinct
+    corpus token with its count and space-separated character split.
+    ``carry_tok`` keeps the original token (the apply-side pipeline
+    needs the tok -> final-segmentation mapping)."""
     d = Catalog(spark, sf_dir).documents
     words = (d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
              .where(F.col("tok") != "")
              .groupBy("tok").agg(F.count(F.lit(1)).alias("wn")))
-    w = (words.select(
-            F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1 "))
-            .alias("spaced"), "wn")
-         .localCheckpoint(eager=False))
+    cols = (["tok"] if carry_tok else []) + ["spaced", "wn"]
+    return (words.withColumn(
+                "spaced",
+                F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1 ")))
+            .select(*cols)
+            .localCheckpoint(eager=False))
 
+
+def _bpe_rounds(w: DataFrame, n_rounds: int = 3
+                ) -> tuple[DataFrame, list[DataFrame]]:
+    """Run ``n_rounds`` BPE trainer rounds over a word table
+    ``w(spaced, wn, *carry)``; extra columns ride through each merge
+    unchanged. Returns (final word table, per-round merge-rule
+    DataFrames). Shared by the trainer (emits the rules) and the
+    apply-side tokenizer (consumes the final segmentation) so their
+    merge selection can never drift apart."""
+    carry = [c for c in w.columns if c not in ("spaced", "wn")]
     merges = []
-    for rnd in (1, 2, 3):
+    for rnd in range(1, n_rounds + 1):
         syms = F.split(F.col("spaced"), " ")
         pairs = (w.select(syms.alias("syms"), "wn")
                  .select(F.posexplode(F.expr(
@@ -2504,13 +2533,74 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = (w.crossJoin(F.broadcast(m))
              .withColumn("doubled", doubled)
              .select(F.trim(F.regexp_replace(merged, "  ", " "))
-                     .alias("spaced"), "wn")
+                     .alias("spaced"), *carry, "wn")
              .localCheckpoint(eager=False))
+    return w, merges
 
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("round")
+
+@query(
+    "bpe_apply_token_counts",
+    oracle=f"""
+    WITH words AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY tok
+    ), w0 AS (
+        SELECT tok,
+               trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS spaced,
+               wn
+        FROM words
+    ),{_bpe_round_sql('w0', 'm1', 'w1', carry='tok')},
+    {_bpe_round_sql('w1', 'm2', 'w2', carry='tok')},
+    {_bpe_round_sql('w2', 'm3', 'w3', carry='tok')},
+    per_src AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS total_words,
+           CAST(SUM(cnt * len(string_split(w3.spaced, ' ')))
+                AS BIGINT) AS total_bpe_tokens
+    FROM per_src JOIN w3 USING (tok)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def bpe_apply_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the deployment half of
+    ``bpe_merge_induction``: train the first three merge rules on the
+    corpus (same shared ``_bpe_rounds`` pipeline, so the rules cannot
+    drift from the trainer's), then tokenize every document with them
+    and report per-source whitespace-word and BPE-token totals — the
+    number a token-budgeted training mix is actually planned in.
+
+    The corpus is never re-segmented row by row: tokenization
+    factors through the VOCABULARY (tok -> final segmentation from
+    the carried-token word table; a word's BPE token count is just
+    the symbol count of its final spaced form), and the corpus-side
+    work is one (source, tok) count aggregate joined to that
+    vocabulary table. At 100 TB the vocabulary is broadcast-sized,
+    the corpus is touched once, and applying 30k merges instead of 3
+    changes only the loop bound on the word table.
+    """
+    w3, _ = _bpe_rounds(_bpe_word_table(spark, sf_dir, carry_tok=True))
+    vocab = w3.select(
+        "tok", F.size(F.split(F.col("spaced"), " ")).alias("n_syms"))
+    d = Catalog(spark, sf_dir).documents
+    per_src = (d.select("source",
+                        F.explode(F.split(F.col("text"), " ")).alias("tok"))
+               .where(F.col("tok") != "")
+               .groupBy("source", "tok")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    return (per_src.join(F.broadcast(vocab), "tok")
+            .groupBy("source")
+            .agg(F.sum("cnt").alias("total_words"),
+                 F.sum(F.col("cnt") * F.col("n_syms"))
+                 .alias("total_bpe_tokens"))
+            .orderBy("source"))
 
 
 @query(

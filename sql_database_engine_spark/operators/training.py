@@ -1841,3 +1841,97 @@ def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.col("share_tokens")).cast("long").alias("overshoot_tokens"),
         (F.col("n_epochs") > 4).cast("long").alias("exceeds_4_epochs"))
         .orderBy("source"))
+
+
+@query(
+    "t_closeness_audit",
+    oracle="""
+    WITH tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM customer
+    ), seg AS (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_seg
+        FROM customer GROUP BY c_mktsegment
+    ), cells AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gs
+        FROM customer
+        GROUP BY c_nationkey, floor(c_acctbal / 1000), c_mktsegment
+    ), wg AS (
+        SELECT *, SUM(n_gs) OVER (PARTITION BY c_nationkey, bal_band)
+                      AS n_g
+        FROM cells
+    ), grp AS (
+        SELECT c_nationkey, bal_band,
+               SUM(n_gs) AS n_members,
+               SUM(abs(CAST(n_gs AS HUGEINT) * tot.n_total
+                       - CAST(seg.n_seg AS HUGEINT) * n_g))
+                   AS present_num,
+               SUM(seg.n_seg) AS present_seg_total,
+               any_value(tot.n_total) AS n_total
+        FROM wg JOIN seg USING (c_mktsegment) CROSS JOIN tot
+        GROUP BY c_nationkey, bal_band
+    )
+    SELECT c_nationkey, bal_band,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(present_num
+                + CAST(n_total - present_seg_total AS HUGEINT) * n_members
+                AS DECIMAL(38, 0)) AS tvd_num,
+           CAST(10 * (present_num
+                      + CAST(n_total - present_seg_total AS HUGEINT)
+                        * n_members)
+                <= 7 * CAST(n_members AS HUGEINT) * n_total
+                AS BIGINT) AS t_ok
+    FROM grp
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-privacy
+    ladder after ``k_anonymity_violations`` (group size) and
+    ``l_diversity_audit`` (distinct sensitive values): a group can
+    pass both and still leak via its sensitive-value DISTRIBUTION
+    (skewness attack — 90% AUTOMOBILE in one nation-band tells an
+    attacker plenty). For each quasi-ID group, the Earth Mover's
+    Distance of its market-segment distribution from the global one —
+    for categorical attributes with unit ground distance, EMD = total
+    variation distance = (1/2)·Σ_s |p_g(s) − p(s)|.
+
+    Every lane is exact: TVD ≤ t=0.35 is tested as the integer
+    cross-multiplication 10·Σ_s |n_gs·N − N_s·n_g| ≤ 7·n_g·N (no
+    division anywhere), with 128-bit lanes because the products are
+    count·count (the PERF.md overflow rule). Absent segments
+    contribute N_s·n_g without being materialized: their sum is
+    (N − Σ_present N_s)·n_g, so the plan is one (group, segment)
+    aggregate + a broadcast 5-row segment dictionary + a broadcast
+    1-row total — group-cardinality-bounded shuffles at any scale.
+    """
+    c = Catalog(spark, sf_dir).customer
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    tot = c.agg(F.count(F.lit(1)).alias("n_total"))
+    seg = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_seg"))
+    cells = (c.groupBy("c_nationkey", band.alias("bal_band"),
+                       "c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_gs")))
+    dec = "decimal(38,0)"
+    n_g = F.sum("n_gs").over(
+        W.partitionBy("c_nationkey", "bal_band"))
+    grp = (cells.join(F.broadcast(seg), "c_mktsegment")
+           .crossJoin(F.broadcast(tot))
+           .withColumn("n_g", n_g)
+           .groupBy("c_nationkey", "bal_band")
+           .agg(F.sum("n_gs").alias("n_members"),
+                F.sum(F.abs(F.col("n_gs").cast(dec) * F.col("n_total")
+                            - F.col("n_seg").cast(dec) * F.col("n_g")))
+                .alias("present_num"),
+                F.sum("n_seg").alias("present_seg_total"),
+                F.first("n_total").alias("n_total")))
+    tvd_num = (F.col("present_num")
+               + (F.col("n_total") - F.col("present_seg_total"))
+               .cast(dec) * F.col("n_members"))
+    return (grp.select(
+        "c_nationkey", "bal_band",
+        F.col("n_members").cast("long").alias("n_members"),
+        tvd_num.cast(dec).alias("tvd_num"),
+        (F.lit(10).cast(dec) * tvd_num
+         <= F.lit(7).cast(dec) * F.col("n_members") * F.col("n_total"))
+        .cast("long").alias("t_ok")))

@@ -409,3 +409,54 @@ def rolling_ols_slope_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                num.cast("double") / den.cast("double"))
         .alias("slope_per_day"))
         .orderBy("d"))
+
+
+@query(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT event_type, user_id,
+               MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+        FROM events GROUP BY event_type, user_id
+    ), daily_new AS (
+        SELECT event_type, first_day AS day,
+               CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY event_type, first_day
+    )
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type
+                                     ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_distinct_users
+    FROM daily_new
+    ORDER BY event_type, day
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — the audience-growth
+    curve ("distinct users who have ever done X, by day") that SQL
+    engines refuse to express directly (COUNT(DISTINCT) OVER is
+    unsupported in Spark). The scalable reformulation: distinctness
+    is a FIRST-OCCURRENCE property, so reduce (event_type, user) to
+    its first day (one aggregate), count first-claims per day, and
+    cumulative-sum those day-grain counts. The textbook dense_rank
+    trick gives the same numbers but windows over EVERY event row;
+    this plan's window runs over day-grain rows — orders of magnitude
+    smaller, and the events table is touched exactly once.
+
+    Two exchanges total: (event_type, user) for the first-occurrence
+    reduce, event_type for the day walk. Both keys are the
+    aggregation's natural keys — nothing shuffles twice.
+    """
+    ev = Catalog(spark, sf_dir).events
+    first_seen = (ev.groupBy("event_type", "user_id")
+                  .agg(F.min(F.col("ts").cast("date")).alias("first_day")))
+    daily_new = (first_seen.groupBy("event_type",
+                                    F.col("first_day").alias("day"))
+                 .agg(F.count(F.lit(1)).alias("new_users")))
+    w = (W.partitionBy("event_type").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return (daily_new
+            .withColumn("cum_distinct_users",
+                        F.sum("new_users").over(w).cast("long"))
+            .orderBy("event_type", "day"))

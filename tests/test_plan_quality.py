@@ -1146,3 +1146,79 @@ def test_per_group_topk_gets_window_group_limit(spark):
     plan = _plan(spark, "top_spenders_per_nation")
     assert plan.count("WindowGroupLimit") == 2  # Partial + Final
     assert "Partial" in plan and "Final" in plan
+
+
+def test_lloyd_round_broadcasts_centroids_no_explode(spark):
+    # The k-means round primitive: assignment joins a BROADCAST k-row
+    # centroid table (never a shuffle join), and the centroid update
+    # is one hash aggregate with 64 sum expressions — no posexplode,
+    # so nothing corpus×64 ever materializes.
+    from pyspark.sql import functions as F
+    from sql_database_engine_spark.operators.similarity import (
+        _lloyd_round)
+
+    e = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), i -> id * i)").alias("e"))
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+    plan = _lloyd_round(e, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Generate" not in plan  # no explode anywhere in the round
+    assert "PythonUDF" not in plan
+
+
+def test_bpe_apply_joins_broadcast_vocabulary(spark):
+    plan = _plan(spark, "bpe_apply_token_counts")
+    # Tokenization factors through the vocabulary: the corpus-side
+    # work is a (source, tok) aggregate joined to the BROADCAST word
+    # table — never a per-document re-segmentation, no cartesian.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_cumulative_distinct_users_windows_day_grain(spark):
+    plan = _plan(spark, "cumulative_distinct_users")
+    # One events scan; the running sum windows over DAY-grain rows
+    # (the first-occurrence reduce ran first), so no user_id reaches
+    # the window operator — the dense_rank-over-every-event trick
+    # would show user_id in the window line.
+    assert plan.count("FileScan parquet") == 1
+    window_lines = [l for l in plan.splitlines() if "Window" in l
+                    and "WindowGroupLimit" not in l]
+    assert len(window_lines) == 1
+    assert "user_id" not in window_lines[0]
+
+
+def test_concurrent_sessions_sweep_on_instant_grain(spark):
+    plan = _plan(spark, "concurrent_sessions_peak")
+    # One events scan; the sweep-line running sum windows over
+    # INSTANT-grain boundary rows (no user_id in its spec), and the
+    # peak+argmax is a single struct-max aggregate — no second pass,
+    # no cartesian re-join of the peak.
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    sweep = [l for l in plan.splitlines()
+             if "Window" in l and "running" in l]
+    assert sweep and all("user_id" not in l for l in sweep)
+
+
+def test_t_closeness_broadcasts_dictionaries(spark):
+    plan = _plan(spark, "t_closeness_audit")
+    # The 5-row segment dictionary and 1-row total join as
+    # broadcasts; the only shuffles are the quasi-group aggregates.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_time_travel_reads_two_versions(spark):
+    plan = _plan(spark, "snapshot_time_travel_diff")
+    # After staging, the measured plan is exactly two manifest-schema
+    # parquet scans (v2 + v3) unioned — the base customer table is
+    # NOT re-read, proving results come through the snapshot path.
+    assert plan.count("FileScan parquet") == 2
+    assert "customer.parquet" not in plan

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Overflow-regime oracle differential on synthetically scaled facts.
+
+Both real determinism bugs in round 3 (`item_cf_similarity`'s pico
+lane passing int64, `autocorrelation_daily_revenue`'s int128->double
+ulp split) were invisible below sf0.1 and surfaced only one SF up.
+There is no sf1 fixture, so this tool manufactures the overflow
+regime: every FACT table is replicated FACTOR times with offset
+surrogate keys (values untouched — counts grow FACTOR-fold, summed
+moments FACTOR-fold, count*count products FACTOR^2-fold, which is
+exactly the int64-passing regime), dimensions are copied as-is, and
+the 128-bit-lane cohort runs Spark-vs-DuckDB on the scaled directory
+with the same bit-exact comparison the driver uses.
+
+Usage:
+    python tools/overflow_sweep.py [--factor 10] [--sf /root/testdata/sf0.1]
+
+Exit code 0 = every cohort query hash-matches at the scaled size.
+Results are recorded in ROUND{N}_NOTES.md per the measurement policy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import shutil
+import sys
+import time
+
+#: Queries whose scalings use DECIMAL(38,0)/HUGEINT lanes (the
+#: `10^k * count * count` rule in PERF.md), plus the moment-heavy
+#: OLS/Theil-Sen/correlation relatives whose integer moments grow
+#: quadratically in replicated values. Derived by scanning sources
+#: for decimal(38 / HUGEINT; re-derive when adding lanes.
+COHORT = [
+    "revenue_gini_coefficient",
+    "share_of_parent_rollup",
+    "abc_pareto_classes",
+    "diff_in_diff_estimate",
+    "simpson_paradox_check",
+    "trend_daily_revenue_ols",
+    "cusum_changepoint",
+    "twap_user_value",
+    "autocorrelation_daily_revenue",
+    "forecast_wape_eval",
+    "token_cooccurrence_lift",
+    "centroid_cosine_matrix",
+    "pca_power_iteration",
+    "kfold_auc_eval",
+    "score_auc_exact",
+    "ks_statistic_value_drift",
+    "key_skew_gini",
+    "item_cf_similarity",
+    # moment-heavy relatives without explicit 128-bit lanes (their
+    # int64 headroom is the thing under test)
+    "theil_sen_trend",
+    "rolling_ols_slope_7d",
+    "corr_value_hour_exact",
+    "seasonal_decomposition_additive",
+    "runs_test_randomness",
+    "mannwhitney_u_value_drift",
+]
+
+#: fact table -> surrogate key columns to offset per replica. The
+#: lineitem FK rides the orders offset so replicated orders keep
+#: their line items.
+FACTS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def build_scaled_dir(src_sf: str, factor: int) -> str:
+    import duckdb
+
+    st = os.stat(os.path.join(src_sf, "lineitem.parquet"))
+    out = os.path.join(
+        "/tmp", "spark_graft_overflow",
+        f"{factor}x-{st.st_size}-{st.st_mtime_ns}")
+    done = os.path.join(out, "_STAGED")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    con = duckdb.connect()
+    # One offset constant for every key column: larger than any key in
+    # any fact table, so replica keyspaces never collide and the
+    # orders/lineitem FK offset stays consistent.
+    k = 0
+    for t, keys in FACTS.items():
+        for c in keys:
+            v = con.sql(
+                f"SELECT max({c}) FROM '{src_sf}/{t}.parquet'").fetchone()[0]
+            k = max(k, int(v) + 1)
+    for t, keys in FACTS.items():
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{src_sf}/{t}.parquet'").fetchall()]
+        sel = ", ".join(
+            f"CAST({c} + i * {k} AS BIGINT) AS {c}" if c in keys else c
+            for c in cols)
+        con.sql(
+            f"COPY (SELECT {sel} FROM '{src_sf}/{t}.parquet', "
+            f"range({factor}) r(i)) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET)")
+    for t in DIMS:
+        shutil.copy(os.path.join(src_sf, f"{t}.parquet"),
+                    os.path.join(out, f"{t}.parquet"))
+    open(done, "w").close()
+    return out
+
+
+def canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", nargs="*", default=None,
+                    help="subset of the cohort to run")
+    args = ap.parse_args()
+
+    scaled = build_scaled_dir(args.sf, args.factor)
+    print(f"scaled dir: {scaled}", flush=True)
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from sql_database_engine_spark import operators as ops
+    from sql_database_engine_spark.session import get_spark
+
+    ops.load_all()
+    spark = get_spark("overflow-sweep")
+    con = duckdb.connect()
+    for t in list(FACTS) + DIMS:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{scaled}/{t}.parquet'")
+
+    names = args.queries or COHORT
+    failures = []
+    for name in names:
+        t0 = time.perf_counter()
+        df = ops.QUERIES[name](spark, scaled)
+        cols = sorted(df.columns)
+        actual = sorted(tuple(canon(r[c]) for c in cols)
+                        for r in df.collect())
+        res = con.sql(ops.ORACLES[name])
+        order = sorted(range(len(res.columns)),
+                       key=lambda i: res.columns[i])
+        expected = sorted(tuple(canon(r[i]) for i in order)
+                          for r in res.fetchall())
+        ok = actual == expected
+        dt = time.perf_counter() - t0
+        print(f"{name}: {'MATCH' if ok else 'MISMATCH'} "
+              f"({len(actual)} rows, {dt:.1f}s)", flush=True)
+        if not ok:
+            failures.append(name)
+            for i, (a, b) in enumerate(zip(actual, expected)):
+                if a != b:
+                    print(f"  first diff row {i}:\n    spark={a}\n"
+                          f"    duck ={b}")
+                    break
+            if len(actual) != len(expected):
+                print(f"  rows spark={len(actual)} duck={len(expected)}")
+    spark.stop()
+    print(f"\n{len(names) - len(failures)}/{len(names)} MATCH "
+          f"at {args.factor}x {args.sf}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
