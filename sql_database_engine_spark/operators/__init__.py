@@ -22,8 +22,18 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a named query, optionally with its DuckDB oracle SQL."""
+    """Register a named query, optionally with its DuckDB oracle SQL.
+
+    Duplicate names are a hard error: the registry is a flat
+    namespace, and a silent overwrite once shadowed an existing query
+    with a same-named new one — both halves of the contract moved
+    together, so every differential stayed green while an operator
+    quietly vanished."""
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(existing: {QUERIES[name].__module__})")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -115,7 +125,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 first-wave flagships (new this round, never sampled)
         "kmeans_lloyd_centroids", "bpe_apply_token_counts",
         "t_closeness_audit", "concurrent_sessions_peak",
-        "xml_roundtrip_agg", "cumulative_distinct_users",
+        "xml_roundtrip_agg", "cumulative_distinct_users_by_type",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",

@@ -412,7 +412,7 @@ def rolling_ols_slope_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cumulative_distinct_users",
+    "cumulative_distinct_users_by_type",
     oracle="""
     WITH first_seen AS (
         SELECT event_type, user_id,
@@ -432,7 +432,7 @@ def rolling_ols_slope_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type, day
     """,
 )
-def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cumulative_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running COUNT(DISTINCT) over a window — the audience-growth
     curve ("distinct users who have ever done X, by day") that SQL
     engines refuse to express directly (COUNT(DISTINCT) OVER is

@@ -1181,7 +1181,7 @@ def test_bpe_apply_joins_broadcast_vocabulary(spark):
 
 
 def test_cumulative_distinct_users_windows_day_grain(spark):
-    plan = _plan(spark, "cumulative_distinct_users")
+    plan = _plan(spark, "cumulative_distinct_users_by_type")
     # One events scan; the running sum windows over DAY-grain rows
     # (the first-occurrence reduce ran first), so no user_id reaches
     # the window operator — the dense_rank-over-every-event trick
