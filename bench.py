@@ -145,6 +145,10 @@ HEADLINE = [
     "snapshot_time_travel_diff",    # snapshot table time travel reads
     "ctas_compaction_census",       # compacted-table census
     "t_closeness_audit",            # EMD sensitive-distribution audit
+    "minhash_quality_eval",         # LSH recall vs exact truth
+    "er_golden_records",            # blocking -> CC -> survivorship
+    "session_path_markov",          # in-session transition matrix
+    "stream_ohlc_drain",            # streaming OHLC bars drain
 ]
 
 

@@ -126,6 +126,8 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd_centroids", "bpe_apply_token_counts",
         "t_closeness_audit", "concurrent_sessions_peak",
         "xml_roundtrip_agg", "cumulative_distinct_users_by_type",
+        "minhash_quality_eval", "er_golden_records",
+        "session_path_markov", "ab_srm_check", "stream_ohlc_drain",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",
@@ -296,6 +298,17 @@ def _register_streaming() -> None:
                         F.col("m.n_event_types").alias("n_event_types"),
                         F.col("m.event_types_csv").alias("event_types_csv")))
 
+    def stream_ohlc_drain(spark, sf_dir):
+        """Streaming OHLC bars drained through the incremental
+        engine: open/close picked by min_by/max_by over the
+        (ts, event_id) total order inside the stateful aggregate, so
+        the drained result is deterministic under any batch split and
+        gets a full oracle (the replay ranks within each hour)."""
+        s = es.events_stream(spark, sf_dir)
+        return es.run_available_now(es.ohlc_hourly(s),
+                                    "q_stream_ohlc",
+                                    output_mode="complete")
+
     def stream_distinct_users_hourly(spark, sf_dir):
         """Two chained stateful operators (dedup -> windowed count)
         drained through the incremental engine: exact distinct users
@@ -449,6 +462,32 @@ def _register_streaming() -> None:
 
     QUERIES.setdefault("stream_hourly_topk_drain",
                        stream_hourly_topk_drain)
+    QUERIES.setdefault("stream_ohlc_drain", stream_ohlc_drain)
+    ORACLES.setdefault("stream_ohlc_drain", """
+    WITH b AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type,
+                                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type,
+                                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT window_start, event_type,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+               AS open_cents,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+               AS close_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY window_start, event_type
+    """)
     QUERIES.setdefault("stream_distinct_users_hourly",
                        stream_distinct_users_hourly)
     ORACLES.setdefault("stream_hourly_topk_drain", """

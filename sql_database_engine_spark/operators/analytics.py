@@ -2830,3 +2830,146 @@ def uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
                        " - 1000000 * conv_c div n_control")
                 .alias("uplift_micros"))
             .orderBy("quintile"))
+
+
+@query(
+    "ab_srm_check",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id,
+               CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                             1, 4))::INTEGER % 2) = 0
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events GROUP BY user_id
+    ), counts AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM arms
+    )
+    SELECT n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+                AS BIGINT) AS chi2_micros,
+           CAST(((n_a - n_b) * (n_a - n_b) * 100
+                 <= 384 * (n_a + n_b)) AS BIGINT) AS srm_ok
+    FROM counts
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the experimentation guardrail
+    that must run before any arm metric is believed: under the same
+    deterministic md5 50/50 assignment as ``ab_test_arm_metrics``,
+    the observed arm counts are tested against the designed ratio
+    with the two-cell chi-square, which for a 50/50 split reduces to
+    (n_A − n_B)²/N. The statistic is emitted in exact integer micros
+    and the pass flag is the integer cross-multiplication
+    (n_A − n_B)²·100 ≤ 384·N (chi-square(1) critical value 3.84 at
+    p=0.05) — no division, no float. An SRM failure means broken
+    assignment or differential logging loss; arm metrics over a
+    mismatched population are unsalvageable, which is why this audit
+    is a first-class operator and not a dashboard afterthought.
+
+    One user-level distinct + one 2-cell aggregate; constant-sized
+    after the first shuffle at any scale.
+    """
+    ev = Catalog(spark, sf_dir).events
+    arm = F.when(
+        (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                16, 10).cast("int") % 2) == 0, "A").otherwise("B")
+    counts = (ev.select("user_id").distinct()
+              .select(arm.alias("arm"))
+              .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+                   .alias("n_a"),
+                   F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                   .alias("n_b")))
+    d = F.col("n_a") - F.col("n_b")
+    n = F.col("n_a") + F.col("n_b")
+    return counts.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr("(n_a - n_b) * (n_a - n_b) * 1000000L div (n_a + n_b)")
+        .alias("chi2_micros"),
+        (d * d * 100 <= 384 * n).cast("long").alias("srm_ok"))
+
+
+def _er_golden_oracle() -> str:
+    from . import ORACLES
+    return f"""
+    WITH RECURSIVE names AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM part GROUP BY p_name
+    ), cand AS ({ORACLES['fuzzy_name_pairs']}),
+    edges AS (
+        SELECT name_a AS src, name_b AS dst FROM cand
+        UNION
+        SELECT name_b, name_a FROM cand
+    ), reach (v, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.v, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src
+    ), clusters AS (
+        SELECT v AS p_name, MIN(r) AS cluster_id FROM reach GROUP BY v
+    ), merged AS (
+        SELECT n.p_name, n.n_rows,
+               COALESCE(c.cluster_id, n.p_name) AS cluster_id
+        FROM names n LEFT JOIN clusters c USING (p_name)
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_rows DESC, p_name) AS rk
+        FROM merged
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rk = 1 THEN p_name END) AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_spellings,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+
+
+@query("er_golden_records", oracle=_er_golden_oracle())
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the capstone that composes the
+    family's registered pieces into one golden-record table:
+    ``fuzzy_name_pairs`` (dictionary-first blocking + Levenshtein <= 2
+    match edges, called directly so the match policy can never drift),
+    min-label connected components with pointer jumping (the
+    similarity module's CC engine — transitive closure turns pairwise
+    matches into entities), then survivorship: each entity's
+    canonical spelling is its most frequent one (ties to the
+    lexicographically smallest), with spelling and row counts.
+    Unmatched names become singleton entities — a golden-record table
+    covers EVERY entity, not just the conflicted ones.
+
+    Scale: blocking bounds the quadratic step to distinct-spelling
+    buckets; CC is O(log diameter) shuffle rounds on the match graph
+    (spelling-grain, tiny); survivorship is one aggregate on the
+    cluster key. The oracle replays matching via the registered
+    fuzzy-pairs SQL and closure via WITH RECURSIVE — exact transitive
+    truth, no unroll bound.
+    """
+    from .similarity import connected_components
+
+    cat = Catalog(spark, sf_dir)
+    names = cat.part.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    pairs = fuzzy_name_pairs(spark, sf_dir).select("name_a", "name_b")
+    edges = (pairs.select(F.col("name_a").alias("src"),
+                          F.col("name_b").alias("dst"))
+             .unionAll(pairs.select(F.col("name_b").alias("src"),
+                                    F.col("name_a").alias("dst"))))
+    labels, _ = connected_components(edges)
+    merged = (names.join(labels, names.p_name == labels.v, "left")
+              .select("p_name", "n_rows",
+                      F.coalesce(F.col("cluster_id"), F.col("p_name"))
+                      .alias("cluster_id")))
+    canonical = F.min(F.struct((-F.col("n_rows")).alias("neg"),
+                               F.col("p_name").alias("nm")))
+    return (merged.groupBy("cluster_id")
+            .agg(canonical.getField("nm").alias("canonical_name"),
+                 F.count(F.lit(1)).alias("n_spellings"),
+                 F.sum("n_rows").alias("total_rows"))
+            .orderBy("cluster_id"))

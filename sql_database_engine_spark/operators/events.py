@@ -1014,3 +1014,60 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n_sessions").cast("long").alias("n_sessions"),
                     F.col("m.running").cast("long").alias("peak_concurrent"),
                     (-F.col("m.negt")).cast("long").alias("peak_at_us")))
+
+
+@query(
+    "session_path_markov",
+    oracle="""
+    WITH trans AS (
+        SELECT LAG(event_type) OVER w AS from_type,
+               event_type AS to_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), edges AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM trans
+        WHERE from_type IS NOT NULL AND gap_us <= 1800000000
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS prob_micros
+    FROM edges
+    ORDER BY from_type, to_type
+    """,
+)
+def session_path_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over in-session event
+    paths — "after a click, what happens next, with what
+    probability?", the model behind next-action prediction and
+    funnel-leak diagnosis. A transition is two consecutive events of
+    one user separated by at most the 30-minute session gap (the
+    shared sessionize rule: crossing the gap starts a new session,
+    not a transition). Conditional probabilities are floor-divided
+    integer micros over the from-state's outgoing total, so every
+    cell is exact.
+
+    One shuffle on user_id for the lag walk, then the edge aggregate
+    collapses to |event_types|^2 rows — the transition matrix is
+    metadata-sized at any corpus scale, and the normalizing window
+    runs on those few rows.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros(F.col("ts"))
+              - F.lag(F.unix_micros(F.col("ts"))).over(w))
+    edges = (ev.select(F.lag("event_type").over(w).alias("from_type"),
+                       F.col("event_type").alias("to_type"),
+                       gap_us.alias("gap_us"))
+             .filter(F.col("from_type").isNotNull()
+                     & (F.col("gap_us") <= 30 * 60 * 1_000_000))
+             .groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = F.sum("n").over(W.partitionBy("from_type"))
+    return (edges.withColumn("_tot", tot)
+            .select("from_type", "to_type", "n",
+                    F.expr("n * 1000000L div _tot").alias("prob_micros"))
+            .orderBy("from_type", "to_type"))

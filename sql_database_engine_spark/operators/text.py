@@ -2845,3 +2845,61 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " AS BIGINT)").alias("lift_micros"))
             .orderBy(F.col("lift_micros").desc(), "tok_a", "tok_b")
             .limit(15))
+
+
+def _minhash_quality_oracle() -> str:
+    from . import ORACLES
+    return f"""
+    WITH truth AS ({ORACLES['setsim_prefix_join']}),
+    lsh AS ({_minhash_oracle()})
+    SELECT CAST(t.n AS BIGINT) AS n_truth,
+           CAST(l.n AS BIGINT) AS n_lsh,
+           CAST(tp.n AS BIGINT) AS n_tp,
+           CAST(tp.n * 1000000 // t.n AS BIGINT) AS recall_micros,
+           CAST(tp.n * 1000000 // l.n AS BIGINT)
+               AS precision_at08_micros
+    FROM (SELECT COUNT(*) AS n FROM truth) t,
+         (SELECT COUNT(*) AS n FROM lsh) l,
+         (SELECT COUNT(*) AS n
+          FROM truth JOIN lsh USING (doc_a, doc_b)) tp
+    """
+
+
+@query("minhash_quality_eval", oracle=_minhash_quality_oracle())
+def minhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality of the MinHash-LSH approximation, MEASURED against
+    exact ground truth — the eval every probabilistic dedup deployment
+    owes its users: ``setsim_prefix_join`` (exact global bigram
+    Jaccard >= 0.8, lossless AllPairs pruning) is the truth set,
+    ``minhash_lsh_neardup`` (32 perms, 8x4 banding, agreement >= 0.5)
+    is the system under test, and the report is recall (what fraction
+    of true >= 0.8 pairs the LSH surface catches — banding theory
+    says ~1-(1-0.8^4)^8 ~= 0.985 before estimation noise) plus
+    precision AT the stricter 0.8 truth (LSH pairs below 0.8 are not
+    defects — the operator's contract is >= 0.5 — so this column
+    reads as threshold alignment, not error rate). All ratios are
+    floor-divided integer micros; both inputs are the REGISTERED
+    operators called directly, so this eval can never drift from what
+    ships.
+
+    Scale: both inputs are key-bounded joins (band keys / prefix
+    tokens); the eval itself joins two pair lists on (doc_a, doc_b)
+    and reduces to one row. Composing evals from production operators
+    — not reimplementations — is the pattern that keeps quality
+    dashboards honest at 100 TB.
+    """
+    truth = (setsim_prefix_join(spark, sf_dir)
+             .select("doc_a", "doc_b", F.lit(1).alias("in_t")))
+    lsh = (minhash_lsh_neardup(spark, sf_dir)
+           .select("doc_a", "doc_b", F.lit(1).alias("in_l")))
+    j = truth.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return (j.agg(F.sum("in_t").alias("n_truth"),
+                  F.sum("in_l").alias("n_lsh"),
+                  F.sum(F.col("in_t") * F.col("in_l")).alias("n_tp"))
+            .select(F.col("n_truth").cast("long").alias("n_truth"),
+                    F.col("n_lsh").cast("long").alias("n_lsh"),
+                    F.col("n_tp").cast("long").alias("n_tp"),
+                    F.expr("n_tp * 1000000L div n_truth")
+                    .alias("recall_micros"),
+                    F.expr("n_tp * 1000000L div n_lsh")
+                    .alias("precision_at08_micros")))

@@ -75,6 +75,31 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_hourly(events: DataFrame) -> DataFrame:
+    """1-hour tumbling OHLC bars per event type — the downsampling
+    aggregate a metrics store maintains incrementally: open/close via
+    min_by/max_by over the (ts, event_id) total order (deterministic
+    under any micro-batch split — the orderable key, not arrival
+    order, picks the bar ends), high/low/count as plain aggregates,
+    all money in exact cents. Streaming twin of the batch
+    ``events_ohlc_hourly`` shape at event-type grain."""
+    from ..functions.exact import cents
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    c = cents(F.col("value"))
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.min_by(c, ord_key).alias("open_cents"),
+             F.max_by(c, ord_key).alias("close_cents"),
+             F.max(c).alias("high_cents"),
+             F.min(c).alias("low_cents"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "open_cents", "close_cents", "high_cents", "low_cents",
+                "n_events")
+    )
+
+
 def sliding_counts(events: DataFrame) -> DataFrame:
     """2-hour windows sliding every hour per event type — each event
     lands in exactly two overlapping windows; the engine maintains
