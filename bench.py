@@ -149,6 +149,8 @@ HEADLINE = [
     "er_golden_records",            # blocking -> CC -> survivorship
     "session_path_markov",          # in-session transition matrix
     "stream_ohlc_drain",            # streaming OHLC bars drain
+    "multimodal_scene_cut_detect",  # consecutive-frame temporal kernel
+    "tfidf_source_terms",           # query-free source term profile
 ]
 
 

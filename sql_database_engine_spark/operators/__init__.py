@@ -128,6 +128,8 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip_agg", "cumulative_distinct_users_by_type",
         "minhash_quality_eval", "er_golden_records",
         "session_path_markov", "ab_srm_check", "stream_ohlc_drain",
+        "multimodal_scene_cut_detect", "tfidf_source_terms",
+        "events_asof_join_tolerance", "dq_freshness_lag_audit",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",

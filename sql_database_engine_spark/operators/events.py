@@ -1071,3 +1071,118 @@ def session_path_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("from_type", "to_type", "n",
                     F.expr("n * 1000000L div _tot").alias("prob_micros"))
             .orderBy("from_type", "to_type"))
+
+
+@query(
+    "events_asof_join_tolerance",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type <> 'signup'
+    ), s AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'signup'
+    ), matched AS (
+        SELECT e.event_id, e.user_id, e.ts, e.event_type,
+               s.ts AS signup_ts, s.event_id AS signup_event_id
+        FROM e ASOF LEFT JOIN s
+          ON e.user_id = s.user_id AND e.ts >= s.ts
+    )
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN signup_ts >= ts - INTERVAL 7 DAY
+                THEN signup_ts END AS signup_ts,
+           CASE WHEN signup_ts >= ts - INTERVAL 7 DAY
+                THEN signup_event_id END AS signup_event_id,
+           CAST(CASE WHEN signup_ts IS NOT NULL
+                      AND signup_ts < ts - INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END AS BIGINT) AS stale_dropped
+    FROM matched
+    """,
+)
+def events_asof_join_tolerance(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE — the production variant
+    the plain as-of family omits: a match older than 7 days is not a
+    match (a quote, rate, or attribution credit goes stale), so the
+    carried signup is kept only inside the tolerance window, nulled
+    out beyond it, and the drop is FLAGGED (``stale_dropped``) so the
+    pipeline can monitor how much of its join surface is aging out.
+    Same union-tag-and-carry skeleton as ``events_asof_join`` (one
+    user_id shuffle, no range explosion); the tolerance is a scan-
+    level predicate on the carried column — zero extra plan cost.
+    """
+    ev = Catalog(spark, sf_dir).events
+    events_side = (ev.filter(F.col("event_type") != "signup")
+                   .select("event_id", "user_id", "ts", "event_type",
+                           F.lit(None).cast("timestamp").alias("s_ts"),
+                           F.lit(None).cast("long").alias("s_id"),
+                           F.lit(1).alias("is_event")))
+    signup_side = (ev.filter(F.col("event_type") == "signup")
+                   .select("event_id", "user_id", "ts",
+                           F.lit(None).cast("string").alias("event_type"),
+                           F.col("ts").alias("s_ts"),
+                           F.col("event_id").alias("s_id"),
+                           F.lit(0).alias("is_event")))
+    unioned = events_side.unionByName(signup_side)
+    w = (W.partitionBy("user_id")
+         .orderBy("ts", "is_event", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    carried = (
+        unioned
+        .withColumn("signup_ts", F.last("s_ts", ignorenulls=True).over(w))
+        .withColumn("signup_event_id",
+                    F.last("s_id", ignorenulls=True).over(w)))
+    fresh = F.col("signup_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")
+    return (carried.filter(F.col("is_event") == 1)
+            .select("event_id", "user_id", "ts", "event_type",
+                    F.when(fresh, F.col("signup_ts")).alias("signup_ts"),
+                    F.when(fresh, F.col("signup_event_id"))
+                    .alias("signup_event_id"),
+                    (F.col("signup_ts").isNotNull() & ~fresh)
+                    .cast("long").alias("stale_dropped")))
+
+
+@query(
+    "dq_freshness_lag_audit",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ), g AS (
+        SELECT MAX(max_ts_us) AS global_max_us FROM per_type
+    )
+    SELECT event_type, n_events,
+           CAST(max_ts_us AS BIGINT) AS max_ts_us,
+           CAST(g.global_max_us - max_ts_us AS BIGINT) AS lag_us,
+           CAST((g.global_max_us - max_ts_us
+                 <= 21600000000) AS BIGINT) AS fresh_ok
+    FROM per_type, g
+    ORDER BY event_type
+    """,
+)
+def dq_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness audit — the first page of every data-ops
+    runbook: per event type, the newest record's timestamp, its lag
+    behind the newest record ANYWHERE in the table, and a 6-hour SLA
+    flag. A feed whose max-ts trails the global frontier by hours is
+    stalled upstream even though rows keep arriving elsewhere; at
+    100 TB this is a footer-statistics query (MAX over a timestamp
+    rides parquet column stats), so the audit costs ~zero I/O.
+    Exact integer microseconds throughout; the 1-row global frontier
+    broadcasts back over the per-type rows.
+    """
+    ev = Catalog(spark, sf_dir).events
+    per_type = (ev.groupBy("event_type")
+                .agg(F.max(F.unix_micros(F.col("ts"))).alias("max_ts_us"),
+                     F.count(F.lit(1)).alias("n_events")))
+    g = per_type.agg(F.max("max_ts_us").alias("global_max_us"))
+    lag = F.col("global_max_us") - F.col("max_ts_us")
+    return (per_type.crossJoin(F.broadcast(g))
+            .select("event_type", "n_events",
+                    F.col("max_ts_us").cast("long").alias("max_ts_us"),
+                    lag.cast("long").alias("lag_us"),
+                    (lag <= 6 * 3600 * 1_000_000).cast("long")
+                    .alias("fresh_ok"))
+            .orderBy("event_type"))

@@ -850,3 +850,138 @@ def multimodal_image_downsample(spark: SparkSession,
         downsample_ppm_batches,
         schema=("doc_id bigint, out_w int, out_h int, r_sum bigint, "
                 "g_sum bigint, b_sum bigint"))
+
+
+#: Scene-structured raw video: scenes are runs of 6 identical frames,
+#: so consecutive-frame L1 is 0 inside a scene and large at a cut.
+_RV_SCENE_LEN = 6
+#: Cut threshold: within-scene delta is exactly 0, a scene boundary
+#: shifts every pixel by +31 mod 256 (per-pixel |delta| 31 or 225),
+#: so any positive threshold below 31 * frame_bytes separates them;
+#: 16/px leaves headroom against generator changes.
+_RV_CUT_THRESHOLD = _RV_FRAME_BYTES * 16
+
+
+def rvid_scene_bytes(doc_id: int) -> bytes:
+    """Deterministic scene-structured RVID blob: same counted header
+    as :func:`rvid_bytes`, but pixel j of frame f in doc d is
+    ``(d*7 + (f // SCENE_LEN)*31 + j*5) % 256`` — piecewise constant
+    in f, so the video has real temporal structure (scenes) while
+    staying pure byte math the oracle can replay."""
+    import struct
+
+    n_frames = 12 + doc_id % 12
+    hdr = struct.pack("<4sIII", b"RVID", n_frames, _RV_W, _RV_H)
+    body = bytes(
+        (doc_id * 7 + (f // _RV_SCENE_LEN) * 31 + j * 5) % 256
+        for f in range(n_frames) for j in range(_RV_FRAME_BYTES))
+    return hdr + body
+
+
+def detect_scene_cuts_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode the RVID frame array (same header
+    parse as :func:`decode_rvid_batches`) and run TEMPORAL analysis —
+    consecutive-frame L1 distance via one vectorized np.diff, cuts
+    where the distance clears the threshold. This is the shape of
+    every real scene detector (pyav decode → frame-pair metric →
+    threshold); only the codec is substituted."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "n_cuts": [],
+               "first_cut_frame": [], "total_cut_l1": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            blob = bytes(blob)
+            magic, n_frames, w, h = struct.unpack("<4sIII", blob[:16])
+            if magic != b"RVID":
+                raise ValueError(f"doc {doc_id}: not an RVID blob")
+            fb = w * h * 3
+            if len(blob) != 16 + n_frames * fb:
+                raise ValueError(f"doc {doc_id}: truncated frame data")
+            frames = (np.frombuffer(blob, dtype=np.uint8, offset=16)
+                      .reshape(n_frames, fb).astype(np.int64))
+            l1 = np.abs(np.diff(frames, axis=0)).sum(axis=1)
+            cuts = np.nonzero(l1 > _RV_CUT_THRESHOLD)[0]
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(int(n_frames))
+            out["n_cuts"].append(int(len(cuts)))
+            out["first_cut_frame"].append(
+                int(cuts[0] + 1) if len(cuts) else -1)
+            out["total_cut_l1"].append(int(l1[cuts].sum()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_scene_cut_detect",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id, 12 + doc_id % 12 AS n_frames
+        FROM documents WHERE doc_id < 200
+    ), bounds AS (
+        SELECT doc_id, n_frames,
+               unnest(generate_series(0, n_frames - 2)) AS f
+        FROM params
+    ), px AS (
+        SELECT doc_id, n_frames, f,
+               abs(((doc_id * 7 + ((f + 1) // {_RV_SCENE_LEN}) * 31
+                     + j * 5) % 256)
+                   - ((doc_id * 7 + (f // {_RV_SCENE_LEN}) * 31
+                       + j * 5) % 256)) AS d
+        FROM bounds,
+             LATERAL unnest(generate_series(0, {_RV_FRAME_BYTES} - 1))
+                 AS t(j)
+    ), l1 AS (
+        SELECT doc_id, n_frames, f, SUM(d) AS l1
+        FROM px GROUP BY doc_id, n_frames, f
+    )
+    SELECT doc_id,
+           CAST(any_value(n_frames) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN l1 > {_RV_CUT_THRESHOLD}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MIN(CASE WHEN l1 > {_RV_CUT_THRESHOLD}
+                                  THEN f + 1 END), -1) AS BIGINT)
+               AS first_cut_frame,
+           CAST(SUM(CASE WHEN l1 > {_RV_CUT_THRESHOLD}
+                         THEN l1 ELSE 0 END) AS BIGINT) AS total_cut_l1
+    FROM l1
+    GROUP BY doc_id
+    """,
+)
+def multimodal_scene_cut_detect(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Scene-cut detection on raw video — the temporal-analysis rung
+    of the decode-kernel ladder (``multimodal_frame_sample`` samples
+    frames independently; this kernel reasons about CONSECUTIVE
+    frames): decode the RVID frame array, compute each adjacent
+    frame pair's L1 pixel distance with one vectorized np.diff, and
+    report per-asset cut count, first cut position, and total cut
+    magnitude. The blobs are scene-structured (runs of 6 identical
+    frames, every pixel shifting +31 mod 256 at a boundary), so the
+    DuckDB oracle predicts every L1 value — and
+    therefore every detected cut — from the generation parameters
+    per pixel; a stride error, a wrong diff axis, or an off-by-one
+    at the boundary index all hash-fail.
+
+    Scale: payloads decode executor-locally in Arrow batches (one
+    doc_id repartition pins asset locality, nothing else shuffles);
+    output is one row per ASSET, so the reduce after the kernel is
+    metadata-sized. Swapping the byte-math decode for pyav keeps the
+    whole plan shape.
+    """
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 200).select("doc_id"))
+
+    @F.pandas_udf("binary")
+    def make_scene_rvid(ids: pd.Series) -> pd.Series:
+        return ids.map(rvid_scene_bytes)
+
+    videos = d.select("doc_id",
+                      make_scene_rvid(F.col("doc_id")).alias("payload"))
+    return videos.repartition("doc_id").mapInPandas(
+        detect_scene_cuts_batches,
+        schema=("doc_id bigint, n_frames bigint, n_cuts bigint, "
+                "first_cut_frame bigint, total_cut_l1 bigint"))
+

@@ -2903,3 +2903,72 @@ def minhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall_micros"),
                     F.expr("n_tp * 1000000L div n_lsh")
                     .alias("precision_at08_micros")))
+
+
+@query(
+    "tfidf_source_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok <> '' GROUP BY source, tok
+    ), df AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE tok <> '' GROUP BY tok
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+        SELECT source, tok, tf, df,
+               tf * ((n_docs * 1000000) // df) AS score_micros,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY tf * ((n_docs * 1000000) // df)
+                                           DESC, tok) AS rk
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT source, tok, tf, df,
+           CAST(score_micros AS BIGINT) AS score_micros,
+           CAST(rk AS BIGINT) AS rank
+    FROM scored WHERE rk <= 5
+    ORDER BY source, rank
+    """,
+)
+def tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per source by tf·idf — the corpus-triage
+    readout ("what is each source ABOUT?") that complements BM25's
+    per-query ranking with a query-free profile. The idf is kept
+    rational: score = tf · floor(N·10⁶ / df) in integer micros —
+    order-equivalent to tf·(N/df) (log-idf reweights but preserves
+    the within-source ranking direction for these magnitudes) and
+    bit-exact across engines, where a float log1p would be libm-
+    dependent. Top-5 terms per source via the ranked window with a
+    deterministic tok tie-break.
+
+    Scale: tf is a (source, tok) aggregate, df a (tok, doc) distinct
+    aggregate — both vocabulary-bounded after their shuffles; the
+    1-row corpus count broadcasts, and the top-5 window runs on
+    vocabulary-grain rows. The corpus is exploded once per aggregate;
+    at 100 TB the two explodes fuse into one scan with a grouping-set
+    if profiling says the scan dominates.
+    """
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", "source",
+                    F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    toks = toks.filter(F.col("tok") != "")
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df, "tok").crossJoin(F.broadcast(n))
+              .withColumn("score_micros",
+                          F.expr("tf * ((n_docs * 1000000L) div df)")))
+    rk = F.row_number().over(
+        W.partitionBy("source")
+        .orderBy(F.col("score_micros").desc(), "tok"))
+    return (scored.withColumn("rank", rk.cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select("source", "tok", "tf", "df",
+                    F.col("score_micros").cast("long").alias("score_micros"),
+                    "rank")
+            .orderBy("source", "rank"))

@@ -39,6 +39,17 @@ def main() -> None:
         f"**{len(ops.QUERIES)} registered queries, {n_oracle} with DuckDB "
         f"oracles, {len(ops.QUERIES) - n_oracle} rows-only.**",
         "",
+        "Rows-only queries are inherently oracle-free (sketch-value",
+        "internals, probabilistic index contents, watermark-buffered",
+        "stream state, environment stubs) and each is flanked by an",
+        "oracle-checked contract twin or pytest pin — e.g.",
+        "`agg_sketch_percentiles` / `cms_token_count_estimates` are",
+        "driver-surfaced through `sketch_percentile_drift` /",
+        "`cms_error_contract`. The registry ordering sorts every",
+        "rows-only query behind all never-driver-checked oracle-backed",
+        "ones, so they never occupy a correctness-sample slot an",
+        "oracle-backed query could use.",
+        "",
     ]
     for fam in sorted(fams):
         names = sorted(fams[fam])
