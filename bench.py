@@ -151,6 +151,8 @@ HEADLINE = [
     "stream_ohlc_drain",            # streaming OHLC bars drain
     "multimodal_scene_cut_detect",  # consecutive-frame temporal kernel
     "tfidf_source_terms",           # query-free source term profile
+    "kmeans_cluster_profile",       # train + assign + purity readout
+    "cart_abandonment_daily",       # session-intent funnel KPI
 ]
 
 

@@ -130,6 +130,8 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_path_markov", "ab_srm_check", "stream_ohlc_drain",
         "multimodal_scene_cut_detect", "tfidf_source_terms",
         "events_asof_join_tolerance", "dq_freshness_lag_audit",
+        "kmeans_cluster_profile", "scd2_interval_overlap_audit",
+        "cart_abandonment_daily", "reorder_gap_distribution",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",

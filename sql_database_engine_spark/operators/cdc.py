@@ -766,3 +766,78 @@ def ctas_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.count_distinct(F.col("_file")) <= 2)
                  .cast("long").alias("files_ok"))
             .orderBy("o_orderpriority"))
+
+
+@query(
+    "scd2_interval_overlap_audit",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, event_id AS version_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS from_us,
+               LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS to_us
+        FROM events
+    ), checked AS (
+        SELECT user_id, version_id, from_us, to_us,
+               LAG(to_us) OVER (PARTITION BY user_id
+                                ORDER BY from_us, version_id)
+                   AS prev_to_us
+        FROM hist
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities,
+           CAST(SUM(CASE WHEN prev_to_us > from_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+           CAST(SUM(CASE WHEN prev_to_us < from_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN to_us IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST((SUM(CASE WHEN prev_to_us > from_us THEN 1 ELSE 0 END)
+                 = 0 AND
+                 SUM(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END)
+                 = COUNT(DISTINCT user_id)) AS BIGINT) AS history_ok
+    FROM checked
+    """,
+)
+def scd2_interval_overlap_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Validity-interval integrity audit for SCD2 history — the DQ
+    gate a point-in-time join silently depends on: per entity, sorted
+    validity intervals must tile time with no OVERLAP (two versions
+    simultaneously valid makes PIT joins ambiguous) and exactly one
+    open (is_current) interval. Built over the same history
+    derivation as ``scd2_user_value_history``; the walk compares each
+    interval's start to its predecessor's end with one lag — no
+    self-join — and also counts GAPS, which are legal (entity dormant
+    between versions) but worth monitoring. ``history_ok`` is the
+    release flag: zero overlaps and exactly one open interval per
+    entity.
+
+    One user-keyed exchange shared by both window passes; the audit
+    reduces to a single row at any history size.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        "user_id", F.col("event_id").alias("version_id"),
+        F.unix_micros(F.col("ts")).alias("from_us"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("to_us"))
+    w2 = W.partitionBy("user_id").orderBy("from_us", "version_id")
+    checked = hist.withColumn("prev_to_us",
+                              F.lag("to_us").over(w2))
+    overlaps = F.sum(F.when(F.col("prev_to_us") > F.col("from_us"), 1)
+                     .otherwise(0))
+    opens = F.sum(F.when(F.col("to_us").isNull(), 1).otherwise(0))
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.countDistinct("user_id").alias("n_entities"),
+        overlaps.alias("n_overlaps"),
+        F.sum(F.when(F.col("prev_to_us") < F.col("from_us"), 1)
+              .otherwise(0)).alias("n_gaps"),
+        opens.alias("n_open"),
+    ).select(
+        "n_intervals", "n_entities", "n_overlaps", "n_gaps", "n_open",
+        ((F.col("n_overlaps") == 0)
+         & (F.col("n_open") == F.col("n_entities")))
+        .cast("long").alias("history_ok"))

@@ -1186,3 +1186,87 @@ def dq_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (lag <= 6 * 3600 * 1_000_000).cast("long")
                     .alias("fresh_ok"))
             .orderBy("event_type"))
+
+
+@query(
+    "cart_abandonment_daily",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                   AS session_idx
+        FROM ordered
+    ), per_session AS (
+        SELECT user_id, session_idx,
+               CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS has_click,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_purchase
+        FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(has_click) AS BIGINT) AS n_intent,
+           CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+           CAST(CASE WHEN SUM(has_click) > 0 THEN
+                SUM(CASE WHEN has_click = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) * 1000000 // SUM(has_click)
+                ELSE 0 END AS BIGINT) AS abandonment_micros
+    FROM per_session
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def cart_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart abandonment by day — the conversion-leak KPI: a session
+    that shows intent (a click) but ends without a purchase is
+    abandoned; the daily rate is abandoned/intent sessions in
+    floor-divided integer micros. Sessions come from the shared
+    30-minute inactivity rule and are attributed to the day they
+    START (a midnight-straddling session counts once). Composes the
+    sessionize walk with two conditional-max flags per session — one
+    user-keyed exchange, then day-grain aggregation; the same
+    skeleton extends to any funnel-within-session definition.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros(F.col("ts"))
+              - F.lag(F.unix_micros(F.col("ts"))).over(w))
+    sess_idx = F.sum(
+        F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, 0))
+    per_session = (
+        ev.withColumn("session_idx", sess_idx)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min(F.col("ts").cast("date")).alias("day"),
+             F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+             .alias("has_click"),
+             F.max(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("has_purchase")))
+    abandoned = F.sum(
+        F.when((F.col("has_click") == 1) & (F.col("has_purchase") == 0), 1)
+        .otherwise(0))
+    return (per_session.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("has_click").alias("n_intent"),
+                 abandoned.alias("n_abandoned"))
+            .select("day", "n_sessions",
+                    F.col("n_intent").cast("long").alias("n_intent"),
+                    F.col("n_abandoned").cast("long").alias("n_abandoned"),
+                    F.when(F.col("n_intent") > 0,
+                           F.expr("n_abandoned * 1000000L div n_intent"))
+                    .otherwise(F.lit(0)).cast("long")
+                    .alias("abandonment_micros"))
+            .orderBy("day"))

@@ -2020,10 +2020,10 @@ def _kmeans_round_sql(cents: str, assign: str, out: str) -> str:
     )"""
 
 
-@query(
-    "kmeans_lloyd_centroids",
-    oracle=f"""
-    WITH e AS (
+def _kmeans_base_sql() -> str:
+    """The shared oracle chain: micro-scaled vectors, seed centroids,
+    three Lloyd rounds (c3 = final centroids)."""
+    return f"""e AS (
         SELECT vec_id,
                [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
                 for x in embedding] AS e
@@ -2032,7 +2032,13 @@ def _kmeans_round_sql(cents: str, assign: str, out: str) -> str:
         SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < 4
     ),{_kmeans_round_sql('c0', 'a1', 'c1')},
     {_kmeans_round_sql('c1', 'a2', 'c2')},
-    {_kmeans_round_sql('c2', 'a3', 'c3')}
+    {_kmeans_round_sql('c2', 'a3', 'c3')}"""
+
+
+@query(
+    "kmeans_lloyd_centroids",
+    oracle=f"""
+    WITH {_kmeans_base_sql()}
     SELECT CAST(cid AS BIGINT) AS cluster_id,
            CAST(i AS BIGINT) AS dim,
            CAST(c[i] AS BIGINT) AS centroid_micros,
@@ -2065,18 +2071,7 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     k×d integers, and more rounds/larger k change only loop bounds.
     Round count is plan-pinned (test_plan_quality).
     """
-    emb = Catalog(spark, sf_dir).embeddings
-    e = emb.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> "
-               "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-        .alias("e"))
-    cents = (e.filter(F.col("vec_id") < 4)
-             .select(F.col("vec_id").cast("long").alias("cid"),
-                     F.col("e").alias("c"))
-             .localCheckpoint(eager=False))
-    for _ in range(3):
-        cents = _lloyd_round(e, cents).localCheckpoint(eager=False)
+    e, cents = _kmeans_train(spark, sf_dir)
     return (cents.select(
                 F.col("cid").alias("cluster_id"),
                 F.posexplode("c").alias("pos", "centroid_micros"),
@@ -2096,14 +2091,7 @@ def _lloyd_round(e: DataFrame, cents: DataFrame) -> DataFrame:
     expressions (no posexplode — reducer state is k×d integers) and
     the floor-mean via the +n·OFF offset trick."""
     OFF = 1_000_000
-    dist = F.expr("aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
-                  "0L, (acc, v) -> acc + v)")
-    assign = (e.crossJoin(F.broadcast(cents.select("cid", "c")))
-              .select("vec_id", "e", "cid", dist.alias("d"))
-              .groupBy("vec_id")
-              .agg(F.first("e").alias("e"),
-                   F.min(F.struct("d", "cid")).alias("m"))
-              .select("vec_id", "e", F.col("m.cid").alias("cid")))
+    assign = _lloyd_assign(e, cents)
     sums = (assign.groupBy("cid")
             .agg(F.count(F.lit(1)).alias("n"),
                  *[F.sum(F.col("e")[d]).alias(f"s{d}")
@@ -2112,3 +2100,98 @@ def _lloyd_round(e: DataFrame, cents: DataFrame) -> DataFrame:
         "cid", "n",
         F.array(*[F.expr(f"(s{d} + n * {OFF}) div n - {OFF}")
                   for d in range(64)]).alias("c"))
+
+
+def _lloyd_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (vec_id, e, cid): broadcast the
+    k-row centroid table, exact integer squared-L2, argmin by
+    lexicographic (dist, cid) struct-min."""
+    dist = F.expr("aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
+                  "0L, (acc, v) -> acc + v)")
+    return (e.crossJoin(F.broadcast(cents.select("cid", "c")))
+            .select("vec_id", "e", "cid", dist.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.first("e").alias("e"),
+                 F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", "e", F.col("m.cid").alias("cid")))
+
+
+def _kmeans_train(spark: SparkSession,
+                  sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared k-means trainer: integer-micro embedding table + three
+    Lloyd rounds from the vec_id<4 seed. Returns (vectors, centroids)
+    so the trainer output and any consumer (cluster profile, IVF
+    assignment) derive from one pipeline."""
+    emb = Catalog(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> "
+               "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .alias("e"))
+    cents = (e.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").cast("long").alias("cid"),
+                     F.col("e").alias("c"))
+             .localCheckpoint(eager=False))
+    for _ in range(3):
+        cents = _lloyd_round(e, cents).localCheckpoint(eager=False)
+    return e, cents
+
+
+@query(
+    "kmeans_cluster_profile",
+    oracle=f"""
+    WITH {_kmeans_base_sql()},
+    {_kmeans_round_sql('c3', 'a4', 'c4')},
+    cl AS (
+        SELECT a4.vec_id, a4.cid, emb.label
+        FROM a4 JOIN embeddings emb USING (vec_id)
+    ), cnt AS (
+        SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cl GROUP BY cid, label
+    ), tot AS (
+        SELECT cid, SUM(n) AS n_members FROM cnt GROUP BY cid
+    ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                                     ORDER BY n DESC, label) AS r
+        FROM cnt
+    )
+    SELECT CAST(t.cid AS BIGINT) AS cluster_id,
+           CAST(t.n_members AS BIGINT) AS n_members,
+           CAST(r.label AS INT) AS majority_label,
+           CAST(r.n AS BIGINT) AS majority_n,
+           CAST(r.n * 1000000 // t.n_members AS BIGINT) AS purity_micros
+    FROM tot t JOIN rk r ON r.cid = t.cid AND r.r = 1
+    ORDER BY cluster_id
+    """,
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained k-means model USED: assign every vector to its
+    final centroid (the same ``_kmeans_train`` pipeline as the
+    trainer — one source of truth) and profile each cluster against
+    the embeddings' label column — size, majority label, and purity
+    (majority share in floor-div micros). Purity against an external
+    label is the standard quick answer to "did clustering find the
+    structure the labels encode, or something else?"; near-uniform
+    shares here mean the clusters cut across labels, itself a
+    finding. Ties on the majority break to the smaller label id.
+
+    Scale: one extra assignment pass over the corpus (broadcast k×64
+    centroids), then label-grain aggregates; the profile is k rows.
+    """
+    e, cents = _kmeans_train(spark, sf_dir)
+    assign = _lloyd_assign(e, cents)
+    lab = Catalog(spark, sf_dir).embeddings.select("vec_id", "label")
+    cnt = (assign.join(lab, "vec_id")
+           .groupBy("cid", "label")
+           .agg(F.count(F.lit(1)).alias("n")))
+    maj = F.min(F.struct((-F.col("n")).alias("neg"),
+                         F.col("label").alias("lab")))
+    return (cnt.groupBy("cid")
+            .agg(F.sum("n").alias("n_members"), maj.alias("m"))
+            .select(F.col("cid").cast("long").alias("cluster_id"),
+                    F.col("n_members").cast("long").alias("n_members"),
+                    F.col("m.lab").alias("majority_label"),
+                    (-F.col("m.neg")).cast("long").alias("majority_n"),
+                    F.expr("(-m.neg) * 1000000L div n_members")
+                    .alias("purity_micros"))
+            .orderBy("cluster_id"))

@@ -2311,3 +2311,65 @@ def timezone_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.col("utc_day") != F.col("ny_day"))
                        .cast("long")).alias("n_shifted_from_utc_day"))
             .orderBy("ny_day"))
+
+
+@query(
+    "reorder_gap_distribution",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE)
+                   - LAG(CAST(o_orderdate AS DATE))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS gap_days
+        FROM orders
+    ), banded AS (
+        SELECT CASE WHEN gap_days <= 7 THEN '0-1w'
+                    WHEN gap_days <= 30 THEN '1w-1m'
+                    WHEN gap_days <= 90 THEN '1m-3m'
+                    WHEN gap_days <= 365 THEN '3m-1y'
+                    ELSE '1y+' END AS gap_band,
+               gap_days
+        FROM gaps WHERE gap_days IS NOT NULL
+    )
+    SELECT gap_band,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days,
+           CAST(SUM(gap_days) AS BIGINT) AS total_days
+    FROM banded
+    GROUP BY gap_band
+    ORDER BY gap_band
+    """,
+)
+def reorder_gap_distribution(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Repurchase-cadence distribution — the replenishment signal
+    behind reorder reminders and churn-risk windows: per customer,
+    the day gap between consecutive orders (lag over the customer's
+    order history), banded into the operational buckets
+    (week/month/quarter/year). First orders have no predecessor and
+    drop; band stats stay integer (counts, min/max/total days) so
+    any mean is a consumer-side division.
+
+    One customer-keyed exchange for the lag walk, then a 5-row
+    aggregate — the distribution is constant-sized at any order
+    volume.
+    """
+    o = Catalog(spark, sf_dir).orders
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lag(F.col("o_orderdate").cast("date")).over(w))
+    band = (F.when(F.col("gap_days") <= 7, "0-1w")
+            .when(F.col("gap_days") <= 30, "1w-1m")
+            .when(F.col("gap_days") <= 90, "1m-3m")
+            .when(F.col("gap_days") <= 365, "3m-1y")
+            .otherwise("1y+"))
+    return (o.select(gap.alias("gap_days"))
+            .filter(F.col("gap_days").isNotNull())
+            .groupBy(band.alias("gap_band"))
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.min("gap_days").cast("long").alias("min_days"),
+                 F.max("gap_days").cast("long").alias("max_days"),
+                 F.sum("gap_days").cast("long").alias("total_days"))
+            .orderBy("gap_band"))
