@@ -153,6 +153,8 @@ HEADLINE = [
     "tfidf_source_terms",           # query-free source term profile
     "kmeans_cluster_profile",       # train + assign + purity readout
     "cart_abandonment_daily",       # session-intent funnel KPI
+    "lsh_banding_tradeoff_sweep",   # 3 bandings, one signature pass
+    "user_feature_vector",          # one-pass feature materialization
 ]
 
 

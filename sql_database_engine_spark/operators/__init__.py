@@ -132,6 +132,8 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join_tolerance", "dq_freshness_lag_audit",
         "kmeans_cluster_profile", "scd2_interval_overlap_audit",
         "cart_abandonment_daily", "reorder_gap_distribution",
+        "lsh_banding_tradeoff_sweep", "window_rank_functions_suite",
+        "user_feature_vector",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",

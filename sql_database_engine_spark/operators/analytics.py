@@ -2973,3 +2973,70 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_spellings"),
                  F.sum("n_rows").alias("total_rows"))
             .orderBy("cluster_id"))
+
+
+@query(
+    "user_feature_vector",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                AS BIGINT) AS active_days,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_cents,
+           CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS first_seen_us,
+           CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS last_seen_us
+    FROM ordered
+    GROUP BY user_id
+    """,
+)
+def user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: the per-user feature vector a
+    churn or LTV model trains on, assembled in ONE keyed pass —
+    activity volume (events, sessions, active days), behavior mix
+    (purchases, clicks), exact-cents monetary total, and
+    tenure/recency instants. Session count rides the same user_id
+    exchange as the aggregate (the sessionize lag marks starts; the
+    aggregate sums them), so the whole vector costs one shuffle; at
+    100 TB this is the nightly feature-refresh job, and each new
+    feature is one more aggregate expression on the same exchange —
+    not a new pass. Every lane integer; ratios (events/day, value/
+    purchase) are consumer-side divisions.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros(F.col("ts"))
+              - F.lag(F.unix_micros(F.col("ts"))).over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0))
+    return (marked.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum("new_session") + 1).cast("long")
+                 .alias("n_sessions"),
+                 F.countDistinct(F.col("ts").cast("date"))
+                 .alias("active_days"),
+                 F.sum(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).cast("long").alias("n_purchases"),
+                 F.sum(F.when(F.col("event_type") == "click", 1)
+                       .otherwise(0)).cast("long").alias("n_clicks"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("total_value_cents"),
+                 F.min(F.unix_micros(F.col("ts"))).alias("first_seen_us"),
+                 F.max(F.unix_micros(F.col("ts"))).alias("last_seen_us")))

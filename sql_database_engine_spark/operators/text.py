@@ -2972,3 +2972,104 @@ def tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("score_micros").cast("long").alias("score_micros"),
                     "rank")
             .orderBy("source", "rank"))
+
+
+def _lsh_configs() -> list[tuple[int, int]]:
+    """Banding configurations sweeping the 32-permutation signature:
+    (bands, rows) with b*r = 32. Detection thresholds t ~ (1/b)^(1/r):
+    4x8 ~= 0.84, 8x4 ~= 0.59, 16x2 ~= 0.25."""
+    return [(4, 8), (8, 4), (16, 2)]
+
+
+def _lsh_banding_oracle() -> str:
+    _, _, _, base = _mh_sql_parts()
+    # `base` ends with the 8x4 `bands` CTE (unused here — DuckDB
+    # doesn't evaluate unreferenced CTEs); per-config band chains are
+    # regenerated from the same sig relation.
+    parts = []
+    for b, r in _lsh_configs():
+        band_rows = "\n        UNION ALL\n".join(
+            "        SELECT doc_id, {bid} AS band_id,"
+            " concat_ws('-', {cols}) AS band_key FROM sig".format(
+                bid=i, cols=", ".join(
+                    f"mh{i * r + j}" for j in range(r)))
+            for i in range(b))
+        parts.append(f"""
+    bands_{b}x{r} AS (
+{band_rows}
+    ), cand_{b}x{r} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_{b}x{r} a JOIN bands_{b}x{r} b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), stats_{b}x{r} AS (
+        SELECT '{b}x{r}' AS config,
+               CAST((SELECT COUNT(*) FROM cand_{b}x{r}) AS BIGINT)
+                   AS n_candidate_pairs,
+               CAST((SELECT COUNT(DISTINCT d) FROM (
+                   SELECT doc_a AS d FROM cand_{b}x{r}
+                   UNION ALL SELECT doc_b FROM cand_{b}x{r}))
+                   AS BIGINT) AS n_docs_involved
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT * FROM stats_{b}x{r}" for b, r in _lsh_configs())
+    return f"""{base},{','.join(parts)}
+    {unions}
+    ORDER BY config
+    """
+
+
+@query("lsh_banding_tradeoff_sweep", oracle=_lsh_banding_oracle())
+def lsh_banding_tradeoff_sweep(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The MinHash DEPLOYMENT decision, measured: from ONE
+    32-permutation signature relation (the shared ``_mh_signatures``
+    pipeline — computed once, checkpointed), candidate-pair volume
+    under three bandings of the same signature — 4x8 (threshold
+    ~0.84, high precision), 8x4 (~0.59, the shipped default), 16x2
+    (~0.25, high recall). Candidate count IS the cost model: the
+    verify stage pays per candidate, so this sweep prices
+    recall-vs-compute before anyone re-signs the corpus — the LSH
+    sibling of ``jaccard_threshold_sweep``.
+
+    Scale: signatures are computed once; each config is an equi-join
+    on its band key (bucket-bounded, never all-pairs); the result is
+    three rows.
+    """
+    d = Catalog(spark, sf_dir).documents
+    signed = _mh_signatures(d).localCheckpoint(eager=False)
+    rows = []
+    for b, r in _lsh_configs():
+        bands = signed.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.concat_ws("-", *[
+                        F.col(f"mh{i * r + j}").cast("string")
+                        for j in range(r)]).alias("band_key"))
+                for i in range(b)])).alias("bd")
+        ).select("doc_id", "bd.band_id", "bd.band_key")
+        a = bands.select(F.col("doc_id").alias("doc_a"),
+                         "band_id", "band_key")
+        bb = bands.select(F.col("doc_id").alias("doc_b"),
+                          F.col("band_id").alias("band_id_b"),
+                          F.col("band_key").alias("band_key_b"))
+        cand = (a.join(bb, (F.col("band_id") == F.col("band_id_b"))
+                       & (F.col("band_key") == F.col("band_key_b"))
+                       & (F.col("doc_a") < F.col("doc_b")))
+                .select("doc_a", "doc_b").distinct()
+                .localCheckpoint(eager=False))
+        n_pairs = cand.agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"))
+        n_docs = (cand.select(F.explode(F.array("doc_a", "doc_b"))
+                              .alias("d"))
+                  .agg(F.countDistinct("d").alias("n_docs_involved")))
+        rows.append(
+            n_pairs.crossJoin(F.broadcast(n_docs))
+            .select(F.lit(f"{b}x{r}").alias("config"),
+                    "n_candidate_pairs", "n_docs_involved"))
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("config")

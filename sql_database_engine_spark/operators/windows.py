@@ -460,3 +460,54 @@ def cumulative_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataF
             .withColumn("cum_distinct_users",
                         F.sum("new_users").over(w).cast("long"))
             .orderBy("event_type", "day"))
+
+
+@query(
+    "window_rank_functions_suite",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+           CAST(RANK() OVER w AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+           PERCENT_RANK() OVER w AS bal_percent_rank,
+           CUME_DIST() OVER w AS bal_cume_dist,
+           CAST(NTILE(4) OVER w AS BIGINT) AS bal_quartile,
+           CAST(NTH_VALUE(CAST(ROUND(c_acctbal * 100) AS BIGINT), 2)
+                OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS BIGINT)
+               AS second_highest_cents
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_functions_suite(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions in one audited
+    plan: RANK / DENSE_RANK (gap vs no-gap tie handling),
+    PERCENT_RANK and CUME_DIST (the two normalized ranks — exact
+    here because both divide the same integers in both engines),
+    NTILE(4) (equal-height buckets), and NTH_VALUE over the full
+    frame (the "second best per group" idiom, which needs UNBOUNDED
+    FOLLOWING — the default frame would return NULL until row 2).
+    All seven share ONE window spec over (nation, balance DESC,
+    custkey), so Catalyst evaluates them in a single Window operator
+    on a single exchange — the plan shape to insist on when a report
+    stacks rank columns.
+    """
+    c = Catalog(spark, sf_dir).customer
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey", "c_nationkey", cents.alias("bal_cents"),
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.percent_rank().over(w).alias("bal_percent_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.nth_value(cents, 2).over(full).cast("long")
+        .alias("second_highest_cents"))
