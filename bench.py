@@ -155,6 +155,8 @@ HEADLINE = [
     "cart_abandonment_daily",       # session-intent funnel KPI
     "lsh_banding_tradeoff_sweep",   # 3 bandings, one signature pass
     "user_feature_vector",          # one-pass feature materialization
+    "personalized_pagerank_brands", # seeded-teleport recommendation PPR
+    "cohort_retention_matrix",      # cohort x week retention triangle
 ]
 
 

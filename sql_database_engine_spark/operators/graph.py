@@ -986,3 +986,120 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("cosine_sq_picos").desc(),
                      "brand_a", "brand_b")
             .limit(10))
+
+
+#: Personalized-PageRank seed count: the |S| smallest brand ids.
+PPR_SEEDS = 3
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized-PageRank chain: same fixed-point
+    message arithmetic as ``_pr_oracle``, but teleport mass goes to
+    the seed set only (0 elsewhere) and ranks start on the seeds."""
+    s = int(PR_SCALE)
+    tele = (f"CASE WHEN n.node IN (SELECT node FROM seeds) THEN "
+            f"CAST(ROUND({1 - DAMPING} * {s:.1f} / {PPR_SEEDS}) AS BIGINT) "
+            f"ELSE 0 END")
+    iters = [f"""
+    pr0 AS (
+        SELECT n.node,
+               CASE WHEN n.node IN (SELECT node FROM seeds)
+                    THEN CAST(ROUND({s:.1f} / {PPR_SEEDS}) AS BIGINT)
+                    ELSE 0 END AS pr
+        FROM nodes n
+    )"""]
+    for k in range(PR_ITERS):
+        iters.append(f"""
+    pr{k + 1} AS (
+        SELECT n.node, {tele} + COALESCE(m.msum, 0) AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(ROUND({DAMPING} * CAST(p.pr AS DOUBLE)
+                                       / d.deg) AS BIGINT)) AS BIGINT)
+                       AS msum
+            FROM pr{k} p
+            JOIN deg d ON d.node = p.node
+            JOIN edges e ON e.src = p.node
+            WHERE p.pr <> 0
+            GROUP BY e.dst
+        ) m ON m.node = n.node
+    )""")
+    return f"""
+    WITH {_EDGES_SQL},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {PPR_SEEDS}),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ),{','.join(iters)}
+    SELECT p.node AS brand, p.pr AS ppr_fixed,
+           CAST(p.pr AS DOUBLE) / {s:.1f} AS ppr,
+           CAST(p.node IN (SELECT node FROM seeds) AS BIGINT) AS is_seed
+    FROM pr{PR_ITERS} p
+    WHERE p.pr <> 0
+    ORDER BY ppr_fixed DESC, brand
+    """
+
+
+@query("personalized_pagerank_brands", oracle=_ppr_oracle())
+def personalized_pagerank_brands(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set — the recommendation
+    primitive global PageRank is not: teleport mass returns to the
+    SEEDS (here the 3 smallest brand ids — a stand-in for "brands
+    this user bought"), so the stationary mass measures proximity TO
+    THE SEEDS through the co-occurrence graph, and the top non-seed
+    scores are the "customers also bought" ranking. Same exact
+    fixed-point message arithmetic as ``pagerank_brand_graph`` (every
+    contribution pre-rounded to 1e-9, bit-stable under any
+    parallelism; shared ``_directed_edges`` derivation), with two PPR
+    differences: rank starts on the seeds, and zero-rank nodes send
+    no messages — the frontier property that lets 100 TB PPR touch
+    only the seeds' neighborhood for the first rounds rather than
+    the whole graph.
+    """
+    cat = Catalog(spark, sf_dir)
+    edges = _directed_edges(cat)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.orderBy("node").limit(PPR_SEEDS)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    seed_flag = F.col("seed_node").isNotNull()
+    pr = (nodes.join(F.broadcast(seeds.select(F.col("node")
+                                              .alias("seed_node"))),
+                     nodes.node == F.col("seed_node"), "left")
+          .select("node",
+                  F.when(seed_flag,
+                         F.round(F.lit(PR_SCALE) / PPR_SEEDS)
+                         .cast("long"))
+                  .otherwise(F.lit(0).cast("long")).alias("pr")))
+    teleport = F.when(
+        F.col("seed_node").isNotNull(),
+        F.round(F.lit((1 - DAMPING) * PR_SCALE) / PPR_SEEDS)
+        .cast("long")).otherwise(F.lit(0).cast("long"))
+    for _ in range(PR_ITERS):
+        msgs = (pr.filter(F.col("pr") != 0)
+                .join(deg, "node")
+                .join(edges, pr.node == edges.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.round(F.lit(DAMPING) * F.col("pr").cast("double")
+                            / F.col("deg")).cast("long").alias("m")))
+        msum = msgs.groupBy("node").agg(F.sum("m").alias("msum"))
+        pr = (nodes.join(msum, "node", "left")
+              .join(F.broadcast(seeds.select(F.col("node")
+                                             .alias("seed_node"))),
+                    nodes.node == F.col("seed_node"), "left")
+              .select("node",
+                      (teleport + F.coalesce("msum", F.lit(0)))
+                      .alias("pr")))
+    return (pr.filter(F.col("pr") != 0)
+            .join(F.broadcast(seeds.select(F.col("node")
+                                           .alias("seed_node"))),
+                  pr.node == F.col("seed_node"), "left")
+            .select(F.col("node").alias("brand"),
+                    F.col("pr").alias("ppr_fixed"),
+                    (F.col("pr").cast("double") / PR_SCALE).alias("ppr"),
+                    F.col("seed_node").isNotNull().cast("long")
+                    .alias("is_seed"))
+            .orderBy(F.col("ppr_fixed").desc(), "brand"))

@@ -2373,3 +2373,72 @@ def reorder_gap_distribution(spark: SparkSession,
                  F.max("gap_days").cast("long").alias("max_days"),
                  F.sum("gap_days").cast("long").alias("total_days"))
             .orderBy("gap_band"))
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               date_trunc('week', MIN(CAST(ts AS TIMESTAMP)))
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS active_week
+        FROM events
+    ), sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    ), cells AS (
+        SELECT f.cohort_week,
+               CAST((CAST(a.active_week AS DATE)
+                     - CAST(f.cohort_week AS DATE)) // 7 AS BIGINT)
+                   AS weeks_since,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM firsts f JOIN activity a USING (user_id)
+        GROUP BY f.cohort_week, weeks_since
+    )
+    SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+           c.weeks_since, s.cohort_size, c.n_active,
+           CAST(c.n_active * 1000000 // s.cohort_size AS BIGINT)
+               AS retention_micros
+    FROM cells c JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The retention triangle — cohort week × weeks-since-signup grid
+    of active-user counts and retention rates, the canonical
+    week-over-week health readout every growth team reads first.
+    Users cohort by the week of their first event; a (cohort, k)
+    cell counts cohort members active in week cohort+k; rates are
+    floor-divided integer micros against the cohort size (week 0 is
+    1.0 by construction — its absence would flag a join bug).
+
+    Two user-keyed aggregates (first-seen, distinct user-weeks) that
+    share one shuffle key, a join back on user_id, then week-grain
+    cells — the matrix is (weeks)² rows regardless of corpus size.
+    """
+    ev = Catalog(spark, sf_dir).events
+    firsts = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    activity = (ev.select("user_id",
+                          F.date_trunc("week", F.col("ts"))
+                          .alias("active_week"))
+                .distinct())
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    weeks_since = (F.datediff(F.col("active_week").cast("date"),
+                              F.col("cohort_week").cast("date"))
+                   / 7).cast("long")
+    cells = (firsts.join(activity, "user_id")
+             .groupBy("cohort_week", weeks_since.alias("weeks_since"))
+             .agg(F.count(F.lit(1)).alias("n_active")))
+    return (cells.join(sizes, "cohort_week")
+            .select(F.col("cohort_week").cast("date").alias("cohort_week"),
+                    "weeks_since", "cohort_size", "n_active",
+                    F.expr("n_active * 1000000L div cohort_size")
+                    .alias("retention_micros"))
+            .orderBy("cohort_week", "weeks_since"))
