@@ -157,6 +157,8 @@ HEADLINE = [
     "user_feature_vector",          # one-pass feature materialization
     "personalized_pagerank_brands", # seeded-teleport recommendation PPR
     "cohort_retention_matrix",      # cohort x week retention triangle
+    "partitioned_scan_pruned",      # hive partition-pruned scan
+    "late_dimension_fallback",      # UNKNOWN-bucket left join
 ]
 
 

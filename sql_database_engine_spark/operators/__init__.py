@@ -134,7 +134,8 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cart_abandonment_daily", "reorder_gap_distribution",
         "lsh_banding_tradeoff_sweep", "window_rank_functions_suite",
         "user_feature_vector", "personalized_pagerank_brands",
-        "cohort_retention_matrix",
+        "cohort_retention_matrix", "partitioned_scan_pruned",
+        "late_dimension_fallback", "null_semantics_suite",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",

@@ -1346,3 +1346,100 @@ def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
                  .alias("total_bal_cents"))
             .orderBy("n_name"))
+
+
+@query(
+    "partitioned_scan_pruned",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def partitioned_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning, driver-visible end to end: stage
+    orders as a directory-partitioned table (one dir per
+    o_orderpriority — the layout every warehouse lands fact tables
+    in), then read it back with a partition-key predicate. Catalyst
+    resolves the IN filter against DIRECTORY NAMES at planning time
+    (PartitionFilters in the scan, pinned by test_plan_quality), so
+    3 of 5 partition directories are never opened — the I/O lever
+    that makes a date-partitioned 100 TB table queryable. The oracle
+    aggregates the original parquet under the same predicate; a
+    pruning bug that drops or double-reads a directory hash-fails.
+    Staging is the fixture (skip on _SUCCESS); the measured plan is
+    the pruned scan + aggregate.
+    """
+    import os
+
+    from ..scratch import scratch_dir, source_fingerprint
+
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    stage = scratch_dir(
+        "hivepart", sf_dir,
+        version="v1|" + source_fingerprint(sf_dir, "orders.parquet"))
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (o.write.mode("overwrite").partitionBy("o_orderpriority")
+         .parquet(stage))
+    back = (spark.read
+            .schema("o_orderkey bigint, o_totalprice double, "
+                    "o_orderpriority string")
+            .parquet(stage))
+    return (back.filter(F.col("o_orderpriority")
+                        .isin("1-URGENT", "2-HIGH"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_cents"))
+            .orderBy("o_orderpriority"))
+
+
+@query(
+    "late_dimension_fallback",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 20 <> 0
+    )
+    SELECT COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(COUNT(*) FILTER (WHERE d.c_custkey IS NULL)
+                AS BIGINT) AS n_pending_reprocess
+    FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+    GROUP BY COALESCE(d.c_mktsegment, 'UNKNOWN')
+    ORDER BY segment
+    """,
+)
+def late_dimension_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-arriving facts / late-arriving dimension handling — the
+    ingestion reality every warehouse join must survive: facts whose
+    dimension row hasn't landed yet (simulated deterministically:
+    every 20th customer is 'late') must not drop (inner join) or
+    poison aggregates with NULL groups; they route to an explicit
+    UNKNOWN bucket, and the per-bucket ``n_pending_reprocess`` count
+    is the reprocessing-queue metric the backfill job watches. One
+    broadcast LEFT join + one aggregate; when the dimension lands,
+    re-running shrinks UNKNOWN to zero and the same query is the
+    backfill's verification.
+    """
+    cat = Catalog(spark, sf_dir)
+    dim = (cat.customer.filter(F.col("c_custkey") % 20 != 0)
+           .select("c_custkey", "c_mktsegment"))
+    o = cat.orders
+    seg = F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN"))
+    return (o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey, "left")
+            .groupBy(seg.alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_cents"),
+                 F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_pending_reprocess"))
+            .orderBy("segment"))

@@ -10,7 +10,7 @@ transcendentals avoided — libm last-ulp differences across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import Catalog
 from . import query
@@ -432,3 +432,59 @@ def pii_dictionary_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct(F.md5("scrubbed"))
                  .alias("n_distinct_scrubbed"))
             .orderBy("source"))
+
+
+@query(
+    "null_semantics_suite",
+    oracle="""
+    WITH nb AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_acctbal < 0 THEN NULL
+                    ELSE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+               END AS bal_cents
+        FROM customer
+    )
+    SELECT c_custkey, c_nationkey, bal_cents,
+           CAST((bal_cents IS NULL) AS BIGINT) AS is_null,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                   ORDER BY bal_cents ASC NULLS LAST,
+                                            c_custkey) AS BIGINT)
+               AS bal_rank_nulls_last,
+           CAST((bal_cents IS NOT DISTINCT FROM
+                 LAG(bal_cents) OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_custkey))
+                AS BIGINT) AS same_as_prev_nullsafe,
+           CAST(COALESCE(bal_cents, -1) AS BIGINT) AS bal_or_sentinel
+    FROM nb
+    """,
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics corner cases in one audited plan — the corners
+    where engines silently disagree: (1) explicit NULLS LAST window
+    ordering (Spark's ASC default is NULLS FIRST, DuckDB's is NULLS
+    LAST — the divergence that bit the KS/Mann-Whitney walks; here
+    both sides DECLARE the order), (2) null-safe equality against
+    the previous row (Spark ``eqNullSafe`` / SQL IS NOT DISTINCT
+    FROM — NULL = NULL is true, unlike ``=`` which yields NULL and
+    drops rows in filters), (3) COALESCE sentinel fallback. NULLs
+    are derived deterministically (negative balances), since the
+    fixture ships none. Every production pipeline hits all three;
+    pinning them as a driver-checked query makes the engine's NULL
+    contract explicit rather than folklore.
+    """
+    c = Catalog(spark, sf_dir).customer
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)) \
+        .otherwise(F.round(F.col("c_acctbal") * 100).cast("long"))
+    nb = c.select("c_custkey", "c_nationkey", bal.alias("bal_cents"))
+    w_rank = W.partitionBy("c_nationkey").orderBy(
+        F.col("bal_cents").asc_nulls_last(), "c_custkey")
+    w_lag = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    return nb.select(
+        "c_custkey", "c_nationkey", "bal_cents",
+        F.col("bal_cents").isNull().cast("long").alias("is_null"),
+        F.row_number().over(w_rank).cast("long")
+        .alias("bal_rank_nulls_last"),
+        F.col("bal_cents").eqNullSafe(F.lag("bal_cents").over(w_lag))
+        .cast("long").alias("same_as_prev_nullsafe"),
+        F.coalesce(F.col("bal_cents"), F.lit(-1)).cast("long")
+        .alias("bal_or_sentinel"))

@@ -1222,3 +1222,14 @@ def test_snapshot_time_travel_reads_two_versions(spark):
     # NOT re-read, proving results come through the snapshot path.
     assert plan.count("FileScan parquet") == 2
     assert "customer.parquet" not in plan
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    plan = _plan(spark, "partitioned_scan_pruned")
+    # The IN predicate must resolve against partition DIRECTORIES at
+    # planning time: PartitionFilters carries the In, and no
+    # row-level PushedFilters on the partition column remains.
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters" in scan
+    assert "o_orderpriority" in scan.split("PartitionFilters", 1)[1] \
+        .split("]", 1)[0]
