@@ -122,20 +122,14 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot/time-travel and CTAS/compaction read paths must
         # land in this round's driver prefix
         "snapshot_time_travel_diff", "ctas_compaction_census",
-        # round-4 first-wave flagships (new this round, never sampled)
-        "kmeans_lloyd_centroids", "bpe_apply_token_counts",
-        "t_closeness_audit", "concurrent_sessions_peak",
-        "xml_roundtrip_agg", "cumulative_distinct_users_by_type",
-        "minhash_quality_eval", "er_golden_records",
-        "session_path_markov", "ab_srm_check", "stream_ohlc_drain",
-        "multimodal_scene_cut_detect", "tfidf_source_terms",
-        "events_asof_join_tolerance", "dq_freshness_lag_audit",
-        "kmeans_cluster_profile", "scd2_interval_overlap_audit",
-        "cart_abandonment_daily", "reorder_gap_distribution",
-        "lsh_banding_tradeoff_sweep", "window_rank_functions_suite",
-        "user_feature_vector", "personalized_pagerank_brands",
-        "cohort_retention_matrix", "partitioned_scan_pruned",
-        "late_dimension_fallback", "null_semantics_suite",
+        # round-4 flagship-grade new capabilities (never sampled).
+        # Only the 8 flagships jump the queue: the other ~20 round-4
+        # additions wait their family-queue turn so the prefix keeps
+        # converting the OLD never-sampled backlog (VERDICT r3
+        # item 1) — they are never-checked tier-1 either way.
+        "kmeans_lloyd_centroids", "minhash_quality_eval",
+        "er_golden_records", "multimodal_scene_cut_detect",
+        "stream_ohlc_drain", "bpe_apply_token_counts",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",
