@@ -130,6 +130,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd_centroids", "minhash_quality_eval",
         "er_golden_records", "multimodal_scene_cut_detect",
         "stream_ohlc_drain", "bpe_apply_token_counts",
+        "lateral_top2_per_nation",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",
@@ -300,6 +301,17 @@ def _register_streaming() -> None:
                         F.col("m.n_event_types").alias("n_event_types"),
                         F.col("m.event_types_csv").alias("event_types_csv")))
 
+    def stream_session_intent_drain(spark, sf_dir):
+        """Streaming session-intent flags (the cart-abandonment
+        aggregate) drained through the incremental engine; the
+        oracle replays the 30-minute session rule with the batch
+        lag walk — session_window's merge semantics and the gap rule
+        agree exactly, which the match proves."""
+        s = es.events_stream(spark, sf_dir)
+        return es.run_available_now(es.session_intent(s),
+                                    "q_stream_intent",
+                                    output_mode="complete")
+
     def stream_ohlc_drain(spark, sf_dir):
         """Streaming OHLC bars drained through the incremental
         engine: open/close picked by min_by/max_by over the
@@ -465,6 +477,34 @@ def _register_streaming() -> None:
     QUERIES.setdefault("stream_hourly_topk_drain",
                        stream_hourly_topk_drain)
     QUERIES.setdefault("stream_ohlc_drain", stream_ohlc_drain)
+    QUERIES.setdefault("stream_session_intent_drain",
+                       stream_session_intent_drain)
+    ORACLES.setdefault("stream_session_intent_drain", """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                   AS session_idx
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(CAST(ts AS TIMESTAMP)) AS session_start,
+           CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS has_click,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS has_purchase,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """)
     ORACLES.setdefault("stream_ohlc_drain", """
     WITH b AS (
         SELECT event_type,

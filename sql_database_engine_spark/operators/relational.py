@@ -1443,3 +1443,50 @@ def late_dimension_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
                  .cast("long").alias("n_pending_reprocess"))
             .orderBy("segment"))
+
+
+@query(
+    "lateral_top2_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.bal_cents
+    FROM nation n,
+         LATERAL (SELECT c_custkey,
+                         CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                             AS bal_cents
+                  FROM customer
+                  WHERE c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey
+                  LIMIT 2) t
+    ORDER BY n_name, bal_cents DESC, c_custkey
+    """,
+)
+def lateral_top2_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated subquery — the 2023-standard spelling of
+    per-row dependent subqueries (top-N per key, nearest match per
+    row), supported natively in Spark 4 SQL: for each nation, the
+    LATERAL body re-executes logically with that nation's key bound,
+    returning its two richest customers. Catalyst DE-CORRELATES the
+    lateral into a join + per-key limit — the same physical shape as
+    the window-function top-k — so the surface is per-row but the
+    execution is set-oriented; the plan must show no per-row loop.
+    (The DataFrame ``lateralJoin``/``outer()`` API exists in 4.x but
+    silently mis-resolves correlated references when inner and outer
+    share column names — the SQL form is the reliable front door, so
+    that is the registered surface.) Same exact-cents policy; ties
+    break on custkey in both engines.
+    """
+    cat = Catalog(spark, sf_dir)
+    cat.nation.createOrReplaceTempView("nation_lv")
+    cat.customer.createOrReplaceTempView("customer_lv")
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, t.bal_cents
+        FROM nation_lv n,
+             LATERAL (SELECT c_custkey,
+                             CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                                 AS bal_cents
+                      FROM customer_lv
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 2) t
+        ORDER BY n_name, bal_cents DESC, c_custkey
+    """)

@@ -132,6 +132,29 @@ def session_windows(events: DataFrame) -> DataFrame:
     )
 
 
+def session_intent(events: DataFrame) -> DataFrame:
+    """Per-session intent flags as a STREAMING aggregate: the same
+    30-minute session windows, with has_click / has_purchase
+    conditional-max flags maintained incrementally — the streaming
+    half of the cart-abandonment KPI (the drained relation aggregates
+    to the daily rate as a cheap batch pass)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"),
+                 "user_id")
+        .agg(F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+             .alias("has_click"),
+             F.max(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("has_purchase"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("has_click").cast("long").alias("has_click"),
+                F.col("has_purchase").cast("long").alias("has_purchase"),
+                "n_events")
+    )
+
+
 def dedup_stream(events: DataFrame) -> DataFrame:
     """Stateful exactly-once-per-key dedup on event_id within the
     watermark horizon (dropDuplicatesWithinWatermark keeps state only
