@@ -60,6 +60,12 @@ COHORT = [
     "seasonal_decomposition_additive",
     "runs_test_randomness",
     "mannwhitney_u_value_drift",
+    # round-4 additions with count*count lanes. (Dedup-family
+    # queries stay OUT of this sweep: key-replicating the corpus
+    # makes every document 10x-duplicated, so pair joins explode
+    # quadratically by construction — not an overflow signal.)
+    "t_closeness_audit",
+    "ab_srm_check",
 ]
 
 #: fact table -> surrogate key columns to offset per replica. The
