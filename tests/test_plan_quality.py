@@ -1233,3 +1233,15 @@ def test_partitioned_scan_prunes_directories(spark):
     assert "PartitionFilters" in scan
     assert "o_orderpriority" in scan.split("PartitionFilters", 1)[1] \
         .split("]", 1)[0]
+
+
+def test_lateral_topk_decorrelates_to_join_plus_window(spark):
+    plan = _plan(spark, "lateral_top2_per_nation")
+    # Catalyst must DE-CORRELATE the LATERAL LIMIT subquery: the
+    # physical plan is a broadcast join against a per-key row_number
+    # window — set-oriented — never a per-outer-row re-execution
+    # (which would surface as a nested CartesianProduct or a
+    # correlated-subquery fallback).
+    assert "BroadcastHashJoin" in plan
+    assert "row_number" in plan
+    assert "CartesianProduct" not in plan
