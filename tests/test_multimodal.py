@@ -192,3 +192,46 @@ def test_ppm_decode_rejects_bad_raster_and_maxval():
     with pytest.raises(ValueError):
         next(mm.decode_ppm_batches(
             iter([pd.DataFrame({"doc_id": [5], "payload": [bad_maxval]})])))
+
+
+def test_scene_cut_detects_exact_boundaries_local():
+    """The scene-cut kernel must find EXACTLY the generator's scene
+    boundaries (multiples of _RV_SCENE_LEN) — pure local check: cut
+    count, first cut position, and total L1 recomputed from the
+    per-pixel formula."""
+    import pandas as pd
+
+    doc_id = 17
+    blob = mm.rvid_scene_bytes(doc_id)
+    out = next(mm.detect_scene_cuts_batches(
+        iter([pd.DataFrame({"doc_id": [doc_id], "payload": [blob]})])))
+    n_frames = 12 + doc_id % 12
+    row = out.iloc[0]
+    assert row.n_frames == n_frames
+
+    def px(f, j):
+        return (doc_id * 7 + (f // mm._RV_SCENE_LEN) * 31 + j * 5) % 256
+
+    l1 = [sum(abs(px(f + 1, j) - px(f, j))
+              for j in range(mm._RV_FRAME_BYTES))
+          for f in range(n_frames - 1)]
+    cuts = [f for f, v in enumerate(l1) if v > mm._RV_CUT_THRESHOLD]
+    # Boundaries are exactly the frame pairs straddling a scene edge.
+    assert cuts == [f for f in range(n_frames - 1)
+                    if (f + 1) % mm._RV_SCENE_LEN == 0]
+    assert row.n_cuts == len(cuts)
+    assert row.first_cut_frame == (cuts[0] + 1 if cuts else -1)
+    assert row.total_cut_l1 == sum(l1[f] for f in cuts)
+    # Within-scene deltas are exactly zero — the separation margin
+    # the threshold relies on.
+    assert all(v == 0 for f, v in enumerate(l1) if f not in cuts)
+
+
+def test_scene_cut_rejects_truncated_and_wrong_magic():
+    import pandas as pd
+
+    good = mm.rvid_scene_bytes(5)
+    for bad in (good[:-3], b"XVID" + good[4:]):
+        with pytest.raises(ValueError):
+            next(mm.detect_scene_cuts_batches(
+                iter([pd.DataFrame({"doc_id": [5], "payload": [bad]})])))
