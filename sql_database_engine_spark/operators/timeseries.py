@@ -2442,3 +2442,97 @@ def cohort_retention_matrix(spark: SparkSession,
                     F.expr("n_active * 1000000L div cohort_size")
                     .alias("retention_micros"))
             .orderBy("cohort_week", "weeks_since"))
+
+
+@query(
+    "attribution_time_decay",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id,
+               CAST(ts AS TIMESTAMP) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_type, event_id,
+               CAST(ts AS TIMESTAMP) AS tts
+        FROM events WHERE event_type <> 'purchase'
+    ), credits AS (
+        SELECT p.purchase_id, t.event_type, t.tts, t.event_id,
+               (epoch_us(p.pts) - epoch_us(t.tts)) // 86400000000
+                   AS age_days
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
+    ), raw AS (
+        SELECT purchase_id, event_type, tts, event_id,
+               (1 << (6 - age_days)) AS w_raw,
+               SUM(1 << (6 - age_days))
+                   OVER (PARTITION BY purchase_id) AS sw,
+               ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                  ORDER BY tts DESC, event_id DESC)
+                   AS rn_recent
+        FROM credits
+    ), floored AS (
+        SELECT purchase_id, event_type, rn_recent,
+               w_raw * 1000000 // sw AS w_floor,
+               SUM(w_raw * 1000000 // sw)
+                   OVER (PARTITION BY purchase_id) AS sum_floor
+        FROM raw
+    )
+    SELECT event_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(w_floor + CASE WHEN rn_recent = 1
+                                   THEN 1000000 - sum_floor
+                                   ELSE 0 END) AS BIGINT)
+               AS total_weight_micros
+    FROM floored
+    GROUP BY event_type
+    ORDER BY touch_type
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution — the third member of the
+    attribution family (last-touch carry, U-shaped position, now
+    recency decay): each qualifying touch in the 7-day lookback gets
+    raw weight 2^(6 − age_days) — a half-life of one day expressed as
+    an exact power-of-two integer, no float pow anywhere — and each
+    purchase's credit normalizes to exactly 10⁶ micros by floor
+    division with the remainder assigned to the MOST RECENT touch
+    (the convention decay already favors; per-purchase sums are
+    exactly 10⁶, the proration discipline). Same user-keyed
+    purchase×touch join shape as the position-based operator; the
+    decay weighting is scan-level arithmetic on the same exchange.
+    """
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("pts")))
+    t = (ev.filter(F.col("event_type") != "purchase")
+         .select(F.col("user_id").alias("t_user"), "event_type",
+                 "event_id", F.col("ts").alias("tts")))
+    age = ((F.unix_micros(F.col("pts")) - F.unix_micros(F.col("tts")))
+           / F.lit(86_400_000_000)).cast("long")
+    credits = (p.join(
+        t, (F.col("t_user") == F.col("user_id"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")))
+        .withColumn("age_days", age))
+    wp = W.partitionBy("purchase_id")
+    raw = (credits
+           .withColumn("w_raw", F.expr("shiftleft(1L, "
+                                       "CAST(6 - age_days AS INT))"))
+           .withColumn("sw", F.sum("w_raw").over(wp))
+           .withColumn("rn_recent", F.row_number().over(
+               wp.orderBy(F.col("tts").desc(), F.col("event_id").desc()))))
+    floored = (raw
+               .withColumn("w_floor", F.expr("w_raw * 1000000L div sw"))
+               .withColumn("sum_floor", F.sum("w_floor").over(wp)))
+    w_final = (F.col("w_floor")
+               + F.when(F.col("rn_recent") == 1,
+                        F.lit(1_000_000) - F.col("sum_floor"))
+               .otherwise(F.lit(0)))
+    return (floored.withColumn("w_final", w_final)
+            .groupBy(F.col("event_type").alias("touch_type"))
+            .agg(F.count(F.lit(1)).alias("n_credits"),
+                 F.sum("w_final").alias("total_weight_micros"))
+            .orderBy("touch_type"))
