@@ -3040,3 +3040,115 @@ def user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_value_cents"),
                  F.min(F.unix_micros(F.col("ts"))).alias("first_seen_us"),
                  F.max(F.unix_micros(F.col("ts"))).alias("last_seen_us")))
+
+
+@query(
+    "abc_xyz_classification",
+    oracle="""
+    WITH weekly AS (
+        SELECT l_partkey,
+               date_trunc('week', l_shipdate) AS wk,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty
+        FROM lineitem GROUP BY l_partkey, wk
+    ), stats AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_weeks,
+               CAST(SUM(qty) AS HUGEINT) AS sx,
+               CAST(SUM(qty * qty) AS HUGEINT) AS sxx
+        FROM weekly GROUP BY l_partkey
+    ), rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS HUGEINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT r.l_partkey, r.rev_cents,
+               SUM(r.rev_cents) OVER (ORDER BY r.rev_cents DESC,
+                                      r.l_partkey
+                                      ROWS UNBOUNDED PRECEDING)
+                   AS cum_cents,
+               SUM(r.rev_cents) OVER () AS total_cents
+        FROM rev r
+    ), classed AS (
+        SELECT s.l_partkey,
+               CASE WHEN rk.cum_cents * 100 <= rk.total_cents * 80
+                    THEN 'A'
+                    WHEN rk.cum_cents * 100 <= rk.total_cents * 95
+                    THEN 'B' ELSE 'C' END AS abc_class,
+               CASE WHEN s.n_weeks < 2 THEN 'Z'
+                    WHEN 4 * (s.n_weeks * s.sxx - s.sx * s.sx)
+                         <= s.sx * s.sx THEN 'X'
+                    WHEN (s.n_weeks * s.sxx - s.sx * s.sx)
+                         <= s.sx * s.sx THEN 'Y'
+                    ELSE 'Z' END AS xyz_class,
+               s.sx AS total_qty
+        FROM stats s JOIN ranked rk USING (l_partkey)
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(total_qty) AS BIGINT) AS total_qty
+    FROM classed
+    GROUP BY abc_class, xyz_class
+    ORDER BY abc_class, xyz_class
+    """,
+)
+def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix — the two-axis classification supply
+    planning actually uses: ABC by cumulative revenue share (A ≤ 80%,
+    B ≤ 95%, C above — integer cross-multiplied against the total,
+    never a float share) crossed with XYZ by demand VARIABILITY —
+    the coefficient of variation of weekly shipped quantity, tested
+    without any division or sqrt via CV² = (n·Sxx − Sx²)/Sx²:
+    X means 4·(n·Sxx − Sx²) ≤ Sx² (CV ≤ 0.5, steady — forecastable),
+    Y means CV ≤ 1, Z is erratic (or observed in fewer than 2
+    weeks). All moment lanes are 128-bit per the count·count rule.
+    The 9-cell census (AX = automate replenishment … CZ = don't
+    bother stocking) is the planning readout.
+
+    One lineitem scan per moment family (weekly demand, revenue),
+    part-grain windows for the cumulative share, and a 9-row final
+    aggregate; part cardinality bounds everything after the first
+    shuffles.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    dec = "decimal(38,0)"
+    weekly = (li.groupBy("l_partkey",
+                         F.date_trunc("week", F.col("l_shipdate"))
+                         .alias("wk"))
+              .agg(F.sum(F.round(F.col("l_quantity")).cast("long"))
+                   .alias("qty")))
+    stats = (weekly.groupBy("l_partkey")
+             .agg(F.count(F.lit(1)).alias("n_weeks"),
+                  F.sum("qty").cast(dec).alias("sx"),
+                  F.sum(F.col("qty") * F.col("qty")).cast(dec)
+                  .alias("sxx")))
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long")).cast(dec).alias("rev_cents")))
+    w_cum = (W.orderBy(F.col("rev_cents").desc(), "l_partkey")
+             .rowsBetween(W.unboundedPreceding, 0))
+    ranked = (rev.withColumn("cum_cents", F.sum("rev_cents").over(w_cum))
+              .withColumn("total_cents",
+                          F.sum("rev_cents").over(
+                              W.rowsBetween(W.unboundedPreceding,
+                                            W.unboundedFollowing))))
+    var_num = (F.col("n_weeks").cast(dec) * F.col("sxx")
+               - F.col("sx") * F.col("sx"))
+    sx2 = F.col("sx") * F.col("sx")
+    xyz = (F.when(F.col("n_weeks") < 2, "Z")
+           .when(F.lit(4).cast(dec) * var_num <= sx2, "X")
+           .when(var_num <= sx2, "Y")
+           .otherwise("Z"))
+    abc = (F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80,
+                  "A")
+           .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95,
+                 "B")
+           .otherwise("C"))
+    classed = (stats.join(ranked, "l_partkey")
+               .select(abc.alias("abc_class"), xyz.alias("xyz_class"),
+                       F.col("sx").alias("total_qty")))
+    return (classed.groupBy("abc_class", "xyz_class")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("total_qty").cast("long").alias("total_qty"))
+            .orderBy("abc_class", "xyz_class"))
