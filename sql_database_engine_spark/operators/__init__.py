@@ -301,6 +301,34 @@ def _register_streaming() -> None:
                         F.col("m.n_event_types").alias("n_event_types"),
                         F.col("m.event_types_csv").alias("event_types_csv")))
 
+    def stream_merge_into_snapshot(spark, sf_dir):
+        """The CDC-to-lakehouse sink: the event stream drains through
+        foreachBatch into a manifest-committed snapshot table with
+        newest-wins merge semantics, then the LATEST VERSION is read
+        back through the time-travel path. Final state is the global
+        per-user argmax by (ts, event_id) regardless of micro-batch
+        split — which is exactly what the oracle recomputes, so a
+        merge that loses a batch, resurrects an old row, or breaks
+        the recency guard hash-fails. Staging re-runs are idempotent
+        (same checkpoint → zero new batches; fresh testdata re-keys
+        the dir)."""
+        from ..scratch import scratch_dir, source_fingerprint
+        from ..sources.snapshots import read_snapshot
+
+        stage = scratch_dir(
+            "stream_snapmerge", sf_dir,
+            version="v1|" + source_fingerprint(sf_dir, "events.parquet"))
+        import os
+        table = os.path.join(stage, "user_state")
+        marker = os.path.join(stage, "_DRAINED")
+        if not os.path.exists(marker):
+            s = es.events_stream(spark, sf_dir)
+            es.run_merge_into_snapshot(s, table)
+            open(marker, "w").close()
+        return (read_snapshot(spark, table)
+                .select("user_id", "event_id", "ts", "event_type",
+                        "value"))
+
     def stream_session_intent_drain(spark, sf_dir):
         """Streaming session-intent flags (the cart-abandonment
         aggregate) drained through the incremental engine; the
@@ -479,6 +507,19 @@ def _register_streaming() -> None:
     QUERIES.setdefault("stream_ohlc_drain", stream_ohlc_drain)
     QUERIES.setdefault("stream_session_intent_drain",
                        stream_session_intent_drain)
+    QUERIES.setdefault("stream_merge_into_snapshot",
+                       stream_merge_into_snapshot)
+    ORACLES.setdefault("stream_merge_into_snapshot", """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC)
+                   AS rn
+        FROM events
+    ) WHERE rn = 1
+    """)
     ORACLES.setdefault("stream_session_intent_drain", """
     WITH ordered AS (
         SELECT user_id, ts, event_id, event_type,

@@ -343,3 +343,63 @@ def distinct_users_hourly(events: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_distinct_users"))
             .select(F.col("w.start").alias("window_start"),
                     "n_distinct_users"))
+
+
+def run_merge_into_snapshot(events: DataFrame, table_path: str) -> None:
+    """Drain the event stream into a SNAPSHOT TABLE via foreachBatch —
+    the CDC-to-lakehouse sink pattern: each micro-batch reduces to its
+    per-user newest row, unions with the current snapshot, and
+    commits the per-user argmax as a new version (newest-wins by the
+    (ts, event_id) total order, so the FINAL state is the global
+    per-user latest REGARDLESS of how the engine splits batches —
+    that invariant is what the oracle checks). VACUUM keep=1 runs
+    after the drain: intermediate versions were only commit points.
+
+    At scale foreachBatch+MERGE is exactly how streams land in
+    Delta/Iceberg; here the snapshot module's manifest commits play
+    the table format's role, and the whole-snapshot rewrite per batch
+    is the baseline semantics a partition-restricted MERGE optimizes.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..sources.snapshots import read_snapshot, vacuum, write_snapshot
+
+    spark = events.sparkSession
+
+    def _latest_per_user(df):
+        w = (W.partitionBy("user_id")
+             .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn"))
+
+    def apply_batch(batch_df, _batch_id):
+        latest_in_batch = _latest_per_user(batch_df.select(
+            "user_id", "event_id", "ts", "event_type", "value"))
+        try:
+            current = read_snapshot(spark, table_path)
+            merged = current.unionByName(latest_in_batch)
+        except FileNotFoundError:
+            merged = latest_in_batch
+        write_snapshot(_latest_per_user(merged), table_path)
+
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="ckpt-snapmerge-", dir=scratch_root)
+    try:
+        q = (events.writeStream
+             .foreachBatch(apply_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        try:
+            (spark._jvm.org.apache.spark.sql.execution
+             .streaming.state.StateStore.stop())
+        except Exception:
+            pass
+    vacuum(table_path, keep=1)
