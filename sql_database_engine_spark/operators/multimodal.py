@@ -985,3 +985,137 @@ def multimodal_scene_cut_detect(spark: SparkSession,
         schema=("doc_id bigint, n_frames bigint, n_cuts bigint, "
                 "first_cut_frame bigint, total_cut_l1 bigint"))
 
+
+
+#: Speech-structured audio: fixed-length windows alternate silence
+#: (amplitude 100) and speech (amplitude 2000), so windowed energy
+#: cleanly separates the two regimes.
+_VAD_WIN = 25
+_VAD_QUIET_AMP, _VAD_LOUD_AMP = 100, 2000
+#: Energy threshold per window: a silence window's sum of squares is
+#: at most WIN * QUIET_AMP^2 = 250k; speech windows land ~33M.
+_VAD_THRESHOLD = 1_000_000
+
+
+def wav_speech_bytes(doc_id: int) -> bytes:
+    """Deterministic speech-structured 16-bit mono PCM WAV: same
+    spec-complete RIFF header as :func:`wav_pcm_bytes`, but sample i
+    of doc d draws from an alternating amplitude regime —
+    amp = 2000 when (i // 25) is odd (speech), 100 when even
+    (silence); sample = (d*31 + i*17) % (2*amp + 1) - amp. Pure byte
+    math, so windowed energies are oracle-predictable exactly."""
+    import struct
+
+    n = 100 + doc_id % 50
+    rate = 8000
+    samples = []
+    for i in range(n):
+        amp = (_VAD_LOUD_AMP if (i // _VAD_WIN) % 2 == 1
+               else _VAD_QUIET_AMP)
+        samples.append((doc_id * 31 + i * 17) % (2 * amp + 1) - amp)
+    data = struct.pack(f"<{n}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data))
+    return hdr + data
+
+
+def vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: voice-activity detection — parse the WAV
+    (shared :func:`_parse_wav16`), compute per-window sum-of-squares
+    energy over fixed 25-sample windows (vectorized reshape — only
+    FULL windows count; the ragged tail is out of contract), and
+    threshold into speech/silence. The decode→window→threshold shape
+    is every real VAD front end; only the energy feature stands in
+    for a learned one."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_windows": [], "n_speech": [],
+               "first_speech_window": [], "speech_energy": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            _, frames = _parse_wav16(doc_id, bytes(blob))
+            n_full = len(frames) // _VAD_WIN
+            w = (frames[:n_full * _VAD_WIN].astype(np.int64)
+                 .reshape(n_full, _VAD_WIN))
+            energy = (w * w).sum(axis=1)
+            speech = np.nonzero(energy > _VAD_THRESHOLD)[0]
+            out["doc_id"].append(doc_id)
+            out["n_windows"].append(int(n_full))
+            out["n_speech"].append(int(len(speech)))
+            out["first_speech_window"].append(
+                int(speech[0]) if len(speech) else -1)
+            out["speech_energy"].append(int(energy[speech].sum()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id, 100 + doc_id % 50 AS n
+        FROM documents WHERE doc_id < 200
+    ), wins AS (
+        SELECT doc_id, n,
+               unnest(generate_series(0, n // {_VAD_WIN} - 1)) AS w
+        FROM params
+    ), samples AS (
+        SELECT doc_id, n, w,
+               (doc_id * 31 + (w * {_VAD_WIN} + j) * 17)
+                   % (2 * amp + 1) - amp AS s
+        FROM (SELECT doc_id, n, w,
+                     CASE WHEN w % 2 = 1 THEN {_VAD_LOUD_AMP}
+                          ELSE {_VAD_QUIET_AMP} END AS amp
+              FROM wins),
+             LATERAL unnest(generate_series(0, {_VAD_WIN} - 1)) AS t(j)
+    ), energy AS (
+        SELECT doc_id, n, w, SUM(s * s) AS e
+        FROM samples GROUP BY doc_id, n, w
+    )
+    SELECT doc_id,
+           CAST(any_value(n) // {_VAD_WIN} AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN e > {_VAD_THRESHOLD}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_speech,
+           CAST(COALESCE(MIN(CASE WHEN e > {_VAD_THRESHOLD}
+                                  THEN w END), -1) AS BIGINT)
+               AS first_speech_window,
+           CAST(SUM(CASE WHEN e > {_VAD_THRESHOLD}
+                         THEN e ELSE 0 END) AS BIGINT) AS speech_energy
+    FROM energy
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection on raw audio — the TEMPORAL
+    segmentation rung of the audio kernel ladder (global stats →
+    decimation → now windowed analysis; the audio sibling of
+    ``multimodal_scene_cut_detect``): decode the WAV through the
+    shared RIFF parser, window the samples (25 per window), compute
+    exact integer sum-of-squares energy per window, and threshold
+    into speech/silence. The blobs are speech-structured (alternating
+    amplitude regimes per window), so the DuckDB oracle replays every
+    sample and predicts every window's energy — and therefore every
+    VAD decision — exactly; a window-phase error, a ragged-tail slip,
+    or a reshape bug hash-fails.
+
+    Scale: executor-local Arrow-batch decode, one output row per
+    ASSET; this is the pre-ASR filter that decides which audio even
+    reaches the expensive model, so its plan shape (decode once,
+    reduce to segment metadata, never shuffle payloads) is the money
+    shape of audio curation.
+    """
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 200).select("doc_id"))
+
+    @F.pandas_udf("binary")
+    def make_speech_wav(ids: pd.Series) -> pd.Series:
+        return ids.map(wav_speech_bytes)
+
+    audio = d.select("doc_id",
+                     make_speech_wav(F.col("doc_id")).alias("payload"))
+    return audio.repartition("doc_id").mapInPandas(
+        vad_batches,
+        schema=("doc_id bigint, n_windows bigint, n_speech bigint, "
+                "first_speech_window bigint, speech_energy bigint"))

@@ -235,3 +235,32 @@ def test_scene_cut_rejects_truncated_and_wrong_magic():
         with pytest.raises(ValueError):
             next(mm.detect_scene_cuts_batches(
                 iter([pd.DataFrame({"doc_id": [5], "payload": [bad]})])))
+
+
+def test_vad_windows_match_generator_local():
+    """VAD decisions must be exactly the generator's speech windows
+    (odd window indices) with energies recomputed per sample."""
+    import pandas as pd
+
+    doc_id = 23
+    blob = mm.wav_speech_bytes(doc_id)
+    out = next(mm.vad_batches(
+        iter([pd.DataFrame({"doc_id": [doc_id], "payload": [blob]})])))
+    n = 100 + doc_id % 50
+    n_full = n // mm._VAD_WIN
+    row = out.iloc[0]
+    assert row.n_windows == n_full
+
+    def s(i):
+        amp = (mm._VAD_LOUD_AMP if (i // mm._VAD_WIN) % 2 == 1
+               else mm._VAD_QUIET_AMP)
+        return (doc_id * 31 + i * 17) % (2 * amp + 1) - amp
+
+    energies = [sum(s(w * mm._VAD_WIN + j) ** 2
+                    for j in range(mm._VAD_WIN)) for w in range(n_full)]
+    speech = [w for w, e in enumerate(energies)
+              if e > mm._VAD_THRESHOLD]
+    assert speech == [w for w in range(n_full) if w % 2 == 1]
+    assert row.n_speech == len(speech)
+    assert row.first_speech_window == (speech[0] if speech else -1)
+    assert row.speech_energy == sum(energies[w] for w in speech)
