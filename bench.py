@@ -159,6 +159,10 @@ HEADLINE = [
     "cohort_retention_matrix",      # cohort x week retention triangle
     "partitioned_scan_pruned",      # hive partition-pruned scan
     "late_dimension_fallback",      # UNKNOWN-bucket left join
+    "stream_merge_into_snapshot",   # foreachBatch CDC -> snapshot table
+    "multimodal_audio_vad",         # windowed-energy speech detection
+    "attribution_time_decay",       # power-of-two recency credits
+    "abc_xyz_classification",       # 9-cell inventory planning census
 ]
 
 

@@ -130,7 +130,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd_centroids", "minhash_quality_eval",
         "er_golden_records", "multimodal_scene_cut_detect",
         "stream_ohlc_drain", "bpe_apply_token_counts",
-        "lateral_top2_per_nation",
+        "lateral_top2_per_nation", "stream_merge_into_snapshot",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",
