@@ -841,3 +841,89 @@ def scd2_interval_overlap_audit(spark: SparkSession,
         ((F.col("n_overlaps") == 0)
          & (F.col("n_open") == F.col("n_entities")))
         .cast("long").alias("history_ok"))
+
+
+@query(
+    "bitemporal_as_believed",
+    oracle=f"""
+    WITH facts AS (
+        SELECT user_id, event_id,
+               CAST(ts AS TIMESTAMP) AS valid_ts,
+               CAST(ts AS TIMESTAMP)
+                   + to_days(CAST(event_id % 3 AS INTEGER)) AS txn_ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), believed_then AS (
+        SELECT user_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY valid_ts DESC,
+                                           event_id DESC) AS rn
+        FROM facts
+        WHERE txn_ts <= TIMESTAMP '{_SPLIT}'
+          AND valid_ts <= TIMESTAMP '{_SPLIT}'
+    ), believed_now AS (
+        SELECT user_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY valid_ts DESC,
+                                           event_id DESC) AS rn
+        FROM facts
+        WHERE valid_ts <= TIMESTAMP '{_SPLIT}'
+    )
+    SELECT n.user_id,
+           t.cents AS cents_believed_then,
+           n.cents AS cents_believed_now,
+           CAST((t.cents IS DISTINCT FROM n.cents) AS BIGINT)
+               AS corrected
+    FROM (SELECT user_id, cents FROM believed_now WHERE rn = 1) n
+    LEFT JOIN (SELECT user_id, cents FROM believed_then WHERE rn = 1) t
+           USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def bitemporal_as_believed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL point-in-time query — the two-axis question SCD2
+    alone cannot answer: "what did we BELIEVE on date B about each
+    user's state as of valid date V?" Facts carry VALID time (when
+    the purchase happened) and TRANSACTION time (when the warehouse
+    recorded it — here derived deterministically as valid + 0..2
+    days, the late-arrival pattern). Believed-then restricts to
+    txn_ts ≤ B before the per-user argmax; believed-now drops the
+    transaction filter; rows where they differ are the late-arriving
+    corrections an audit or restatement must explain — the
+    ``corrected`` flag is null-safe (a user with NO believed-then
+    state counts as corrected). This is the reproducibility
+    primitive for regulated reporting: any historical report can be
+    re-derived bit-for-bit by re-binding B.
+
+    Two window argmaxes on the same user-keyed exchange + one join;
+    the transaction filter is a scan predicate, so "query the past"
+    costs the same plan as "query the present".
+    """
+    ev = Catalog(spark, sf_dir).events
+    split = F.lit(_SPLIT).cast("timestamp")
+    facts = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "event_id",
+                     F.col("ts").alias("valid_ts"),
+                     (F.col("ts") + F.make_dt_interval(
+                         F.col("event_id") % 3)).alias("txn_ts"),
+                     F.round(F.col("value") * 100).cast("long")
+                     .alias("cents")))
+    w = (W.partitionBy("user_id")
+         .orderBy(F.col("valid_ts").desc(), F.col("event_id").desc()))
+
+    def latest(df):
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("user_id", "cents"))
+
+    then = latest(facts.filter((F.col("txn_ts") <= split)
+                               & (F.col("valid_ts") <= split))) \
+        .withColumnRenamed("cents", "cents_believed_then")
+    now = latest(facts.filter(F.col("valid_ts") <= split)) \
+        .withColumnRenamed("cents", "cents_believed_now")
+    return (now.join(then, "user_id", "left")
+            .select("user_id", "cents_believed_then",
+                    "cents_believed_now",
+                    (~F.col("cents_believed_then")
+                     .eqNullSafe(F.col("cents_believed_now")))
+                    .cast("long").alias("corrected"))
+            .orderBy("user_id"))

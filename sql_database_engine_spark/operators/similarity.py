@@ -27,7 +27,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import (Column, DataFrame, SparkSession,
+                         Window as W, functions as F)
 
 from ..catalog import Catalog
 from . import query
@@ -2195,3 +2196,80 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("(-m.neg) * 1000000L div n_members")
                     .alias("purity_micros"))
             .orderBy("cluster_id"))
+
+
+@query(
+    "dot_vs_cosine_rank_agreement",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT a.anchor_id, e.vec_id,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      a.av), 6) AS dot6,
+               ROUND({COSINE_SQL.format(a='e.embedding', b='a.av')}, 6)
+                   AS cos6
+        FROM embeddings e, anchors a
+        WHERE e.vec_id >= 3
+    ), ranked AS (
+        SELECT anchor_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY dot6 DESC, vec_id) AS r_dot,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos6 DESC, vec_id) AS r_cos
+        FROM scored
+    )
+    SELECT anchor_id,
+           CAST(SUM(CASE WHEN r_dot <= 10 AND r_cos <= 10
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap_top10,
+           CAST(MAX(CASE WHEN r_dot = 1 THEN vec_id END) AS BIGINT)
+               AS top1_dot_vec,
+           CAST(MAX(CASE WHEN r_cos = 1 THEN vec_id END) AS BIGINT)
+               AS top1_cos_vec
+    FROM ranked
+    GROUP BY anchor_id
+    ORDER BY anchor_id
+    """,
+)
+def dot_vs_cosine_rank_agreement(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Does the similarity METRIC change the answer? For three anchor
+    vectors, every corpus vector is scored by raw dot product AND by
+    cosine in one scan, ranked under each (round-6 guard + vec_id
+    tie-break, the module's determinism idiom), and the report is
+    top-10 overlap plus the top-1 under each metric. Unnormalized
+    embeddings make dot favor long vectors — a retrieval deployment
+    that switches metrics without re-evaluating inherits silent rank
+    churn, and this eval prices it: overlap 10/10 means the switch
+    is free; low overlap means re-tune. Same one-scan,
+    broadcast-anchor shape as the kNN join; the per-anchor rank
+    windows ride one anchor-keyed exchange (WindowGroupLimit keeps
+    the shuffle at k rows per group at scale).
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    anchors = (e.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       _as_double(F.col("embedding")).alias("av")))
+    v = _as_double(F.col("embedding"))
+    scored = (e.filter(F.col("vec_id") >= 3)
+              .crossJoin(F.broadcast(anchors))
+              .select("anchor_id", "vec_id",
+                      F.round(dot(v, F.col("av")), 6).alias("dot6"),
+                      F.round(cosine(v, F.col("av")), 6).alias("cos6")))
+    wd = W.partitionBy("anchor_id").orderBy(F.col("dot6").desc(),
+                                            "vec_id")
+    wc = W.partitionBy("anchor_id").orderBy(F.col("cos6").desc(),
+                                            "vec_id")
+    ranked = (scored.withColumn("r_dot", F.row_number().over(wd))
+              .withColumn("r_cos", F.row_number().over(wc)))
+    return (ranked.groupBy("anchor_id")
+            .agg(F.sum(F.when((F.col("r_dot") <= 10)
+                              & (F.col("r_cos") <= 10), 1).otherwise(0))
+                 .cast("long").alias("n_overlap_top10"),
+                 F.max(F.when(F.col("r_dot") == 1, F.col("vec_id")))
+                 .alias("top1_dot_vec"),
+                 F.max(F.when(F.col("r_cos") == 1, F.col("vec_id")))
+                 .alias("top1_cos_vec"))
+            .orderBy("anchor_id"))
