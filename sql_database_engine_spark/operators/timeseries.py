@@ -2536,3 +2536,98 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_credits"),
                  F.sum("w_final").alias("total_weight_micros"))
             .orderBy("touch_type"))
+
+
+@query(
+    "bootstrap_ci_daily_mean",
+    oracle=f"""
+    WITH days AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT d, cents,
+               ROW_NUMBER() OVER (ORDER BY d) - 1 AS i,
+               COUNT(*) OVER () AS n
+        FROM days
+    ), draws AS (
+        SELECT b.b, t.j,
+               CAST(('0x' || substring(
+                   md5(CAST(b.b AS VARCHAR) || '-'
+                       || CAST(t.j AS VARCHAR)), 1, 8))::UBIGINT
+                   % (SELECT any_value(n) FROM idx) AS BIGINT) AS pick
+        FROM (SELECT unnest(generate_series(0, 199)) AS b) b,
+             (SELECT unnest(generate_series(
+                  0, (SELECT CAST(any_value(n) AS INTEGER) - 1
+                      FROM idx))) AS j) t
+    ), resampled AS (
+        SELECT dr.b,
+               CAST(SUM(i.cents) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM draws dr JOIN idx i ON i.i = dr.pick
+        GROUP BY dr.b
+    ), means AS (
+        SELECT b, total_cents // n AS mean_cents,
+               ROW_NUMBER() OVER (ORDER BY total_cents // n, b) AS rk,
+               COUNT(*) OVER () AS nb
+        FROM resampled
+    )
+    SELECT CAST((SELECT any_value(n) FROM idx) AS BIGINT) AS n_days,
+           CAST(200 AS BIGINT) AS n_resamples,
+           CAST(MAX(CASE WHEN rk = 5 THEN mean_cents END) AS BIGINT)
+               AS ci_lo_cents,
+           CAST(MAX(CASE WHEN rk = 195 THEN mean_cents END) AS BIGINT)
+               AS ci_hi_cents
+    FROM means
+    """,
+)
+def bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean daily revenue — the
+    distribution-free error bar, made ENGINE-REPRODUCIBLE: the B=200
+    resamples draw their day indices from md5(b, j) (the module's
+    hash-randomness idiom — no RNG state, every engine and re-run
+    agrees on every draw), resample means are floor-divided cents,
+    and the 95% interval is the nearest-rank [5th, 195th] of the
+    sorted resample means. Deterministic bootstrap is the honest
+    compromise when exact distribution theory is out of reach and
+    nondeterministic sampling would break the bit-exactness contract.
+
+    Scale: the resample space is B × n_days rows at DAY grain (192k
+    at a year of days), never touching the fact table again after
+    the one daily rollup — bootstrap cost is independent of order
+    volume. The rank walk runs over B rows.
+    """
+    o = Catalog(spark, sf_dir).orders
+    days = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("long")).alias("cents")))
+    idx = (days
+           .withColumn("i", F.row_number().over(W.orderBy("d")) - 1)
+           .withColumn("n", F.count(F.lit(1)).over(
+               W.rowsBetween(W.unboundedPreceding,
+                             W.unboundedFollowing))))
+    nrow = idx.select(F.first("n").alias("n"))
+    b = spark.range(200).select(F.col("id").alias("b"))
+    j = (idx.select(F.col("i").alias("j")))
+    pick = (F.conv(F.substring(
+        F.md5(F.concat_ws("-", F.col("b"), F.col("j"))), 1, 8), 16, 10)
+        .cast("long") % F.col("n"))
+    draws = (b.crossJoin(j).crossJoin(F.broadcast(nrow))
+             .select("b", pick.alias("pick")))
+    resampled = (draws.join(idx.select("i", "cents"),
+                            draws.pick == F.col("i"))
+                 .groupBy("b")
+                 .agg(F.sum("cents").alias("total_cents"),
+                      F.count(F.lit(1)).alias("n")))
+    means = (resampled
+             .select("b", F.expr("total_cents div n").alias("mean_cents"))
+             .withColumn("rk", F.row_number().over(
+                 W.orderBy("mean_cents", "b"))))
+    return (means.crossJoin(F.broadcast(nrow))
+            .agg(F.first("n").cast("long").alias("n_days"),
+                 F.lit(200).cast("long").alias("n_resamples"),
+                 F.max(F.when(F.col("rk") == 5, F.col("mean_cents")))
+                 .alias("ci_lo_cents"),
+                 F.max(F.when(F.col("rk") == 195, F.col("mean_cents")))
+                 .alias("ci_hi_cents")))
