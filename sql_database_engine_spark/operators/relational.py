@@ -1490,3 +1490,39 @@ def lateral_top2_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       LIMIT 2) t
         ORDER BY n_name, bal_cents DESC, c_custkey
     """)
+
+
+@query(
+    "agg_bucketed_no_shuffle",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-FREE aggregation off the bucketed layout — the second
+    payoff of write-time bucketing after the co-located join: a
+    groupBy on the bucket key needs no Exchange at all, because the
+    bucketed scan already guarantees each key lives in exactly one
+    task (plan-pinned: zero exchanges below the aggregate). At 100 TB
+    this turns every recurring per-order rollup from a full fact
+    shuffle into a map-side pass — the single biggest win available
+    to a workload that aggregates the same key daily. Same
+    ``ensure_bucketed_facts`` staging the join rides (paid once,
+    outside the measured plan).
+    """
+    from ..sources.bucketed import ensure_bucketed_facts
+    names = ensure_bucketed_facts(spark, sf_dir)
+    li = spark.table(names["lineitem"])
+    return (li.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.round(F.col("l_quantity")).cast("long"))
+                 .alias("total_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long")).alias("total_cents")))

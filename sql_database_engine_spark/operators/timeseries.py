@@ -2631,3 +2631,75 @@ def bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("ci_lo_cents"),
                  F.max(F.when(F.col("rk") == 195, F.col("mean_cents")))
                  .alias("ci_hi_cents")))
+
+
+@query(
+    "order_backlog_daily",
+    oracle="""
+    WITH lifecycle AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS open_day,
+               CAST(MAX(l.l_shipdate) AS DATE) + 1 AS close_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ), b AS (
+        SELECT open_day AS day, 1 AS d FROM lifecycle
+        UNION ALL
+        SELECT close_day AS day, -1 AS d FROM lifecycle
+    ), g AS (
+        SELECT day, SUM(d) AS delta,
+               SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_opened,
+               SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_closed
+        FROM b GROUP BY day
+    )
+    SELECT day,
+           CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(SUM(delta) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS backlog
+    FROM g
+    ORDER BY day
+    """,
+)
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog by day — the fulfillment-ops curve: an
+    order is OPEN from its order date until the day after its last
+    line ships (the lifecycle interval derived from the fact join,
+    one aggregate), and the daily backlog is the sweep-line running
+    sum of +1/-1 boundaries at DAY grain — the
+    ``concurrent_sessions_peak`` idiom applied to order lifecycles,
+    here keeping the whole curve rather than its peak. Opens and
+    closes per day ride the same boundary aggregate.
+
+    One orderkey-keyed join+aggregate for lifecycles (co-located if
+    read from the bucketed layout), then day-grain rows — thousands
+    of rows regardless of order volume; the ordered walk is the
+    two-level prefix sum at cluster scale.
+    """
+    cat = Catalog(spark, sf_dir)
+    o, li = cat.orders, cat.lineitem
+    lifecycle = (o.join(li, o.o_orderkey == li.l_orderkey)
+                 .groupBy("o_orderkey",
+                          F.col("o_orderdate").cast("date")
+                          .alias("open_day"))
+                 .agg(F.date_add(F.max(F.col("l_shipdate").cast("date")),
+                                 1).alias("close_day")))
+    b = lifecycle.select(F.explode(F.array(
+        F.struct(F.col("open_day").alias("day"), F.lit(1).alias("d")),
+        F.struct(F.col("close_day").alias("day"),
+                 F.lit(-1).alias("d")))).alias("bd")) \
+        .select("bd.day", "bd.d")
+    g = (b.groupBy("day")
+         .agg(F.sum("d").alias("delta"),
+              F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+              .alias("n_opened"),
+              F.sum(F.when(F.col("d") == -1, 1).otherwise(0))
+              .alias("n_closed")))
+    run = F.sum("delta").over(
+        W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+    return (g.select("day",
+                     F.col("n_opened").cast("long").alias("n_opened"),
+                     F.col("n_closed").cast("long").alias("n_closed"),
+                     run.cast("long").alias("backlog"))
+            .orderBy("day"))

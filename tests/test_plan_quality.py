@@ -1245,3 +1245,11 @@ def test_lateral_topk_decorrelates_to_join_plus_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "row_number" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_agg_has_no_exchange(spark):
+    plan = _plan(spark, "agg_bucketed_no_shuffle")
+    # The whole point: the bucketed scan already distributes by the
+    # group key, so the aggregate runs with ZERO exchanges.
+    assert "Exchange" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
