@@ -1103,3 +1103,86 @@ def personalized_pagerank_brands(spark: SparkSession,
                     F.col("seed_node").isNotNull().cast("long")
                     .alias("is_seed"))
             .orderBy(F.col("ppr_fixed").desc(), "brand"))
+
+
+def _apsp_oracle() -> str:
+    """Unrolled multi-source BFS (every node a source) -> per-node
+    eccentricity within the BFS_DEPTH horizon + graph diameter."""
+    steps = ["""
+    d0 AS (
+        SELECT s.node AS source, n.node,
+               CASE WHEN s.node = n.node
+                    THEN CAST(0 AS BIGINT) END AS dist
+        FROM nodes s, nodes n
+    )"""]
+    for k in range(BFS_DEPTH):
+        steps.append(f"""
+    d{k + 1} AS (
+        SELECT n.source, n.node,
+               least(n.dist, m.reach + 1) AS dist
+        FROM d{k} n LEFT JOIN (
+            SELECT p.source, e.dst AS node, min(p.dist) AS reach
+            FROM d{k} p JOIN edges e ON e.src = p.node
+            WHERE p.dist IS NOT NULL
+            GROUP BY p.source, e.dst
+        ) m ON m.source = n.source AND m.node = n.node
+    )""")
+    return f"""
+    WITH {_EDGES_SQL},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),{','.join(steps)},
+    ecc AS (
+        SELECT source AS brand,
+               CAST(MAX(dist) AS BIGINT) AS eccentricity,
+               CAST(COUNT(dist) AS BIGINT) AS n_reached
+        FROM d{BFS_DEPTH}
+        GROUP BY source
+    )
+    SELECT brand, eccentricity, n_reached,
+           CAST((SELECT MAX(eccentricity) FROM ecc) AS BIGINT)
+               AS diameter
+    FROM ecc
+    ORDER BY brand
+    """
+
+
+@query("graph_eccentricity_diameter", oracle=_apsp_oracle())
+def graph_eccentricity_diameter(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Eccentricity and diameter via all-pairs BFS — the graph-shape
+    diagnostic (is this network a tight clique or a chain?): every
+    node seeds a BFS simultaneously (the distance relation is keyed
+    (source, node); each relaxation round is ONE join on the shared
+    edge list — multi-source costs the same round COUNT as
+    single-source, rows scale |V|×|V| which is fine for entity
+    graphs at brand/category grain), unrolled BFS_DEPTH rounds.
+    Eccentricity = max distance REACHED within the horizon (the
+    declared contract, same as the BFS operator; n_reached exposes
+    truncation honestly); diameter = max eccentricity, broadcast
+    back as a column. On million-node graphs you sample sources or
+    run HADI/ANF sketches instead — this operator is the exact
+    small-graph tier.
+    """
+    cat = Catalog(spark, sf_dir)
+    edges = _directed_edges(cat)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    d = (nodes.select(F.col("node").alias("source"))
+         .crossJoin(nodes)
+         .select("source", "node",
+                 F.when(F.col("source") == F.col("node"), F.lit(0))
+                 .cast("long").alias("dist")))
+    for _ in range(BFS_DEPTH):
+        reach = (d.filter(F.col("dist").isNotNull())
+                 .join(edges, d.node == edges.src)
+                 .groupBy("source", F.col("dst").alias("node"))
+                 .agg(F.min("dist").alias("reach")))
+        d = (d.join(reach, ["source", "node"], "left")
+             .select("source", "node",
+                     F.least(F.col("dist"),
+                             F.col("reach") + 1).alias("dist")))
+    ecc = (d.groupBy(F.col("source").alias("brand"))
+           .agg(F.max("dist").alias("eccentricity"),
+                F.count("dist").alias("n_reached")))
+    diam = ecc.agg(F.max("eccentricity").alias("diameter"))
+    return (ecc.crossJoin(F.broadcast(diam))
+            .select("brand", "eccentricity", "n_reached", "diameter")
+            .orderBy("brand"))
