@@ -163,6 +163,12 @@ HEADLINE = [
     "multimodal_audio_vad",         # windowed-energy speech detection
     "attribution_time_decay",       # power-of-two recency credits
     "abc_xyz_classification",       # 9-cell inventory planning census
+    "bitemporal_as_believed",       # two-axis point-in-time state
+    "bootstrap_ci_daily_mean",      # 200-resample deterministic CI
+    "agg_bucketed_no_shuffle",      # zero-exchange bucketed rollup
+    "order_backlog_daily",          # lifecycle sweep at day grain
+    "graph_eccentricity_diameter",  # multi-source BFS rounds
+    "dot_vs_cosine_rank_agreement", # two-metric one-scan ranking eval
 ]
 
 
