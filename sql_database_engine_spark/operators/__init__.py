@@ -87,8 +87,13 @@ def _driver_checked() -> set[str]:
     # prefix so the hard signal covers the code that actually ships.
     # Curated per round; clear entries once the next CORRECTNESS file
     # shows their fresh green row. (Round 4: the four round-3 rewrites
-    # all re-sampled green in CORRECTNESS_r03.json — set cleared.)
-    rewritten_since_sampled: set[str] = set()
+    # all re-sampled green in CORRECTNESS_r03.json — cleared; two new
+    # entries for the CDC split fix, whose previous green rows
+    # verified the VACUOUS pre-fix semantics.)
+    rewritten_since_sampled: set[str] = {
+        "merge_upsert_latest_state",  # _SPLIT moved inside the horizon
+        "table_diff_user_state",      # same fix, diffs now non-empty
+    }
     return seen - rewritten_since_sampled
 
 

@@ -3152,3 +3152,143 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_parts"),
                  F.sum("total_qty").cast("long").alias("total_qty"))
             .orderBy("abc_class", "xyz_class"))
+
+
+@query(
+    "ab_cuped_adjusted_delta",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                             1, 4))::INTEGER % 2) = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                  < TIMESTAMP '2024-01-16 00:00:00'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS HUGEINT) AS x_cents,
+               CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                  >= TIMESTAMP '2024-01-16 00:00:00'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS HUGEINT) AS y_cents
+        FROM events GROUP BY user_id
+    ), moments AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x_cents) AS sx, SUM(y_cents) AS sy,
+               SUM(x_cents * y_cents) AS sxy,
+               SUM(x_cents * x_cents) AS sxx,
+               SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+               SUM(CASE WHEN arm = 'A' THEN x_cents ELSE 0 END) AS sxa,
+               SUM(CASE WHEN arm = 'B' THEN x_cents ELSE 0 END) AS sxb,
+               SUM(CASE WHEN arm = 'A' THEN y_cents ELSE 0 END) AS sya,
+               SUM(CASE WHEN arm = 'B' THEN y_cents ELSE 0 END) AS syb
+        FROM per_user
+    ), derived AS (
+        SELECT n, na, nb,
+               n * sxy - sx * sy AS theta_num,
+               n * sxx - sx * sx AS theta_den,
+               syb * na - sya * nb AS dy_num,
+               sxb * na - sxa * nb AS dx_num,
+               na * nb AS nprod
+        FROM moments
+    ), scaled AS (
+        SELECT n, na, nb, theta_den, nprod, dy_num, dx_num,
+               CASE WHEN theta_num < 0 THEN -1 ELSE 1 END
+                   * (abs(theta_num) * 1000000 // theta_den)
+                   AS theta_micros
+        FROM derived
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(theta_micros AS BIGINT) AS theta_micros,
+           CAST(CASE WHEN dy_num < 0 THEN -1 ELSE 1 END
+                * (abs(dy_num) * 100 // nprod) AS BIGINT)
+               AS delta_raw_centicents,
+           CAST(CASE WHEN dy_num * 1000000 - theta_micros * dx_num < 0
+                     THEN -1 ELSE 1 END
+                * (abs(dy_num * 1000000 - theta_micros * dx_num) * 100
+                   // (nprod * 1000000)) AS BIGINT)
+               AS delta_cuped_centicents
+    FROM scaled
+    """,
+)
+def ab_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout — the modern
+    experimentation estimator (Deng et al. 2013): each user's
+    post-period metric Y is adjusted by θ·(X − X̄) where X is their
+    PRE-period metric and θ = Cov(X,Y)/Var(X), removing the variance
+    that pre-existing behavior explains; the arm delta of the
+    adjusted metric is the readout. Same md5 50/50 assignment as the
+    arm-metrics and SRM operators; pre/post split at the fixture's mid-range instant
+    (2024-01-16 — the mobility operator's precedent; the CDC split
+    constant lies past the events horizon and would empty the
+    post-period). All moments are exact 128-bit integer lanes; θ and both
+    deltas are emitted through the sign-safe floor lane (sign ×
+    floor(|num|·scale/den) — Spark `div` truncates while DuckDB `//`
+    floors, so negatives go through abs; the ACF fix's two-step
+    pattern). θ in micros, deltas in centi-cents per user.
+    Lane headroom: products reach ~1e30 at sf0.1 and pass
+    DECIMAL(38,0) around sf30 — re-derive with pre-divided moments
+    beyond that (documented boundary, the item_cf precedent).
+
+    One user-grain aggregate (conditional pre/post sums ride the
+    same pass), one 1-row moment reduce — the whole estimator is two
+    shuffles regardless of event volume.
+    """
+    ev = Catalog(spark, sf_dir).events
+    dec = "decimal(38,0)"
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    arm = F.when(
+        (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                16, 10).cast("int") % 2) == 0, "A").otherwise("B")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(F.col("ts") < split, cents)
+                           .otherwise(0)).cast(dec).alias("x_cents"),
+                     F.sum(F.when(F.col("ts") >= split, cents)
+                           .otherwise(0)).cast(dec).alias("y_cents"))
+                .withColumn("arm", arm))
+    m = per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x_cents").alias("sx"), F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x_cents") * F.col("y_cents")).alias("sxy"),
+        F.sum(F.col("x_cents") * F.col("x_cents")).alias("sxx"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast(dec)
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast(dec)
+        .alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x_cents"))
+              .otherwise(0)).alias("sxa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x_cents"))
+              .otherwise(0)).alias("sxb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y_cents"))
+              .otherwise(0)).alias("sya"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y_cents"))
+              .otherwise(0)).alias("syb"))
+    d = m.select(
+        "n", "na", "nb",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("theta_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("theta_den"),
+        (F.col("syb") * F.col("na") - F.col("sya") * F.col("nb"))
+        .alias("dy_num"),
+        (F.col("sxb") * F.col("na") - F.col("sxa") * F.col("nb"))
+        .alias("dx_num"),
+        (F.col("na") * F.col("nb")).alias("nprod"))
+    sgn = lambda c: F.when(c < 0, -1).otherwise(1)  # noqa: E731
+    theta_micros = (sgn(F.col("theta_num"))
+                    * F.expr("abs(theta_num) * 1000000 div theta_den"))
+    s = d.withColumn("theta_micros", theta_micros)
+    cuped_num = (F.col("dy_num") * F.lit(1_000_000).cast(dec)
+                 - F.col("theta_micros") * F.col("dx_num"))
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("theta_micros").cast("long").alias("theta_micros"),
+        (sgn(F.col("dy_num"))
+         * F.expr("abs(dy_num) * 100 div nprod")).cast("long")
+        .alias("delta_raw_centicents"),
+        (sgn(cuped_num)
+         * F.expr("abs(dy_num * 1000000 - theta_micros * dx_num) * 100 "
+                  "div (nprod * 1000000)")).cast("long")
+        .alias("delta_cuped_centicents"))

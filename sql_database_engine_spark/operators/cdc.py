@@ -16,8 +16,15 @@ from ..catalog import Catalog
 from . import query
 
 #: Split point: events before this instant form the base state,
-#: events after it are the incoming change stream.
-_SPLIT = "2024-02-01 00:00:00"
+#: events after it are the incoming change stream. Near the end of
+#: the fixture's Jan 1-30 event horizon, chosen so the latest-state
+#: keys split ~60/40 updated/base (measured). The original
+#: 2024-02-01 value lay PAST the horizon, so every "update"/
+#: "changed" branch in the split-based operators was silently
+#: vacuous (was_updated always 0, table diffs all-unchanged); both
+#: engines agreed on the vacuous answer, so only a value inspection
+#: caught it (round 4).
+_SPLIT = "2024-01-29 00:00:00"
 
 
 @query(
