@@ -1166,7 +1166,7 @@ def graph_eccentricity_diameter(spark: SparkSession,
     edges = _directed_edges(cat)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     d = (nodes.select(F.col("node").alias("source"))
-         .crossJoin(nodes)
+         .crossJoin(F.broadcast(nodes))
          .select("source", "node",
                  F.when(F.col("source") == F.col("node"), F.lit(0))
                  .cast("long").alias("dist")))
