@@ -1526,3 +1526,35 @@ def agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_qty"),
                  F.sum(F.round(F.col("l_extendedprice") * 100)
                        .cast("long")).alias("total_cents")))
+
+
+#: ONE SQL text for both engines (the _RECURSIVE_BFS_SQL precedent):
+#: Spark 4 and DuckDB both implement the 2023-vintage GROUP BY ALL /
+#: ORDER BY ALL sugar, so the front door and its oracle are literally
+#: the same string.
+_GROUP_BY_ALL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty
+    FROM {table}
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query("group_by_all_sugar",
+       oracle=_GROUP_BY_ALL_SQL.format(table="lineitem"))
+def group_by_all_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics sugar
+    both engines adopted (every non-aggregate select item groups;
+    every output column orders): the registered query and its oracle
+    share one SQL template (only the relation name binds differently
+    — temp view vs DuckDB view), the strongest possible parity statement
+    for the SQL surface (the WITH RECURSIVE front door set the
+    precedent). Nothing changes physically — Catalyst expands the
+    sugar to the explicit grouping before optimization.
+    """
+    Catalog(spark, sf_dir).lineitem.createOrReplaceTempView(
+        "lineitem_gba")
+    return spark.sql(_GROUP_BY_ALL_SQL.format(table="lineitem_gba"))

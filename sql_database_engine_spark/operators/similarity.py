@@ -2273,3 +2273,78 @@ def dot_vs_cosine_rank_agreement(spark: SparkSession,
                  F.max(F.when(F.col("r_cos") == 1, F.col("vec_id")))
                  .alias("top1_cos_vec"))
             .orderBy("anchor_id"))
+
+
+@query(
+    "knn_confusion_matrix",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label
+        FROM embeddings WHERE vec_id < 50
+    ), scored AS (
+        SELECT q.qid, q.label AS true_label, e.vec_id, e.label,
+               ROUND({COSINE_SQL.format(a='e.embedding', b='q.qv')}, 6)
+                   AS cos6
+        FROM embeddings e, q
+        WHERE e.vec_id >= 50
+    ), ranked AS (
+        SELECT qid, true_label, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos6 DESC, vec_id) AS rn
+        FROM scored
+    ), votes AS (
+        SELECT qid, true_label, label,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM ranked WHERE rn <= 3
+        GROUP BY qid, true_label, label
+    ), pred AS (
+        SELECT qid, true_label,
+               min([-v, label])[2] AS pred_label
+        FROM votes GROUP BY qid, true_label
+    )
+    SELECT CAST(true_label AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+)
+def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier confusion matrix — the eval readout the
+    retrieval family feeds: 50 held-out query vectors are classified
+    by the majority label of their exact cosine top-3 among the
+    remaining corpus (ties to the smaller label id via the
+    lexicographic [-votes, label] min — integer-exact), and the
+    report is the (true, predicted) cell counts — the diagonal is
+    accuracy, off-diagonal cells name the confusable classes.
+    Complements ``knn_label_eval`` (MRR / precision@5, ranking-level)
+    with the decision-level view; per-class precision/recall are
+    row/column ratios the consumer derives from the cells.
+
+    Same broadcast-query scan as the kNN join (corpus never
+    shuffles); the vote and argmax aggregates run at query grain.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.filter(F.col("vec_id") < 50)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv"),
+                 F.col("label").alias("true_label")))
+    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    scored = (e.filter(F.col("vec_id") >= 50)
+              .crossJoin(F.broadcast(q))
+              .select("qid", "true_label", "vec_id", "label",
+                      F.round(sim, 6).alias("cos6")))
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos6").desc(), "vec_id"))
+    votes = (scored.withColumn("rn", rn)
+             .filter(F.col("rn") <= 3)
+             .groupBy("qid", "true_label", "label")
+             .agg(F.count(F.lit(1)).alias("v")))
+    pred = (votes.groupBy("qid", "true_label")
+            .agg(F.min(F.struct((-F.col("v")).alias("neg"),
+                                F.col("label").alias("lab")))
+                 .getField("lab").alias("pred_label")))
+    return (pred.groupBy("true_label", "pred_label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("true_label", "pred_label"))
