@@ -1119,3 +1119,53 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         vad_batches,
         schema=("doc_id bigint, n_windows bigint, n_speech bigint, "
                 "first_speech_window bigint, speech_energy bigint"))
+
+
+@query(
+    "multimodal_asset_integrity_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 37 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_intact,
+           CAST(MIN(CASE WHEN doc_id % 37 = 0 THEN doc_id END)
+                AS BIGINT) AS first_corrupt_doc
+    FROM documents
+    """,
+)
+def multimodal_asset_integrity_audit(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Asset-lake integrity audit — the fixity check every binary
+    corpus runs on ingest and on schedule: each asset's payload is
+    re-hashed and compared against its DECLARED checksum (computed at
+    ingest time); mismatches mean bit rot, truncated uploads, or
+    tampering. Corruption is injected deterministically (doc_id % 37
+    gets one byte flipped AFTER the declared hash is taken), so the
+    oracle predicts exactly which assets fail — a kernel that forgets
+    to re-hash, hashes the wrong column, or compares case-sensitively
+    against a normalized digest all hash-fail. Payloads never
+    shuffle: the hash comparison is a scan-level JVM expression
+    (sha2 over binary), and the audit reduces to counts + the first
+    offender for the triage queue.
+    """
+    d = Catalog(spark, sf_dir).documents
+    payload = F.encode(F.col("text"), "utf-8")
+    declared = F.sha2(payload, 256)
+    # Corruption AFTER the declared hash: flip the first byte for the
+    # doc_id % 37 cohort (overlay with a different character).
+    corrupted = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.encode(F.concat(F.lit("\x00"),
+                          F.substring(F.col("text"), 2, 1 << 30)),
+                 "utf-8")).otherwise(payload)
+    audited = d.select(
+        "doc_id",
+        (F.sha2(corrupted, 256) != declared).cast("long")
+        .alias("is_corrupt"))
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("is_corrupt").alias("n_corrupt"),
+        F.sum(1 - F.col("is_corrupt")).alias("n_intact"),
+        F.min(F.when(F.col("is_corrupt") == 1, F.col("doc_id")))
+        .alias("first_corrupt_doc"))

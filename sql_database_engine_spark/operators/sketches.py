@@ -483,3 +483,87 @@ def hll_setop_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= F.col("exact_union")).cast("long").alias("union_within_5pct"),
         (F.abs(est_inter - exact_inter) * 10 <= F.col("exact_union"))
         .cast("long").alias("intersection_within_10pct"))
+
+
+@query(
+    "theta_setop_contract",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 5e1
+    ), b AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 8e1
+    ), ex AS (
+        SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+               (SELECT COUNT(*) FROM b) AS exact_b,
+               (SELECT COUNT(*) FROM (SELECT user_id FROM a
+                                      INTERSECT
+                                      SELECT user_id FROM b))
+                   AS exact_intersection,
+               (SELECT COUNT(*) FROM (SELECT user_id FROM a
+                                      EXCEPT
+                                      SELECT user_id FROM b))
+                   AS exact_difference
+        )
+    SELECT CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_intersection AS BIGINT) AS exact_intersection,
+           CAST(exact_difference AS BIGINT) AS exact_difference,
+           CAST(1 AS BIGINT) AS intersection_within_10pct,
+           CAST(1 AS BIGINT) AS difference_within_10pct
+    FROM ex
+    """,
+)
+def theta_setop_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra with error contracts — the capability
+    HLL fundamentally lacks: SET DIFFERENCE ("clicked but never
+    purchased") from KB-sized sketches. Datasketches theta sketches
+    (Spark 4.1 built-ins) support union, intersection, AND a-not-b
+    natively; this operator builds sketches for two spend cohorts
+    (purchasers above 50 vs above 80 — a containment-heavy pair with
+    a REAL difference set, unlike the by-type cohorts where every
+    fixture user appears in both), applies
+    ``theta_intersection`` / ``theta_difference``, and emits the
+    exact values beside integer within-10% contract flags — the
+    bounded-contract pattern (``hll_setop_contract``,
+    ``cms_error_contract``): the oracle predicts exact counts and
+    flag=1, so an estimate drifting out of bound hash-fails. At this
+    fixture's cardinalities theta estimates are exact-mode
+    (below the sketch's retention threshold), which the contract
+    absorbs — the flags are the driver-checkable surface either way.
+
+    One events scan builds both sketches as aggregates; the set
+    algebra runs on two KB blobs — at 100 TB this is the only way
+    difference-of-audiences is answerable interactively.
+    """
+    ev = Catalog(spark, sf_dir).events
+    in_a = (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
+    in_b = (F.col("event_type") == "purchase") & (F.col("value") > 80.0)
+    sk = (ev.agg(
+        F.theta_sketch_agg(F.when(in_a, F.col("user_id"))).alias("sk_a"),
+        F.theta_sketch_agg(F.when(in_b, F.col("user_id"))).alias("sk_b")))
+    ests = sk.select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b")))
+        .alias("est_i"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_a"), F.col("sk_b")))
+        .alias("est_d"))
+    a = ev.filter(in_a).select("user_id").distinct()
+    b = ev.filter(in_b).select("user_id").distinct()
+    ex = (a.intersect(b).agg(F.count(F.lit(1)).alias("exact_intersection"))
+          .crossJoin(a.exceptAll(b).distinct()
+                     .agg(F.count(F.lit(1)).alias("exact_difference")))
+          .crossJoin(a.agg(F.count(F.lit(1)).alias("exact_a")))
+          .crossJoin(b.agg(F.count(F.lit(1)).alias("exact_b"))))
+    within = lambda est, exact: (  # noqa: E731
+        (F.abs(F.round(est).cast("long") - F.col(exact)) * 10)
+        <= F.col(exact)).cast("long")
+    return (ex.crossJoin(F.broadcast(ests))
+            .select("exact_a", "exact_b",
+                    "exact_intersection", "exact_difference",
+                    within(F.col("est_i"), "exact_intersection")
+                    .alias("intersection_within_10pct"),
+                    within(F.col("est_d"), "exact_difference")
+                    .alias("difference_within_10pct")))
