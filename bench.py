@@ -169,6 +169,10 @@ HEADLINE = [
     "order_backlog_daily",          # lifecycle sweep at day grain
     "graph_eccentricity_diameter",  # multi-source BFS rounds
     "dot_vs_cosine_rank_agreement", # two-metric one-scan ranking eval
+    "ab_cuped_adjusted_delta",      # CUPED variance-reduced readout
+    "knn_confusion_matrix",         # majority-of-top-3 eval cells
+    "theta_setop_contract",         # sketch difference with contracts
+    "multimodal_asset_integrity_audit",  # fixity check + triage
 ]
 
 
