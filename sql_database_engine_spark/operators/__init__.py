@@ -136,6 +136,9 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_golden_records", "multimodal_scene_cut_detect",
         "stream_ohlc_drain", "bpe_apply_token_counts",
         "lateral_top2_per_nation", "stream_merge_into_snapshot",
+        # _SPLIT-fix re-entries: their prior green rows verified the
+        # vacuous pre-fix semantics, so both must re-sample this round
+        "merge_upsert_latest_state", "table_diff_user_state",
         "dedup_exact_keep_first", "minhash_lsh_neardup",
         "curation_gate_report", "ngram_jaccard_neardup",
         "cosine_topk_bruteforce", "embedding_neardup_pairs",
