@@ -158,7 +158,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts", "q20_concentrated_suppliers",
         "q9_product_profit", "q21_waiting_suppliers",
         "q22_dormant_value_customers",
-        "merge_upsert_latest_state", "funnel_signup_click_purchase",
+        "funnel_signup_click_purchase",
         "events_ohlc_hourly",
         "join_skew_salted", "clustered_range_scan",
         "window_ntile_quartiles", "pii_mask_redaction",
@@ -199,7 +199,12 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_vector_search", "temporal_holdout_split",
         "mad_outlier_census",
     ]
-    rank = {n: i for i, n in enumerate(priority)}
+    # First occurrence wins: a name listed early for a round-specific
+    # reason must not have its rank silently reset by a stale entry
+    # further down.
+    rank: dict[str, int] = {}
+    for i, n in enumerate(priority):
+        rank.setdefault(n, i)
     reg = {n: i for i, n in enumerate(QUERIES)}
     seen = _driver_checked()
     families: dict[str, list[str]] = {}
