@@ -2602,11 +2602,16 @@ def bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
                        .cast("long")).alias("cents")))
+    # Checkpoint the indexed day table: it feeds the row-count scalar,
+    # the draw index space, AND the resample join — without this the
+    # orders rollup re-derives once per reference (caught by
+    # test_bootstrap_touches_orders_once).
     idx = (days
            .withColumn("i", F.row_number().over(W.orderBy("d")) - 1)
            .withColumn("n", F.count(F.lit(1)).over(
                W.rowsBetween(W.unboundedPreceding,
-                             W.unboundedFollowing))))
+                             W.unboundedFollowing)))
+           .localCheckpoint(eager=False))
     nrow = idx.select(F.first("n").alias("n"))
     b = spark.range(200).select(F.col("id").alias("b"))
     j = (idx.select(F.col("i").alias("j")))

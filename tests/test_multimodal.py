@@ -264,3 +264,71 @@ def test_vad_windows_match_generator_local():
     assert row.n_speech == len(speech)
     assert row.first_speech_window == (speech[0] if speech else -1)
     assert row.speech_energy == sum(energies[w] for w in speech)
+
+
+def test_vad_property_arbitrary_doc_ids():
+    """For ANY doc id the kernel's decisions equal the per-sample
+    brute force — the hypothesis twin of the fixed-id boundary test."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**9))
+    def check(doc_id):
+        blob = mm.wav_speech_bytes(doc_id)
+        out = next(mm.vad_batches(
+            iter([pd.DataFrame({"doc_id": [doc_id],
+                                "payload": [blob]})])))
+        row = out.iloc[0]
+        n = 100 + doc_id % 50
+        n_full = n // mm._VAD_WIN
+
+        def s(i):
+            amp = (mm._VAD_LOUD_AMP if (i // mm._VAD_WIN) % 2 == 1
+                   else mm._VAD_QUIET_AMP)
+            return (doc_id * 31 + i * 17) % (2 * amp + 1) - amp
+
+        energies = [sum(s(w * mm._VAD_WIN + j) ** 2
+                        for j in range(mm._VAD_WIN))
+                    for w in range(n_full)]
+        speech = [w for w, e in enumerate(energies)
+                  if e > mm._VAD_THRESHOLD]
+        assert row.n_windows == n_full
+        assert row.n_speech == len(speech)
+        assert row.first_speech_window == (speech[0] if speech else -1)
+        assert row.speech_energy == sum(energies[w] for w in speech)
+
+    check()
+
+
+def test_scene_cut_property_arbitrary_doc_ids():
+    """Scene-cut decisions equal the per-pixel brute force for ANY
+    doc id (cut positions, count, first, total magnitude)."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**9))
+    def check(doc_id):
+        blob = mm.rvid_scene_bytes(doc_id)
+        out = next(mm.detect_scene_cuts_batches(
+            iter([pd.DataFrame({"doc_id": [doc_id],
+                                "payload": [blob]})])))
+        row = out.iloc[0]
+        n_frames = 12 + doc_id % 12
+
+        def px(f, j):
+            return (doc_id * 7 + (f // mm._RV_SCENE_LEN) * 31
+                    + j * 5) % 256
+
+        l1 = [sum(abs(px(f + 1, j) - px(f, j))
+                  for j in range(mm._RV_FRAME_BYTES))
+              for f in range(n_frames - 1)]
+        cuts = [f for f, v in enumerate(l1)
+                if v > mm._RV_CUT_THRESHOLD]
+        assert row.n_frames == n_frames
+        assert row.n_cuts == len(cuts)
+        assert row.first_cut_frame == (cuts[0] + 1 if cuts else -1)
+        assert row.total_cut_l1 == sum(l1[f] for f in cuts)
+
+    check()

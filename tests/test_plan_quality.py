@@ -1253,3 +1253,35 @@ def test_bucketed_agg_has_no_exchange(spark):
     # group key, so the aggregate runs with ZERO exchanges.
     assert "Exchange" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_stream_merge_snapshot_reads_only_snapshot(spark):
+    plan = _plan(spark, "stream_merge_into_snapshot")
+    # After the drain fixture, the measured plan reads ONLY the
+    # committed snapshot version — the events table is never
+    # re-scanned, proving results come through the merge path.
+    assert "events.parquet" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_order_backlog_sweeps_day_grain(spark):
+    plan = _plan(spark, "order_backlog_daily")
+    # The running sum windows over day-grain boundary rows: no
+    # orderkey reaches the sweep window's spec.
+    sweep = [l for l in plan.splitlines()
+             if "Window" in l and "delta" in l]
+    assert sweep and all("o_orderkey" not in l for l in sweep)
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_touches_orders_once(spark):
+    from sql_database_engine_spark import operators
+    operators.load_all()
+    df = operators.QUERIES["bootstrap_ci_daily_mean"](spark, SF_SMOKE)
+    df.collect()  # materialize the lazy checkpoint of the day table
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The indexed day table is checkpointed and feeds all three of
+    # its consumers (row-count scalar, draw space, resample join):
+    # orders scans once for the rollup; resampling never touches the
+    # fact table again.
+    assert plan.count("FileScan parquet") <= 1
