@@ -93,6 +93,7 @@ def _driver_checked() -> set[str]:
     rewritten_since_sampled: set[str] = {
         "merge_upsert_latest_state",  # _SPLIT moved inside the horizon
         "table_diff_user_state",      # same fix, diffs now non-empty
+        "pagerank_brand_graph",       # edge/node checkpoints (plan-only)
     }
     return seen - rewritten_since_sampled
 

@@ -180,8 +180,11 @@ def pagerank_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint per round exactly as the connected-components
     operator does (similarity.py)."""
     cat = Catalog(spark, sf_dir)
-    edges = _directed_edges(cat)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # Same checkpoint discipline as the PPR twin: the edge list feeds
+    # every message round, the node list every teleport term.
+    edges = _directed_edges(cat).localCheckpoint(eager=False)
+    nodes = (edges.select(F.col("src").alias("node")).distinct()
+             .localCheckpoint(eager=False))
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg"))
@@ -1059,9 +1062,15 @@ def personalized_pagerank_brands(spark: SparkSession,
     the whole graph.
     """
     cat = Catalog(spark, sf_dir)
-    edges = _directed_edges(cat)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    seeds = nodes.orderBy("node").limit(PPR_SEEDS)
+    # The basket-derived edge list feeds every round (plus the node,
+    # seed, and degree relations): checkpoint it once or the fact
+    # join re-derives per reference — the audit measured 60 lineitem
+    # scans in the unchecked plan.
+    edges = _directed_edges(cat).localCheckpoint(eager=False)
+    nodes = (edges.select(F.col("src").alias("node")).distinct()
+             .localCheckpoint(eager=False))
+    seeds = nodes.orderBy("node").limit(PPR_SEEDS) \
+        .localCheckpoint(eager=False)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg"))
     seed_flag = F.col("seed_node").isNotNull()
@@ -1163,8 +1172,9 @@ def graph_eccentricity_diameter(spark: SparkSession,
     small-graph tier.
     """
     cat = Catalog(spark, sf_dir)
-    edges = _directed_edges(cat)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    edges = _directed_edges(cat).localCheckpoint(eager=False)
+    nodes = (edges.select(F.col("src").alias("node")).distinct()
+             .localCheckpoint(eager=False))
     d = (nodes.select(F.col("node").alias("source"))
          .crossJoin(F.broadcast(nodes))
          .select("source", "node",

@@ -550,8 +550,13 @@ def theta_setop_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_estimate(
             F.theta_difference(F.col("sk_a"), F.col("sk_b")))
         .alias("est_d"))
-    a = ev.filter(in_a).select("user_id").distinct()
-    b = ev.filter(in_b).select("user_id").distinct()
+    # Each cohort feeds intersect, except, AND its own count —
+    # checkpoint so the events scan runs once per cohort, not per
+    # reference (the scan-count audit measured 7 events scans).
+    a = (ev.filter(in_a).select("user_id").distinct()
+         .localCheckpoint(eager=False))
+    b = (ev.filter(in_b).select("user_id").distinct()
+         .localCheckpoint(eager=False))
     ex = (a.intersect(b).agg(F.count(F.lit(1)).alias("exact_intersection"))
           .crossJoin(a.exceptAll(b).distinct()
                      .agg(F.count(F.lit(1)).alias("exact_difference")))

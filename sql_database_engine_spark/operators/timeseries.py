@@ -2423,7 +2423,8 @@ def cohort_retention_matrix(spark: SparkSession,
     """
     ev = Catalog(spark, sf_dir).events
     firsts = (ev.groupBy("user_id")
-              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+              .localCheckpoint(eager=False))  # feeds sizes AND cells
     activity = (ev.select("user_id",
                           F.date_trunc("week", F.col("ts"))
                           .alias("active_week"))

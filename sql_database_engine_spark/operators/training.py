@@ -1907,8 +1907,12 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = Catalog(spark, sf_dir).customer
     band = F.floor(F.col("c_acctbal") / 1000).cast("long")
-    tot = c.agg(F.count(F.lit(1)).alias("n_total"))
-    seg = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_seg"))
+    seg = (c.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_seg"))
+           .localCheckpoint(eager=False))
+    # The corpus total is the segment dictionary's sum — no second
+    # customer scan (audit: 3 scans before this derivation).
+    tot = seg.agg(F.sum("n_seg").alias("n_total"))
     cells = (c.groupBy("c_nationkey", band.alias("bal_band"),
                        "c_mktsegment")
              .agg(F.count(F.lit(1)).alias("n_gs")))
