@@ -94,6 +94,8 @@ def _driver_checked() -> set[str]:
         "merge_upsert_latest_state",  # _SPLIT moved inside the horizon
         "table_diff_user_state",      # same fix, diffs now non-empty
         "pagerank_brand_graph",       # edge/node checkpoints (plan-only)
+        "bfs_brand_distances",        # same (188 scans -> 1, audit)
+        "triangle_count_brands",      # same (40 scans -> 1)
     }
     return seen - rewritten_since_sampled
 

@@ -258,7 +258,7 @@ def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-degree neighbors do). Two equi-joins on node keys + one
     3-row-per-triangle explode; all counts exact integers."""
     cat = Catalog(spark, sf_dir)
-    edges = _directed_edges(cat)
+    edges = _directed_edges(cat).localCheckpoint(eager=False)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg"))
     ds = F.broadcast(deg.select(F.col("node").alias("src"),
@@ -337,8 +337,9 @@ def bfs_brand_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed unroll.
     """
     cat = Catalog(spark, sf_dir)
-    edges = _directed_edges(cat)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    edges = _directed_edges(cat).localCheckpoint(eager=False)
+    nodes = (edges.select(F.col("src").alias("node")).distinct()
+             .localCheckpoint(eager=False))
     src = nodes.agg(F.min("node").alias("s"))
     d = (nodes.crossJoin(F.broadcast(src))
          .select("node", F.when(F.col("node") == F.col("s"), F.lit(0))
@@ -530,9 +531,14 @@ def _p75_strong_edges(cat: Catalog) -> tuple[DataFrame, DataFrame]:
                   W.partitionBy(F.lit(1)))))
     thr = (ranked.filter(F.col("rn") == F.expr("(3 * n + 3) div 4"))
            .select(F.col("n_cooccur").alias("t")))
+    # Checkpoint once: every consumer references strong/edges several
+    # times per round, and without this the basket join re-derives per
+    # reference (the registry scan audit measured 36 lineitem scans in
+    # link prediction's unchecked plan).
     strong = (pairs.crossJoin(F.broadcast(thr))
               .filter(F.col("n_cooccur") >= F.col("t"))
-              .select("src", "dst"))
+              .select("src", "dst")
+              .localCheckpoint(eager=False))
     edges = strong.unionByName(
         strong.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return strong, edges
