@@ -96,6 +96,7 @@ def _driver_checked() -> set[str]:
         "pagerank_brand_graph",       # edge/node checkpoints (plan-only)
         "bfs_brand_distances",        # same (188 scans -> 1, audit)
         "triangle_count_brands",      # same (40 scans -> 1)
+        "basket_brand_pair_lift",     # basket relation checkpointed
     }
     return seen - rewritten_since_sampled
 

@@ -1010,7 +1010,8 @@ def basket_brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(F.broadcast(cat.part.select("p_partkey", "p_brand")),
                 F.col("l_partkey") == F.col("p_partkey"))
           .select("l_orderkey", "p_brand")
-          .distinct())
+          .distinct()
+          .localCheckpoint(eager=False))  # feeds marginals + both pair sides
     n_orders = (cat.lineitem.agg(
         F.countDistinct("l_orderkey").alias("t")))
     brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
@@ -1228,6 +1229,7 @@ def chi2_event_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("event_type", F.col("c_mktsegment").alias("segment")))
     cells = joined.groupBy("event_type", "segment").agg(
         F.count(F.lit(1)).alias("o"))
+    cells = cells.localCheckpoint(eager=False)  # feeds 4 consumers
     rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols_ = cells.groupBy("segment").agg(F.sum("o").alias("c"))
     tot = cells.agg(F.sum("o").alias("t"))
@@ -1427,6 +1429,7 @@ def zscore_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     c = ev.select("event_id", "event_type",
                   cents_(F.col("value")).alias("cents"))
+    c = c.localCheckpoint(eager=False)  # feeds both passes + output join
     s1 = (c.groupBy("event_type")
           .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
           .withColumn("m0", F.expr("s div n")))
@@ -2704,6 +2707,7 @@ def golden_record_survivorship(spark: SparkSession,
     grp = (p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_records"))
            .filter(F.col("n_records") > 1))
     dups = p.join(F.broadcast(grp.select("p_name")), "p_name")
+    dups = dups.localCheckpoint(eager=False)  # feeds votes + fields
     votes = dups.groupBy("p_name", "p_brand").agg(
         F.count(F.lit(1)).alias("c"))
     pick = (votes.groupBy("p_name")
