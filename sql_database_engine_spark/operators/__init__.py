@@ -86,17 +86,15 @@ def _driver_checked() -> set[str]:
     # queries rewritten since their last driver row must re-enter the
     # prefix so the hard signal covers the code that actually ships.
     # Curated per round; clear entries once the next CORRECTNESS file
-    # shows their fresh green row. (Round 4: the four round-3 rewrites
-    # all re-sampled green in CORRECTNESS_r03.json — cleared; two new
-    # entries for the CDC split fix, whose previous green rows
-    # verified the VACUOUS pre-fix semantics.)
+    # shows their fresh green row. (Round 5: merge_upsert_latest_state,
+    # pagerank_brand_graph, triangle_count_brands and
+    # basket_brand_pair_lift all re-sampled green in
+    # CORRECTNESS_r04.json — cleared. table_diff_user_state and
+    # bfs_brand_distances did NOT land in the r4 sample window, so
+    # their rewrites still lack a post-fix driver row and they stay.)
     rewritten_since_sampled: set[str] = {
-        "merge_upsert_latest_state",  # _SPLIT moved inside the horizon
-        "table_diff_user_state",      # same fix, diffs now non-empty
-        "pagerank_brand_graph",       # edge/node checkpoints (plan-only)
-        "bfs_brand_distances",        # same (188 scans -> 1, audit)
-        "triangle_count_brands",      # same (40 scans -> 1)
-        "basket_brand_pair_lift",     # basket relation checkpointed
+        "table_diff_user_state",  # CDC _SPLIT fix (r4), not yet re-sampled
+        "bfs_brand_distances",    # scan-audit rewrite (188->1), ditto
     }
     return seen - rewritten_since_sampled
 
@@ -120,6 +118,33 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Deterministic: dict insertion order + fixed import order + the
     committed correctness files, no hashing.
     """
+    # Round-5 prefix head (VERDICT r4 items 2, 3, 6): these names are
+    # emitted FIRST, in this order, regardless of family or prior
+    # rows, so the driver's sample window is guaranteed to contain
+    # them. Composition:
+    #   - the six scan-audit graph rewrites still without a post-
+    #     rewrite driver row (item 2: kcore's transient plus the five
+    #     rewritten siblings);
+    #   - table_diff_user_state (CDC split fix, missed the r4 window);
+    #   - ann_ivf_staged_topk (item 3: the staged-index probe path,
+    #     new this round);
+    #   - clustered_range_scan / join_bucketed_colocated (item 6;
+    #     both DO have green rows — r2 and r1 respectively — but the
+    #     verdict asked for fresh prefix slots, so they are deliberate
+    #     re-entries, documented in ROUND5_NOTES);
+    #   - dup_span_trim_corpus (the one r4 bench regression, never
+    #     driver-sampled — its row doubles as the post-investigation
+    #     check).
+    prefix_head = [
+        "kcore_decomposition", "bfs_brand_distances",
+        "link_prediction_common_neighbors",
+        "label_propagation_communities", "community_modularity",
+        "graph_eccentricity_diameter",
+        "table_diff_user_state",
+        "ann_ivf_staged_topk",
+        "clustered_range_scan", "join_bucketed_colocated",
+        "dup_span_trim_corpus",
+    ]
     # Flagship representatives (one per capability the judge grades
     # first-class) jump the within-family queue so they are guaranteed
     # inside any plausible sample window.
@@ -219,25 +244,53 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         names.sort(key=lambda n: (n in seen, rank.get(n, len(priority)),
                                   n not in ORACLES, reg[n]))
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in prefix_head:
+        if name in QUERIES:
+            out[name] = QUERIES[name]
     # Three interleave passes: never-driver-checked oracle-backed
-    # queries first (round-robin across families), then never-checked
-    # rows-only ones, then the already-checked tail. Rows-only queries
-    # can never earn a hash-green row, so they must not burn a prefix
-    # slot while ANY oracle-backed query still lacks one — the two
-    # legacy non-green rows (agg_sketch_percentiles,
-    # cms_token_count_estimates) are exactly that cost, paid once and
-    # not again (VERDICT r3 item 5; their contract twins are the
-    # driver surface, see QUERIES.md).
-    for tier in (lambda n: n not in seen and n in ORACLES,
-                 lambda n: n not in seen and n not in ORACLES,
-                 lambda n: n in seen):
-        queues = [[n for n in names if tier(n)]
-                  for names in families.values()]
-        while any(queues):
-            for q in queues:
-                if q:
-                    name = q.pop(0)
-                    out[name] = QUERIES[name]
+    # queries first, then never-checked rows-only ones, then the
+    # already-checked tail. Rows-only queries can never earn a
+    # hash-green row, so they must not burn a prefix slot while ANY
+    # oracle-backed query still lacks one — the two legacy non-green
+    # rows (agg_sketch_percentiles, cms_token_count_estimates) are
+    # exactly that cost, paid once and not again (VERDICT r3 item 5;
+    # their contract twins are the driver surface, see QUERIES.md).
+    #
+    # Tier-1 ordering (round 5, VERDICT r4 item 1): one breadth pass
+    # (a single query per family, so any prefix still spans the
+    # operator surface — the test_registry contract), then a weighted
+    # drain that always takes from the family with the MOST remaining
+    # never-checked queries (ties alphabetical). With a fixed ~50-row
+    # sample per round, equal-share round-robin converts the big
+    # never-sampled pools (text 36, timeseries 31, analytics 31,
+    # training 23 at round-5 start) slowest precisely because they are
+    # big; the weighted drain levels the pools instead. Tiers 2 and 3
+    # keep plain round-robin — their internal order has no conversion
+    # value.
+    for i, tier in enumerate((lambda n: n not in seen and n in ORACLES,
+                              lambda n: n not in seen and n not in ORACLES,
+                              lambda n: n in seen)):
+        queues = {fam: [n for n in names if tier(n) and n not in out]
+                  for fam, names in families.items()}
+        queues = {fam: q for fam, q in queues.items() if q}
+        if i == 0:
+            for fam in sorted(queues):  # breadth pass: one per family
+                name = queues[fam].pop(0)
+                out[name] = QUERIES[name]
+            queues = {fam: q for fam, q in queues.items() if q}
+            while queues:  # weighted drain: biggest pool first
+                fam = min(queues, key=lambda f: (-len(queues[f]), f))
+                name = queues[fam].pop(0)
+                out[name] = QUERIES[name]
+                if not queues[fam]:
+                    del queues[fam]
+        else:
+            qlist = [queues[f] for f in sorted(queues)]
+            while any(qlist):
+                for q in qlist:
+                    if q:
+                        name = q.pop(0)
+                        out[name] = QUERIES[name]
     return out
 
 
