@@ -2348,3 +2348,144 @@ def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pred.groupBy("true_label", "pred_label")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("true_label", "pred_label"))
+
+
+def _ivf_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once staging for the IVF index (VERDICT r4 item 3): the
+    k-means codebook plus the per-vector inverted-list assignment,
+    persisted as parquet with the assignments PARTITIONED BY centroid
+    id — the production serving layout (`sources/bucketed.py` pattern)
+    where a probe prunes to its bucket directories at the scan.
+
+    Keyed on the embeddings fingerprint, so regenerated testdata
+    re-stages; re-runs are a no-op (the `_STAGED` marker commits the
+    pair atomically-enough for a single-writer build). The trainer is
+    the shared exact-integer `_kmeans_train` pipeline, so the staged
+    index is bit-reproducible and a SQL oracle can replay it from the
+    base table.
+    """
+    import os
+
+    from ..scratch import scratch_dir, source_fingerprint
+
+    stage = scratch_dir(
+        "ivf_index", sf_dir,
+        version="v1|" + source_fingerprint(sf_dir, "embeddings.parquet"))
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        e, cents = _kmeans_train(spark, sf_dir)
+        cents.select("cid", "c").write.mode("overwrite").parquet(
+            os.path.join(stage, "centroids"))
+        (_lloyd_assign(e, cents)
+         .write.mode("overwrite").partitionBy("cid")
+         .parquet(os.path.join(stage, "assignments")))
+        open(marker, "w").close()
+    return stage
+
+
+@query(
+    "ann_ivf_staged_topk",
+    oracle=f"""
+    WITH {_kmeans_base_sql()},
+    {_kmeans_round_sql('c3', 'a4', 'c4')},
+    q AS (
+        SELECT vec_id AS q_id, e AS qe FROM e WHERE vec_id < 10
+    ), probes AS (
+        SELECT q_id, qe, cid FROM (
+            SELECT q.q_id, q.qe, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                       list_sum([ (q.qe[i] - c.c[i]) * (q.qe[i] - c.c[i])
+                                  for i in range(1, 65) ]), c.cid) AS rn
+            FROM q, c3 c
+        ) WHERE rn <= 2
+    ), cand AS (
+        SELECT p.q_id, a.vec_id,
+               list_sum([ (p.qe[i] - a.ev[i]) * (p.qe[i] - a.ev[i])
+                          for i in range(1, 65) ]) AS d
+        FROM probes p JOIN a4 a ON a.cid = p.cid
+        WHERE a.vec_id <> p.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(d AS BIGINT) AS dist2_micros,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT q_id, vec_id, d,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY d, vec_id) AS rn
+          FROM cand)
+    WHERE rn <= 3
+    ORDER BY q_id, rank
+    """,
+)
+def ann_ivf_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against a PERSISTED index — the production serving
+    shape the in-plan demos (`ann_ivf_topk` ×6 scans, `ann_pq_topk`
+    ×8) deliberately don't measure (their index build rides the same
+    plan; see PERF.md "Deliberately NOT changed"). Here the codebook
+    and the inverted lists are staged once by :func:`_ivf_stage`, and
+    the MEASURED plan is probe-only:
+
+    1. the k-row codebook is read from the staged parquet and the
+       nprobe=2 nearest centroids per query are chosen on the driver
+       (a k×nprobe decision over data that is broadcast-sized by
+       construction — the codebook IS the broadcast the cluster would
+       ship; same documented driver-feedback tier as PCA's 64 floats),
+    2. the assignments scan is statically pruned to the probed
+       buckets via a partition filter on `cid` (PartitionFilters in
+       the plan — at production k, a query batch touches a small
+       fraction of the bucket directories),
+    3. exact integer squared-L2 rerank inside the probed buckets,
+       top-3 per query by (distance, vec_id).
+
+    The plan never rebuilds the index: no Lloyd aggregate, one scan
+    of embeddings (the query batch), one scan of each staged table —
+    pinned in test_plan_quality. The oracle replays build AND probe
+    from the base table through the shared `_kmeans_base_sql` chain
+    (assurance-side cost, like minhash_quality_eval's truth replay),
+    so the staged index's content is itself hash-verified, not just
+    the probe arithmetic.
+
+    Approximation is exact-by-replay: both sides compute the same
+    deterministic approximate answer, so the hash pins recall drift
+    as well as arithmetic.
+    """
+    import os
+
+    stage = _ivf_stage(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(stage, "centroids"))
+    emb = Catalog(spark, sf_dir).embeddings
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.expr("transform(embedding, x -> "
+                        "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+                 .alias("qe")))
+    d_qc = F.expr("aggregate(zip_with(qe, c, (x, y) -> (x - y) * (x - y)), "
+                  "0L, (acc, v) -> acc + v)")
+    rn = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("d"), F.col("cid")))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .select("q_id", "qe", "cid", d_qc.alias("d"))
+              .withColumn("rn", rn)
+              .filter(F.col("rn") <= 2)
+              .select("q_id", "qe", F.col("cid").cast("long").alias("cid")))
+    # The probed-bucket set is a driver-side decision over the k-row
+    # codebook (k*nprobe values, bounded by k): collected once and
+    # pushed into the scan as a STATIC partition filter.
+    probed = sorted({r["cid"] for r in probes.select("cid").collect()})
+    assigns = (spark.read.parquet(os.path.join(stage, "assignments"))
+               .filter(F.col("cid").cast("long").isin(probed))
+               .select("vec_id", "e", F.col("cid").cast("long").alias("cid")))
+    d_qe = F.expr("aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), "
+                  "0L, (acc, v) -> acc + v)")
+    cand = (assigns.join(F.broadcast(probes), "cid")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", d_qe.alias("d")))
+    rnk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("d"), F.col("vec_id")))
+    return (cand.withColumn("rank", rnk)
+            .filter(F.col("rank") <= 3)
+            .select(F.col("q_id").cast("long").alias("q_id"),
+                    F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("d").cast("long").alias("dist2_micros"),
+                    F.col("rank").cast("long").alias("rank"))
+            .orderBy("q_id", "rank"))

@@ -1285,3 +1285,27 @@ def test_bootstrap_touches_orders_once(spark):
     # orders scans once for the rollup; resampling never touches the
     # fact table again.
     assert plan.count("FileScan parquet") <= 1
+
+
+def test_ann_ivf_staged_probe_plan_is_probe_only(spark):
+    """The staged-IVF probe (VERDICT r4 item 3) must never rebuild its
+    index in-plan: no Lloyd aggregate (the 64 per-dimension sums), at
+    most one scan of the base embeddings table (the query batch), and
+    the staged assignments scan must carry the static probed-bucket
+    partition filter."""
+    plan = _plan(spark, "ann_ivf_staged_topk")
+    # The Lloyd round's hash aggregate computes sums aliased s0..s63 —
+    # any of them in the probe plan means the build leaked in.
+    assert "s63" not in plan and "s0#" not in plan, "index build in probe plan"
+    emb_scans = [l for l in plan.splitlines()
+                 if "FileScan parquet" in l and "embeddings" in l
+                 and "ivf_index" not in l]
+    # One scan for the query batch; Catalyst may duplicate that
+    # subtree inside the DPP subquery on the assignments scan — both
+    # must be the PUSHED query-batch scan (vec_id < 10), never a full
+    # corpus read.
+    assert 1 <= len(emb_scans) <= 2, f"embeddings scanned {len(emb_scans)}x"
+    assert all("LessThan(vec_id,10)" in l for l in emb_scans), (
+        "an embeddings scan is not the pushed query batch")
+    assert any("PartitionFilters" in l and "cid" in l and " IN " in l
+               for l in plan.splitlines()), "no static probed-bucket filter"
