@@ -173,6 +173,8 @@ HEADLINE = [
     "knn_confusion_matrix",         # majority-of-top-3 eval cells
     "theta_setop_contract",         # sketch difference with contracts
     "multimodal_asset_integrity_audit",  # fixity check + triage
+    # round-5 additions (prior sets unchanged)
+    "ann_ivf_staged_topk",          # probe-only IVF against staged index
 ]
 
 
@@ -237,7 +239,32 @@ def main() -> None:
     # r01-comparable 24-subset, and the 24-subset per-query map (the
     # round-over-round comparable set), ~1 kB total.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+    # Regression tripwire (VERDICT r4 item 4): before overwriting the
+    # committed sidecar, compare this run against it and flag any
+    # common query >1.3x slower. The 0.3s floor keeps sub-noise
+    # entries (which jitter far past 1.3x meaninglessly) out of the
+    # flag list; same-SF runs only — cross-SF ratios are input-scale,
+    # not regressions.
+    # The committed sidecar is the sf0.1 record (the driver's bench
+    # SF); other SFs get their own sidecar so an sf0.01 iteration run
+    # never overwrites the round-over-round sf0.1 baseline.
+    sidecar = os.path.join(
+        here, "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf}.json")
+    regressions = []
+    try:
+        with open(sidecar) as f:
+            prior_full = json.load(f)
+        prior = (prior_full.get("queries", {})
+                 if prior_full.get("sf") == sf else {})
+    except (OSError, ValueError):
+        prior = {}
+    for n, t in timings.items():
+        p = prior.get(n)
+        if p and p > 0 and t >= 0.3 and t / p > 1.3:
+            regressions.append({"query": n, "prev_s": p, "now_s": t,
+                                "ratio": round(t / p, 2)})
+    full["regressions"] = sorted(regressions, key=lambda r: -r["ratio"])
+    with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
     print(json.dumps(full))
@@ -248,6 +275,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "r01_subset_24": subset_total,
+        "n_regressions": len(regressions),
         "queries": {n: timings[n] for n in subset},
     }))
     spark.stop()
