@@ -68,6 +68,28 @@ COHORT = [
     "ab_srm_check",
 ]
 
+#: Dedup-family cohort (VERDICT r4 item 5). Naive key-offset
+#: replication is wrong for these (every doc becomes FACTOR-x
+#: duplicated, so pair joins explode quadratically BY CONSTRUCTION —
+#: not an overflow signal). The --dedup mode scales them honestly:
+#: each replica i>=1 applies a BIJECTIVE per-replica token renaming
+#: (t -> t||'_r'||i; every operator in this family tokenizes by
+#: space-split, see text.py:29). A bijection preserves token-set
+#: sizes and intersections, so within-replica similarity — and hence
+#: near-dup density — is EXACTLY the base corpus's, while replica
+#: vocabularies are pairwise disjoint, so no cross-replica shingle,
+#: band, fingerprint, or prefix ever collides. Volume grows
+#: FACTOR-fold at constant density: result-pairs-per-doc must stay
+#: flat, which the sweep measures against the 1x base run.
+DEDUP_COHORT = [
+    "dedup_exact_keep_first",
+    "ngram_jaccard_neardup",
+    "minhash_lsh_neardup",
+    "simhash_neardup_pairs",
+    "winnowing_neardup_pairs",
+    "setsim_prefix_join",
+]
+
 #: fact table -> surrogate key columns to offset per replica. The
 #: lineitem FK rides the orders offset so replicated orders keep
 #: their line items.
@@ -120,6 +142,47 @@ def build_scaled_dir(src_sf: str, factor: int) -> str:
     return out
 
 
+def build_dedup_scaled_dir(src_sf: str, factor: int) -> str:
+    """Scaled documents with constant near-dup density: doc_id offset
+    plus the per-replica bijective token salt (module docstring on
+    DEDUP_COHORT). n_chars is recomputed from the salted text so the
+    metadata stays consistent. All other tables are copied as-is."""
+    import duckdb
+
+    st = os.stat(os.path.join(src_sf, "documents.parquet"))
+    out = os.path.join(
+        "/tmp", "spark_graft_overflow_dedup",
+        f"{factor}x-{st.st_size}-{st.st_mtime_ns}")
+    done = os.path.join(out, "_STAGED")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    con = duckdb.connect()
+    k = int(con.sql(f"SELECT max(doc_id) + 1 FROM "
+                    f"'{src_sf}/documents.parquet'").fetchone()[0])
+    con.sql(f"""
+        COPY (
+          SELECT CAST(doc_id + i * {k} AS BIGINT) AS doc_id,
+                 salted AS text, lang, source,
+                 CAST(length(salted) AS BIGINT) AS n_chars
+          FROM (
+            SELECT *,
+                   CASE WHEN i = 0 THEN text
+                        ELSE array_to_string(
+                          list_transform(string_split(text, ' '),
+                                         t -> t || '_r' || i), ' ')
+                   END AS salted
+            FROM '{src_sf}/documents.parquet', range({factor}) r(i))
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    for t in list(FACTS) + DIMS:
+        if t != "documents":
+            shutil.copy(os.path.join(src_sf, f"{t}.parquet"),
+                        os.path.join(out, f"{t}.parquet"))
+    open(done, "w").close()
+    return out
+
+
 def canon(v) -> str:
     if v is None:
         return "<NULL>"
@@ -134,9 +197,15 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--queries", nargs="*", default=None,
                     help="subset of the cohort to run")
+    ap.add_argument("--dedup", action="store_true",
+                    help="run the dedup cohort on the constant-density "
+                         "salted replication instead (see DEDUP_COHORT)")
     args = ap.parse_args()
 
-    scaled = build_scaled_dir(args.sf, args.factor)
+    if args.dedup:
+        scaled = build_dedup_scaled_dir(args.sf, args.factor)
+    else:
+        scaled = build_scaled_dir(args.sf, args.factor)
     print(f"scaled dir: {scaled}", flush=True)
 
     import duckdb
@@ -152,8 +221,29 @@ def main() -> int:
     for t in list(FACTS) + DIMS:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{scaled}/{t}.parquet'")
 
-    names = args.queries or COHORT
+    names = args.queries or (DEDUP_COHORT if args.dedup else COHORT)
     failures = []
+    base_rows: dict[str, int] = {}
+    koff = 0
+    if args.dedup:
+        # 1x base counts for the flat-density check: result pairs at
+        # FACTOR-x must be ~FACTOR * base (density constant), never
+        # FACTOR^2-ish (cross-replica candidate explosion). For the
+        # set-based measures (exact/jaccard/minhash/setsim/winnowing)
+        # a bijective renaming preserves within-replica results
+        # exactly, so density_ratio must be 1.000. SimHash is NOT
+        # renaming-invariant (its fingerprint is hash-geometry over
+        # the vocabulary, redrawn per replica; with this fixture's
+        # ~30-word vocab the within-replica pair count genuinely
+        # varies) — for it the scale property under test is
+        # cross_pairs == 0: disjoint replica vocabularies must never
+        # produce cross-replica candidates, which is what keeps
+        # candidate volume linear in corpus size.
+        koff = int(duckdb.sql(
+            f"SELECT max(doc_id) + 1 FROM "
+            f"'{args.sf}/documents.parquet'").fetchone()[0])
+        for name in names:
+            base_rows[name] = ops.QUERIES[name](spark, args.sf).count()
     for name in names:
         t0 = time.perf_counter()
         df = ops.QUERIES[name](spark, scaled)
@@ -167,8 +257,23 @@ def main() -> int:
                           for r in res.fetchall())
         ok = actual == expected
         dt = time.perf_counter() - t0
+        density = ""
+        if args.dedup and base_rows.get(name):
+            ratio = len(actual) / (args.factor * base_rows[name])
+            density = (f" density_ratio={ratio:.3f} "
+                       f"(1x={base_rows[name]} rows)")
+            pair_cols = next((p for p in (("doc_a", "doc_b"),
+                                          ("src", "dst"))
+                              if set(p) <= set(df.columns)), None)
+            if pair_cols:
+                from pyspark.sql import functions as SF
+                a_col, b_col = pair_cols
+                cross = df.filter(
+                    SF.floor(SF.col(a_col) / koff)
+                    != SF.floor(SF.col(b_col) / koff)).count()
+                density += f" cross_pairs={cross}"
         print(f"{name}: {'MATCH' if ok else 'MISMATCH'} "
-              f"({len(actual)} rows, {dt:.1f}s)", flush=True)
+              f"({len(actual)} rows, {dt:.1f}s){density}", flush=True)
         if not ok:
             failures.append(name)
             for i, (a, b) in enumerate(zip(actual, expected)):
