@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Mechanically derive the driver-prefix composition for the round
+notes (VERDICT r4 item 7: the r4 notes hand-wrote "50 never-checked"
+when the actual sample was 46+4 — numbers in notes must be derivable
+from committed files, not prose memory).
+
+Reads the registry ordering (`ordered_queries`), the committed
+CORRECTNESS_r*.json rows, and the registry's own rewritten-since-
+sampled carve-out, then prints a markdown block: prefix size, how many
+slots are first-time (no hash row in any committed round), and every
+re-entry with the round(s) it previously sampled in. Paste (or pipe)
+into ROUND{N}_NOTES.md:
+
+    python tools/gen_prefix_report.py [--prefix 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prefix", type=int, default=50)
+    args = ap.parse_args()
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root))
+    from sql_database_engine_spark import operators
+    operators.load_all()
+
+    # Raw per-round history (no carve-outs): name -> [rounds sampled]
+    history: dict[str, list[str]] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = p.stem.replace("CORRECTNESS_", "")
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                history.setdefault(name, []).append(rnd)
+
+    ordered = list(operators.ordered_queries())
+    prefix = ordered[:args.prefix]
+    first_time = [n for n in prefix if n not in history]
+    reentries = [n for n in prefix if n in history]
+    # Reasons: the registry's carve-out names the rewritten queries;
+    # anything else re-entering is an explicit prefix_head pin.
+    seen_now = operators._driver_checked()
+    print(f"Prefix composition (mechanical, `tools/gen_prefix_report.py`):")
+    print(f"- prefix size audited: {args.prefix}")
+    print(f"- first-time slots (no row in any committed CORRECTNESS file): "
+          f"{len(first_time)}")
+    print(f"- re-entries: {len(reentries)}")
+    for n in reentries:
+        why = ("rewritten-since-sampled carve-out"
+               if n not in seen_now and n in history
+               else "explicit prefix_head pin")
+        print(f"  - `{n}` (previously sampled {', '.join(history[n])}; {why})")
+    rows_only = [n for n in prefix if n not in operators.ORACLES]
+    print(f"- rows-only queries in prefix: {len(rows_only)}"
+          + (f" ({', '.join(rows_only)})" if rows_only else ""))
+    never_total = sum(1 for n in operators.QUERIES if n not in history)
+    print(f"- registry {len(operators.QUERIES)} queries; "
+          f"{never_total} still have no driver row before this round")
+
+
+if __name__ == "__main__":
+    main()
