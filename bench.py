@@ -175,6 +175,7 @@ HEADLINE = [
     "multimodal_asset_integrity_audit",  # fixity check + triage
     # round-5 additions (prior sets unchanged)
     "ann_ivf_staged_topk",          # probe-only IVF against staged index
+    "ann_ivf_staged_append_probe",  # probe over incrementally refreshed index
 ]
 
 
@@ -213,11 +214,13 @@ def main() -> None:
         ensure_clustered_lineitem)
     ensure_clustered_lineitem(spark, sf_dir)
 
-    # And the staged IVF index: build once untimed so
-    # ann_ivf_staged_topk times the PROBE (its contract), not the
-    # one-off codebook build.
-    from sql_database_engine_spark.operators.similarity import _ivf_stage
+    # And the staged IVF indexes: build once untimed so the two
+    # staged-probe queries time the PROBE (their contract), not the
+    # one-off codebook build / batch append.
+    from sql_database_engine_spark.operators.similarity import (
+        _ivf_stage, _ivf_stage_incremental)
     _ivf_stage(spark, sf_dir)
+    _ivf_stage_incremental(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -141,7 +141,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_communities", "community_modularity",
         "graph_eccentricity_diameter",
         "table_diff_user_state",
-        "ann_ivf_staged_topk",
+        "ann_ivf_staged_topk", "ann_ivf_staged_append_probe",
         "clustered_range_scan", "join_bucketed_colocated",
         "dup_span_trim_corpus",
     ]

@@ -2117,25 +2117,37 @@ def _lloyd_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
             .select("vec_id", "e", F.col("m.cid").alias("cid")))
 
 
-def _kmeans_train(spark: SparkSession,
-                  sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Shared k-means trainer: integer-micro embedding table + three
-    Lloyd rounds from the vec_id<4 seed. Returns (vectors, centroids)
-    so the trainer output and any consumer (cluster profile, IVF
-    assignment) derive from one pipeline."""
+def _micro_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e): embeddings as exact integer-micro lanes — the
+    shared input representation of the whole k-means/IVF family."""
     emb = Catalog(spark, sf_dir).embeddings
-    e = emb.select(
+    return emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> "
                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .alias("e"))
+
+
+def _lloyd_train(e: DataFrame) -> DataFrame:
+    """Three Lloyd rounds from the vec_id<4 seed over the given
+    vector relation; returns the centroid table (cid, n, c)."""
     cents = (e.filter(F.col("vec_id") < 4)
              .select(F.col("vec_id").cast("long").alias("cid"),
                      F.col("e").alias("c"))
              .localCheckpoint(eager=False))
     for _ in range(3):
         cents = _lloyd_round(e, cents).localCheckpoint(eager=False)
-    return e, cents
+    return cents
+
+
+def _kmeans_train(spark: SparkSession,
+                  sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared k-means trainer: integer-micro embedding table + three
+    Lloyd rounds from the vec_id<4 seed. Returns (vectors, centroids)
+    so the trainer output and any consumer (cluster profile, IVF
+    assignment) derive from one pipeline."""
+    e = _micro_vectors(spark, sf_dir)
+    return e, _lloyd_train(e)
 
 
 @query(
@@ -2488,4 +2500,167 @@ def ann_ivf_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("vec_id").cast("long").alias("vec_id"),
                     F.col("d").cast("long").alias("dist2_micros"),
                     F.col("rank").cast("long").alias("rank"))
+            .orderBy("q_id", "rank"))
+
+
+def _ivf_stage_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """Incremental-maintenance staging for the IVF index: the
+    codebook is trained on the BASE corpus only (vec_id % 10 < 8 —
+    the dedup_incremental precedent's split), base assignments are
+    written cid-partitioned, and the NEW batch (vec_id % 10 >= 8) is
+    then assigned to the EXISTING centroids and appended to the same
+    layout — no retraining, no rewrite of the base lists. This is the
+    refresh path a 100 TB serving index actually runs: ingest batches
+    land as appended files inside their bucket directories, the
+    codebook stays frozen between rebuilds, and probe cost is
+    unchanged. Same fingerprint keying and marker commit as
+    :func:`_ivf_stage`.
+    """
+    import os
+
+    from ..scratch import scratch_dir, source_fingerprint
+
+    stage = scratch_dir(
+        "ivf_incr", sf_dir,
+        version="v1|" + source_fingerprint(sf_dir, "embeddings.parquet"))
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        e = _micro_vectors(spark, sf_dir)
+        base = e.filter(F.col("vec_id") % 10 < 8)
+        cents = _lloyd_train(base)
+        cents.select("cid", "c").write.mode("overwrite").parquet(
+            os.path.join(stage, "centroids"))
+        apath = os.path.join(stage, "assignments")
+        (_lloyd_assign(base, cents)
+         .write.mode("overwrite").partitionBy("cid").parquet(apath))
+        # The incremental append: batch vectors against the FROZEN
+        # codebook, appended into the existing bucket directories.
+        batch = e.filter(F.col("vec_id") % 10 >= 8)
+        (_lloyd_assign(batch, cents)
+         .write.mode("append").partitionBy("cid").parquet(apath))
+        open(marker, "w").close()
+    return stage
+
+
+_IVF_INCR_DIST = ("list_sum([ (q.qe[i] - a.ev[i]) * (q.qe[i] - a.ev[i]) "
+                  "for i in range(1, 65) ])")
+
+
+@query(
+    "ann_ivf_staged_append_probe",
+    oracle=f"""
+    WITH e_all AS (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                for x in embedding] AS e
+        FROM embeddings
+    ), e AS (
+        SELECT vec_id, e FROM e_all WHERE vec_id % 10 < 8
+    ), c0 AS (
+        SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < 4
+    ),{_kmeans_round_sql('c0', 'a1', 'c1')},
+    {_kmeans_round_sql('c1', 'a2', 'c2')},
+    {_kmeans_round_sql('c2', 'a3', 'c3')},
+    {_kmeans_round_sql('c3', 'a4', 'c4')},
+    eb AS (
+        SELECT vec_id, e AS ev FROM e_all WHERE vec_id % 10 >= 8
+    ), a_batch AS (
+        SELECT vec_id, ev, min([d, cid])[2] AS cid
+        FROM (SELECT vec_id, ev, cid,
+                     list_sum([ (ev[i] - cv[i]) * (ev[i] - cv[i])
+                                for i in range(1, 65) ]) AS d
+              FROM (SELECT b.vec_id, b.ev, c.cid, c.c AS cv
+                    FROM eb b, c3 c))
+        GROUP BY vec_id, ev
+    ), a_all AS (
+        SELECT vec_id, ev, cid FROM a4
+        UNION ALL
+        SELECT vec_id, ev, cid FROM a_batch
+    ), q AS (
+        SELECT vec_id AS q_id, e AS qe FROM e_all WHERE vec_id < 10
+    ), probes AS (
+        SELECT q_id, qe, cid FROM (
+            SELECT q.q_id, q.qe, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                       list_sum([ (q.qe[i] - c.c[i]) * (q.qe[i] - c.c[i])
+                                  for i in range(1, 65) ]), c.cid) AS rn
+            FROM q, c3 c
+        ) WHERE rn <= 2
+    ), cand AS (
+        SELECT p.q_id, a.vec_id, {_IVF_INCR_DIST.replace('q.', 'p.')} AS d
+        FROM probes p JOIN a_all a ON a.cid = p.cid
+        WHERE a.vec_id <> p.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(d AS BIGINT) AS dist2_micros,
+           CAST(rn AS BIGINT) AS rank,
+           vec_id % 10 >= 8 AS from_batch
+    FROM (SELECT q_id, vec_id, d,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY d, vec_id) AS rn
+          FROM cand)
+    WHERE rn <= 3
+    ORDER BY q_id, rank
+    """,
+)
+def ann_ivf_staged_append_probe(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Probe over an INCREMENTALLY REFRESHED staged IVF index — the
+    maintenance half of the serving story `ann_ivf_staged_topk`
+    opens. The staging (:func:`_ivf_stage_incremental`) trains the
+    codebook on the base corpus (vec_id %% 10 < 8), then appends the
+    new batch's assignments against the FROZEN codebook into the
+    existing cid-partitioned layout — refresh cost scales with the
+    batch, never the corpus, and the base lists are untouched
+    (appended files only). The measured plan is the same probe-only
+    shape as the full-build variant (broadcast codebook, static
+    probed-bucket partition filter, exact integer L2 rerank); the
+    `from_batch` flag proves appended vectors are REACHABLE through
+    the probe (value-inspected non-vacuous: batch rows do appear in
+    the top-3 at the test SFs — an append that silently landed in
+    the wrong bucket directory, or not at all, flips rows and
+    hash-fails).
+
+    The oracle replays base-train + frozen-codebook batch assignment
+    + probe from the base table, so the refreshed index CONTENT —
+    including every appended row's bucket — is hash-verified, not
+    just the probe arithmetic."""
+    import os
+
+    stage = _ivf_stage_incremental(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(stage, "centroids"))
+    emb = Catalog(spark, sf_dir).embeddings
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.expr("transform(embedding, x -> "
+                        "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+                 .alias("qe")))
+    d_qc = F.expr("aggregate(zip_with(qe, c, (x, y) -> (x - y) * (x - y)), "
+                  "0L, (acc, v) -> acc + v)")
+    rn = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("d"), F.col("cid")))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .select("q_id", "qe", "cid", d_qc.alias("d"))
+              .withColumn("rn", rn)
+              .filter(F.col("rn") <= 2)
+              .select("q_id", "qe", F.col("cid").cast("long").alias("cid")))
+    probed = sorted({r["cid"] for r in probes.select("cid").collect()})
+    assigns = (spark.read.parquet(os.path.join(stage, "assignments"))
+               .filter(F.col("cid").cast("long").isin(probed))
+               .select("vec_id", "e", F.col("cid").cast("long").alias("cid")))
+    d_qe = F.expr("aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), "
+                  "0L, (acc, v) -> acc + v)")
+    cand = (assigns.join(F.broadcast(probes), "cid")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", d_qe.alias("d")))
+    rnk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("d"), F.col("vec_id")))
+    return (cand.withColumn("rank", rnk)
+            .filter(F.col("rank") <= 3)
+            .select(F.col("q_id").cast("long").alias("q_id"),
+                    F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("d").cast("long").alias("dist2_micros"),
+                    F.col("rank").cast("long").alias("rank"),
+                    (F.col("vec_id") % 10 >= 8).alias("from_batch"))
             .orderBy("q_id", "rank"))

@@ -1287,19 +1287,22 @@ def test_bootstrap_touches_orders_once(spark):
     assert plan.count("FileScan parquet") <= 1
 
 
-def test_ann_ivf_staged_probe_plan_is_probe_only(spark):
-    """The staged-IVF probe (VERDICT r4 item 3) must never rebuild its
-    index in-plan: no Lloyd aggregate (the 64 per-dimension sums), at
-    most one scan of the base embeddings table (the query batch), and
-    the staged assignments scan must carry the static probed-bucket
-    partition filter."""
-    plan = _plan(spark, "ann_ivf_staged_topk")
+@pytest.mark.parametrize("name", ["ann_ivf_staged_topk",
+                                  "ann_ivf_staged_append_probe"])
+def test_ann_ivf_staged_probe_plan_is_probe_only(spark, name):
+    """The staged-IVF probes (VERDICT r4 item 3: full build and
+    incremental append) must never rebuild their index in-plan: no
+    Lloyd aggregate (the 64 per-dimension sums), at most one scan of
+    the base embeddings table (the query batch), and the staged
+    assignments scan must carry the static probed-bucket partition
+    filter."""
+    plan = _plan(spark, name)
     # The Lloyd round's hash aggregate computes sums aliased s0..s63 —
     # any of them in the probe plan means the build leaked in.
     assert "s63" not in plan and "s0#" not in plan, "index build in probe plan"
     emb_scans = [l for l in plan.splitlines()
                  if "FileScan parquet" in l and "embeddings" in l
-                 and "ivf_index" not in l]
+                 and "ivf_index" not in l and "ivf_incr" not in l]
     # One scan for the query batch; Catalyst may duplicate that
     # subtree inside the DPP subquery on the assignments scan — both
     # must be the PUSHED query-batch scan (vec_id < 10), never a full
