@@ -224,7 +224,66 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # rows-only: LSH candidate recall is probabilistic
+#: The 8-hyperplane family shared by the single- and multi-probe LSH
+#: queries: 8 sign bits → 256 buckets. Fixed literals (deterministic
+#: seed) so the DuckDB oracle can fold the identical doubles.
+_ANN_PLANES = np.random.RandomState(13).randn(8, 64)
+
+
+def _ann_bucket_code(vec: Column) -> Column:
+    """Sign-bit bucket code of the 8 ANN hyperplane projections —
+    same JVM-side sequential fold as :func:`_neardup_code`."""
+    code = F.lit(0).cast("long")
+    for i, p in enumerate(_ANN_PLANES):
+        proj = F.aggregate(
+            F.zip_with(vec,
+                       F.array(*[F.lit(float(x)) for x in p]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        code = code.bitwiseOR(
+            F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), i))
+    return code
+
+
+def _ann_bucket_sql(embedding: str = "embedding") -> str:
+    """DuckDB twin of :func:`_ann_bucket_code` — identical plane
+    literals (full repr round-trips the doubles bit-exactly),
+    identical dot product via list_dot_product. The
+    :func:`_neardup_code_sql` pattern applied to the ANN family."""
+    terms = []
+    for i, p in enumerate(_ANN_PLANES):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(CAST({embedding} AS DOUBLE[]), {lit}) > 0"
+            f" THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_topk_sql() -> str:
+    """Pipeline-replay oracle for ``ann_lsh_topk``: same bucket codes,
+    same in-bucket exact-cosine scoring, same top-3 window."""
+    cos = COSINE_SQL.format(a="q.q_vec", b="c.embedding")
+    return f"""
+    WITH coded AS (
+        SELECT vec_id, embedding, {_ann_bucket_sql()} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket
+        FROM coded WHERE vec_id < 20
+    ), cands AS (
+        SELECT q.q_id, c.vec_id, ROUND({cos}, 6) AS cos_sim
+        FROM q JOIN coded c ON q.q_bucket = c.bucket
+        WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM cands
+    ) WHERE rn <= 3
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_topk_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k neighbors via random-hyperplane LSH.
 
@@ -238,28 +297,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation cost is O(corpus/buckets) per query instead of
     O(corpus), and multi-probe (flipping low-margin bits) trades
     recall for cost without changing the plan shape.
+
+    Formerly rows-only ("probabilistic recall"); recall vs EXACT
+    top-k is indeed probabilistic, but the computed answer is a
+    deterministic function of the fixed plane literals, so the DuckDB
+    oracle replays the whole pipeline (bucket codes → in-bucket
+    cosine → top-3 window) and hash-pins the approximate answer
+    itself — the ``embedding_neardup_pairs`` precedent applied to the
+    serving path.
     """
-    import numpy as np
     from pyspark.sql import Window as W
 
     e = Catalog(spark, sf_dir).embeddings
-    rng = np.random.RandomState(13)
-    planes = rng.randn(8, 64)  # fixed literal hyperplanes
-
-    def bucket_code(vec: Column) -> Column:
-        code = F.lit(0).cast("long")
-        for i, p in enumerate(planes):
-            proj = F.aggregate(
-                F.zip_with(vec,
-                           F.array(*[F.lit(float(x)) for x in p]),
-                           lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, x: acc + x)
-            code = code.bitwiseOR(
-                F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), i))
-        return code
-
     coded = e.select("vec_id", "label", "embedding",
-                     bucket_code(F.col("embedding")).alias("bucket"))
+                     _ann_bucket_code(F.col("embedding")).alias("bucket"))
     queries_df = coded.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
@@ -519,7 +570,36 @@ def sql_macro_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@query("ann_lsh_multiprobe_topk")  # rows-only: probabilistic recall by design
+def _ann_multiprobe_sql() -> str:
+    """Pipeline-replay oracle for ``ann_lsh_multiprobe_topk``: the
+    9-bucket probe set is the same unnested [bucket, bucket^1, …,
+    bucket^128] array, candidates dedup before the top-3 window."""
+    cos = COSINE_SQL.format(a="q.q_vec", b="c.embedding")
+    probe_list = ", ".join(
+        ["q_bucket"] + [f"xor(q_bucket, {1 << i})" for i in range(8)])
+    return f"""
+    WITH coded AS (
+        SELECT vec_id, embedding, {_ann_bucket_sql()} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT q_id, q_vec, unnest([{probe_list}]) AS probe_bucket
+        FROM (SELECT vec_id AS q_id, embedding AS q_vec,
+                     bucket AS q_bucket
+              FROM coded WHERE vec_id < 20)
+    ), cands AS (
+        SELECT DISTINCT q.q_id, c.vec_id, ROUND({cos}, 6) AS cos_sim
+        FROM q JOIN coded c ON q.probe_bucket = c.bucket
+        WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM cands
+    ) WHERE rn <= 3
+    """
+
+
+@query("ann_lsh_multiprobe_topk", oracle=_ann_multiprobe_sql())
 def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH: each query probes its own bucket PLUS the 8
     buckets at Hamming distance 1 (one sign bit flipped) — the classic
@@ -532,29 +612,16 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket array per query — candidate generation stays ONE equi-join
     on the bucket code. tests/test_neardup_quality.py measures recall
     against the exact brute-force top-k and pins multi-probe >=
-    single-probe."""
-    import numpy as np
+    single-probe. Like ``ann_lsh_topk``, formerly rows-only: the
+    answer is a deterministic function of the fixed plane family, so
+    the oracle replays codes → probe-set explode → dedup → top-3 and
+    hash-pins the approximate answer itself."""
     from pyspark.sql import Window as W
 
     e = Catalog(spark, sf_dir).embeddings
-    rng = np.random.RandomState(13)
-    planes = rng.randn(8, 64)  # same hyperplane family as ann_lsh_topk
-
-    def bucket_code(vec: Column) -> Column:
-        code = F.lit(0).cast("long")
-        for i, p in enumerate(planes):
-            proj = F.aggregate(
-                F.zip_with(vec,
-                           F.array(*[F.lit(float(x)) for x in p]),
-                           lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, x: acc + x)
-            code = code.bitwiseOR(
-                F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), i))
-        return code
-
     base = (e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
             .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
-            .withColumn("bucket", bucket_code(F.col("v"))))
+            .withColumn("bucket", _ann_bucket_code(F.col("v"))))
     probes = F.array(F.col("bucket"), *[
         F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)])
     queries_df = (base.filter(F.col("vec_id") < 20)

@@ -30,13 +30,32 @@ CMS_WIDTH = 1 << 14
 
 
 def _cells(tok_col, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
-    """(row, cell) pairs for a token — xxhash64 with per-row salt."""
+    """(row, cell) pairs for a token — md5-derived 32-bit hash with a
+    per-row salt, the same cross-engine-replayable hash family as the
+    MinHash/winnowing pipelines (a production build would swap in
+    xxhash64 — faster, JVM-native — without changing the plan; md5
+    here makes the sketch CELLS oracle-verifiable, not just the
+    error contract)."""
+    h32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
     return F.array(*[
         F.struct(F.lit(i).alias("row"),
-                 F.pmod(F.xxhash64(F.concat(tok_col, F.lit(f"#{i}"))),
+                 F.pmod(h32(F.concat(tok_col, F.lit(f"#{i}"))),
                         F.lit(width)).alias("cell"))
         for i in range(depth)
     ])
+
+
+def _cells_sql(tok_sql: str, depth: int = CMS_DEPTH,
+               width: int = CMS_WIDTH) -> str:
+    """DuckDB twin of :func:`_cells` as a LATERAL-ready (row, cell)
+    generator body: one SELECT per hash row, unioned."""
+    parts = [
+        f"SELECT {i} AS row, "
+        f"CAST(('0x' || substring(md5({tok_sql} || '#{i}'), 1, 8))::UBIGINT"
+        f" AS BIGINT) % {width} AS cell"
+        for i in range(depth)
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def build_cms(toks: DataFrame, tok_col: str = "tok") -> DataFrame:
@@ -48,12 +67,46 @@ def build_cms(toks: DataFrame, tok_col: str = "tok") -> DataFrame:
     )
 
 
-@query("cms_token_count_estimates")  # rows-only: sketch cells are engine-private
+def _cms_estimates_sql() -> str:
+    """Pipeline-replay oracle for ``cms_token_count_estimates``: the
+    full d×w sketch build (same md5 cells), the same top-25 probe
+    set, the same min-over-rows estimate."""
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cms AS (
+        SELECT row, cell, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks, LATERAL ({_cells_sql('tok')}) AS h
+        GROUP BY row, cell
+    ), exact AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM toks GROUP BY tok
+        ORDER BY n_exact DESC, tok LIMIT 25
+    ), probes AS (
+        SELECT tok, n_exact, h.row, h.cell
+        FROM exact, LATERAL ({_cells_sql('tok')}) AS h
+    )
+    SELECT p.tok, p.n_exact, MIN(c.n) AS n_est
+    FROM probes p JOIN cms c ON p.row = c.row AND p.cell = c.cell
+    GROUP BY p.tok, p.n_exact
+    ORDER BY p.n_exact DESC, p.tok
+    """
+
+
+@query("cms_token_count_estimates", oracle=_cms_estimates_sql())
 def cms_token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimate the top-25 tokens' frequencies from a count-min sketch
     and report estimate vs exact. The estimate join probes d cells per
     queried token against the (at most d×w row) sketch — the sketch
-    side broadcasts at any corpus size, which is the payoff shape."""
+    side broadcasts at any corpus size, which is the payoff shape.
+
+    Formerly rows-only ("sketch cells are engine-private"): the cells
+    were xxhash64, which DuckDB cannot compute. The hash family is
+    incidental to the CMS structure, so it now uses the md5-derived
+    32-bit hashes the MinHash/winnowing oracles established, and the
+    oracle replays the ENTIRE sketch — build, probe, min-over-rows —
+    hash-pinning estimates the ``cms_error_contract`` could only
+    bound."""
     d = Catalog(spark, sf_dir).documents
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     cms = build_cms(toks)
@@ -90,9 +143,10 @@ def cms_token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cms_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The count-min sketch's guarantees as an oracle-checked
-    CONTRACT — companion to the rows-only
-    ``cms_token_count_estimates`` (whose xxhash cells DuckDB cannot
-    reproduce): for the top-25 tokens, emit the exact count plus
+    CONTRACT — companion to ``cms_token_count_estimates`` (now itself
+    fully oracle-replayed; this contract remains the portable form a
+    production xxhash build would keep): for the top-25 tokens, emit
+    the exact count plus
     flags asserting (a) the sketch never undercounts — a structural
     CMS property, deterministically true — and (b) the overcount
     stays within 8x the Markov bound e·N/w (measured slack is ~∞:
