@@ -90,6 +90,29 @@ DEDUP_COHORT = [
     "setsim_prefix_join",
 ]
 
+#: ANN-serving cohort (round-5 rows-only conversions + the k-means
+#: family they lean on). For QUERY-BATCH-BOUNDED probes the naive
+#: key-offset replication IS the honest scale test — the corpus grows
+#: FACTOR-fold while the probe batch stays the fixed base-id set, so
+#: the run measures (a) cross-engine determinism on the bigger corpus
+#: and (b) probe-candidate volume growing LINEARLY with bucket
+#: occupancy, never quadratically. Pair queries over embeddings
+#: (`embedding_neardup_pairs`) stay OUT for the same reason the dedup
+#: family has its own mode: identical replica vectors collide in
+#: every band, so the pair set explodes quadratically by
+#: construction — not a scale signal. k-means at FACTOR-x replication
+#: is a fixed point (the floor-mean of a FACTOR-replicated member set
+#: equals the base mean) with FACTOR-fold integer momentum lanes —
+#: an overflow-headroom check on the micro sums.
+ANN_COHORT = [
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
+    "cosine_topk_bruteforce",
+    "cms_token_count_estimates",
+    "kmeans_lloyd_centroids",
+    "kmeans_cluster_profile",
+]
+
 #: fact table -> surrogate key columns to offset per replica. The
 #: lineitem FK rides the orders offset so replicated orders keep
 #: their line items.
@@ -200,6 +223,10 @@ def main() -> int:
     ap.add_argument("--dedup", action="store_true",
                     help="run the dedup cohort on the constant-density "
                          "salted replication instead (see DEDUP_COHORT)")
+    ap.add_argument("--ann", action="store_true",
+                    help="run the ANN-serving cohort on the naive "
+                         "replication, with a probe-candidate "
+                         "linearity measurement (see ANN_COHORT)")
     args = ap.parse_args()
 
     if args.dedup:
@@ -221,10 +248,38 @@ def main() -> int:
     for t in list(FACTS) + DIMS:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{scaled}/{t}.parquet'")
 
-    names = args.queries or (DEDUP_COHORT if args.dedup else COHORT)
+    names = args.queries or (
+        DEDUP_COHORT if args.dedup else ANN_COHORT if args.ann else COHORT)
     failures = []
     base_rows: dict[str, int] = {}
     koff = 0
+    if args.ann:
+        # Probe-candidate linearity: total in-bucket occupancy of the
+        # 20-query LSH probe batch at base vs scaled must scale
+        # ~FACTOR (bucket membership is replica-uniform), never
+        # FACTOR^2 — the property that keeps probe cost linear in
+        # corpus size at a fixed batch.
+        from pyspark.sql import functions as SF
+        from sql_database_engine_spark.operators.similarity import (
+            _ann_bucket_code)
+
+        def probe_candidates(sf_dir: str) -> int:
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            coded = emb.select(
+                "vec_id", _ann_bucket_code(
+                    SF.transform("embedding",
+                                 lambda x: x.cast("double"))).alias("b"))
+            occ = coded.groupBy("b").agg(SF.count(SF.lit(1)).alias("n"))
+            q = coded.filter(SF.col("vec_id") < 20)
+            return (q.join(occ, "b")
+                    .agg(SF.sum("n")).collect()[0][0] or 0)
+
+        c_base = probe_candidates(args.sf)
+        c_scaled = probe_candidates(scaled)
+        print(f"probe candidates (20-query batch): base={c_base} "
+              f"scaled={c_scaled} "
+              f"ratio={c_scaled / max(c_base, 1):.2f} "
+              f"(factor={args.factor})", flush=True)
     if args.dedup:
         # 1x base counts for the flat-density check: result pairs at
         # FACTOR-x must be ~FACTOR * base (density constant), never
