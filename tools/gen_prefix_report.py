@@ -33,8 +33,12 @@ def main() -> None:
     from sql_database_engine_spark import operators
     operators.load_all()
 
-    # Raw per-round history (no carve-outs): name -> [rounds sampled]
+    # Raw per-round history (no carve-outs): name -> [rounds sampled],
+    # plus which of those rows were rows-only ("no_oracle") — an
+    # upgraded query's old rows-only row is a different carve-out
+    # than a code rewrite and the reason line must say which.
     history: dict[str, list[str]] = {}
+    rows_only_history: dict[str, list[str]] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         rnd = p.stem.replace("CORRECTNESS_", "")
         try:
@@ -42,8 +46,10 @@ def main() -> None:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            for name in rows:
+            for name, row in rows.items():
                 history.setdefault(name, []).append(rnd)
+                if isinstance(row, dict) and row.get("err") == "no_oracle":
+                    rows_only_history.setdefault(name, []).append(rnd)
 
     ordered = list(operators.ordered_queries())
     prefix = ordered[:args.prefix]
@@ -58,9 +64,15 @@ def main() -> None:
           f"{len(first_time)}")
     print(f"- re-entries: {len(reentries)}")
     for n in reentries:
-        why = ("rewritten-since-sampled carve-out"
-               if n not in seen_now and n in history
-               else "explicit prefix_head pin")
+        if n not in seen_now and n in history:
+            if (n in operators.ORACLES
+                    and rows_only_history.get(n) == history[n]):
+                why = ("oracle-upgrade carve-out: every prior row was "
+                       "rows-only, first hash check pending")
+            else:
+                why = "rewritten-since-sampled carve-out"
+        else:
+            why = "explicit prefix_head pin"
         print(f"  - `{n}` (previously sampled {', '.join(history[n])}; {why})")
     rows_only = [n for n in prefix if n not in operators.ORACLES]
     print(f"- rows-only queries in prefix: {len(rows_only)}"
