@@ -56,6 +56,19 @@ def cosine(a: Column, b: Column) -> Column:
 COSINE_SQL = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
 
+def _dlit(x: float) -> str:
+    """A float literal DuckDB parses to the identical IEEE-754 double.
+
+    Plain ``repr`` is NOT enough inside a list literal: DuckDB
+    unifies bare decimal list elements to one DECIMAL type before any
+    ``::DOUBLE[]`` cast, rounding 17-significant-digit coefficients
+    in the last ulp (pinned by
+    tests/test_conversion_pins.py::test_plane_literals_roundtrip_bitexact).
+    A scientific-notation suffix forces DOUBLE from the parser on."""
+    r = repr(float(x))
+    return r if "e" in r or "E" in r else r + "e0"
+
+
 @query(
     "cosine_topk_bruteforce",
     oracle=f"""
@@ -143,11 +156,11 @@ def _neardup_code(vec: Column) -> Column:
 
 def _neardup_code_sql(embedding: str = "embedding") -> str:
     """DuckDB twin of :func:`_neardup_code` — identical plane literals
-    (full repr so the parsed doubles are bit-exact), identical
+    (:func:`_dlit` so the parsed doubles are bit-exact), identical
     sequential dot product via list_dot_product."""
     terms = []
     for i, p in enumerate(_NEARDUP_PLANES):
-        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        lit = "[" + ", ".join(_dlit(x) for x in p) + "]"
         terms.append(
             f"CASE WHEN list_dot_product(CAST({embedding} AS DOUBLE[]), {lit}) > 0"
             f" THEN {1 << i} ELSE 0 END")
@@ -247,12 +260,12 @@ def _ann_bucket_code(vec: Column) -> Column:
 
 def _ann_bucket_sql(embedding: str = "embedding") -> str:
     """DuckDB twin of :func:`_ann_bucket_code` — identical plane
-    literals (full repr round-trips the doubles bit-exactly),
+    literals (:func:`_dlit` round-trips the doubles bit-exactly),
     identical dot product via list_dot_product. The
     :func:`_neardup_code_sql` pattern applied to the ANN family."""
     terms = []
     for i, p in enumerate(_ANN_PLANES):
-        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        lit = "[" + ", ".join(_dlit(x) for x in p) + "]"
         terms.append(
             f"CASE WHEN list_dot_product(CAST({embedding} AS DOUBLE[]), {lit}) > 0"
             f" THEN {1 << i} ELSE 0 END")
@@ -982,7 +995,9 @@ def _jl_pair_terms_sql(a: str, b: str) -> str:
     evaluation order as the Spark side."""
     terms = []
     for row in _jl_signs():
-        lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        # ±1.0 is DECIMAL-exact, but route through _dlit anyway so
+        # every float-list literal in oracle SQL shares one rule.
+        lit = "[" + ", ".join(_dlit(x) for x in row) + "]"
         pa = f"list_dot_product(CAST({a} AS DOUBLE[]), {lit})"
         pb = f"list_dot_product(CAST({b} AS DOUBLE[]), {lit})"
         terms.append(f"(({pa}) - ({pb})) * (({pa}) - ({pb}))")
