@@ -95,6 +95,10 @@ def _driver_checked() -> set[str]:
     rewritten_since_sampled: set[str] = {
         "table_diff_user_state",  # CDC _SPLIT fix (r4), not yet re-sampled
         "bfs_brand_distances",    # scan-audit rewrite (188->1), ditto
+        # r5: IVF anchor moved to exact-L2 when the ann_ivf/ann_pq
+        # demos converted to integer lanes — the r3 green row
+        # verified the cosine-anchored contract, not this one.
+        "ann_recall_contract",
     }
     return seen - rewritten_since_sampled
 

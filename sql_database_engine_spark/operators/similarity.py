@@ -341,83 +341,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "vec_id", "cos_sim"))
 
 
-@query("ann_ivf_topk")  # rows-only: IVF recall is probe-width-dependent
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index built with
-    one Lloyd iteration of k-means, entirely as DataFrame plans:
-
-    1. seed 16 centroids deterministically (vec_id < 16),
-    2. assign every vector to its nearest centroid (broadcast the
-       centroid table, argmin via lexicographic struct-min),
-    3. refine centroids: per-(centroid, dimension) mean via posexplode
-       + hash aggregate — the distributed element-wise average,
-    4. re-assign to refined centroids → inverted lists,
-    5. each query probes ONLY its own list: candidate scoring touches
-       corpus/k vectors per query.
-
-    The index build is two scans + one shuffle on (centroid, dim);
-    at 100 TB the inverted lists would persist partitioned by
-    centroid so probes prune to one partition — the plan shape is
-    identical.
-    """
-    from pyspark.sql import Window as W
-
-    e = Catalog(spark, sf_dir).embeddings
-    base = (e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
-            .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))))
-
-    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        """Nearest centroid per vector (cosine; argmin via struct-max).
-
-        The vector and its norm ride INSIDE the max struct — (sim,
-        negcid) is already a unique ordering key (cid distinct per
-        candidate), so the trailing fields are never compared and the
-        argmax needs no join-back to recover them: one exchange per
-        assignment instead of three."""
-        scored = (vecs.crossJoin(F.broadcast(cents))
-                  .withColumn("sim", dot(F.col("v"), F.col("cv"))
-                              / (F.col("norm") * F.col("cnorm"))))
-        best = (scored.groupBy("vec_id")
-                .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("negcid"),
-                                    F.col("v"), F.col("norm"))).alias("top")))
-        return best.select(
-            "vec_id",
-            F.col("top.v").alias("v"),
-            F.col("top.norm").alias("norm"),
-            (-F.col("top.negcid")).cast("int").alias("centroid"))
-
-    cents0 = (base.filter(F.col("vec_id") < 16)
-              .select(F.col("vec_id").cast("int").alias("cid"),
-                      F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
-    assigned0 = assign(base, cents0)
-
-    # Lloyd refinement: element-wise mean per centroid.
-    dims = assigned0.select(
-        "centroid", F.posexplode("v").alias("dim", "x"))
-    means = (dims.groupBy("centroid", "dim").agg(F.avg("x").alias("mx")))
-    cents1 = (means.groupBy("centroid")
-              .agg(F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias("es"))
-              .select(F.col("centroid").alias("cid"),
-                      F.transform("es", lambda s: s["mx"]).alias("cv"))
-              .withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv")))))
-    inverted = assign(base, cents1)
-
-    queries_df = (inverted.filter(F.col("vec_id") < 10)
-                  .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-                          F.col("norm").alias("qnorm"),
-                          F.col("centroid").alias("q_centroid")))
-    cands = (
-        queries_df.join(inverted, F.col("q_centroid") == F.col("centroid"))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos_sim", F.round(
-            dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6))
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    return (cands.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 3)
-            .select("q_id", "vec_id", "cos_sim"))
-
-
 def _neardup_edges_sql() -> str:
     """The banded-LSH pair set as (src, dst) edges — the same
     candidate/verify shape as :func:`_neardup_pairs_sql`, usable as a
@@ -1088,18 +1011,21 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable recall contract over the ANN operators: one
-    plan computes the exact cosine top-3 for the 10 shared query
-    vectors (the recall=1 anchor, brute force), runs the IVF and
-    multi-probe-LSH approximate variants on the same queries, and
+    plan computes the exact cosine AND exact-L2 top-3 for the 10
+    shared query vectors (the recall=1 anchors, brute force), runs
+    the IVF, PQ and LSH approximate variants on the same queries, and
     asserts their recall@3 against conservative floors — the
     ``agg_approx_distinct`` bounded-contract pattern, so the
     probabilistic operators stop being driver-invisible.
 
     Floors are set at well under half the measured recall on the
-    driver testdata (IVF >= 15/30 vs 0.90+ measured; multi-probe >=
-    3/30 vs 0.17+; multi-probe >= single-probe, the Lv et al. claim
-    pinned in tests/test_neardup_quality.py; PQ+rerank >= 10/30
-    against the exact-L2 top-3 — PQ's own metric — vs 20/30
+    driver testdata. Anchors follow each operator's own metric: the
+    LSH variants against the exact-cosine top-3 (multi-probe >= 3/30
+    vs 0.17+ measured; multi-probe >= single-probe, the Lv et al.
+    claim pinned in tests/test_neardup_quality.py); IVF and PQ —
+    both integer-L2 quantizers since their full-oracle conversion —
+    against the exact-L2 top-3 (IVF >= 15/30 vs 27-29/30 measured at
+    sf0.001/0.01/0.1; PQ+rerank >= 10/30 vs 20/30
     measured): a collapsed index or a
     broken bucket join flips ``passed`` to 0 and the driver's hash
     compare catches it, while ordinary data-regeneration variance
@@ -1128,11 +1054,11 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (ann.vec_id == exact.vec_id), "left_semi")
                 .agg(F.count(F.lit(1)).alias("n_hits")))
 
-    ivf_hits = hits(ann_ivf_topk(spark, sf_dir))
     mp_hits = hits(ann_lsh_multiprobe_topk(spark, sf_dir))
     single_hits = hits(ann_lsh_topk(spark, sf_dir))
 
-    # PQ is an L2 quantizer, so its anchor is the exact-L2 top-3.
+    # IVF and PQ are L2 quantizers (integer-L2 since their oracle
+    # conversion), so their anchor is the exact-L2 top-3.
     def l2(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -1150,10 +1076,14 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_l2 = (l2_scored.withColumn("rn", rn_l2).filter(F.col("rn") <= 3)
                 .select(F.col("qid").alias("l2_qid"),
                         F.col("vec_id").alias("l2_vid")))
-    pq = ann_pq_topk(spark, sf_dir)
-    pq_hits = (pq.join(exact_l2, (pq.q_id == exact_l2.l2_qid)
-                       & (pq.vec_id == exact_l2.l2_vid), "left_semi")
-               .agg(F.count(F.lit(1)).alias("n_hits")))
+    def l2hits(ann: DataFrame) -> DataFrame:
+        """Integer hit count of an ANN result against the exact-L2 set."""
+        return (ann.join(exact_l2, (ann.q_id == exact_l2.l2_qid)
+                         & (ann.vec_id == exact_l2.l2_vid), "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_hits")))
+
+    ivf_hits = l2hits(ann_ivf_topk(spark, sf_dir))
+    pq_hits = l2hits(ann_pq_topk(spark, sf_dir))
 
     def row(name: str, h: DataFrame, ok) -> DataFrame:
         return h.select(
@@ -1174,101 +1104,6 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("passed")))
     return (ivf.unionByName(mp).unionByName(rel).unionByName(pqr)
             .orderBy("method"))
-
-
-@query("ann_pq_topk")  # rows-only: quantized shortlist is codebook-relative
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via Product Quantization with exact rerank
-    (Jégou et al., TPAMI'11) — the memory-side of the ANN family next
-    to the routing-side IVF, in its production deployment shape:
-
-    1. split the 64-dim vector into 8 subspaces of 8 dims,
-    2. build a 16-entry codebook per subspace: deterministic seeds
-       (vec_id < 16 sub-vectors) + one Lloyd refinement (assign all
-       sub-vectors, recenter — the same broadcast-argmin +
-       per-dimension mean shape as the IVF build),
-    3. encode every vector as 8 codes (8 bytes vs 256 — the 32×
-       memory win that is PQ's whole point),
-    4. answer queries by Asymmetric Distance Computation: the exact
-       query sub-vectors against a broadcast 16×8 partial-distance
-       table, each database vector costing 8 lookups + adds,
-    5. exact-L2 rerank of the ADC top-32 shortlist — the standard
-       recall repair (measured: rerank lifts recall@3 from 8/30 to
-       20/30 on this corpus; the 'pq' row of ``ann_recall_contract``
-       pins >= 10/30).
-
-    Scale shape: codebooks (128 rows) and per-query ADC tables
-    broadcast; the shortlist join back to raw vectors touches 32 rows
-    per query, so raw vectors stream map-side exactly once (encoding)
-    and the scan side of query serving reads only the 8-byte codes.
-    """
-    from pyspark.sql import Window as W
-
-    e = Catalog(spark, sf_dir).embeddings
-    base = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    sub = base.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(s).alias("s"),
-                     F.slice(F.col("v"), s * 8 + 1, 8).alias("subv"))
-            for s in range(8)])).alias("x")
-    ).select("vec_id", "x.s", "x.subv")
-
-    def l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    book0 = (sub.filter(F.col("vec_id") < 16)
-             .select(F.col("vec_id").cast("int").alias("cid"),
-                     F.col("s").alias("bs"), F.col("subv").alias("cv")))
-    # One Lloyd step: assign every sub-vector to its seed centroid,
-    # recenter per (subspace, centroid, dimension).
-    assigned = (sub.join(F.broadcast(book0), F.col("s") == F.col("bs"))
-                .withColumn("d", l2(F.col("subv"), F.col("cv")))
-                .groupBy("vec_id", "s")
-                .agg(F.min(F.struct(F.col("d"), F.col("cid"),
-                                    F.col("subv"))).alias("m"))
-                .select("s", F.col("m.cid").alias("cid"),
-                        F.col("m.subv").alias("subv")))
-    dims = assigned.select("s", "cid", F.posexplode("subv").alias("dim", "x"))
-    means = dims.groupBy("s", "cid", "dim").agg(F.avg("x").alias("mx"))
-    book = (means.groupBy("s", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mx")))
-                 .alias("es"))
-            .select(F.col("s").alias("bs"), F.col("cid"),
-                    F.transform("es", lambda t: t["mx"]).alias("cv")))
-    encoded = (sub.join(F.broadcast(book), F.col("s") == F.col("bs"))
-               .withColumn("d", l2(F.col("subv"), F.col("cv")))
-               .groupBy("vec_id", "s")
-               .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
-               .select("vec_id", "s", F.col("m.cid").alias("code")))
-    q = (sub.filter(F.col("vec_id") < 10)
-         .select(F.col("vec_id").alias("q_id"), F.col("s").alias("qs"),
-                 F.col("subv").alias("qv")))
-    adc = (q.join(F.broadcast(book), F.col("qs") == F.col("bs"))
-           .select("q_id", "qs", "cid", l2(F.col("qv"), F.col("cv"))
-                   .alias("dp")))
-    scored = (encoded.join(F.broadcast(adc),
-                           (F.col("s") == F.col("qs"))
-                           & (F.col("code") == F.col("cid")))
-              .filter(F.col("vec_id") != F.col("q_id"))
-              .groupBy("q_id", "vec_id")
-              .agg(F.sum("dp").alias("approx")))
-    w = W.partitionBy("q_id").orderBy(F.col("approx").asc(), "vec_id")
-    shortlist = (scored.withColumn("rn", F.row_number().over(w))
-                 .filter(F.col("rn") <= 32).select("q_id", "vec_id"))
-    qfull = (base.filter(F.col("vec_id") < 10)
-             .select(F.col("vec_id").alias("rq_id"), F.col("v").alias("qv2")))
-    reranked = (shortlist.join(base, "vec_id")
-                .join(F.broadcast(qfull), F.col("q_id") == F.col("rq_id"))
-                .select("q_id", "vec_id",
-                        F.round(l2(F.col("v"), F.col("qv2")), 6)
-                        .alias("l2_dist")))
-    w2 = W.partitionBy("q_id").orderBy(F.col("l2_dist").asc(), "vec_id")
-    return (reranked.withColumn("rn", F.row_number().over(w2))
-            .filter(F.col("rn") <= 3)
-            .select("q_id", "vec_id", "l2_dist"))
 
 
 @query(
@@ -2746,3 +2581,290 @@ def ann_ivf_staged_append_probe(spark: SparkSession,
                     F.col("rank").cast("long").alias("rank"),
                     (F.col("vec_id") % 10 >= 8).alias("from_batch"))
             .orderBy("q_id", "rank"))
+
+
+def _pq_sub_sql() -> str:
+    """Shared CTE prefix for the PQ oracle: micro-scaled vectors and
+    their 8 subspace slices (8 dims each, 1-based list_slice)."""
+    return """e AS (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                for x in embedding] AS e
+        FROM embeddings
+    ), sub AS (
+        SELECT vec_id, t.s, list_slice(e, t.s * 8 + 1, t.s * 8 + 8) AS subv
+        FROM e, (SELECT unnest(range(8)) AS s) t
+    )"""
+
+
+_PQ_SUB_DIST = ("list_sum([ (subv[i] - cv[i]) * (subv[i] - cv[i]) "
+                "for i in range(1, 9) ])")
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                for x in embedding] AS e
+        FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < 16
+    ),{_kmeans_round_sql('c0', 'a1', 'c1')},
+    {_kmeans_round_sql('c1', 'a2', 'c2')},
+    q AS (
+        SELECT vec_id AS q_id, ev AS qe, cid AS qcid
+        FROM a2 WHERE vec_id < 10
+    ), cand AS (
+        SELECT q.q_id, a.vec_id,
+               list_sum([ (q.qe[i] - a.ev[i]) * (q.qe[i] - a.ev[i])
+                          for i in range(1, 65) ]) AS d
+        FROM q JOIN a2 a ON a.cid = q.qcid
+        WHERE a.vec_id <> q.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(d AS BIGINT) AS dist2_micros,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT q_id, vec_id, d,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY d, vec_id) AS rn
+          FROM cand)
+    WHERE rn <= 3
+    ORDER BY q_id, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index built
+    IN-PLAN — the teaching/bench twin of the persisted serving path
+    (`ann_ivf_staged_topk`): the index build deliberately rides the
+    same plan so build+probe cost is measured together (PERF.md
+    "Deliberately NOT changed").
+
+    1. seed 16 centroids deterministically (vec_id < 16),
+    2. one Lloyd refinement round over exact integer-micro lanes
+       (the shared :func:`_lloyd_round` primitive: broadcast k-row
+       centroids, ONE hash aggregate with 64 per-dimension sums —
+       no posexplode, reducer state is k×d integers),
+    3. re-assign to the refined centroids → inverted lists,
+    4. each query (vec_id < 10) probes ONLY its own list (nprobe=1):
+       candidate scoring touches ~corpus/k vectors per query,
+       exact integer squared-L2, top-3 by (distance, vec_id).
+
+    Differentiation from the staged variant: k=16 / 1 round /
+    nprobe=1 / in-plan build vs k=4 / 3 rounds / nprobe=2 /
+    persisted index.
+
+    Formerly rows-only ("recall is probe-width-dependent") on a
+    float-avg Lloyd build; recall vs exact top-k IS probabilistic,
+    but the computed answer is a deterministic function of the seed
+    rule once the build runs on the module's exact-integer lanes
+    (float→micro BIGINT, floor-mean recenter, lexicographic
+    (dist, cid) ties) — so the DuckDB oracle replays build AND probe
+    through the shared ``_kmeans_round_sql`` chain and hash-pins the
+    approximate answer itself, the `ann_lsh_topk` conversion
+    precedent applied to the routing-side family.
+
+    At 100 TB the inverted lists would persist partitioned by
+    centroid id so probes prune to bucket directories at the scan —
+    exactly what `ann_ivf_staged_topk` stages and measures.
+    """
+    e = _micro_vectors(spark, sf_dir)
+    c0 = (e.filter(F.col("vec_id") < 16)
+          .select(F.col("vec_id").cast("long").alias("cid"),
+                  F.col("e").alias("c"))
+          .localCheckpoint(eager=False))
+    c1 = _lloyd_round(e, c0).localCheckpoint(eager=False)
+    inverted = _lloyd_assign(e, c1).localCheckpoint(eager=False)
+    q = (inverted.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("e").alias("qe"),
+                 F.col("cid").alias("qcid")))
+    d_qe = F.expr("aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), "
+                  "0L, (acc, v) -> acc + v)")
+    cand = (inverted.join(F.broadcast(q), F.col("cid") == F.col("qcid"))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", d_qe.alias("d")))
+    rnk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("d"), F.col("vec_id")))
+    return (cand.withColumn("rank", rnk)
+            .filter(F.col("rank") <= 3)
+            .select(F.col("q_id").cast("long").alias("q_id"),
+                    F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("d").cast("long").alias("dist2_micros"),
+                    F.col("rank").cast("long").alias("rank"))
+            .orderBy("q_id", "rank"))
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH {_pq_sub_sql()},
+    book0 AS (
+        SELECT vec_id AS cid, s, subv AS cv FROM sub WHERE vec_id < 16
+    ), assigned AS (
+        SELECT s, subv, min([d, cid])[2] AS cid
+        FROM (SELECT x.vec_id, x.s, x.subv, b.cid, {_PQ_SUB_DIST} AS d
+              FROM sub x JOIN (SELECT cid, s, cv FROM book0) b
+                ON b.s = x.s)
+        GROUP BY vec_id, s, subv
+    ), book_s AS (
+        SELECT s, cid, CAST(COUNT(*) AS BIGINT) AS n,
+               {", ".join(f"SUM(subv[{d}]) AS s{d}" for d in range(1, 9))}
+        FROM assigned GROUP BY s, cid
+    ), book AS (
+        SELECT s, cid,
+               [{", ".join(f"(s{d} + n * 1000000) // n - 1000000"
+                           for d in range(1, 9))}] AS cv
+        FROM book_s
+    ), encoded AS (
+        SELECT vec_id, s, min([d, cid])[2] AS code
+        FROM (SELECT x.vec_id, x.s, b.cid, {_PQ_SUB_DIST.replace('subv', 'x.subv').replace('cv[', 'b.cv[')} AS d
+              FROM sub x JOIN book b ON b.s = x.s)
+        GROUP BY vec_id, s
+    ), q AS (
+        SELECT vec_id AS q_id, s AS qs, subv AS qv
+        FROM sub WHERE vec_id < 10
+    ), adc AS (
+        SELECT q.q_id, q.qs, b.cid,
+               list_sum([ (q.qv[i] - b.cv[i]) * (q.qv[i] - b.cv[i])
+                          for i in range(1, 9) ]) AS dp
+        FROM q JOIN book b ON b.s = q.qs
+    ), scored AS (
+        SELECT a.q_id, en.vec_id, SUM(a.dp) AS approx
+        FROM encoded en JOIN adc a
+          ON a.qs = en.s AND a.cid = en.code
+        WHERE en.vec_id <> a.q_id
+        GROUP BY a.q_id, en.vec_id
+    ), shortlist AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY approx, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= 32
+    ), rerank AS (
+        SELECT sl.q_id, sl.vec_id,
+               list_sum([ (qe.e[i] - ce.e[i]) * (qe.e[i] - ce.e[i])
+                          for i in range(1, 65) ]) AS d
+        FROM shortlist sl
+        JOIN e ce ON ce.vec_id = sl.vec_id
+        JOIN e qe ON qe.vec_id = sl.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(d AS BIGINT) AS dist2_micros
+    FROM (SELECT q_id, vec_id, d,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY d, vec_id) AS rn
+          FROM rerank)
+    WHERE rn <= 3
+    ORDER BY q_id, dist2_micros
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via Product Quantization with exact rerank
+    (Jégou et al., TPAMI'11) — the memory-side of the ANN family next
+    to the routing-side IVF, in its production deployment shape:
+
+    1. split the 64-dim vector into 8 subspaces of 8 dims,
+    2. build a 16-entry codebook per subspace: deterministic seeds
+       (vec_id < 16 sub-vectors) + one Lloyd refinement (assign all
+       sub-vectors, floor-mean recenter — the same broadcast-argmin +
+       single-hash-aggregate shape as :func:`_lloyd_round`, on 8-dim
+       lanes),
+    3. encode every vector as 8 codes (8 bytes vs 256 — the 32×
+       memory win that is PQ's whole point),
+    4. answer queries by Asymmetric Distance Computation: the exact
+       query sub-vectors against a broadcast 16×8 partial-distance
+       table, each database vector costing 8 lookups + adds,
+    5. exact integer squared-L2 rerank of the ADC top-32 shortlist —
+       the standard recall repair (the 'pq_rerank' row of
+       ``ann_recall_contract`` pins the floor).
+
+    Formerly rows-only ("quantized shortlist is codebook-relative");
+    on the module's exact-integer lanes (micro BIGINT sub-vectors,
+    floor-mean recenter via the +n·OFF trick, lexicographic
+    (dist, cid) ties) every stage — codebook, codes, ADC table,
+    shortlist, rerank — is a deterministic function of the seed rule,
+    so the DuckDB oracle replays the full pipeline and hash-pins the
+    approximate answer itself.
+
+    Scale shape: codebooks (128 rows) and per-query ADC tables
+    broadcast; the shortlist join back to raw vectors touches 32 rows
+    per query, so raw vectors stream map-side exactly once (encoding)
+    and the scan side of query serving reads only the 8-byte codes.
+    """
+    OFF = 1_000_000
+    e = _micro_vectors(spark, sf_dir)
+    sub = e.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).cast("long").alias("s"),
+                     F.slice(F.col("e"), s * 8 + 1, 8).alias("subv"))
+            for s in range(8)])).alias("x")
+    ).select("vec_id", "x.s", "x.subv").localCheckpoint(eager=False)
+
+    def l2i(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    book0 = (sub.filter(F.col("vec_id") < 16)
+             .select(F.col("vec_id").cast("long").alias("cid"),
+                     F.col("s").alias("bs"), F.col("subv").alias("cv")))
+    # One Lloyd step: assign every sub-vector to its nearest seed
+    # centroid (exact integer L2, ties to the smaller cid), recenter
+    # per (subspace, centroid) via 8 per-dimension sum expressions in
+    # ONE hash aggregate (no posexplode) and the +n·OFF floor-mean.
+    assigned = (sub.join(F.broadcast(book0), F.col("s") == F.col("bs"))
+                .withColumn("d", l2i(F.col("subv"), F.col("cv")))
+                .groupBy("vec_id", "s")
+                .agg(F.min(F.struct(F.col("d"), F.col("cid"),
+                                    F.col("subv"))).alias("m"))
+                .select("s", F.col("m.cid").alias("cid"),
+                        F.col("m.subv").alias("subv")))
+    sums = (assigned.groupBy("s", "cid")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.col("subv")[d]).alias(f"s{d}")
+                   for d in range(8)]))
+    book = (sums.select(
+        F.col("s").alias("bs"), "cid",
+        F.array(*[F.expr(f"(s{d} + n * {OFF}) div n - {OFF}")
+                  for d in range(8)]).alias("cv"))
+        .localCheckpoint(eager=False))
+    encoded = (sub.join(F.broadcast(book), F.col("s") == F.col("bs"))
+               .withColumn("d", l2i(F.col("subv"), F.col("cv")))
+               .groupBy("vec_id", "s")
+               .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
+               .select("vec_id", "s", F.col("m.cid").alias("code")))
+    q = (sub.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("q_id"), F.col("s").alias("qs"),
+                 F.col("subv").alias("qv")))
+    adc = (q.join(F.broadcast(book), F.col("qs") == F.col("bs"))
+           .select("q_id", "qs", "cid",
+                   l2i(F.col("qv"), F.col("cv")).alias("dp")))
+    scored = (encoded.join(F.broadcast(adc),
+                           (F.col("s") == F.col("qs"))
+                           & (F.col("code") == F.col("cid")))
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .groupBy("q_id", "vec_id")
+              .agg(F.sum("dp").alias("approx")))
+    w = W.partitionBy("q_id").orderBy(F.col("approx").asc(), "vec_id")
+    shortlist = (scored.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= 32).select("q_id", "vec_id"))
+    qfull = (e.filter(F.col("vec_id") < 10)
+             .select(F.col("vec_id").alias("rq_id"),
+                     F.col("e").alias("qe2")))
+    reranked = (shortlist.join(e, "vec_id")
+                .join(F.broadcast(qfull), F.col("q_id") == F.col("rq_id"))
+                .select("q_id", "vec_id",
+                        l2i(F.col("e"), F.col("qe2")).alias("d")))
+    w2 = W.partitionBy("q_id").orderBy(F.col("d").asc(), "vec_id")
+    return (reranked.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= 3)
+            .select(F.col("q_id").cast("long").alias("q_id"),
+                    F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("d").cast("long").alias("dist2_micros"))
+            .orderBy("q_id", "dist2_micros"))

@@ -77,13 +77,17 @@ def test_ivf_probe_finds_in_list_neighbors(spark):
     qs = _queries()
     got = qs["ann_ivf_topk"](spark, SF_SMOKE).collect()
     assert got
-    # Scores ordered per query, top-3 per query at most.
+    # Distances ascending per query, ranks 1..n, top-3 per query at
+    # most (integer-L2 since the full-oracle conversion).
     from collections import defaultdict
     per_q = defaultdict(list)
     for r in got:
-        per_q[r.q_id].append(r.cos_sim)
-    for sims in per_q.values():
-        assert len(sims) <= 3 and sims == sorted(sims, reverse=True)
+        per_q[r.q_id].append((r.rank, r.dist2_micros))
+    for rows in per_q.values():
+        rows.sort()
+        dists = [d for _, d in rows]
+        assert len(rows) <= 3 and dists == sorted(dists)
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
 
 
 def test_simhash_pairs_have_small_hamming(spark):

@@ -28,8 +28,9 @@ from collections import Counter
 #: eval pipelines), not lineage re-derivation. Justifications in
 #: PERF.md.
 ALLOWED = {
-    ("ann_ivf_topk", "embeddings"),
-    ("ann_pq_topk", "embeddings"),
+    # ann_ivf_topk / ann_pq_topk left this list in r5: their integer-
+    # lane conversion added lazy localCheckpoints at the build/probe
+    # boundary, so the probe plan no longer re-derives the build.
     ("ann_lsh_topk", "embeddings"),
     ("ann_lsh_multiprobe_topk", "embeddings"),
     ("ann_recall_contract", "embeddings"),
