@@ -138,7 +138,12 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     re-entries, documented in ROUND5_NOTES);
     #   - dup_span_trim_corpus (the one r4 bench regression, never
     #     driver-sampled — its row doubles as the post-investigation
-    #     check).
+    #     check);
+    #   - the four late-r5 rows-only -> full-oracle conversions
+    #     (ann_lsh x2, ann_ivf, ann_pq): all never driver-sampled, so
+    #     these pins cost no first-time slots, and the brand-new
+    #     oracle replay code gets its first driver hash row this
+    #     round instead of waiting its family-queue turn.
     prefix_head = [
         "kcore_decomposition", "bfs_brand_distances",
         "link_prediction_common_neighbors",
@@ -148,6 +153,8 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_staged_topk", "ann_ivf_staged_append_probe",
         "clustered_range_scan", "join_bucketed_colocated",
         "dup_span_trim_corpus",
+        "ann_lsh_topk", "ann_lsh_multiprobe_topk",
+        "ann_ivf_topk", "ann_pq_topk",
     ]
     # Flagship representatives (one per capability the judge grades
     # first-class) jump the within-family queue so they are guaranteed
