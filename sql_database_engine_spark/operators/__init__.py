@@ -155,6 +155,9 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_trim_corpus",
         "ann_lsh_topk", "ann_lsh_multiprobe_topk",
         "ann_ivf_topk", "ann_pq_topk",
+        # third conversion wave: the winnowing recursive-CTE oracle
+        # (never driver-sampled either — costs no first-time slots).
+        "doc_winnowing_fingerprints",
     ]
     # Flagship representatives (one per capability the judge grades
     # first-class) jump the within-family queue so they are guaranteed

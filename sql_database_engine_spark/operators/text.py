@@ -669,8 +669,90 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "hamming"))
 
 
-def _winnow_kernel(K: int = 8, WIN: int = 4, B: int = 257,
-                   P: int = 1_000_000_007, CHUNK: int = 1 << 16):
+# Winnowing parameters, shared by the mapInPandas kernel and its
+# DuckDB oracle twin. The polynomial family is PUBLIC module
+# constants (SIGMOD'03 uses any fixed rolling hash) — nothing
+# engine-private, which is what makes the full-oracle replay below
+# possible.
+_WINNOW_K = 8
+_WINNOW_WIN = 4
+_WINNOW_B = 257
+_WINNOW_P = 1_000_000_007
+
+
+def _winnow_oracle_sql(K: int = _WINNOW_K, WIN: int = _WINNOW_WIN,
+                       B: int = _WINNOW_B, P: int = _WINNOW_P) -> str:
+    """DuckDB replay of the full winnowing pipeline — byte decode,
+    k-gram polynomial hashes, and the SIGMOD'03 ROBUST selection rule.
+
+    The robust rule is a genuine per-document recurrence (keep the
+    previous selection while it is in-window and unbeaten, else take
+    the rightmost minimum), so the oracle walks windows with a
+    recursive CTE whose state carries (r, h[r]) — selection position
+    AND value — making each step a pure join against the precomputed
+    per-window (min, rightmost-argmin) table `v` with no array
+    lookback. Pick events are rows where the state changed; the
+    fingerprint is the carried value, so no join-back is needed.
+
+    Bytes come from hex(encode(text)) — UTF-8, identical to the
+    kernel's ``text.encode("utf-8")`` — and the per-term ``% P``
+    keeps every product under 2.6e11, matching the kernel's
+    ``(data * powers % P).sum() % P`` arithmetic exactly. Documents
+    shorter than K bytes yield no rows; documents with fewer than WIN
+    k-grams take the kernel's leftmost-argmin branch (UNION branch —
+    vacuous on the shipped corpora, whose shortest text is ~44 bytes;
+    exercised with synthetic short docs in
+    tests/test_conversion_pins.py)."""
+    powlist = ", ".join(str(pow(B, K - 1 - i, P)) for i in range(K))
+    return f"""
+    WITH RECURSIVE bytes AS MATERIALIZED (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               [16 * (strpos('0123456789ABCDEF', hx[2*i-1]) - 1)
+                  + strpos('0123456789ABCDEF', hx[2*i]) - 1
+                for i in range(1, octet_length(encode(text)) + 1)] AS b
+        FROM (SELECT doc_id, text, hex(encode(text)) AS hx
+              FROM documents WHERE text IS NOT NULL)
+        WHERE octet_length(encode(text)) >= {K}
+    ), hashes AS MATERIALIZED (
+        SELECT doc_id, nb - {K} + 1 AS n,
+               [CAST(list_sum([b[p + j] * ([{powlist}])[j + 1] % {P}
+                               for j in range(0, {K})]) % {P} AS BIGINT)
+                for p in range(1, nb - {K} + 2)] AS h
+        FROM bytes
+    ), v AS MATERIALIZED (
+        SELECT doc_id, i,
+               list_min(list_slice(h, i + 1, i + {WIN})) AS m,
+               i + {WIN} - list_position(
+                   list_reverse(list_slice(h, i + 1, i + {WIN})),
+                   list_min(list_slice(h, i + 1, i + {WIN}))) AS rm
+        FROM (SELECT doc_id, n, h, unnest(range(0, n - {WIN} + 1)) AS i
+              FROM hashes WHERE n >= {WIN})
+    ), walk AS (
+        SELECT doc_id, i, rm AS r, m AS vr, true AS picked
+        FROM v WHERE i = 0
+        UNION ALL
+        SELECT v.doc_id, v.i,
+               CASE WHEN w.r < v.i OR w.vr > v.m THEN v.rm ELSE w.r END,
+               CASE WHEN w.r < v.i OR w.vr > v.m THEN v.m ELSE w.vr END,
+               (w.r < v.i OR w.vr > v.m)
+        FROM walk w JOIN v ON v.doc_id = w.doc_id AND v.i = w.i + 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(vr AS BIGINT) AS fingerprint,
+           CAST(r AS INTEGER) AS position
+    FROM walk WHERE picked
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT),
+           CAST(h[list_position(h, list_min(h))] AS BIGINT),
+           CAST(list_position(h, list_min(h)) - 1 AS INTEGER)
+    FROM hashes WHERE n >= 1 AND n < {WIN}
+    ORDER BY doc_id, position
+    """
+
+
+def _winnow_kernel(K: int = _WINNOW_K, WIN: int = _WINNOW_WIN,
+                   B: int = _WINNOW_B,
+                   P: int = _WINNOW_P, CHUNK: int = 1 << 16):
     """Build the winnowing mapInPandas kernel (hoisted to module level
     so tests/test_neardup_quality.py can drive it locally — the
     SIGMOD'03 guarantees are pinned there, no Spark needed)."""
@@ -726,7 +808,7 @@ def _winnow_kernel(K: int = 8, WIN: int = 4, B: int = 257,
     return winnow
 
 
-@query("doc_winnowing_fingerprints")  # rows-only: rolling-hash family is engine-private
+@query("doc_winnowing_fingerprints", oracle=_winnow_oracle_sql())
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints via winnowing (Schleimer,
     Wilkerson, Aiken — MOSS, SIGMOD'03): polynomial hashes over k-byte
@@ -742,7 +824,17 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not allocate 50M×k temporaries at once). NULL texts are
     filtered Spark-side, matching the null-propagation of the column-
     expression operators in this module. Output is (doc_id,
-    fingerprint, position); a near-dup pass joins on fingerprint."""
+    fingerprint, position); a near-dup pass joins on fingerprint.
+
+    Formerly rows-only ("rolling-hash family is engine-private") —
+    but the polynomial family is public module constants
+    (``_WINNOW_B``/``_WINNOW_P``), and the only genuinely stateful
+    part, the robust selection rule, is a linear recurrence a
+    recursive CTE can walk. :func:`_winnow_oracle_sql` replays the
+    ENTIRE pipeline in DuckDB — UTF-8 byte decode, k-gram polynomial
+    hashes, per-window rightmost-argmin, and the (r, h[r])-carrying
+    window walk — so the exact fingerprint set, positions included,
+    is hash-pinned. The kernel itself is unchanged."""
     winnow = _winnow_kernel()
 
     d = (Catalog(spark, sf_dir).documents

@@ -142,3 +142,55 @@ def test_cms_collision_regime_not_vacuous(spark):
     assert any(r["n_est"] < r["n_worst"] for r in est), (
         "min-over-rows never beat the worst row — the d-row min "
         "machinery is doing nothing")
+
+
+def test_winnow_oracle_agrees_on_adversarial_corpus():
+    """Kernel-vs-oracle agreement on a synthetic corpus built to hit
+    every branch the shipped corpora leave vacuous (min text ~44
+    bytes there):
+
+    - docs shorter than K bytes (no rows at all),
+    - docs with 1..WIN-1 k-grams (the leftmost-argmin UNION branch),
+    - boilerplate runs of one repeated byte (maximal hash ties — the
+      robust rule's whole point),
+    - periodic text (equal-hash positions recurring at stride),
+    - multi-byte UTF-8 (encode() byte-level agreement).
+
+    No Spark needed: the mapInPandas kernel runs locally and the
+    oracle runs on a DuckDB view over the same frame."""
+    import pandas as pd
+
+    from sql_database_engine_spark.operators.text import (
+        _WINNOW_K, _WINNOW_WIN, _winnow_kernel, _winnow_oracle_sql)
+
+    docs = {
+        1: "x" * (_WINNOW_K - 1),            # < K bytes: no rows
+        2: "abcdefgh",                       # exactly K: 1 k-gram
+        3: "abcdefghij",                     # K+2: 3 k-grams < WIN
+        4: "a" * 50,                         # one long tie run
+        5: "ab" * 30,                        # period-2 ties
+        6: "the quick brown fox jumps over the lazy dog " * 3,
+        7: "héllo wörld — ünïcode bytes mültiply " * 2,  # multi-byte
+        8: "abcabcabcabcabcabcabcabcabc",    # period-3 ties
+    }
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+
+    winnow = _winnow_kernel()
+    out = pd.concat(list(winnow([pdf])))
+    truth = sorted(map(tuple, out.itertuples(index=False)))
+
+    con = duckdb.connect()
+    con.register("docs_py", pdf)
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_py")
+    got = sorted((int(a), int(b), int(c)) for a, b, c in
+                 con.sql(_winnow_oracle_sql()).fetchall())
+    assert truth == got
+
+    by_doc = {t[0] for t in truth}
+    assert 1 not in by_doc                     # sub-K branch
+    assert {2, 3} <= by_doc                    # short-doc UNION branch
+    # boilerplate density: the robust rule must pick ~1 per WIN
+    # windows on an all-ties run, not one per position.
+    n4 = sum(1 for t in truth if t[0] == 4)
+    n_windows4 = (50 - _WINNOW_K + 1) - _WINNOW_WIN + 1
+    assert n4 <= n_windows4 // _WINNOW_WIN + 1
