@@ -176,6 +176,7 @@ HEADLINE = [
     # round-5 additions (prior sets unchanged)
     "ann_ivf_staged_topk",          # probe-only IVF against staged index
     "ann_ivf_staged_append_probe",  # probe over incrementally refreshed index
+    "doc_winnowing_fingerprints",   # byte-level winnowing kernel (>2s rule)
 ]
 
 
