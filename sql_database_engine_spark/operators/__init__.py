@@ -99,6 +99,10 @@ def _driver_checked() -> set[str]:
         # demos converted to integer lanes — the r3 green row
         # verified the cosine-anchored contract, not this one.
         "ann_recall_contract",
+        # r5 vacuity audit: the r1 green row was a 0-vs-0 hash match
+        # (result empty at the gate SF); rewritten with a price
+        # threshold so both anti-join directions carry rows.
+        "join_anti",
     }
     return seen - rewritten_since_sampled
 
@@ -158,6 +162,9 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # third conversion wave: the winnowing recursive-CTE oracle
         # (never driver-sampled either — costs no first-time slots).
         "doc_winnowing_fingerprints",
+        # r5 vacuity-audit fix: re-entry whose r1 row was 0-vs-0
+        # vacuous; the rewritten non-empty form needs a real row.
+        "join_anti",
     ]
     # Flagship representatives (one per capability the judge grades
     # first-class) jump the within-family queue so they are guaranteed

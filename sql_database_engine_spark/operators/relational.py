@@ -410,15 +410,30 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    """Left-anti join (NOT EXISTS): customers with no order above
+    400,000.
+
+    Originally "customers with no orders at all" — which is EMPTY at
+    sf0.001/sf0.01 and 1 row at sf0.1 (TPC-H custkeys are nearly all
+    referenced), so its driver-green r1 row was a 0-vs-0 hash match
+    that could never catch the anti join dropping rows (the r5
+    vacuity audit, `tools/vacuity_audit.py`, flagged it — the
+    vacuous-CDC lesson applied to result cardinality). The price
+    threshold makes both directions load-bearing at every test SF
+    (sf0.001/0.01/0.1 → 20/202/1997 of 150/1500/15000 customers):
+    most customers have a qualifying order (exclusion exercised) and
+    a real minority do not (retention exercised). Same plan shape —
+    the filter pushes below the anti join's build side."""
     cat = Catalog(spark, sf_dir)
+    big = cat.orders.filter(F.col("o_totalprice") > 400000)
     return (
         cat.customer
-        .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 
