@@ -59,6 +59,16 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_anti_join_stays_anti_with_pushed_threshold(spark):
+    """The r5 de-vacuoused join_anti: still a LeftAnti join, and the
+    price threshold that makes the result non-empty at every SF is
+    pushed to the orders scan, not evaluated post-join."""
+    plan = _plan(spark, "join_anti")
+    assert "LeftAnti" in plan
+    assert any("o_totalprice" in l and ("PushedFilters" in l or "DataFilters" in l)
+               for l in plan.splitlines())
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """Catalyst's InjectRuntimeFilter must Bloom-prune the fact side
     of a shuffle join whose other side carries a selective filter.
