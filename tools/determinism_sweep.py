@@ -91,6 +91,27 @@ def main() -> int:
     names = (args.only.split(",") if args.only
              else list(operators.ordered_queries()))
 
+    def layout_probe(cpus: str, confs: dict) -> dict:
+        """Physical footprint of a layout: scan-split count for the
+        biggest fact file and the shuffle parallelism a tune()'d
+        callable actually sees. Used by the perturbation proof."""
+        os.environ["SPARK_GRAFT_CPUS"] = cpus
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            from sql_database_engine_spark.session import tune
+            tune(spark)
+            scan = spark.read.parquet(os.path.join(args.sf, "lineitem.parquet"))
+            return {
+                "scan_splits": scan.rdd.getNumPartitions(),
+                "shuffle_partitions": spark.conf.get(
+                    "spark.sql.shuffle.partitions"),
+            }
+        finally:
+            os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+            for k, v in A_CONFS.items():
+                spark.conf.set(k, v)
+
     def run(name: str, cpus: str, confs: dict):
         os.environ["SPARK_GRAFT_CPUS"] = cpus
         for k, v in confs.items():
@@ -102,9 +123,31 @@ def main() -> int:
             for k, v in A_CONFS.items():
                 spark.conf.set(k, v)
 
+    # Perturbation proof — an invariance audit whose two layouts were
+    # secretly identical would pass vacuously (the r4 vacuous-branch
+    # lesson, applied to the audit itself). Refuse to run unless the
+    # layouts demonstrably differ in physical execution.
+    proof = {"a": layout_probe(str(args.cpus), A_CONFS),
+             "b": layout_probe(B_CPUS, B_CONFS)}
+    perturbed = (proof["a"]["scan_splits"] != proof["b"]["scan_splits"]
+                 and proof["a"]["shuffle_partitions"]
+                 != proof["b"]["shuffle_partitions"])
+    print(f"perturbation proof: {json.dumps(proof)} "
+          f"-> {'OK' if perturbed else 'VACUOUS'}", flush=True)
+
     n_pass = n_fail = 0
     t_start = time.time()
     with open(jsonl_path, "w") as out:
+        out.write(json.dumps({"query": "__perturbation_proof__",
+                              **proof, "perturbed": perturbed}) + "\n")
+        out.flush()
+        if not perturbed:
+            summary = {"tag": tag, "sf": args.sf, "n_queries": 0,
+                       "n_pass": 0, "n_fail": 0,
+                       "error": "VACUOUS: layouts physically identical"}
+            with open(summary_path, "w") as f:
+                json.dump(summary, f, indent=1)
+            return 2
         for i, name in enumerate(names):
             rec: dict = {"query": name, "sf": args.sf,
                          "layouts": {"a_cpus": args.cpus, "b_cpus": B_CPUS,
