@@ -324,18 +324,21 @@ def _register_streaming() -> None:
     def stream_tumbling_counts(spark, sf_dir):
         s = es.events_stream(spark, sf_dir)
         return es.run_available_now(es.tumbling_counts(s),
-                                    "q_stream_tumbling", output_mode="complete")
+                                    "q_stream_tumbling", output_mode="complete",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_session_windows(spark, sf_dir):
         s = es.events_stream(spark, sf_dir)
         return es.run_available_now(es.session_windows(s),
-                                    "q_stream_sessions", output_mode="complete")
+                                    "q_stream_sessions", output_mode="complete",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
 
     def stream_sliding_counts(spark, sf_dir):
         s = es.events_stream(spark, sf_dir)
         return es.run_available_now(es.sliding_counts(s),
-                                    "q_stream_sliding", output_mode="complete")
+                                    "q_stream_sliding", output_mode="complete",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_dedup_events(spark, sf_dir):
         """Watermark-scoped stateful dedup on event_id, drained through
@@ -348,7 +351,8 @@ def _register_streaming() -> None:
         deduped = es.dedup_stream(s).select(
             "event_id", "user_id", "event_type", "value", "ts")
         return es.run_available_now(deduped, "q_stream_dedup",
-                                    output_mode="append")
+                                    output_mode="append",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_static_enrich(spark, sf_dir):
         """Stream-static join: the event stream enriched against the
@@ -370,7 +374,8 @@ def _register_streaming() -> None:
                          (F.sum(cents(F.col("value"))).cast("double") / 100.0)
                          .alias("total_value")))
         return es.run_available_now(enriched, "q_stream_enrich",
-                                    output_mode="complete")
+                                    output_mode="complete",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_user_event_type_sets(spark, sf_dir):
         """Per-user distinct-event-type set via custom set-valued
@@ -384,7 +389,8 @@ def _register_streaming() -> None:
         s = es.events_stream(spark, sf_dir)
         drained = es.run_available_now(user_event_type_sets(s),
                                        "q_stream_type_sets",
-                                       output_mode="update")
+                                       output_mode="update",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
         return (drained.groupBy("user_id")
                 .agg(F.max(F.struct("n_event_types", "event_types_csv"))
                      .alias("m"))
@@ -429,7 +435,8 @@ def _register_streaming() -> None:
         s = es.events_stream(spark, sf_dir)
         return es.run_available_now(es.session_intent(s),
                                     "q_stream_intent",
-                                    output_mode="complete")
+                                    output_mode="complete",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_ohlc_drain(spark, sf_dir):
         """Streaming OHLC bars drained through the incremental
@@ -440,7 +447,8 @@ def _register_streaming() -> None:
         s = es.events_stream(spark, sf_dir)
         return es.run_available_now(es.ohlc_hourly(s),
                                     "q_stream_ohlc",
-                                    output_mode="complete")
+                                    output_mode="complete",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_distinct_users_hourly(spark, sf_dir):
         """Two chained stateful operators (dedup -> windowed count)
@@ -450,23 +458,27 @@ def _register_streaming() -> None:
         s = es.events_stream(spark, sf_dir)
         return es.run_available_now(es.distinct_users_hourly(s),
                                     "q_stream_distinct_users",
-                                    output_mode="complete")
+                                    output_mode="complete",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_user_profiles(spark, sf_dir):
         from ..streaming.stateful import user_profiles
         s = es.events_stream(spark, sf_dir)
         return es.run_available_now(user_profiles(s),
-                                    "q_stream_profiles", output_mode="update")
+                                    "q_stream_profiles", output_mode="update",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_click_purchase_join(spark, sf_dir):
         s = es.events_stream(spark, sf_dir)
         return es.run_available_now(es.click_purchase_join(s),
-                                    "q_stream_cp_join", output_mode="append")
+                                    "q_stream_cp_join", output_mode="append",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_click_purchase_left_join(spark, sf_dir):
         s = es.events_stream(spark, sf_dir)
         return es.run_available_now(es.click_purchase_left_join(s),
-                                    "q_stream_cp_left", output_mode="append")
+                                    "q_stream_cp_left", output_mode="append",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_click_purchase_left_join_settled(spark, sf_dir):
         """The left-outer stream-stream join restricted to the settled
@@ -481,7 +493,8 @@ def _register_streaming() -> None:
         s = es.events_stream(spark, sf_dir)
         drained = es.run_available_now(es.click_purchase_left_join(s),
                                        "q_stream_cp_left_settled",
-                                       output_mode="append")
+                                       output_mode="append",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
         ev = load_table(spark, sf_dir, "events")
         cut = (ev.agg(F.least(
             F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
@@ -495,7 +508,8 @@ def _register_streaming() -> None:
     def stream_click_purchase_full_join(spark, sf_dir):
         s = es.events_stream(spark, sf_dir)
         return es.run_available_now(es.click_purchase_full_join(s),
-                                    "q_stream_cp_full", output_mode="append")
+                                    "q_stream_cp_full", output_mode="append",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
 
     def stream_click_purchase_full_join_settled(spark, sf_dir):
         """The FULL outer stream-stream join restricted to its settled
@@ -512,7 +526,8 @@ def _register_streaming() -> None:
         s = es.events_stream(spark, sf_dir)
         drained = es.run_available_now(es.click_purchase_full_join(s),
                                        "q_stream_cp_full_settled",
-                                       output_mode="append")
+                                       output_mode="append",
+                                    state_partitions=es.backlog_state_partitions(sf_dir))
         ev = load_table(spark, sf_dir, "events")
         cut = (ev.agg(F.least(
             F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
@@ -583,7 +598,8 @@ def _register_streaming() -> None:
 
         drained = es.run_available_now(
             es.tumbling_counts(es.events_stream(spark, sf_dir)),
-            "q_stream_hourly_topk", output_mode="complete")
+            "q_stream_hourly_topk", output_mode="complete",
+            state_partitions=es.backlog_state_partitions(sf_dir))
         rn = F.row_number().over(
             W.partitionBy("window_start")
             .orderBy(F.col("n").desc(), "event_type"))

