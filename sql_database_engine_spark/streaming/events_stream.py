@@ -35,14 +35,20 @@ from ..session import tune
 def _stream_dir(sf_dir: str) -> str:
     """The file stream source requires a *directory* to monitor; the
     testdata ships single files. Stage a symlink dir under /tmp
-    (read-only testdata must not be touched)."""
+    (read-only testdata must not be touched). A directory-shaped
+    events.parquet (the production layout) is monitored directly —
+    symlinking a directory as if it were a file would list zero
+    files and silently stream nothing."""
     import os
 
     from ..scratch import scratch_dir
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    if os.path.isdir(src):
+        return src
     d = scratch_dir("stream", sf_dir)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
+        os.symlink(src, link)
     return d
 
 
@@ -182,8 +188,13 @@ def backlog_state_partitions(sf_dir: str) -> int:
     import os
 
     from ..session import default_parallelism
+    path = os.path.join(sf_dir, "events.parquet")
     try:
-        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        if os.path.isdir(path):  # directory-shaped parquet table
+            size = sum(os.path.getsize(os.path.join(root, f))
+                       for root, _, files in os.walk(path) for f in files)
+        else:
+            size = os.path.getsize(path)
     except OSError:
         return default_parallelism()
     return max(2, min(default_parallelism(), -(-size // (8 << 20))))
