@@ -203,6 +203,19 @@ def main() -> None:
     qs["full_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     qs["flagship_revenue_by_region"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Warm the streaming machinery untimed too (state-store provider
+    # classes, micro-batch thread pools, checkpoint FS setup,
+    # streaming listener): the batch warm-up doesn't touch any of it,
+    # so the first streaming HEADLINE entry was billed ~1.5-2 s of
+    # engine spin-up the rest of the family never pays — same policy
+    # as the codegen warm-up above, applied to the other engine.
+    from sql_database_engine_spark.streaming import events_stream as _es
+    _s = _es.events_stream(spark, sf_dir)
+    _es.run_available_now(
+        _es.tumbling_counts(_s), "bench_stream_warmup",
+        output_mode="complete",
+        state_partitions=_es.backlog_state_partitions(sf_dir))
+
     # Stage the bucketed fact layout untimed: the write is the
     # once-paid exchange every co-located join then rides for free —
     # billing it to the first query would time the wrong thing.

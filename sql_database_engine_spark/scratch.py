@@ -32,6 +32,19 @@ def source_fingerprint(sf_dir: str, filename: str) -> str:
     """Cheap identity of a source file (size + mtime-ns): staging dirs
     keyed on it re-stage when testdata is regenerated IN PLACE — a
     skip-if-_SUCCESS fixture keyed on path alone would silently serve
-    stale exports against fresh sources."""
-    st = os.stat(os.path.join(sf_dir, filename))
+    stale exports against fresh sources. A directory-shaped table (the
+    production layout) fingerprints as the sum of part sizes plus the
+    newest part mtime — a bare os.stat of the directory would report
+    4096 bytes forever and miss in-place part rewrites."""
+    path = os.path.join(sf_dir, filename)
+    if os.path.isdir(path):
+        total = 0
+        newest = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                total += st.st_size
+                newest = max(newest, st.st_mtime_ns)
+        return f"{total}-{newest}"
+    st = os.stat(path)
     return f"{st.st_size}-{st.st_mtime_ns}"
