@@ -318,3 +318,64 @@ def test_stream_full_outer_join_settled_matches_batch(spark, stream):
                        for r in df.select(*cols).collect()), key=key)
 
     assert rows(got) == rows(want)
+
+
+def test_backlog_state_partitions_sizing(tmp_path, monkeypatch):
+    """The drain sizing rule: ~8 MB of backlog per state partition,
+    clamped to [2, cores]; directory-shaped tables sum their parts.
+    A stateful shuffle cannot be AQE-coalesced, so this choice is the
+    only lever against per-partition state-store commit overhead."""
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    # single file, 2 MB -> floor clamp of 2
+    sf = tmp_path / "small"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"\0" * (2 << 20))
+    assert es.backlog_state_partitions(str(sf)) == 2
+    # single file, 130 MB -> ceil(130/8) = 17
+    sf2 = tmp_path / "big"
+    sf2.mkdir()
+    with open(sf2 / "events.parquet", "wb") as f:
+        f.truncate(130 << 20)
+    assert es.backlog_state_partitions(str(sf2)) == 17
+    # 1 GB -> would be 128, clamped to cores (32)
+    sf3 = tmp_path / "huge"
+    sf3.mkdir()
+    with open(sf3 / "events.parquet", "wb") as f:
+        f.truncate(1 << 30)
+    assert es.backlog_state_partitions(str(sf3)) == 32
+    # directory-shaped: parts sum (3 x 8 MB = 24 MB -> 3)
+    sf4 = tmp_path / "dir"
+    (sf4 / "events.parquet").mkdir(parents=True)
+    for i in range(3):
+        with open(sf4 / "events.parquet" / f"part-{i}.parquet", "wb") as f:
+            f.truncate(8 << 20)
+    assert es.backlog_state_partitions(str(sf4)) == 3
+    # missing file -> safe fallback to cores
+    assert es.backlog_state_partitions(str(tmp_path / "nope")) == 32
+
+
+def test_stream_dir_monitors_directory_shaped_source(tmp_path):
+    """A directory-shaped events.parquet (the production layout) must
+    be monitored directly: symlinking a directory into the staged
+    monitor dir as if it were a file lists zero files and silently
+    streams nothing (found by the 64x-backlog experiment; the
+    fixture-shape sweep now guards the whole registry)."""
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+    (src / "part-0.parquet").write_bytes(b"x")
+    got = es._stream_dir(str(tmp_path))
+    assert got == str(src)
+
+
+def test_fingerprint_walks_directory_sources(tmp_path):
+    """source_fingerprint on a directory-shaped table reflects part
+    content (sum of sizes), not the directory inode's constant 4096."""
+    from sql_database_engine_spark.scratch import source_fingerprint
+    d = tmp_path / "orders.parquet"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"\0" * 100)
+    fp1 = source_fingerprint(str(tmp_path), "orders.parquet")
+    (d / "b.parquet").write_bytes(b"\0" * 50)
+    fp2 = source_fingerprint(str(tmp_path), "orders.parquet")
+    assert fp1 != fp2
+    assert fp2.startswith("150-")
