@@ -568,14 +568,19 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER w AS pr,
            cume_dist() OVER w AS cd
     FROM part
-    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    WINDOW w AS (PARTITION BY p_brand
+                 ORDER BY p_retailprice NULLS LAST, p_partkey)
     """,
 )
 def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist: distribution position within brand.
-    Both are exact rational divisions of ranks — deterministic."""
+    Both are exact rational divisions of ranks — deterministic.
+    Unpriced parts take the top distribution positions (explicit
+    NULLS LAST on both engines; Spark's ASC default is NULLS FIRST,
+    DuckDB's NULLS LAST — the null_sweep audit class)."""
     p = Catalog(spark, sf_dir).part
-    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc_nulls_last(), "p_partkey")
     return p.select(
         "p_brand", "p_partkey",
         F.percent_rank().over(w).alias("pr"),
@@ -846,7 +851,7 @@ def corr_value_hour_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY l_extendedprice, l_orderkey,
                                            l_linenumber) AS rn,
                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        FROM lineitem
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
     )
     SELECT l_returnflag,
            MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
@@ -876,8 +881,15 @@ def sketch_percentile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mergeable partials, fixed memory). Registering both keeps the
     cheap path honest against the exact one at every SF the driver
     runs.
+
+    Null prices are excluded before ranking on both engines —
+    approx_percentile already ignores nulls in both, so the exact
+    side must rank observed values only or n drifts; the group join
+    is null-safe so a NULL returnflag group survives (a plain
+    equi-join drops null keys — the null_sweep audit class).
     """
-    li = Catalog(spark, sf_dir).lineitem
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.col("l_extendedprice").isNotNull())
     cents_p = F.round(F.col("l_extendedprice") * 100).cast("long")
     wr = W.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber")
@@ -892,10 +904,11 @@ def sketch_percentile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("cents"))).alias("exact_p50_cents"),
         F.max(F.when(F.col("rn") == F.ceil(0.90 * F.col("n")),
                      F.col("cents"))).alias("exact_p90_cents"))
-    approx = li.groupBy("l_returnflag").agg(
+    approx = li.groupBy(F.col("l_returnflag").alias("rf2")).agg(
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
         .alias("ap"))
-    j = exact.join(approx, "l_returnflag")
+    j = exact.join(approx,
+                   F.col("l_returnflag").eqNullSafe(F.col("rf2")))
     def within(est, exact_cents):
         drift = F.abs(F.round(est * 100).cast("long") - exact_cents)
         return (drift.cast("double") <= 0.01 * exact_cents.cast("double")) \
@@ -1525,7 +1538,7 @@ def conversion_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY l_quantity, l_orderkey,
                                            l_linenumber) AS rn,
                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        FROM lineitem
+        FROM lineitem WHERE l_quantity IS NOT NULL
     ), pos AS (
         SELECT l_returnflag, l_quantity, rn, n,
                0.5e0 * (n - 1) AS p50, 0.9e0 * (n - 1) AS p90
@@ -1558,9 +1571,13 @@ def percentile_cont_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank + one hash aggregate, same plan family as
     ``percentile_exact_quantity``. When the position is integral the
     upper term is absent (COALESCE 0), matching PERCENTILE_CONT
-    exactly.
+    exactly. Null quantities are excluded before ranking on both
+    engines — SQL-standard PERCENTILE_CONT ignores nulls, and leaving
+    them in puts them at opposite ends of the two engines' default
+    sort orders (the null_sweep audit class).
     """
-    li = Catalog(spark, sf_dir).lineitem
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.col("l_quantity").isNotNull())
     wr = W.partitionBy("l_returnflag").orderBy(
         "l_quantity", "l_orderkey", "l_linenumber")
     wn = W.partitionBy("l_returnflag")
@@ -1596,7 +1613,7 @@ def percentile_cont_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
                NTILE(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100)
                                              AS BIGINT), o_orderkey) AS b
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT b AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -1614,9 +1631,13 @@ def equidepth_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic total order; bounds come from the per-bucket
     min/max in the same pass. The global sort is the one inherent
     cost — at table scale this becomes rank-against-broadcast-KLL-
-    cutpoints (the RFM pattern), same output contract.
+    cutpoints (the RFM pattern), same output contract. Null prices
+    are excluded on both engines — a histogram describes observed
+    values, and unfiltered nulls land at opposite sort ends of the
+    two engines' defaults.
     """
-    o = Catalog(spark, sf_dir).orders
+    o = Catalog(spark, sf_dir).orders.filter(
+        F.col("o_totalprice").isNotNull())
     from ..functions.exact import cents as cents_
     t = o.select(cents_(F.col("o_totalprice")).alias("cents"), "o_orderkey")
     b = F.ntile(10).over(W.orderBy("cents", "o_orderkey"))
@@ -1642,6 +1663,7 @@ def equidepth_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(l_quantity AS BIGINT)) OVER (
                    PARTITION BY l_returnflag) AS tw
         FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     )
     SELECT l_returnflag,
            CAST(MAX(tw) AS BIGINT) AS total_weight,
@@ -1659,9 +1681,13 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact integer inequality 2*cw >= tw — no division, no
     interpolation, bit-reproducible. One keyed window pass computes
     both cumulative and total weights; the pick is a conditional MIN
-    in an ordinary aggregate.
+    in an ordinary aggregate. Only fully-observed (price, weight)
+    pairs participate, on both engines — a null price cannot be a
+    median candidate and a null weight contributes no volume.
     """
-    li = Catalog(spark, sf_dir).lineitem
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull())
     from ..functions.exact import cents as cents_
     c = cents_(F.col("l_extendedprice"))
     wo = (W.partitionBy("l_returnflag")
@@ -1690,7 +1716,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT),
                             l_orderkey, l_linenumber) AS rn,
                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        FROM lineitem
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
     )
     SELECT l_returnflag,
            CAST(COUNT(*) FILTER (rn > n // 10 AND rn <= n - n // 10)
@@ -1709,9 +1735,11 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rank cuts in a deterministic total order), average the
     rest under the exact-money policy. One keyed window pass for
     ranks, conditional integer sums, a single trailing double
-    division chain.
+    division chain. Null prices are excluded on both engines — the
+    trim cuts are rank positions over observed values only.
     """
-    li = Catalog(spark, sf_dir).lineitem
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.col("l_extendedprice").isNotNull())
     from ..functions.exact import cents as cents_
     c = cents_(F.col("l_extendedprice"))
     wo = W.partitionBy("l_returnflag").orderBy(c, "l_orderkey",
@@ -1885,7 +1913,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
-        FROM lineitem
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
     ), mm AS (
         SELECT MIN(c) AS lo, MAX(c) AS hi,
                CAST(COUNT(*) AS BIGINT) AS n FROM v
@@ -1931,12 +1959,14 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle cross-checks with the naive global ROW_NUMBER pick;
     cents-integer arithmetic end to end (exact.py policy), and the
     rank-r order statistic is a unique value, so both formulations
-    agree bit-for-bit.
+    agree bit-for-bit. Null prices are excluded on both engines —
+    the median is an order statistic over observed values.
     """
     li = Catalog(spark, sf_dir).lineitem
     from ..functions.exact import cents
 
-    v = li.select(cents(F.col("l_extendedprice")).alias("c"))
+    v = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        cents(F.col("l_extendedprice")).alias("c"))
     # The 1-row stats aggregate is referenced by the bucketing of both
     # downstream passes; a lazy checkpoint computes it once (at 100 TB
     # min/max/count come free from parquet footer statistics, making

@@ -478,7 +478,7 @@ def events_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
         SELECT event_type, event_id,
                CAST(ROUND(value * 100) AS BIGINT) AS x
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), r AS (
         SELECT event_type, x,
                ROW_NUMBER() OVER (PARTITION BY event_type
@@ -501,7 +501,7 @@ def events_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(t.hi AS DOUBLE) / 100.0 AS DOUBLE) AS p95_value,
            CAST(CAST(SUM(GREATEST(t.lo, LEAST(t.hi, c.x))) AS BIGINT)
                 AS DOUBLE) / 100.0 AS winsorized_total
-    FROM c JOIN thr t ON c.event_type = t.event_type
+    FROM c JOIN thr t ON c.event_type IS NOT DISTINCT FROM t.event_type
     GROUP BY c.event_type, t.lo, t.hi
     """,
 )
@@ -518,8 +518,14 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended to order statistics. One shuffle for the rank window;
     the per-type thresholds re-join by broadcast; the clipped sum is
     an exact integer aggregate.
+
+    Null semantics (null_sweep audit): rows with a null value are
+    excluded on both engines — clipping is defined over observed
+    values — and the threshold re-join is NULL-SAFE so a null
+    event_type still forms a winsorized group instead of silently
+    vanishing through an equi-join.
     """
-    ev = Catalog(spark, sf_dir).events
+    ev = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
     c = ev.select(
         "event_type", "event_id",
         F.round(F.col("value") * 100).cast("long").alias("x"))
@@ -529,12 +535,13 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w.orderBy("x", "event_id")).alias("rn"),
         F.count(F.lit(1)).over(w).alias("n"))
     k = lambda p: F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1
-    thr = r.groupBy("event_type").agg(
+    thr = r.groupBy(F.col("event_type").alias("et2")).agg(
         F.min(F.when(F.col("rn") == k(0.05), F.col("x"))).alias("lo"),
         F.min(F.when(F.col("rn") == k(0.95), F.col("x"))).alias("hi"))
     clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("x")))
     return (
-        c.join(F.broadcast(thr), "event_type")
+        c.join(F.broadcast(thr),
+               F.col("event_type").eqNullSafe(F.col("et2")))
         .groupBy("event_type", "lo", "hi")
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum((F.col("x") < F.col("lo")).cast("long")).alias("n_clipped_low"),
@@ -553,7 +560,7 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
         SELECT event_type, event_id,
                CAST(ROUND(value * 100) AS BIGINT) AS x
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), r1 AS (
         SELECT event_type, x,
                ROW_NUMBER() OVER (PARTITION BY event_type
@@ -567,7 +574,8 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r1 GROUP BY event_type
     ), dev AS (
         SELECT c.event_type, c.x, ABS(c.x - m.med) AS d, c.event_id, m.med
-        FROM c JOIN med m USING (event_type)
+        FROM c JOIN med m
+          ON c.event_type IS NOT DISTINCT FROM m.event_type
     ), r2 AS (
         SELECT event_type, x, d, med,
                ROW_NUMBER() OVER (PARTITION BY event_type
@@ -587,7 +595,8 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT_IF(d.d > 3 * m.mad) AS BIGINT) AS n_outliers,
            CAST(COUNT_IF(d.d > 3 * m.mad) AS DOUBLE) / COUNT(*)
                AS outlier_ratio
-    FROM dev d JOIN mad m USING (event_type)
+    FROM dev d JOIN mad m
+      ON d.event_type IS NOT DISTINCT FROM m.event_type
     GROUP BY d.event_type
     """,
 )
@@ -607,8 +616,12 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the two sorted windows per type are the cost — the
     sketch-based alternative (KLL median) drops in when exactness is
     traded for one pass.
+
+    Null semantics (null_sweep audit): null values are excluded on
+    both engines (the fence is over observed values); both broadcast
+    re-joins are NULL-SAFE so a null event_type keeps its group.
     """
-    ev = Catalog(spark, sf_dir).events
+    ev = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
     c = ev.select("event_type", "event_id",
                   F.round(F.col("value") * 100).cast("long").alias("x"))
     w = W.partitionBy("event_type")
@@ -616,19 +629,21 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = c.select("event_type", "x",
                   F.row_number().over(w.orderBy("x", "event_id")).alias("rn"),
                   F.count(F.lit(1)).over(w).alias("n"))
-    med = r1.groupBy("event_type").agg(
+    med = r1.groupBy(F.col("event_type").alias("et_m")).agg(
         F.min(F.when(F.col("rn") == k(0.5), F.col("x"))).alias("med"))
-    dev = (c.join(F.broadcast(med), "event_type")
+    dev = (c.join(F.broadcast(med),
+                  F.col("event_type").eqNullSafe(F.col("et_m")))
            .select("event_type", "event_id", "x", "med",
                    F.abs(F.col("x") - F.col("med")).alias("d")))
     r2 = dev.select("event_type", "d",
                     F.row_number().over(w.orderBy("d", "event_id"))
                     .alias("rn"),
                     F.count(F.lit(1)).over(w).alias("n"))
-    mad = r2.groupBy("event_type").agg(
+    mad = r2.groupBy(F.col("event_type").alias("et_d")).agg(
         F.min(F.when(F.col("rn") == k(0.5), F.col("d"))).alias("mad"))
     out = (F.col("d") > 3 * F.col("mad")).cast("long")
-    return (dev.join(F.broadcast(mad), "event_type")
+    return (dev.join(F.broadcast(mad),
+                     F.col("event_type").eqNullSafe(F.col("et_d")))
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  (F.max("med").cast("double") / 100.0).alias("median_value"),

@@ -249,7 +249,7 @@ def hll_rollup_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY date_trunc('week', ts)
                                   ORDER BY value) AS rn,
                COUNT(*) OVER (PARTITION BY date_trunc('week', ts)) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT week,
            CAST(n AS BIGINT) AS n_values,
@@ -282,9 +282,11 @@ def kll_merge_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     error at ~1.65% with 99% confidence, so 5% is >3x the bound; the
     sketch estimate itself (whose retained-item choice may vary with
     merge order) is asserted, not emitted, keeping the output
-    deterministic.
+    deterministic. Null values are excluded on both engines — KLL
+    sketches aggregate observed doubles and a quantile is an order
+    statistic over observed values (the null_sweep audit class).
     """
-    e = Catalog(spark, sf_dir).events
+    e = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
     from pyspark.sql import Window as W
 
     wk = F.date_trunc("week", "ts").cast("date")

@@ -6,6 +6,16 @@ partitions; every window here partitions on a real entity key
 100 TB. All ORDER BYs include a unique tiebreaker column — without a
 total order, distributed window results are nondeterministic.
 
+Null ordering is EXPLICIT on every nullable ordering column, on both
+the Spark side and the DuckDB oracle: Spark's ASC default is NULLS
+FIRST while DuckDB/Postgres default to NULLS LAST, so any window
+ordered by a nullable column silently diverges between engines the
+moment real data (which has nulls) arrives — the null_sweep audit
+found exactly this on the shipped null-free fixtures' null-injected
+replica. Policy: missing values sort AFTER present ones regardless
+of direction (``asc_nulls_last`` / ``desc_nulls_last`` / SQL
+``NULLS LAST``).
+
 Running sums over double measures use integer-cents accumulation
 (exact, order-independent within the frame) — see ``functions.exact``.
 """
@@ -29,20 +39,23 @@ from .timeseries import (_DAILY_REVENUE_SQL,  # noqa: F401
                AS running_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer cumulative spend over order history."""
+    """Per-customer cumulative spend over order history. Orders with
+    an unknown date sort after dated ones (explicit NULLS LAST both
+    engines)."""
     o = Catalog(spark, sf_dir).orders
+    odate = F.col("o_orderdate").asc_nulls_last()
     w = (W.partitionBy("o_custkey")
-         .orderBy("o_orderdate", "o_orderkey")
+         .orderBy(odate, "o_orderkey")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     return o.select(
         "o_custkey", "o_orderkey", "o_orderdate",
         F.row_number().over(
-            W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            W.partitionBy("o_custkey").orderBy(odate, "o_orderkey")
         ).cast("long").alias("order_idx"),
         (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
          .cast("double") / 100.0).alias("running_spend"),
@@ -58,13 +71,16 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day',
                 LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-order gaps per customer via lag/lead."""
+    """Inter-order gaps per customer via lag/lead. Undated orders
+    sort last (explicit NULLS LAST both engines)."""
     o = Catalog(spark, sf_dir).orders
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
     prev = F.lag("o_orderdate").over(w)
     return o.select(
         "o_custkey", "o_orderkey", "o_orderdate",
@@ -81,17 +97,22 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(RANK()       OVER w AS BIGINT) AS price_rank,
            CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
            CAST(NTILE(4) OVER (PARTITION BY p_brand
-                               ORDER BY p_retailprice, p_partkey) AS BIGINT)
+                               ORDER BY p_retailprice NULLS LAST, p_partkey)
+                AS BIGINT)
                AS price_quartile
     FROM part
-    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    WINDOW w AS (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC NULLS LAST, p_partkey)
     """,
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile within brand by price."""
+    """rank / dense_rank / ntile within brand by price. Unpriced
+    parts rank last in both directions (explicit NULLS LAST)."""
     p = Catalog(spark, sf_dir).part
-    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
-    wq = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc_nulls_last(), "p_partkey")
+    wq = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc_nulls_last(), "p_partkey")
     return p.select(
         "p_brand", "p_partkey", "p_retailprice",
         F.rank().over(w).cast("long").alias("price_rank"),
@@ -109,16 +130,18 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER (PARTITION BY l_suppkey) AS BIGINT) AS supp_items
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate NULLS LAST, l_orderkey, l_linenumber
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def window_first_last_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit ROWS frame with first/last over a supplier's ship
-    history, plus an unbounded partition count."""
+    history, plus an unbounded partition count. Unshipped lines sort
+    last (explicit NULLS LAST both engines)."""
     li = Catalog(spark, sf_dir).lineitem
     w = (W.partitionBy("l_suppkey")
-         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .orderBy(F.col("l_shipdate").asc_nulls_last(),
+                  "l_orderkey", "l_linenumber")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     return li.select(
         "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
