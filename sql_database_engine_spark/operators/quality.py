@@ -546,9 +546,14 @@ def score_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = Catalog(spark, sf_dir).documents
+    # Label nulls are NEGATIVES (coalesce 0), matching the oracle's
+    # CASE ELSE 0: a bare (lang == 'en') cast yields NULL for a null
+    # lang, and a score group that is ALL null-label then sums to a
+    # NULL k1 that silently drops the group (null_sweep audit class).
     s = (d.filter(F.col("n_chars").isNotNull())
          .select(F.col("n_chars").alias("score"),
-                 (F.col("lang") == "en").cast("long").alias("is_pos")))
+                 F.coalesce((F.col("lang") == "en").cast("long"),
+                            F.lit(0)).alias("is_pos")))
     pv = s.groupBy("score").agg(F.count(F.lit(1)).alias("k"),
                                 F.sum("is_pos").alias("k1"))
     w = W.orderBy("score")

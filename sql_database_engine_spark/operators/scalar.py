@@ -25,7 +25,8 @@ from . import query
            CAST(length(p_name) AS BIGINT) AS name_len,
            substring(p_type, 1, 5) AS type_prefix,
            concat_ws('|', p_brand, p_type) AS brand_type,
-           split_part(p_type, ' ', 1) AS type_first_word,
+           CASE WHEN p_type IS NULL THEN NULL
+                ELSE split_part(p_type, ' ', 1) END AS type_first_word,
            replace(p_name, ' ', '_') AS name_snake,
            trim(p_name) AS name_trim,
            CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS has_gold,
@@ -34,7 +35,11 @@ from . import query
     """,
 )
 def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function battery over part."""
+    """String function battery over part. Null alignment: DuckDB's
+    ``split_part`` returns '' on NULL input where Spark's
+    split+getItem returns NULL (the SQL null-in/null-out norm), so
+    the oracle guards it with an explicit CASE; concat_ws skips null
+    arguments identically in both engines."""
     p = Catalog(spark, sf_dir).part
     return p.select(
         "p_partkey",
@@ -330,7 +335,8 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(*) FILTER (l_quantity = 25) AS BIGINT)
+           CAST(COUNT(*) FILTER (l_quantity = 25 OR l_quantity IS NULL
+                                 OR l_extendedprice IS NULL) AS BIGINT)
                AS n_null_division,
            CAST(SUM(CASE WHEN l_quantity <> 25 THEN
                  CAST(ROUND(l_extendedprice / (l_quantity - 25) * 100)
@@ -348,7 +354,10 @@ def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL counts and the surviving ratios are aggregated under the
     exact-money policy. The oracle computes the identical result with
     an explicit CASE guard — pinning that try_divide nulls precisely
-    the rows the guard excludes, nothing more.
+    the rows the guard excludes, nothing more. The null count folds
+    in missing inputs too: try_divide(NULL, x) and try_divide(x,
+    NULL) are NULL, so the oracle's filter names all three sources
+    (zero divisor, null dividend, null divisor) explicitly.
     """
     li = Catalog(spark, sf_dir).lineitem
     ratio = F.try_divide(F.col("l_extendedprice"),

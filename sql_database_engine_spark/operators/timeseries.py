@@ -19,13 +19,21 @@ _DAILY_REVENUE_SQL = """daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
                CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
                    AS y
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )"""
 
 
 def _daily_revenue(cat: Catalog) -> DataFrame:
-    """Spark twin of ``_DAILY_REVENUE_SQL``."""
+    """Spark twin of ``_DAILY_REVENUE_SQL``.
+
+    A calendar series has no "unknown day": undated orders are
+    excluded on both engines, otherwise the NULL date forms a series
+    point that every ordered walk (lag/delta/ACF/STL) places at
+    opposite ends of the two engines' default sort orders
+    (null_sweep audit class). Days whose every price is null keep a
+    NULL y consistently in both engines (SUM skips nulls)."""
     return (cat.orders
+            .filter(F.col("o_orderdate").isNotNull())
             .groupBy(F.col("o_orderdate").cast("date").alias("d"))
             .agg(F.sum(F.round(F.col("o_totalprice")).cast("long"))
                  .alias("y")))
@@ -464,6 +472,7 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH li AS (
         SELECT o_orderdate, l_shipdate
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate IS NOT NULL
     ), deltas AS (
         SELECT o_orderdate AS d,
                CAST(COUNT(*) AS BIGINT) AS n_ordered,
@@ -472,7 +481,7 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT l_shipdate AS d,
                CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
-        FROM li GROUP BY l_shipdate
+        FROM li WHERE l_shipdate IS NOT NULL GROUP BY l_shipdate
     ), daily AS (
         SELECT d, CAST(SUM(n_ordered) AS BIGINT) AS n_ordered,
                CAST(SUM(n_shipped) AS BIGINT) AS n_shipped
@@ -500,15 +509,24 @@ def open_lines_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, the one case where a partition-less window is the right
     call (same argument as gapfill's date spine). The interval start
     rides a broadcast-joined orders date onto each line.
+
+    Null semantics (null_sweep audit): an interval with an unknown
+    START cannot enter a time sweep — lines whose order date is null
+    are excluded on both engines. A null SHIP date means "not yet
+    shipped": the line opens normally and simply never closes, so it
+    stays in n_open forever — the sweep-line reading of a missing
+    end bound, identical on both engines by construction.
     """
     cat = Catalog(spark, sf_dir)
     li = (cat.lineitem.select("l_orderkey", "l_shipdate")
           .join(cat.orders.select("o_orderkey", "o_orderdate"),
-                F.col("l_orderkey") == F.col("o_orderkey")))
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .filter(F.col("o_orderdate").isNotNull()))
     opens = li.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).alias("n_ordered"))
-    ships = li.groupBy(F.col("l_shipdate").alias("d")).agg(
-        F.count(F.lit(1)).alias("n_shipped"))
+    ships = (li.filter(F.col("l_shipdate").isNotNull())
+             .groupBy(F.col("l_shipdate").alias("d")).agg(
+                 F.count(F.lit(1)).alias("n_shipped")))
     daily = (opens.join(ships, "d", "full")
              .select("d",
                      F.coalesce("n_ordered", F.lit(0)).alias("n_ordered"),
@@ -940,7 +958,8 @@ def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type || '>' || e2 || '>' || e3 AS path,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM seq WHERE e3 IS NOT NULL
+    FROM seq WHERE event_type IS NOT NULL
+      AND e2 IS NOT NULL AND e3 IS NOT NULL
     GROUP BY 1 ORDER BY n DESC, path LIMIT 20
     """,
 )
@@ -951,6 +970,14 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass per user (two leads share the partition/order), a hash
     aggregate keyed by the |types|^3-bounded path string, and a
     TakeOrdered top-20 — never a global sort.
+
+    Null semantics (null_sweep audit): a trigram requires three
+    OBSERVED steps, so windows containing a null event_type are
+    dropped on both engines — without the explicit three-way filter,
+    Spark's null-skipping concat_ws silently collapses ``a>NULL>c``
+    into the bigram ``a>c`` while the oracle's ``||`` nulls the whole
+    path. Null-typed rows still occupy sequence positions (the lead
+    offsets hop over them identically in both engines).
     """
     ev = Catalog(spark, sf_dir).events
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -958,7 +985,9 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"))
-    return (seq.filter(F.col("e3").isNotNull())
+    return (seq.filter(F.col("event_type").isNotNull()
+                       & F.col("e2").isNotNull()
+                       & F.col("e3").isNotNull())
             .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
             .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "path").limit(20))
@@ -1225,7 +1254,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                    // 3600000000 AS hx,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                    AS cents
-        FROM events GROUP BY 1
+        FROM events WHERE value IS NOT NULL GROUP BY 1
     ), based0 AS (
         SELECT hx, cents, (hx - MIN(hx) OVER ()) // 10 AS b FROM hourly
     ), based AS (
@@ -1277,9 +1306,15 @@ def lttb_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket id -> one bucket-partitioned window. Scale: buckets are
     time-arithmetic (no global sort); the series itself is already
     calendar-bounded.
+
+    Null semantics (null_sweep audit): null values are excluded
+    before the hourly rollup on both engines — an hour whose every
+    event value is null would otherwise carry a NULL series point
+    whose NULL triangle score sorts to opposite ends of the two
+    engines' default orders.
     """
     from ..functions.exact import cents as cents_
-    ev = Catalog(spark, sf_dir).events
+    ev = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
     hourly = (ev.withColumn(
         "hx", F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000"))
         .groupBy("hx")
@@ -2546,7 +2581,7 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(o_orderdate AS DATE) AS d,
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), idx AS (
         SELECT d, cents,
                ROW_NUMBER() OVER (ORDER BY d) - 1 AS i,
@@ -2598,8 +2633,15 @@ def bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     at a year of days), never touching the fact table again after
     the one daily rollup — bootstrap cost is independent of order
     volume. The rank walk runs over B rows.
+
+    Null semantics (null_sweep audit): undated orders are excluded
+    on both engines — the resample index space is a function of the
+    day ORDERING, and a NULL day sits at opposite ends of the two
+    engines' defaults. Days whose every price is null keep a NULL
+    cents consistently (SUM skips nulls in both).
     """
-    o = Catalog(spark, sf_dir).orders
+    o = Catalog(spark, sf_dir).orders.filter(
+        F.col("o_orderdate").isNotNull())
     days = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
                        .cast("long")).alias("cents")))
@@ -2647,11 +2689,13 @@ def bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(o.o_orderdate AS DATE) AS open_day,
                CAST(MAX(l.l_shipdate) AS DATE) + 1 AS close_day
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate IS NOT NULL
         GROUP BY o.o_orderkey, o.o_orderdate
     ), b AS (
         SELECT open_day AS day, 1 AS d FROM lifecycle
         UNION ALL
         SELECT close_day AS day, -1 AS d FROM lifecycle
+        WHERE close_day IS NOT NULL
     ), g AS (
         SELECT day, SUM(d) AS delta,
                SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_opened,
@@ -2682,9 +2726,18 @@ def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     read from the bucketed layout), then day-grain rows — thousands
     of rows regardless of order volume; the ordered walk is the
     two-level prefix sum at cluster scale.
+
+    Null semantics (null_sweep audit): undated orders cannot enter
+    the sweep and are excluded; an order whose every line has a null
+    ship date has no observed close — it opens normally and stays in
+    the backlog forever (its close boundary is dropped on both
+    engines), the sweep-line reading of a missing end bound. MAX
+    skips null ship dates identically in both engines, so a
+    partially-shipped order closes after its last OBSERVED ship.
     """
     cat = Catalog(spark, sf_dir)
-    o, li = cat.orders, cat.lineitem
+    o, li = cat.orders.filter(F.col("o_orderdate").isNotNull()), \
+        cat.lineitem
     lifecycle = (o.join(li, o.o_orderkey == li.l_orderkey)
                  .groupBy("o_orderkey",
                           F.col("o_orderdate").cast("date")
@@ -2695,7 +2748,8 @@ def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("open_day").alias("day"), F.lit(1).alias("d")),
         F.struct(F.col("close_day").alias("day"),
                  F.lit(-1).alias("d")))).alias("bd")) \
-        .select("bd.day", "bd.d")
+        .select("bd.day", "bd.d") \
+        .filter(F.col("day").isNotNull())
     g = (b.groupBy("day")
          .agg(F.sum("d").alias("delta"),
               F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
