@@ -600,9 +600,13 @@ def _register_streaming() -> None:
             es.tumbling_counts(es.events_stream(spark, sf_dir)),
             "q_stream_hourly_topk", output_mode="complete",
             state_partitions=es.backlog_state_partitions(sf_dir))
+        # Explicit NULLS LAST on the tiebreak: a null event_type
+        # bucket otherwise wins ties in Spark (ASC defaults NULLS
+        # FIRST) and loses them in the oracle (null_sweep audit).
         rn = F.row_number().over(
             W.partitionBy("window_start")
-            .orderBy(F.col("n").desc(), "event_type"))
+            .orderBy(F.col("n").desc(),
+                     F.col("event_type").asc_nulls_last()))
         return (drained.withColumn("rn", rn)
                 .filter(F.col("rn") <= 2)
                 .select("window_start", "event_type", "n",
@@ -688,7 +692,8 @@ def _register_streaming() -> None:
     ), ranked AS (
         SELECT window_start, event_type, n,
                ROW_NUMBER() OVER (PARTITION BY window_start
-                                  ORDER BY n DESC, event_type) AS rank
+                                  ORDER BY n DESC, event_type NULLS LAST)
+                   AS rank
         FROM hourly
     )
     SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank

@@ -417,9 +417,9 @@ def sql_api_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_column_ops",
     oracle="""
     WITH per_type AS (
-        SELECT user_id, event_type,
+        SELECT user_id, COALESCE(event_type, '(unknown)') AS event_type,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     )
     SELECT user_id,
            string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
@@ -437,9 +437,18 @@ def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattened to deterministic strings on output (entry order pinned
     by sort_array at build time) so the result is hashable and gets a
     full DuckDB oracle; the intermediate columns exercise the real
-    MapType operators."""
-    ev = Catalog(spark, sf_dir).events
-    per_type = (ev.groupBy("user_id", "event_type")
+    MapType operators.
+
+    Null semantics (null_sweep audit): a map cannot hold a NULL key —
+    map_from_entries throws NULL_MAP_KEY — so a missing event_type
+    becomes the explicit '(unknown)' bucket on both engines; events
+    with a missing value are excluded (the map holds observed value
+    totals; a NULL map value also desyncs the two engines' string
+    flattening, concat_ws skipping it where || nulls the element)."""
+    ev = Catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    per_type = (ev.groupBy("user_id",
+                           F.coalesce("event_type", F.lit("(unknown)"))
+                           .alias("event_type"))
                 .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")))
     mapped = (per_type.groupBy("user_id")
               .agg(F.map_from_entries(
@@ -1123,6 +1132,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(p_size AS BIGINT) AS size,
                p_partkey
         FROM part
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
     ), scanned AS (
         SELECT price_cents, size,
                max(size) OVER (ORDER BY price_cents
@@ -1156,8 +1166,14 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition first (local skyline then merge, the standard
     distributed skyline refinement) without changing semantics; the
     window state is a single running max either way.
+
+    Null semantics (null_sweep audit): a skyline point needs BOTH
+    coordinates observed — a null price cannot be ordered against
+    the sweep and a null size can neither dominate nor be dominated
+    — so partially-observed parts are excluded on both engines.
     """
-    p = Catalog(spark, sf_dir).part
+    p = Catalog(spark, sf_dir).part.filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
     pts = p.select(
         F.round(F.col("p_retailprice") * 100).cast("long")
         .alias("price_cents"),
@@ -2689,6 +2705,7 @@ def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), brand_votes AS (
         SELECT p.p_name, p.p_brand, CAST(COUNT(*) AS BIGINT) AS c
         FROM part p JOIN grp g ON g.p_name = p.p_name
+        WHERE p.p_brand IS NOT NULL
         GROUP BY p.p_name, p.p_brand
     ), brand_pick AS (
         SELECT p_name, p_brand AS survivor_brand FROM (
@@ -2710,7 +2727,7 @@ def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            b.survivor_brand, f.best_price_cents, f.max_size
     FROM fields f
     JOIN grp g ON g.p_name = f.p_name
-    JOIN brand_pick b ON b.p_name = f.p_name
+    LEFT JOIN brand_pick b ON b.p_name = f.p_name
     ORDER BY f.p_name
     """,
 )
@@ -2730,6 +2747,13 @@ def golden_record_survivorship(spark: SparkSession,
     count feeds a struct-argmax-shaped pick, one fused field
     aggregate computes the rest — group-keyed shuffles only, and
     the vote relation is bounded by (groups × brands present).
+
+    Null semantics (null_sweep audit): survivorship prefers OBSERVED
+    values — null brands cast no vote (a NULL vote row otherwise
+    wins mode ties in Spark's struct-min while losing them under the
+    oracle's NULLS-LAST rank), and a group with no observed brand
+    keeps a null survivor_brand through the LEFT join. MIN/MAX field
+    rules skip nulls identically in both engines already.
     """
     from pyspark.sql import Window as W
 
@@ -2738,8 +2762,9 @@ def golden_record_survivorship(spark: SparkSession,
            .filter(F.col("n_records") > 1))
     dups = p.join(F.broadcast(grp.select("p_name")), "p_name")
     dups = dups.localCheckpoint(eager=False)  # feeds votes + fields
-    votes = dups.groupBy("p_name", "p_brand").agg(
-        F.count(F.lit(1)).alias("c"))
+    votes = (dups.filter(F.col("p_brand").isNotNull())
+             .groupBy("p_name", "p_brand").agg(
+                 F.count(F.lit(1)).alias("c")))
     pick = (votes.groupBy("p_name")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"),
                                 F.col("p_brand").alias("b"))).alias("s"))
@@ -2751,7 +2776,7 @@ def golden_record_survivorship(spark: SparkSession,
         F.max("p_size").cast("long").alias("max_size"))
     return (fields
             .join(grp, "p_name")
-            .join(pick, "p_name")
+            .join(pick, "p_name", "left")
             .select("p_name", "n_records", "survivor_key",
                     "survivor_brand", "best_price_cents", "max_size")
             .orderBy("p_name"))

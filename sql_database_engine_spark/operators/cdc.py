@@ -261,11 +261,17 @@ def ivm_append_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit("1999-01-01").cast("timestamp")
     from ..scratch import scratch_dir
     scratch = scratch_dir("ivm", sf_dir)
+    # The delta region is the COMPLEMENT of the base predicate, not
+    # its naive negation: `>= split` alone strands null-dated orders
+    # in NEITHER region and the maintained view silently loses them
+    # (null_sweep audit — 42 rows vanished at sf0.001). Base ∪ delta
+    # must partition the table.
     base = (o.filter(F.col("o_orderdate") < split)
             .join(c, o.o_custkey == c.c_custkey).select(*cols))
     base.write.mode("overwrite").parquet(scratch)
     stored = spark.read.parquet(scratch)
-    delta = (o.filter(F.col("o_orderdate") >= split)
+    delta = (o.filter((F.col("o_orderdate") >= split)
+                      | F.col("o_orderdate").isNull())
              .join(c, o.o_custkey == c.c_custkey).select(*cols))
     return stored.unionByName(delta)
 
@@ -307,10 +313,13 @@ def ivm_append_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(cents(F.col("o_totalprice"))).alias("cents"))
 
+    # Complement split (see ivm_append_join_view): null-dated orders
+    # belong to the delta region, not to neither.
     partials(o.filter(F.col("o_orderdate") < split)) \
         .write.mode("overwrite").parquet(scratch)
     stored = spark.read.parquet(scratch)
-    delta = partials(o.filter(F.col("o_orderdate") >= split))
+    delta = partials(o.filter((F.col("o_orderdate") >= split)
+                              | F.col("o_orderdate").isNull()))
     return (stored.unionByName(delta)
             .groupBy("o_orderpriority")
             .agg(F.sum("n_orders").alias("n_orders"),
@@ -373,11 +382,18 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(1).alias("tag")))
     w = (W.partitionBy("user_id").orderBy("ts", "tag", "oid")
          .rowsBetween(W.unboundedPreceding, 0))
+    # Carry the version as ONE struct, nulled on fact rows: separate
+    # per-column last(ignorenulls) carries would skip a version whose
+    # value is legitimately NULL and reach back to the PRIOR version
+    # — attribute time travel on exactly the rows where the dimension
+    # recorded a missing value (null_sweep audit class).
+    ver = F.when(F.col("tag") == 0,
+                 F.struct(F.col("v_id").alias("id"),
+                          F.col("v_value").alias("val")))
     carried = (dim.unionByName(facts)
-               .withColumn("version_id",
-                           F.last("v_id", ignorenulls=True).over(w))
-               .withColumn("value_at_click",
-                           F.last("v_value", ignorenulls=True).over(w)))
+               .withColumn("ver", F.last(ver, ignorenulls=True).over(w))
+               .withColumn("version_id", F.col("ver.id"))
+               .withColumn("value_at_click", F.col("ver.val")))
     return (carried.filter(F.col("tag") == 1)
             .select("user_id", F.col("oid").alias("click_id"),
                     F.col("ts").alias("click_ts"),

@@ -1819,7 +1819,7 @@ _NDCG_SQL_CASE = "CASE rnk " + " ".join(
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS qid, embedding AS qv, label AS qlabel
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < 8 AND label IS NOT NULL
     ), ranked AS (
         SELECT q.qid,
                CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
@@ -1868,11 +1868,17 @@ def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     One broadcast-query corpus scan, a per-query top-10 window, a
     10-row-per-query reduction; IDCG is a prefix sum over the same
     literal table keyed by the hit count.
+
+    Null semantics (null_sweep audit): graded relevance needs ground
+    truth, so unlabeled QUERY vectors are excluded on both engines;
+    an unlabeled CORPUS hit is simply irrelevant (rel coalesced to 0
+    — a bare equality cast leaves NULL rels whose skipped sums
+    desync n_rel from the oracle's CASE ELSE 0).
     """
     from pyspark.sql import Window as W
 
     e = Catalog(spark, sf_dir).embeddings
-    q = (e.filter(F.col("vec_id") < 8)
+    q = (e.filter((F.col("vec_id") < 8) & F.col("label").isNotNull())
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv"),
                  F.col("label").alias("qlabel")))
@@ -1880,7 +1886,8 @@ def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (e.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("qid"))
               .select("qid",
-                      (F.col("label") == F.col("qlabel")).cast("long")
+                      F.coalesce((F.col("label") == F.col("qlabel"))
+                                 .cast("long"), F.lit(0))
                       .alias("rel"),
                       F.round(sim, 6).alias("s"), "vec_id")
               .withColumn("rnk", F.row_number().over(
@@ -2209,13 +2216,13 @@ def dot_vs_cosine_rank_agreement(spark: SparkSession,
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label
-        FROM embeddings WHERE vec_id < 50
+        FROM embeddings WHERE vec_id < 50 AND label IS NOT NULL
     ), scored AS (
         SELECT q.qid, q.label AS true_label, e.vec_id, e.label,
                ROUND({COSINE_SQL.format(a='e.embedding', b='q.qv')}, 6)
                    AS cos6
         FROM embeddings e, q
-        WHERE e.vec_id >= 50
+        WHERE e.vec_id >= 50 AND e.label IS NOT NULL
     ), ranked AS (
         SELECT qid, true_label, label,
                ROW_NUMBER() OVER (PARTITION BY qid
@@ -2253,14 +2260,21 @@ def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same broadcast-query scan as the kNN join (corpus never
     shuffles); the vote and argmax aggregates run at query grain.
+
+    Null semantics (null_sweep audit): classification eval is over
+    LABELED data on both engines — unlabeled queries have no ground
+    truth row, and unlabeled corpus vectors cannot vote (left in,
+    their NULL label desyncs the two engines' vote-argmax tie
+    orders), so both are excluded.
     """
     e = Catalog(spark, sf_dir).embeddings
-    q = (e.filter(F.col("vec_id") < 50)
+    q = (e.filter((F.col("vec_id") < 50) & F.col("label").isNotNull())
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv"),
                  F.col("label").alias("true_label")))
     sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
-    scored = (e.filter(F.col("vec_id") >= 50)
+    scored = (e.filter((F.col("vec_id") >= 50)
+                       & F.col("label").isNotNull())
               .crossJoin(F.broadcast(q))
               .select("qid", "true_label", "vec_id", "label",
                       F.round(sim, 6).alias("cos6")))

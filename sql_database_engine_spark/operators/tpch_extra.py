@@ -168,9 +168,16 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipmode → linestatus: the testdata lineitem
     has no shipmode): one fact-fact join, then conditional counts —
     the CASE folds into the partial aggregate, so each side of the
-    count pair is map-side combined before the single shuffle."""
+    count pair is map-side combined before the single shuffle.
+
+    Null semantics (null_sweep audit): an unknown priority is
+    NEITHER high nor low — SQL's 3-valued NOT IN already gives the
+    oracle that reading, and the Spark side states it explicitly
+    (a bare otherwise(1) would have silently counted null-priority
+    lines as low)."""
     cat = Catalog(spark, sf_dir)
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    low = F.col("o_orderpriority").isNotNull() & ~high
     return (
         cat.lineitem
         .filter((F.col("l_shipdate") >= _ts("1997-01-01"))
@@ -178,7 +185,7 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_linestatus")
         .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+             F.sum(F.when(low, 1).otherwise(0)).alias("low_line_count"))
         .orderBy("l_linestatus")
     )
 

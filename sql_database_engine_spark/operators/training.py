@@ -494,7 +494,7 @@ def k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_interleave_manifest",
     oracle="""
     WITH weighted AS (
-        SELECT doc_id, source,
+        SELECT doc_id, COALESCE(source, '(unknown)') AS source,
                CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0
                     THEN 2 ELSE 1 END AS w
         FROM documents
@@ -534,6 +534,11 @@ def mixture_interleave_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering window is the manifest's one inherent sequence point —
     at production scale you shard the manifest by vtime range first
     (same plan per shard, embarrassingly parallel).
+
+    Null semantics (null_sweep audit): documents with no source form
+    their own explicit '(unknown)' stream (weight 1) on both engines
+    — left as a bare NULL, the stream's rows sort to opposite ends
+    of the interleave's tiebreak ordering in the two engines.
     """
     d = Catalog(spark, sf_dir).documents
     w = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0,
@@ -542,7 +547,9 @@ def mixture_interleave_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(
         W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")),
                                         "doc_id"))
-    ranked = (d.select("doc_id", "source", w.alias("w"))
+    ranked = (d.select("doc_id",
+                       F.coalesce("source", F.lit("(unknown)"))
+                       .alias("source"), w.alias("w"))
               .withColumn("rk", rk))
     vtime = (F.col("rk") * (F.lit(2) / F.col("w"))).cast("long")
     pos = F.row_number().over(
@@ -1661,9 +1668,13 @@ def kfold_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     fold = ((F.conv(hex4, 16, 10).cast("int") % _BUCKETS) % 5) \
         .alias("fold")
+    # Label nulls are negatives via coalesce 0 — see score_auc_exact
+    # (an all-null-label score group otherwise sums to NULL k1 and
+    # silently drops out of the fold's denominator).
     s = (d.filter(F.col("n_chars").isNotNull())
          .select(fold, F.col("n_chars").alias("score"),
-                 (F.col("lang") == "en").cast("long").alias("is_pos")))
+                 F.coalesce((F.col("lang") == "en").cast("long"),
+                            F.lit(0)).alias("is_pos")))
     pv = s.groupBy("fold", "score").agg(
         F.count(F.lit(1)).alias("k"), F.sum("is_pos").alias("k1"))
     w = W.partitionBy("fold").orderBy("score")
@@ -1692,7 +1703,7 @@ def kfold_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "negative_sampling_triples",
     oracle="""
     WITH brands AS (
-        SELECT DISTINCT p_brand FROM part
+        SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL
     ), pos AS (
         SELECT DISTINCT c.c_custkey, p.p_brand
         FROM orders o
@@ -1745,7 +1756,11 @@ def negative_sampling_triples(spark: SparkSession,
     from pyspark.sql import Window as W
 
     cat = Catalog(spark, sf_dir)
-    brands = cat.part.select("p_brand").distinct()
+    # A NULL brand is not a sampleable item: it cannot key a
+    # contrastive triple, and its NULL md5 tiebreak ranks first in
+    # Spark but last in DuckDB (null_sweep audit class).
+    brands = (cat.part.filter(F.col("p_brand").isNotNull())
+              .select("p_brand").distinct())
     pos = (cat.orders
            .join(cat.customer.select("c_custkey"),
                  F.col("o_custkey") == F.col("c_custkey"))
@@ -1846,16 +1861,18 @@ def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_closeness_audit",
     oracle="""
-    WITH tot AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM customer
+    WITH base AS (
+        SELECT * FROM customer WHERE c_mktsegment IS NOT NULL
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM base
     ), seg AS (
         SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_seg
-        FROM customer GROUP BY c_mktsegment
+        FROM base GROUP BY c_mktsegment
     ), cells AS (
         SELECT c_nationkey,
                CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
                c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gs
-        FROM customer
+        FROM base
         GROUP BY c_nationkey, floor(c_acctbal / 1000), c_mktsegment
     ), wg AS (
         SELECT *, SUM(n_gs) OVER (PARTITION BY c_nationkey, bal_band)
@@ -1904,8 +1921,16 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N − Σ_present N_s)·n_g, so the plan is one (group, segment)
     aggregate + a broadcast 5-row segment dictionary + a broadcast
     1-row total — group-cardinality-bounded shuffles at any scale.
+
+    Null semantics (null_sweep audit): the audit is defined over
+    records with an OBSERVED sensitive value, on both engines — a
+    null-segment member previously inflated the Spark group sizes
+    differently from the oracle (n_g computed before vs after the
+    segment join). Null-sensitive rows are their own disclosure
+    class, not part of a distribution distance.
     """
-    c = Catalog(spark, sf_dir).customer
+    c = Catalog(spark, sf_dir).customer.filter(
+        F.col("c_mktsegment").isNotNull())
     band = F.floor(F.col("c_acctbal") / 1000).cast("long")
     seg = (c.groupBy("c_mktsegment")
            .agg(F.count(F.lit(1)).alias("n_seg"))

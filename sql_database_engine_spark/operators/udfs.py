@@ -54,7 +54,8 @@ def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "applyinpandas_rank_chars",
     oracle="""
     SELECT doc_id, lang, n_chars,
-           CAST(RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT)
+           CAST(RANK() OVER (PARTITION BY lang
+                             ORDER BY n_chars NULLS LAST) AS BIGINT)
                AS chars_rank
     FROM documents
     """,
@@ -63,10 +64,18 @@ def applyinpandas_rank_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-language rank of document length
     computed inside pandas (method='min' == SQL RANK tie semantics).
     One shuffle on the group key; each group is a plain pandas frame —
-    the UDTF-shaped escape hatch for per-group logic Spark lacks."""
+    the UDTF-shaped escape hatch for per-group logic Spark lacks.
+
+    Null semantics (null_sweep audit): unknown lengths rank LAST and
+    tie with each other — pandas ``na_option='bottom'`` with
+    ``method='min'`` is exactly SQL ``RANK ... NULLS LAST`` (a bare
+    .rank() leaves NaN ranks that crash the int64 cast), and the
+    oracle pins the same order explicitly."""
     def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
-        pdf["chars_rank"] = pdf["n_chars"].rank(method="min").astype("int64")
+        pdf["chars_rank"] = (pdf["n_chars"]
+                             .rank(method="min", na_option="bottom")
+                             .astype("int64"))
         return pdf
 
     d = Catalog(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
@@ -167,6 +176,7 @@ _CLAMPED_BALANCE_ORACLE = """
                     THEN CAST(ROUND(value * 100) AS BIGINT)
                     ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS delta
         FROM events WHERE event_type IN ('purchase', 'error')
+          AND value IS NOT NULL
     ), walk(user_id, rn, bal, clamps, maxb) AS (
         SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                CAST(0 AS BIGINT)
@@ -194,10 +204,18 @@ _CLAMPED_BALANCE_ORACLE = """
 
 def _clamped_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user cent deltas in event order: purchases credit, errors
-    debit. Shared input of the closed-form and kernel variants."""
+    debit. Shared input of the closed-form and kernel variants.
+
+    Events with a missing value carry no ledger effect and are
+    excluded on all three execution tiers (closed form, pandas
+    kernel, recursive-CTE oracle): a NULL delta would silently act
+    as 0 in the window prefix sum (SUM skips nulls), NULL-poison the
+    oracle's recurrence, and crash the kernel's int() — three
+    different wrong answers for the same rows (null_sweep audit)."""
     from ..functions.exact import cents as cents_
     ev = Catalog(spark, sf_dir).events
-    return (ev.filter(F.col("event_type").isin("purchase", "error"))
+    return (ev.filter(F.col("event_type").isin("purchase", "error")
+                      & F.col("value").isNotNull())
             .select("user_id", "ts", "event_id",
                     F.when(F.col("event_type") == "purchase",
                            cents_(F.col("value")))

@@ -30,6 +30,11 @@ STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType()),
     T.StructField("value_cents", T.LongType()),
     T.StructField("last_ts_micros", T.LongType()),
+    # Count of OBSERVED (non-null) values: SQL SUM over zero
+    # observations is NULL, not 0, and the kernel must reproduce
+    # that (null_sweep audit) — a bare running cents of 0 cannot
+    # distinguish "no values seen" from "values summing to zero".
+    T.StructField("n_vals", T.LongType()),
 ])
 
 OUTPUT_SCHEMA = T.StructType([
@@ -43,24 +48,28 @@ OUTPUT_SCHEMA = T.StructType([
 def _update_profile(key: tuple, pdfs: Iterable[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, cents, last_us = state.get if state.exists else (0, 0, 0)
+    n, cents, last_us, n_vals = state.get if state.exists else (0, 0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
         # Match the engine-wide exact-money policy: per-row rounding to
         # integer cents, then integer accumulation. Half-away-from-zero
         # explicitly — pandas .round() is banker's (half-to-even), which
         # would diverge from Spark's F.round and the DuckDB oracle on an
-        # exact .5 tie in value*100.
-        v100 = pdf["value"].mul(100)
+        # exact .5 tie in value*100. Null values arrive as NaN — they
+        # are no observation (SQL SUM skips them; int(NaN) crashes).
+        vals = pdf["value"].dropna()
+        n_vals += len(vals)
+        v100 = vals.mul(100)
         away = np.sign(v100) * np.floor(np.abs(v100) + 0.5)
         cents += int(away.astype("int64").sum())
         ts_us = (pdf["ts"].astype("int64") // 1000).max()
         last_us = max(last_us, int(ts_us))
-    state.update((n, cents, last_us))
+    state.update((n, cents, last_us, n_vals))
     yield pd.DataFrame({
         "user_id": [user_id],
         "n_events": [n],
-        "total_value": [cents / 100.0],
+        # SUM over zero observations is NULL, matching the oracle.
+        "total_value": [cents / 100.0 if n_vals else None],
         "last_ts_micros": [last_us],
     })
 
@@ -118,13 +127,13 @@ class DistinctTypesProcessor(StatefulProcessor):
         if prev is not None and prev[0]:
             seen.update(prev[0].split(","))
         for pdf in rows:
-            seen.update(pdf["event_type"].tolist())
+            seen.update(pdf["event_type"].dropna().tolist())
         csv = ",".join(sorted(seen))
         self._types.update((csv,))
         yield pd.DataFrame({
             "user_id": [key[0]],
             "n_event_types": [len(seen)],
-            "event_types_csv": [csv],
+            "event_types_csv": [csv if seen else None],
         })
 
     def close(self) -> None:
@@ -157,13 +166,17 @@ def _update_type_set(key: tuple, pdfs: Iterable[pd.DataFrame],
     if state.exists and state.get[0]:
         seen.update(state.get[0].split(","))
     for pdf in pdfs:
-        seen.update(pdf["event_type"].tolist())
+        # A null event_type is no observation: COUNT(DISTINCT) and
+        # string_agg skip nulls in SQL, and a None in the set would
+        # crash sorted() against strings (null_sweep audit).
+        seen.update(pdf["event_type"].dropna().tolist())
     csv = ",".join(sorted(seen))
     state.update((csv,))
     yield pd.DataFrame({
         "user_id": [user_id],
         "n_event_types": [len(seen)],
-        "event_types_csv": [csv],
+        # string_agg over zero observed types is NULL, not ''.
+        "event_types_csv": [csv if seen else None],
     })
 
 
