@@ -704,6 +704,7 @@ def _register_streaming() -> None:
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
     FROM events
+    WHERE user_id IS NOT NULL
     GROUP BY 1
     """)
     QUERIES.setdefault("stream_user_profiles", stream_user_profiles)

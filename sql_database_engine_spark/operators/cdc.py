@@ -335,7 +335,8 @@ def ivm_append_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ts AS TIMESTAMP) AS valid_from,
                LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
                value
-        FROM events WHERE event_type = 'purchase'
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT c.user_id, c.event_id AS click_id,
@@ -345,7 +346,7 @@ def ivm_append_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.user_id = d.user_id
      AND CAST(c.ts AS TIMESTAMP) >= d.valid_from
      AND (d.valid_to IS NULL OR CAST(c.ts AS TIMESTAMP) < d.valid_to)
-    WHERE c.event_type = 'click'
+    WHERE c.event_type = 'click' AND c.user_id IS NOT NULL
     """,
 )
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +368,12 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a user's first version keep NULL — exactly the oracle's
     left join.
     """
-    ev = Catalog(spark, sf_dir).events
+    # The dimension is keyed by entity (user); rows without the key
+    # can neither version nor look up — excluded on both engines
+    # (null_sweep audit: Spark's user partition groups NULL users
+    # together while the oracle's equi-ASOF never matches them).
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     dim = (ev.filter(F.col("event_type") == "purchase")
            .select("user_id", "ts",
                    F.col("event_id").alias("oid"),

@@ -166,9 +166,11 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.user_id, e.ts, e.event_type,
            s.ts AS signup_ts, s.event_id AS signup_event_id
     FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-          FROM events WHERE event_type <> 'signup') e
+          FROM events
+          WHERE event_type <> 'signup' AND user_id IS NOT NULL) e
     ASOF JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-               FROM events WHERE event_type = 'signup') s
+               FROM events
+               WHERE event_type = 'signup' AND user_id IS NOT NULL) s
       ON e.user_id = s.user_id AND e.ts >= s.ts
     """,
 )
@@ -186,7 +188,11 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie rule: a signup at exactly the event's ts matches (>=), so
     within equal ts signup rows sort first (is_event ASC).
     """
-    ev = Catalog(spark, sf_dir).events
+    # As-of joins are keyed by user; rows without the key cannot
+    # match (oracle ASOF ON user equality) and are excluded on both
+    # engines (null_sweep audit).
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     events_side = (ev.filter(F.col("event_type") != "signup")
                    .select("event_id", "user_id", "ts", "event_type",
                            F.lit(None).cast("timestamp").alias("s_ts"),
@@ -245,9 +251,11 @@ def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.user_id, e.ts, e.event_type,
            s.ts AS signup_ts, s.event_id AS signup_event_id
     FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-          FROM events WHERE event_type <> 'signup') e
+          FROM events
+          WHERE event_type <> 'signup' AND user_id IS NOT NULL) e
     ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-                    FROM events WHERE event_type = 'signup') s
+                    FROM events
+               WHERE event_type = 'signup' AND user_id IS NOT NULL) s
       ON e.user_id = s.user_id AND e.ts >= s.ts
     """,
 )
@@ -256,7 +264,11 @@ def events_asof_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup are preserved with NULL match columns — the enrichment
     variant that never drops fact rows. Same union-tag-carry plan,
     minus the match filter."""
-    ev = Catalog(spark, sf_dir).events
+    # As-of joins are keyed by user; rows without the key cannot
+    # match (oracle ASOF ON user equality) and are excluded on both
+    # engines (null_sweep audit).
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     events_side = (ev.filter(F.col("event_type") != "signup")
                    .select("event_id", "user_id", "ts", "event_type",
                            F.lit(None).cast("timestamp").alias("s_ts"),
@@ -344,9 +356,11 @@ def events_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
            e.event_type, CAST(p.ts AS TIMESTAMP) AS next_purchase_ts
     FROM (SELECT event_id, user_id, ts, event_type
-          FROM events WHERE event_type <> 'purchase') e
+          FROM events
+          WHERE event_type <> 'purchase' AND user_id IS NOT NULL) e
     ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
-               FROM events WHERE event_type = 'purchase') p
+               FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
       ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) <= p.ts
     """,
 )
@@ -359,7 +373,11 @@ def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     range explosion. Tie rule: a purchase at exactly the event's ts
     matches (<=), so at equal ts event rows sort first (is_event
     DESC) and see the purchase inside their frame."""
-    ev = Catalog(spark, sf_dir).events
+    # As-of joins are keyed by user; rows without the key cannot
+    # match (oracle ASOF ON user equality) and are excluded on both
+    # engines (null_sweep audit).
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     events_side = (ev.filter(F.col("event_type") != "purchase")
                    .select("event_id", "user_id", "ts", "event_type",
                            F.lit(None).cast("timestamp").alias("p_ts"),
@@ -387,9 +405,11 @@ def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
                       event_type
-               FROM events WHERE event_type <> 'purchase'),
+               FROM events
+               WHERE event_type <> 'purchase' AND user_id IS NOT NULL),
          p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
-               FROM events WHERE event_type = 'purchase'),
+               FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL),
          b AS (SELECT e.event_id, p.ts AS b_ts
                FROM e ASOF JOIN p
                  ON e.user_id = p.user_id AND e.ts >= p.ts),
@@ -430,7 +450,11 @@ def events_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion, no per-key loop; the oracle reproduces the semantics
     with two DuckDB ASOF joins recombined.
     """
-    ev = Catalog(spark, sf_dir).events
+    # As-of joins are keyed by user; rows without the key cannot
+    # match (oracle ASOF ON user equality) and are excluded on both
+    # engines (null_sweep audit).
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     events_side = (ev.filter(F.col("event_type") != "purchase")
                    .select("event_id", "user_id", "ts", "event_type",
                            F.lit(None).cast("timestamp").alias("p_ts"),
@@ -1093,10 +1117,12 @@ def session_path_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-        FROM events WHERE event_type <> 'signup'
+        FROM events
+        WHERE event_type <> 'signup' AND user_id IS NOT NULL
     ), s AS (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-        FROM events WHERE event_type = 'signup'
+        FROM events
+        WHERE event_type = 'signup' AND user_id IS NOT NULL
     ), matched AS (
         SELECT e.event_id, e.user_id, e.ts, e.event_type,
                s.ts AS signup_ts, s.event_id AS signup_event_id
@@ -1126,7 +1152,11 @@ def events_asof_join_tolerance(spark: SparkSession,
     user_id shuffle, no range explosion); the tolerance is a scan-
     level predicate on the carried column — zero extra plan cost.
     """
-    ev = Catalog(spark, sf_dir).events
+    # As-of joins are keyed by user; rows without the key cannot
+    # match (oracle ASOF ON user equality) and are excluded on both
+    # engines (null_sweep audit).
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     events_side = (ev.filter(F.col("event_type") != "signup")
                    .select("event_id", "user_id", "ts", "event_type",
                            F.lit(None).cast("timestamp").alias("s_ts"),

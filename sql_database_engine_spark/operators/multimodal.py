@@ -57,6 +57,10 @@ def featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     import hashlib
 
     for pdf in batches:
+        # Assets with no payload (null binary — a failed fetch) have
+        # nothing to featurize; skip them rather than crash len(None)
+        # (null_sweep audit).
+        pdf = pdf[pdf["payload"].notna()]
         feats = [decode_and_featurize(b, m)
                  for b, m in zip(pdf["payload"], pdf["media_type"])]
         yield pd.DataFrame({
@@ -284,6 +288,8 @@ def sample_frames(batches):
         rows = {"doc_id": [], "frame_idx": [], "frame_hash": []}
         for doc_id, payload, duration in zip(
                 pdf["doc_id"], pdf["payload"], pdf["duration_s"]):
+            if payload is None:  # failed fetch: no frames to sample
+                continue
             n_frames = max(int(duration), 1)
             step = max(len(payload) // n_frames, 1)
             for idx in range(0, n_frames, 5):  # sample every 5th frame
@@ -1131,7 +1137,7 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_intact,
            CAST(MIN(CASE WHEN doc_id % 37 = 0 THEN doc_id END)
                 AS BIGINT) AS first_corrupt_doc
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_asset_integrity_audit(spark: SparkSession,
@@ -1147,9 +1153,13 @@ def multimodal_asset_integrity_audit(spark: SparkSession,
     against a normalized digest all hash-fail. Payloads never
     shuffle: the hash comparison is a scan-level JVM expression
     (sha2 over binary), and the audit reduces to counts + the first
-    offender for the triage queue.
+    offender for the triage queue. Fixity is defined over PRESENT
+    payloads — assets whose payload is missing entirely are a
+    different failure class (ingest, not bit rot) and are excluded
+    on both engines (null_sweep audit).
     """
-    d = Catalog(spark, sf_dir).documents
+    d = Catalog(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull())
     payload = F.encode(F.col("text"), "utf-8")
     declared = F.sha2(payload, 256)
     # Corruption AFTER the declared hash: flip the first byte for the

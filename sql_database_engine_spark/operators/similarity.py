@@ -110,14 +110,16 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                       CAST(embedding AS DOUBLE[]))) * 1000000)
                 AS BIGINT)) AS BIGINT) AS total_norm_micros
-    FROM embeddings GROUP BY label
+    FROM embeddings WHERE embedding IS NOT NULL GROUP BY label
     """,
 )
 def embedding_norms_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label count and exact-summed L2 norms (micro-units so the
     cross-partition sum is integer-exact). sqrt is IEEE-correctly
-    rounded — bit-identical across engines."""
-    e = Catalog(spark, sf_dir).embeddings
+    rounded — bit-identical across engines. Rows with a NULL vector
+    have no norm and are excluded on both engines (null_sweep)."""
+    e = Catalog(spark, sf_dir).embeddings.filter(
+        F.col("embedding").isNotNull())
     v = _as_double(F.col("embedding"))
     norm_micros = F.round(F.sqrt(dot(v, v)) * 1_000_000).cast("long")
     return (
@@ -178,7 +180,7 @@ def _neardup_pairs_sql() -> str:
     return f"""
     WITH coded AS (
         SELECT vec_id, embedding, {_neardup_code_sql()} AS code
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND({cos}, 6) AS cos_sim
@@ -202,7 +204,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the identical code/bands/verify, so the match is exact,
     not probabilistic.
     """
-    e = Catalog(spark, sf_dir).embeddings
+    e = Catalog(spark, sf_dir).embeddings.filter(
+        F.col("embedding").isNotNull())
     base = (e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
             .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
             .withColumn("code", _neardup_code(F.col("v"))))
@@ -279,7 +282,7 @@ def _ann_lsh_topk_sql() -> str:
     return f"""
     WITH coded AS (
         SELECT vec_id, embedding, {_ann_bucket_sql()} AS bucket
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), q AS (
         SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket
         FROM coded WHERE vec_id < 20
@@ -321,7 +324,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    e = Catalog(spark, sf_dir).embeddings
+    e = Catalog(spark, sf_dir).embeddings.filter(
+        F.col("embedding").isNotNull())
     coded = e.select("vec_id", "label", "embedding",
                      _ann_bucket_code(F.col("embedding")).alias("bucket"))
     queries_df = coded.filter(F.col("vec_id") < 20).select(
@@ -438,7 +442,7 @@ def connected_components(edges: DataFrame,
     oracle=f"""
     WITH RECURSIVE coded AS (
         SELECT vec_id, embedding, {_neardup_code_sql()} AS code
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), pairs AS (
         {_neardup_edges_sql()}
     ), edges AS (
@@ -477,11 +481,12 @@ def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_macro_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = 1 AND embedding IS NOT NULL)
     SELECT vec_id,
            ROUND({COSINE_SQL.format(a='embedding', b='qv')}, 6) AS cos_sim
     FROM embeddings, q
-    WHERE vec_id <> 1
+    WHERE vec_id <> 1 AND embedding IS NOT NULL
     ORDER BY cos_sim DESC, vec_id
     LIMIT 5
     """,
@@ -496,11 +501,12 @@ def sql_macro_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql("""
         WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
-                   FROM embeddings WHERE vec_id = 1)
+                   FROM embeddings
+                   WHERE vec_id = 1 AND embedding IS NOT NULL)
         SELECT vec_id,
                ROUND(cosine_sim(CAST(embedding AS ARRAY<DOUBLE>), qv), 6) AS cos_sim
         FROM embeddings, q
-        WHERE vec_id <> 1
+        WHERE vec_id <> 1 AND embedding IS NOT NULL
         ORDER BY cos_sim DESC, vec_id
         LIMIT 5
     """)
@@ -516,7 +522,7 @@ def _ann_multiprobe_sql() -> str:
     return f"""
     WITH coded AS (
         SELECT vec_id, embedding, {_ann_bucket_sql()} AS bucket
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), q AS (
         SELECT q_id, q_vec, unnest([{probe_list}]) AS probe_bucket
         FROM (SELECT vec_id AS q_id, embedding AS q_vec,
@@ -554,7 +560,8 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-pins the approximate answer itself."""
     from pyspark.sql import Window as W
 
-    e = Catalog(spark, sf_dir).embeddings
+    e = Catalog(spark, sf_dir).embeddings.filter(
+        F.col("embedding").isNotNull())
     base = (e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
             .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
             .withColumn("bucket", _ann_bucket_code(F.col("v"))))
@@ -789,7 +796,7 @@ def centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE coded AS (
         SELECT vec_id, embedding, {_neardup_code_sql()} AS code
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), pairs AS (
         {_neardup_edges_sql()}
     ), edges AS (
@@ -848,7 +855,7 @@ def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS qid, embedding AS qv FROM embeddings
-        WHERE vec_id < 8
+        WHERE vec_id < 8 AND embedding IS NOT NULL
     ), scored AS (
         SELECT q.qid, e.vec_id,
                ROUND({COSINE_SQL.format(a='e.embedding', b='q.qv')}, 6)
@@ -878,9 +885,11 @@ def knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     |Q| keys each carrying the candidate rows. For corpus-sized query
     sets you'd switch to the LSH/IVF operators in this module; this
     operator is the recall=1 anchor they are measured against.
+    A query without a vector is not a query (null_sweep audit).
     """
     e = Catalog(spark, sf_dir).embeddings
-    q = (e.filter(F.col("vec_id") < 8)
+    q = (e.filter((F.col("vec_id") < 8)
+                  & F.col("embedding").isNotNull())
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
     sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
@@ -1031,10 +1040,16 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare catches it, while ordinary data-regeneration variance
     cannot. All comparisons are pure integer hit counts — no float in
     the contract.
+
+    The exact anchors rank over the OBSERVED-vector corpus — the
+    same relation every ANN family indexes; an unfiltered anchor
+    ranks null-vector rows first (NULL distance, Spark ASC default)
+    and deflates every recall count (null_sweep audit).
     """
     from pyspark.sql import Window as W
 
-    e = Catalog(spark, sf_dir).embeddings
+    e = Catalog(spark, sf_dir).embeddings.filter(
+        F.col("embedding").isNotNull())
     q = (e.filter(F.col("vec_id") < 10)
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
@@ -1111,7 +1126,7 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS qid, embedding AS qv FROM embeddings
-        WHERE vec_id < 8
+        WHERE vec_id < 8 AND embedding IS NOT NULL
     ), scored AS (
         SELECT q.qid, e.vec_id, e.label,
                ROUND({COSINE_SQL.format(a='e.embedding', b='q.qv')}, 6)
@@ -1143,11 +1158,13 @@ def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate-bounded, and the scan prunes on the metadata column
     statistics. Exact arithmetic throughout, so unlike the ANN family
     this query is fully oracle-checked.
+    A query without a vector is not a query (null_sweep audit).
     """
     from pyspark.sql import Window as W
 
     e = Catalog(spark, sf_dir).embeddings
-    q = (e.filter(F.col("vec_id") < 8)
+    q = (e.filter((F.col("vec_id") < 8)
+                  & F.col("embedding").isNotNull())
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
     filtered = e.filter(F.col("label") == 3)
@@ -1648,7 +1665,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS qid, embedding AS qv FROM embeddings
-        WHERE vec_id < 8
+        WHERE vec_id < 8 AND embedding IS NOT NULL
     ), scored AS (
         SELECT q.qid, e.vec_id, e.label,
                ROUND({COSINE_SQL.format(a='e.embedding', b='q.qv')}, 6)
@@ -1686,7 +1703,10 @@ def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as in the top-k family.
     """
     e = Catalog(spark, sf_dir).embeddings
-    q = (e.filter(F.col("vec_id") < 8)
+    # A query without a vector is not a query (its all-NULL predicate
+    # column makes Spark's SUM return NULL where COUNT_IF returns 0).
+    q = (e.filter((F.col("vec_id") < 8)
+                  & F.col("embedding").isNotNull())
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
     sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
@@ -1952,7 +1972,7 @@ def _kmeans_base_sql() -> str:
         SELECT vec_id,
                [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
                 for x in embedding] AS e
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), c0 AS (
         SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < 4
     ),{_kmeans_round_sql('c0', 'a1', 'c1')},
@@ -2043,8 +2063,14 @@ def _lloyd_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
 
 def _micro_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, e): embeddings as exact integer-micro lanes — the
-    shared input representation of the whole k-means/IVF family."""
-    emb = Catalog(spark, sf_dir).embeddings
+    shared input representation of the whole k-means/IVF family.
+
+    Rows with a NULL embedding do not exist for this family (a
+    missing vector can neither be assigned nor averaged; left in, it
+    NULL-poisons every centroid its cluster computes) — excluded
+    here and in the oracle chain's base CTE (null_sweep audit)."""
+    emb = Catalog(spark, sf_dir).embeddings.filter(
+        F.col("embedding").isNotNull())
     return emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> "
@@ -2313,7 +2339,7 @@ def _ivf_stage(spark: SparkSession, sf_dir: str) -> str:
 
     stage = scratch_dir(
         "ivf_index", sf_dir,
-        version="v1|" + source_fingerprint(sf_dir, "embeddings.parquet"))
+        version="v2|" + source_fingerprint(sf_dir, "embeddings.parquet"))
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):
         e, cents = _kmeans_train(spark, sf_dir)
@@ -2397,7 +2423,8 @@ def ann_ivf_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _ivf_stage(spark, sf_dir)
     cents = spark.read.parquet(os.path.join(stage, "centroids"))
     emb = Catalog(spark, sf_dir).embeddings
-    q = (emb.filter(F.col("vec_id") < 10)
+    q = (emb.filter((F.col("vec_id") < 10)
+                    & F.col("embedding").isNotNull())
          .select(F.col("vec_id").alias("q_id"),
                  F.expr("transform(embedding, x -> "
                         "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
@@ -2453,7 +2480,7 @@ def _ivf_stage_incremental(spark: SparkSession, sf_dir: str) -> str:
 
     stage = scratch_dir(
         "ivf_incr", sf_dir,
-        version="v1|" + source_fingerprint(sf_dir, "embeddings.parquet"))
+        version="v2|" + source_fingerprint(sf_dir, "embeddings.parquet"))
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):
         e = _micro_vectors(spark, sf_dir)
@@ -2484,7 +2511,7 @@ _IVF_INCR_DIST = ("list_sum([ (q.qe[i] - a.ev[i]) * (q.qe[i] - a.ev[i]) "
         SELECT vec_id,
                [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
                 for x in embedding] AS e
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), e AS (
         SELECT vec_id, e FROM e_all WHERE vec_id % 10 < 8
     ), c0 AS (
@@ -2562,7 +2589,8 @@ def ann_ivf_staged_append_probe(spark: SparkSession,
     stage = _ivf_stage_incremental(spark, sf_dir)
     cents = spark.read.parquet(os.path.join(stage, "centroids"))
     emb = Catalog(spark, sf_dir).embeddings
-    q = (emb.filter(F.col("vec_id") < 10)
+    q = (emb.filter((F.col("vec_id") < 10)
+                    & F.col("embedding").isNotNull())
          .select(F.col("vec_id").alias("q_id"),
                  F.expr("transform(embedding, x -> "
                         "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
@@ -2604,7 +2632,7 @@ def _pq_sub_sql() -> str:
         SELECT vec_id,
                [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
                 for x in embedding] AS e
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), sub AS (
         SELECT vec_id, t.s, list_slice(e, t.s * 8 + 1, t.s * 8 + 8) AS subv
         FROM e, (SELECT unnest(range(8)) AS s) t
@@ -2622,7 +2650,7 @@ _PQ_SUB_DIST = ("list_sum([ (subv[i] - cv[i]) * (subv[i] - cv[i]) "
         SELECT vec_id,
                [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
                 for x in embedding] AS e
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), c0 AS (
         SELECT vec_id AS cid, e AS c FROM e WHERE vec_id < 16
     ),{_kmeans_round_sql('c0', 'a1', 'c1')},

@@ -386,7 +386,7 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH uw AS (
         SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
                user_id
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ), tot AS (
         SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active
         FROM uw GROUP BY week
@@ -420,6 +420,11 @@ def bitmap_retention_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     same AND/ANDNOT algebra answers any period pair from the stored
     bitmaps alone.
 
+    Anonymous events (null user_id) are excluded explicitly on both
+    engines — the bitmap position of NULL is undefined, while the
+    oracle's DISTINCT previously counted NULL as one extra "user"
+    per week (null_sweep audit).
+
     Plan shape: weekly bucket bitmaps are built once, contributed to
     pair groups (week w serves pair w as "current" and pair w-7 as
     "next") via a union, and intersected by ``bitmap_and_agg`` only
@@ -427,7 +432,8 @@ def bitmap_retention_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row group is the identity, which would overcount). Exact
     integers end to end.
     """
-    e = Catalog(spark, sf_dir).events
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     wk = F.date_trunc("week", "ts").cast("date")
     weekly = (
         e.select(wk.alias("week"),
@@ -472,9 +478,11 @@ def bitmap_retention_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hll_setop_contract",
     oracle="""
     WITH a AS (
-        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
     ), b AS (
-        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
     ), ex AS (
         SELECT (SELECT COUNT(*) FROM a) AS exact_a,
                (SELECT COUNT(*) FROM b) AS exact_b,
@@ -509,8 +517,14 @@ def hll_setop_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 10% OF THE UNION size (inclusion-exclusion differences
     amplify relative error — the flag's denominator states that
     honestly; |est∩ − exact∩|·10 ≤ exact∪).
+
+    Anonymous events are excluded on both engines: the sketch input
+    already skips NULL user_ids, but the oracle's COUNT(*) over a
+    DISTINCT set previously counted the NULL row as one extra user
+    (null_sweep audit).
     """
-    e = Catalog(spark, sf_dir).events
+    e = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     uid = F.col("user_id").cast("string")
     sk = (e.filter(F.col("event_type").isin("click", "purchase"))
           .groupBy("event_type")
@@ -547,9 +561,11 @@ def hll_setop_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
         SELECT DISTINCT user_id FROM events
         WHERE event_type = 'purchase' AND value > 5e1
+          AND user_id IS NOT NULL
     ), b AS (
         SELECT DISTINCT user_id FROM events
         WHERE event_type = 'purchase' AND value > 8e1
+          AND user_id IS NOT NULL
     ), ex AS (
         SELECT (SELECT COUNT(*) FROM a) AS exact_a,
                (SELECT COUNT(*) FROM b) AS exact_b,
@@ -593,7 +609,11 @@ def theta_setop_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra runs on two KB blobs — at 100 TB this is the only way
     difference-of-audiences is answerable interactively.
     """
-    ev = Catalog(spark, sf_dir).events
+    # Anonymous purchasers are excluded on both engines — theta
+    # sketches skip NULL inputs while the exact DISTINCT sets would
+    # otherwise carry a NULL member (null_sweep audit).
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     in_a = (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
     in_b = (F.col("event_type") == "purchase") & (F.col("value") > 80.0)
     sk = (ev.agg(

@@ -1417,7 +1417,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH counts AS (
         SELECT doc_id, lang,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), ranked AS (
         SELECT doc_id, lang, n_tokens,
                ROW_NUMBER() OVER (PARTITION BY lang
@@ -1455,8 +1455,12 @@ def length_band_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     level. The ranked pass shuffles only (doc_id, lang, n_tokens),
     never text. Same skeleton as winsorize_event_values, but a
     row-dropping curation gate over documents rather than a clip.
+    A document with no text has no length — excluded on both engines
+    (left in, its NULL count shifts the two engines' rank picks to
+    opposite sort ends; null_sweep audit).
     """
-    d = Catalog(spark, sf_dir).documents
+    d = Catalog(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull())
     counts = d.select("doc_id", "lang",
                       F.size(_tokens()).cast("long").alias("n_tokens"))
     wr = W.partitionBy("lang").orderBy("n_tokens", "doc_id")
@@ -1482,7 +1486,7 @@ def length_band_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, string_split(text, ' ') AS a,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                md5(lower(text)) AS content_hash
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), dup_rank AS (
         SELECT doc_id,
                ROW_NUMBER() OVER (PARTITION BY content_hash
@@ -1559,8 +1563,14 @@ def curation_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the decision. Flags are emitted per reason so the
     downstream mix planner can weigh causes (e.g. re-admit dup-heavy
     docs when the duplication is a shared license header).
+
+    Documents with no text are excluded on both engines: they have
+    no length for the band, and their NULL content hash would group
+    every missing-text doc into one phantom duplicate cluster
+    (null_sweep audit).
     """
-    d = Catalog(spark, sf_dir).documents
+    d = Catalog(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull())
     base = d.select("doc_id", "lang",
                     F.size(_tokens()).cast("long").alias("n_tokens"),
                     F.md5(F.lower(F.col("text"))).alias("content_hash"))

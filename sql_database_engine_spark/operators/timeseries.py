@@ -756,7 +756,8 @@ def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS freq,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                    AS monetary_cents
-        FROM events WHERE event_type = 'purchase'
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
         GROUP BY user_id
     ), mx AS (
         SELECT max(last_ts) AS t1 FROM p
@@ -789,10 +790,14 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely serial step; at 10⁹ users swap ntile for a rank
     computed against broadcast quantile cutpoints from the KLL
     sketch family (same 1–5 scores, no global sort). The segment
-    rollup is a bounded 125-key aggregate.
+    rollup is a bounded 125-key aggregate. RFM scores an identified
+    customer — anonymous purchases (null user_id) are excluded on
+    both engines (left in, the NULL pseudo-user's ntile tiebreak
+    lands at opposite ends of the two engines' default orders).
     """
     ev = Catalog(spark, sf_dir).events
-    p = (ev.filter(F.col("event_type") == "purchase")
+    p = (ev.filter((F.col("event_type") == "purchase")
+                   & F.col("user_id").isNotNull())
          .groupBy("user_id")
          .agg(F.max("ts").alias("last_ts"),
               F.count(F.lit(1)).alias("freq"),

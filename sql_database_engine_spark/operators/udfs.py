@@ -33,14 +33,19 @@ def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~batch-speed Python instead of per-row serde."""
     import hashlib
 
+    # Null texts flow through as pandas NA and must come out as SQL
+    # NULLs — nullable Int32 (a bare astype('int32') crashes on NaN)
+    # and na_action='ignore' (a bare map calls the lambda on NaN);
+    # both match the oracle's null-in/null-out (null_sweep audit).
     @F.pandas_udf("int")
     def n_tokens(texts: pd.Series) -> pd.Series:
-        return texts.str.split(" ").str.len().astype("int32")
+        return texts.str.split(" ").str.len().astype("Int32")
 
     @F.pandas_udf("string")
     def fingerprint(texts: pd.Series) -> pd.Series:
         return texts.str.strip().str.lower().map(
-            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest(),
+            na_action="ignore")
 
     d = Catalog(spark, sf_dir).documents
     return d.select(
@@ -113,6 +118,12 @@ def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx INT, chunk_text STRING")
     class ChunkDoc:
         def eval(self, text: str):
+            # A missing document yields no chunks — matching the
+            # oracle, where unnest(generate_series over a NULL
+            # length) emits zero rows (null_sweep audit: a bare
+            # .split crashed the worker on None).
+            if text is None:
+                return
             toks = text.split(" ")
             for i in range(0, len(toks), 32):
                 yield i // 32, " ".join(toks[i:i + 32])
@@ -176,7 +187,7 @@ _CLAMPED_BALANCE_ORACLE = """
                     THEN CAST(ROUND(value * 100) AS BIGINT)
                     ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS delta
         FROM events WHERE event_type IN ('purchase', 'error')
-          AND value IS NOT NULL
+          AND value IS NOT NULL AND user_id IS NOT NULL
     ), walk(user_id, rn, bal, clamps, maxb) AS (
         SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                CAST(0 AS BIGINT)
@@ -215,7 +226,8 @@ def _clamped_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import cents as cents_
     ev = Catalog(spark, sf_dir).events
     return (ev.filter(F.col("event_type").isin("purchase", "error")
-                      & F.col("value").isNotNull())
+                      & F.col("value").isNotNull()
+                      & F.col("user_id").isNotNull())
             .select("user_id", "ts", "event_id",
                     F.when(F.col("event_type") == "purchase",
                            cents_(F.col("value")))

@@ -384,6 +384,11 @@ def distinct_users_hourly(events: DataFrame) -> DataFrame:
     — with sketches as the window state; this operator is the exact
     tier below it.)
 
+    Anonymous events (null user_id) are excluded — COUNT(DISTINCT)
+    skips nulls in SQL, but dropDuplicates treats NULL as one more
+    distinct key and would count a phantom user per hour
+    (null_sweep audit class).
+
     Oracle premise: the fixture source is a single staged file, so the
     availableNow drain is ONE micro-batch and the watermark cannot
     advance mid-drain — dropDuplicatesWithinWatermark (which, unlike a
@@ -393,7 +398,8 @@ def distinct_users_hourly(events: DataFrame) -> DataFrame:
     watermark drops in the dedup stage; its check would carry a
     settled-region oracle instead (the
     ``stream_click_purchase_left_join_settled`` pattern)."""
-    hourly = events.withColumn("hour", F.date_trunc("hour", "ts"))
+    hourly = (events.filter(F.col("user_id").isNotNull())
+              .withColumn("hour", F.date_trunc("hour", "ts")))
     deduped = (hourly.withWatermark("ts", "2 hours")
                .dropDuplicatesWithinWatermark(["user_id", "hour"]))
     return (deduped.groupBy(F.window("ts", "1 hour").alias("w"))
