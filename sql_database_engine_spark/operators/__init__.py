@@ -554,11 +554,13 @@ def _register_streaming() -> None:
     WITH c AS (
         SELECT user_id AS c_user, event_id AS click_id,
                CAST(ts AS TIMESTAMP) AS click_ts
-        FROM events WHERE event_type = 'click'
+        FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
     ), p AS (
         SELECT user_id AS p_user, event_id AS purchase_id,
                CAST(ts AS TIMESTAMP) AS purchase_ts
-        FROM events WHERE event_type = 'purchase'
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
     ), cut AS (
         SELECT least((SELECT max(click_ts) FROM c),
                      (SELECT max(purchase_ts) FROM p))
@@ -720,17 +722,20 @@ def _register_streaming() -> None:
     FROM events c JOIN events p
       ON c.user_id = p.user_id
      AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.user_id IS NOT NULL
      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
     """)
     ORACLES.setdefault("stream_click_purchase_left_join_settled", """
     WITH c AS (
         SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
-        FROM events WHERE event_type = 'click'
+        FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
     ), p AS (
         SELECT user_id AS p_user, event_id AS purchase_id,
                CAST(ts AS TIMESTAMP) AS purchase_ts
-        FROM events WHERE event_type = 'purchase'
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
     ), cut AS (
         SELECT least((SELECT max(click_ts) FROM c),
                      (SELECT max(purchase_ts) FROM p))

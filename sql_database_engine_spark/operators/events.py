@@ -737,7 +737,8 @@ def user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
         SELECT user_id, event_id AS purchase_id,
                CAST(ts AS TIMESTAMP) AS purchase_ts
-        FROM events WHERE event_type = 'purchase'
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
     )
     SELECT p.user_id, p.purchase_id, p.purchase_ts
     FROM p
@@ -775,8 +776,15 @@ def cep_click_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifying the window rewrite against the declarative form. At
     100 TB the window form wins: the correlated form re-joins the
     fact table per subquery, the carry form scans it once.
+
+    The pattern is keyed by user: anonymous events are excluded on
+    both engines — Spark's user partition groups NULL users into one
+    pseudo-user whose events "match" each other, while the oracle's
+    correlated EXISTS on user equality never matches them
+    (null_sweep audit).
     """
-    ev = Catalog(spark, sf_dir).events
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     w = (W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")))
          .rangeBetween(W.unboundedPreceding, -1))
     carried = ev.select(
@@ -808,7 +816,7 @@ def cep_click_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ORDER BY CAST(ts AS TIMESTAMP), event_id
                          ROWS BETWEEN 1 FOLLOWING
                          AND UNBOUNDED FOLLOWING) AS next_error_ts
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ), purchases AS (
         SELECT CAST(ts AS DATE) AS day,
                CASE WHEN next_error_ts IS NOT NULL
@@ -841,9 +849,13 @@ def cep_purchase_error_absence(spark: SparkSession,
     One keyed exchange (user_id), O(1) frame state (Spark keeps the
     running conditional min, not the row buffer), then a per-day
     rollup. The event_id tiebreak pins same-microsecond ordering on
-    both engines.
+    both engines. Anonymous events are excluded on both engines —
+    without the filter every null-user event lands in ONE pseudo-user
+    partition whose purchases alarm on other anonymous users' errors
+    (both engines agreed, both were wrong; null_sweep audit).
     """
-    ev = Catalog(spark, sf_dir).events
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("user_id").isNotNull())
     w = (W.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(1, W.unboundedFollowing))
     seq = ev.select(

@@ -279,12 +279,22 @@ def click_purchase_join(events: DataFrame) -> DataFrame:
     range + 2h lateness) and evict state past that horizon. A
     stream-stream join without both is unbounded state. The join key
     includes user_id, so state shards across executors."""
-    clicks = (events.filter(F.col("event_type") == "click")
+    # The join is keyed by user; anonymous events cannot correlate.
+    # This must be EXPLICIT for streaming outer joins: Spark's batch
+    # planner infers isnotnull on inner equi-join keys, but an outer
+    # stream-stream join keeps null-keyed rows in the state store,
+    # where the binary key lookup treats NULL = NULL and "matches"
+    # two anonymous events the SQL join condition never would
+    # (null_sweep audit, visible only at SFs dense enough to put two
+    # null-keyed events inside one join window).
+    clicks = (events.filter((F.col("event_type") == "click")
+                            & F.col("user_id").isNotNull())
               .select(F.col("user_id").alias("c_user"),
                       F.col("event_id").alias("click_id"),
                       F.col("ts").alias("click_ts"))
               .withWatermark("click_ts", "2 hours"))
-    purchases = (events.filter(F.col("event_type") == "purchase")
+    purchases = (events.filter((F.col("event_type") == "purchase")
+                               & F.col("user_id").isNotNull())
                  .select(F.col("user_id").alias("p_user"),
                          F.col("event_id").alias("purchase_id"),
                          F.col("ts").alias("purchase_ts"))
@@ -313,12 +323,22 @@ def click_purchase_left_join(events: DataFrame) -> DataFrame:
     row in that run — the batch-equivalence test pins exactly this
     horizon. A live pipeline keeps the state and emits them as the
     watermark advances; that is correct streaming behavior, not loss."""
-    clicks = (events.filter(F.col("event_type") == "click")
+    # The join is keyed by user; anonymous events cannot correlate.
+    # This must be EXPLICIT for streaming outer joins: Spark's batch
+    # planner infers isnotnull on inner equi-join keys, but an outer
+    # stream-stream join keeps null-keyed rows in the state store,
+    # where the binary key lookup treats NULL = NULL and "matches"
+    # two anonymous events the SQL join condition never would
+    # (null_sweep audit, visible only at SFs dense enough to put two
+    # null-keyed events inside one join window).
+    clicks = (events.filter((F.col("event_type") == "click")
+                            & F.col("user_id").isNotNull())
               .select(F.col("user_id").alias("c_user"),
                       F.col("event_id").alias("click_id"),
                       F.col("ts").alias("click_ts"))
               .withWatermark("click_ts", "2 hours"))
-    purchases = (events.filter(F.col("event_type") == "purchase")
+    purchases = (events.filter((F.col("event_type") == "purchase")
+                               & F.col("user_id").isNotNull())
                  .select(F.col("user_id").alias("p_user"),
                          F.col("event_id").alias("purchase_id"),
                          F.col("ts").alias("purchase_ts"))
@@ -349,12 +369,22 @@ def click_purchase_full_join(events: DataFrame) -> DataFrame:
     younger than those horizons stay buffered — correct streaming
     behavior; the settled-region query restricts to the provably
     emitted region for its oracle."""
-    clicks = (events.filter(F.col("event_type") == "click")
+    # The join is keyed by user; anonymous events cannot correlate.
+    # This must be EXPLICIT for streaming outer joins: Spark's batch
+    # planner infers isnotnull on inner equi-join keys, but an outer
+    # stream-stream join keeps null-keyed rows in the state store,
+    # where the binary key lookup treats NULL = NULL and "matches"
+    # two anonymous events the SQL join condition never would
+    # (null_sweep audit, visible only at SFs dense enough to put two
+    # null-keyed events inside one join window).
+    clicks = (events.filter((F.col("event_type") == "click")
+                            & F.col("user_id").isNotNull())
               .select(F.col("user_id").alias("c_user"),
                       F.col("event_id").alias("click_id"),
                       F.col("ts").alias("click_ts"))
               .withWatermark("click_ts", "2 hours"))
-    purchases = (events.filter(F.col("event_type") == "purchase")
+    purchases = (events.filter((F.col("event_type") == "purchase")
+                               & F.col("user_id").isNotNull())
                  .select(F.col("user_id").alias("p_user"),
                          F.col("event_id").alias("purchase_id"),
                          F.col("ts").alias("purchase_ts"))
