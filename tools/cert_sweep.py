@@ -146,7 +146,10 @@ def main() -> int:
                         "rows_only_in_oracle": only_oracle,
                     }
             except Exception as exc:  # noqa: BLE001 — artifact, not control flow
-                rec.update(status="ERROR", error=repr(exc)[:2000],
+                rec.update(status="ERROR",
+                           # str() keeps the Java stack a bare
+                           # repr(Py4JJavaError) hides
+                           error=f"{type(exc).__name__}: {exc}"[:4000],
                            elapsed_s=round(time.time() - t0, 3))
             if rec["status"] == "PASS":
                 n_pass += 1

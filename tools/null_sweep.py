@@ -246,7 +246,10 @@ def main() -> int:
                                 set(b) - set(a))[:20],
                         }
             except Exception as exc:  # noqa: BLE001 — artifact, not control flow
-                rec.update(status="ERROR", error=repr(exc)[:2000],
+                rec.update(status="ERROR",
+                           # str() keeps the Java stack a bare
+                           # repr(Py4JJavaError) hides
+                           error=f"{type(exc).__name__}: {exc}"[:4000],
                            elapsed_s=round(time.time() - t0, 3))
             if rec["status"] in ("PASS", "ALLOWED_NULL_CONTRACT",
                                  "RAN_ROWS_ONLY"):
