@@ -2327,29 +2327,32 @@ def _ivf_stage(spark: SparkSession, sf_dir: str) -> str:
     where a probe prunes to its bucket directories at the scan.
 
     Keyed on the embeddings fingerprint, so regenerated testdata
-    re-stages; re-runs are a no-op (the `_STAGED` marker commits the
-    pair atomically-enough for a single-writer build). The trainer is
-    the shared exact-integer `_kmeans_train` pipeline, so the staged
-    index is bit-reproducible and a SQL oracle can replay it from the
-    base table.
+    re-stages; re-runs are a no-op. The commit is an atomic rename
+    (`scratch.stage_atomic`) — concurrent sessions each build a
+    private copy, one wins the rename, losers read the winner's;
+    the single-writer `_STAGED`-marker protocol this replaces could
+    lose a race between the correctness driver and a sweep tool.
+    The trainer is the shared exact-integer `_kmeans_train`
+    pipeline, so the staged index is bit-reproducible and a SQL
+    oracle can replay it from the base table.
     """
     import os
 
-    from ..scratch import scratch_dir, source_fingerprint
+    from ..scratch import scratch_dir, source_fingerprint, stage_atomic
 
-    stage = scratch_dir(
+    parent = scratch_dir(
         "ivf_index", sf_dir,
-        version="v2|" + source_fingerprint(sf_dir, "embeddings.parquet"))
-    marker = os.path.join(stage, "_STAGED")
-    if not os.path.exists(marker):
+        version="v3|" + source_fingerprint(sf_dir, "embeddings.parquet"))
+
+    def build(tmp: str) -> None:
         e, cents = _kmeans_train(spark, sf_dir)
         cents.select("cid", "c").write.mode("overwrite").parquet(
-            os.path.join(stage, "centroids"))
+            os.path.join(tmp, "centroids"))
         (_lloyd_assign(e, cents)
          .write.mode("overwrite").partitionBy("cid")
-         .parquet(os.path.join(stage, "assignments")))
-        open(marker, "w").close()
-    return stage
+         .parquet(os.path.join(tmp, "assignments")))
+
+    return stage_atomic(os.path.join(parent, "index"), build)
 
 
 @query(
@@ -2476,28 +2479,31 @@ def _ivf_stage_incremental(spark: SparkSession, sf_dir: str) -> str:
     """
     import os
 
-    from ..scratch import scratch_dir, source_fingerprint
+    from ..scratch import scratch_dir, source_fingerprint, stage_atomic
 
-    stage = scratch_dir(
+    parent = scratch_dir(
         "ivf_incr", sf_dir,
-        version="v2|" + source_fingerprint(sf_dir, "embeddings.parquet"))
-    marker = os.path.join(stage, "_STAGED")
-    if not os.path.exists(marker):
+        version="v3|" + source_fingerprint(sf_dir, "embeddings.parquet"))
+
+    def build(tmp: str) -> None:
         e = _micro_vectors(spark, sf_dir)
         base = e.filter(F.col("vec_id") % 10 < 8)
         cents = _lloyd_train(base)
         cents.select("cid", "c").write.mode("overwrite").parquet(
-            os.path.join(stage, "centroids"))
-        apath = os.path.join(stage, "assignments")
+            os.path.join(tmp, "centroids"))
+        apath = os.path.join(tmp, "assignments")
         (_lloyd_assign(base, cents)
          .write.mode("overwrite").partitionBy("cid").parquet(apath))
         # The incremental append: batch vectors against the FROZEN
         # codebook, appended into the existing bucket directories.
+        # Both writes land in the PRIVATE tmp dir; the publish is
+        # stage_atomic's single rename, so a probe can never see the
+        # base lists without the appended batch.
         batch = e.filter(F.col("vec_id") % 10 >= 8)
         (_lloyd_assign(batch, cents)
          .write.mode("append").partitionBy("cid").parquet(apath))
-        open(marker, "w").close()
-    return stage
+
+    return stage_atomic(os.path.join(parent, "index"), build)
 
 
 _IVF_INCR_DIST = ("list_sum([ (q.qe[i] - a.ev[i]) * (q.qe[i] - a.ev[i]) "

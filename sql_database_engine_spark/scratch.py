@@ -13,9 +13,57 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
+import tempfile
 
 #: Root for all engine scratch dirs.
 SCRATCH_ROOT = "/tmp"
+
+
+def stage_atomic(artifact_dir: str, build, marker: str | None = None) -> str:
+    """Multi-process-safe write-once staging: rename-as-commit.
+
+    The overwrite-in-place idiom this replaces has a real race: every
+    fresh session saw "not staged yet" in its own catalog and rewrote
+    the SHARED on-disk artifact, so two concurrent sessions (the
+    correctness driver plus any sweep tool) could collide — the loser
+    dies with ``TASK_WRITE_FAILED`` on a ``_temporary`` attempt dir
+    the winner's overwrite just deleted, or a reader of the old files
+    gets ``FileNotFoundException`` mid-scan (reproduced under
+    ``tools/``-style concurrency; the r5c determinism sweep's
+    one-off ``agg_bucketed_no_shuffle`` ERROR is this class).
+
+    Protocol: if ``artifact_dir`` is committed, return it untouched
+    (a committed artifact is never rewritten — readers can hold file
+    lists indefinitely). Otherwise ``build(tmp_dir)`` writes into a
+    unique sibling and one atomic ``os.rename`` publishes it; when
+    rivals race, exactly one rename wins and losers discard their
+    private build and read the winner's. No path ever holds a
+    half-written artifact, and no committed file is ever deleted.
+
+    ``marker``: optional relative path (e.g. ``_SUCCESS``) that must
+    exist inside ``artifact_dir`` for it to count as committed —
+    guards against garbage left at the final path by the legacy
+    in-place writers, which rename-commit can never produce itself.
+    """
+    committed = os.path.join(artifact_dir, marker) if marker else artifact_dir
+    if os.path.exists(committed):
+        return artifact_dir
+    parent = os.path.dirname(artifact_dir)
+    os.makedirs(parent, exist_ok=True)
+    if os.path.exists(artifact_dir):  # legacy partial write: clear it
+        shutil.rmtree(artifact_dir, ignore_errors=True)
+    tmp = tempfile.mkdtemp(
+        prefix=os.path.basename(artifact_dir) + ".tmp.", dir=parent)
+    try:
+        build(tmp)
+        os.rename(tmp, artifact_dir)  # the commit point
+    except OSError:
+        if not os.path.exists(committed):  # not a lost race: real failure
+            raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return artifact_dir
 
 
 def scratch_dir(tag: str, sf_dir: str, version: str = "") -> str:

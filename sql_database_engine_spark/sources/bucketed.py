@@ -12,9 +12,12 @@ The bucket files live under the repo's ``spark-warehouse`` via an
 explicit ``path`` option, so the layout does not depend on the session
 owner's working directory (the correctness driver owns its session and
 its cwd). Table *metadata* (the bucketing spec) lives in the session's
-in-memory catalog, so a fresh session re-registers by rewriting —
-cheap at test SFs, and on a real deployment a persistent metastore
-would hold the spec instead.
+in-memory catalog; a fresh session re-REGISTERS (``CREATE TABLE …
+CLUSTERED BY … LOCATION``) over the committed files — it never
+rewrites them, because a concurrent session may be mid-scan on those
+exact files (the ``scratch.stage_atomic`` race class). The one-time
+write itself commits by atomic rename. On a real deployment a
+persistent metastore holds the spec and registration disappears.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ import re
 from pyspark.sql import SparkSession
 
 from ..catalog import load_table
+from ..scratch import stage_atomic
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WAREHOUSE = os.path.join(_REPO_ROOT, "spark-warehouse", "bucketed")
@@ -39,15 +43,43 @@ def _tag(sf_dir: str) -> str:
 
 def ensure_bucketed_facts(spark: SparkSession, sf_dir: str,
                           buckets: int = 16) -> dict[str, str]:
-    """Materialize lineitem/orders bucketed on orderkey (idempotent
-    per session); returns {base table name: bucketed table name}."""
+    """Materialize lineitem/orders bucketed on orderkey — write-once
+    across ALL sessions on the host, register-per-session; returns
+    {base table name: bucketed table name}.
+
+    The data write goes through :func:`stage_atomic` (build into a
+    tmp sibling, publish by one ``os.rename``), so concurrent
+    sessions can never destroy files another session is scanning.
+    Registration is metadata-only: the bucket spec is re-attached via
+    ``CREATE TABLE … CLUSTERED BY`` with the schema read from the
+    committed parquet footers, which keeps the bucketed-scan physical
+    properties (no Exchange under a groupBy/join on the key —
+    plan-pinned in tests/test_plan_quality.py) without ever
+    rewriting data a rival session may hold open.
+    """
     names: dict[str, str] = {}
     for table, key in FACTS:
         name = f"{table}_bkt_{_tag(sf_dir)}"
         names[table] = name
-        if not spark.catalog.tableExists(name):
+        if spark.catalog.tableExists(name):
+            continue
+        path = os.path.join(WAREHOUSE, name)
+
+        def build(tmp: str, table: str = table, key: str = key) -> None:
+            # bucketBy requires saveAsTable; stage under a throwaway
+            # name whose EXTERNAL path is the tmp dir, then drop the
+            # metadata (files survive — external table).
+            build_name = f"{name}__build_{os.getpid()}"
             (load_table(spark, sf_dir, table).write
              .bucketBy(buckets, key).sortBy(key)
-             .option("path", os.path.join(WAREHOUSE, name))
-             .mode("overwrite").format("parquet").saveAsTable(name))
+             .option("path", tmp)
+             .mode("overwrite").format("parquet").saveAsTable(build_name))
+            spark.sql(f"DROP TABLE `{build_name}`")
+
+        stage_atomic(path, build, marker="_SUCCESS")
+        ddl = spark.read.parquet(path).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE `{name}` ({ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {buckets} BUCKETS LOCATION '{path}'")
     return names

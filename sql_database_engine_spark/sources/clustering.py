@@ -133,9 +133,13 @@ def ensure_clustered_lineitem(spark, sf_dir: str, files: int = 16) -> str:
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
     path = os.path.join(repo_root, "spark-warehouse", "clustered",
                         f"lineitem_hilbert_{tag}")
-    done = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(done):
+
+    def build(tmp: str) -> None:
         from ..catalog import load_table
-        hilbert_write(load_table(spark, sf_dir, "lineitem"), path,
+        hilbert_write(load_table(spark, sf_dir, "lineitem"), tmp,
                       ("l_orderkey", "l_extendedprice"), files=files)
-    return path
+
+    from ..scratch import stage_atomic
+    # rename-commit: concurrent sessions never overwrite files a
+    # rival is scanning (the bucketed.py race class).
+    return stage_atomic(path, build, marker="_SUCCESS")

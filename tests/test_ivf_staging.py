@@ -28,7 +28,7 @@ def test_staging_is_idempotent(spark):
     assert stage2 == stage
     mtimes2 = {p: os.path.getmtime(os.path.join(r, p))
                for r, _, fs in os.walk(assigns) for p in fs}
-    assert mtimes2 == mtimes, "re-staged despite _STAGED marker"
+    assert mtimes2 == mtimes, "re-staged despite committed artifact"
 
 
 def test_rebuild_is_bit_identical(spark):
