@@ -120,6 +120,14 @@ class Engine:
             if os.path.exists(stale):
                 shutil.rmtree(stale)
 
+        if not glob.glob(os.path.join(path, "**", "*.parquet"),
+                         recursive=True):
+            # Zero data files (an empty CTAS writes only _SUCCESS):
+            # nothing to compact — and nothing to infer a schema from,
+            # so the read below would throw UNABLE_TO_INFER_SCHEMA.
+            # Maintenance ops must be total over empty tables.
+            return 0
+
         df = self.spark.read.parquet(path)
         # Partition columns live in directory names, not data files.
         part_cols: list[str] = []

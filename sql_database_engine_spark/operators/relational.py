@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, load_table
 from ..functions.exact import money_sum, money_avg, MONEY_SUM_SQL, MONEY_AVG_SQL
 from . import query
 
@@ -607,7 +607,11 @@ def clustered_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     results not at all and cost a lot."""
     from ..sources.clustering import ensure_clustered_lineitem
     path = ensure_clustered_lineitem(spark, sf_dir)
-    li = spark.read.parquet(path)
+    # Explicit schema: the clustered copy is a row-reordering of the
+    # source, and inference over a data-less dir (empty source wrote
+    # only _SUCCESS) throws UNABLE_TO_INFER_SCHEMA.
+    li = spark.read.schema(
+        load_table(spark, sf_dir, "lineitem").schema).parquet(path)
     return (
         li.filter((F.col("l_orderkey") < 10000)
                   & (F.col("l_extendedprice") >= 20000.0)

@@ -2338,19 +2338,22 @@ def _ivf_stage(spark: SparkSession, sf_dir: str) -> str:
     """
     import os
 
-    from ..scratch import scratch_dir, source_fingerprint, stage_atomic
+    from ..scratch import (dump_schema, scratch_dir, source_fingerprint,
+                           stage_atomic)
 
     parent = scratch_dir(
         "ivf_index", sf_dir,
-        version="v3|" + source_fingerprint(sf_dir, "embeddings.parquet"))
+        version="v4|" + source_fingerprint(sf_dir, "embeddings.parquet"))
 
     def build(tmp: str) -> None:
         e, cents = _kmeans_train(spark, sf_dir)
-        cents.select("cid", "c").write.mode("overwrite").parquet(
-            os.path.join(tmp, "centroids"))
-        (_lloyd_assign(e, cents)
-         .write.mode("overwrite").partitionBy("cid")
+        cb = cents.select("cid", "c")
+        cb.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        dump_schema(cb, tmp, "centroids")
+        al = _lloyd_assign(e, cents)
+        (al.write.mode("overwrite").partitionBy("cid")
          .parquet(os.path.join(tmp, "assignments")))
+        dump_schema(al, tmp, "assignments")
 
     return stage_atomic(os.path.join(parent, "index"), build)
 
@@ -2423,8 +2426,10 @@ def ann_ivf_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    from ..scratch import read_staged_parquet
+
     stage = _ivf_stage(spark, sf_dir)
-    cents = spark.read.parquet(os.path.join(stage, "centroids"))
+    cents = read_staged_parquet(spark, stage, "centroids")
     emb = Catalog(spark, sf_dir).embeddings
     q = (emb.filter((F.col("vec_id") < 10)
                     & F.col("embedding").isNotNull())
@@ -2445,7 +2450,7 @@ def ann_ivf_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebook (k*nprobe values, bounded by k): collected once and
     # pushed into the scan as a STATIC partition filter.
     probed = sorted({r["cid"] for r in probes.select("cid").collect()})
-    assigns = (spark.read.parquet(os.path.join(stage, "assignments"))
+    assigns = (read_staged_parquet(spark, stage, "assignments")
                .filter(F.col("cid").cast("long").isin(probed))
                .select("vec_id", "e", F.col("cid").cast("long").alias("cid")))
     d_qe = F.expr("aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), "
@@ -2479,21 +2484,24 @@ def _ivf_stage_incremental(spark: SparkSession, sf_dir: str) -> str:
     """
     import os
 
-    from ..scratch import scratch_dir, source_fingerprint, stage_atomic
+    from ..scratch import (dump_schema, scratch_dir, source_fingerprint,
+                           stage_atomic)
 
     parent = scratch_dir(
         "ivf_incr", sf_dir,
-        version="v3|" + source_fingerprint(sf_dir, "embeddings.parquet"))
+        version="v4|" + source_fingerprint(sf_dir, "embeddings.parquet"))
 
     def build(tmp: str) -> None:
         e = _micro_vectors(spark, sf_dir)
         base = e.filter(F.col("vec_id") % 10 < 8)
         cents = _lloyd_train(base)
-        cents.select("cid", "c").write.mode("overwrite").parquet(
-            os.path.join(tmp, "centroids"))
+        cb = cents.select("cid", "c")
+        cb.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        dump_schema(cb, tmp, "centroids")
         apath = os.path.join(tmp, "assignments")
-        (_lloyd_assign(base, cents)
-         .write.mode("overwrite").partitionBy("cid").parquet(apath))
+        ab = _lloyd_assign(base, cents)
+        ab.write.mode("overwrite").partitionBy("cid").parquet(apath)
+        dump_schema(ab, tmp, "assignments")
         # The incremental append: batch vectors against the FROZEN
         # codebook, appended into the existing bucket directories.
         # Both writes land in the PRIVATE tmp dir; the publish is
@@ -2592,8 +2600,10 @@ def ann_ivf_staged_append_probe(spark: SparkSession,
     just the probe arithmetic."""
     import os
 
+    from ..scratch import read_staged_parquet
+
     stage = _ivf_stage_incremental(spark, sf_dir)
-    cents = spark.read.parquet(os.path.join(stage, "centroids"))
+    cents = read_staged_parquet(spark, stage, "centroids")
     emb = Catalog(spark, sf_dir).embeddings
     q = (emb.filter((F.col("vec_id") < 10)
                     & F.col("embedding").isNotNull())
@@ -2611,7 +2621,7 @@ def ann_ivf_staged_append_probe(spark: SparkSession,
               .filter(F.col("rn") <= 2)
               .select("q_id", "qe", F.col("cid").cast("long").alias("cid")))
     probed = sorted({r["cid"] for r in probes.select("cid").collect()})
-    assigns = (spark.read.parquet(os.path.join(stage, "assignments"))
+    assigns = (read_staged_parquet(spark, stage, "assignments")
                .filter(F.col("cid").cast("long").isin(probed))
                .select("vec_id", "e", F.col("cid").cast("long").alias("cid")))
     d_qe = F.expr("aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), "

@@ -96,3 +96,30 @@ def source_fingerprint(sf_dir: str, filename: str) -> str:
         return f"{total}-{newest}"
     st = os.stat(path)
     return f"{st.st_size}-{st.st_mtime_ns}"
+
+
+def dump_schema(df, staging_dir: str, name: str) -> None:
+    """Persist ``df``'s schema as ``<name>.schema.json`` next to the
+    dataset ``<name>`` inside a staged artifact. A persisted artifact
+    must carry its own schema: an EMPTY dataset writes zero parquet
+    data files (only ``_SUCCESS``), and schema inference over a
+    data-less directory throws ``UNABLE_TO_INFER_SCHEMA`` — so any
+    reader that infers is broken for exactly the empty-partition case
+    a 100 TB pipeline hits routinely."""
+    with open(os.path.join(staging_dir, f"{name}.schema.json"), "w") as f:
+        f.write(df.schema.json())
+
+
+def read_staged_parquet(spark, artifact_dir: str, name: str):
+    """Read dataset ``<name>`` from a committed staged artifact using
+    its persisted schema sidecar (see :func:`dump_schema`) — total
+    over empty datasets, and partition-column types come from the
+    writer, not directory-name re-inference."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(artifact_dir, f"{name}.schema.json")) as f:
+        schema = StructType.fromJson(json.loads(f.read()))
+    return (spark.read.schema(schema)
+            .parquet(os.path.join(artifact_dir, name)))

@@ -77,7 +77,12 @@ def ensure_bucketed_facts(spark: SparkSession, sf_dir: str,
             spark.sql(f"DROP TABLE `{build_name}`")
 
         stage_atomic(path, build, marker="_SUCCESS")
-        ddl = spark.read.parquet(path).schema.toDDL()
+        # Schema from the SOURCE table, not inference over the staged
+        # files: an empty source writes zero data files (just
+        # _SUCCESS), and inference over a data-less dir throws
+        # UNABLE_TO_INFER_SCHEMA. The staged layout is by construction
+        # the source projection, so the source schema IS its schema.
+        ddl = load_table(spark, sf_dir, table).schema.toDDL()
         spark.sql(
             f"CREATE TABLE `{name}` ({ddl}) USING parquet "
             f"CLUSTERED BY ({key}) SORTED BY ({key}) "

@@ -32,7 +32,10 @@ DEFAULT_BITS = 8
 def _quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Affine map of [lo, hi] onto the integer grid [0, 2^bits)."""
     cells = (1 << bits) - 1
-    if hi <= lo:  # constant column: one cell
+    if lo is None or hi is None or hi <= lo:
+        # Empty/all-null input (min/max come back NULL) or a constant
+        # column: one cell. The write must stay total over the empty
+        # relation — a pruned-to-nothing source is routine at scale.
         return F.lit(0).cast("long")
     scaled = (col.cast("double") - F.lit(float(lo))) * cells / (float(hi) - float(lo))
     return F.least(F.greatest(F.round(scaled).cast("long"), F.lit(0)),
