@@ -609,15 +609,33 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither rollup nor cube) via the SQL
-    front door — the DataFrame API has no grouping-sets verb."""
+    front door — the DataFrame API has no grouping-sets verb.
+
+    Same phantom-row empty-input fix as ``agg_rollup`` (the
+    empty_sweep class), in SQL form: one all-NULL ``__ph = 1`` row
+    unions into the source so the ``()`` set materializes its ANSI
+    global-aggregate row over an empty relation; aggregates are
+    phantom-blind and phantom-only non-() groups (SUM(1-__ph) = 0,
+    impossible for real data) are dropped in HAVING. Single scan,
+    same Expand+Aggregate plan."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(f"""
+        WITH src AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(({REV_SQL}) * 100) AS BIGINT) AS __cents,
+                   0 AS __ph
+            FROM lineitem
+            UNION ALL
+            SELECT NULL, NULL, NULL, 1
+        )
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
-               CAST(SUM(CAST(ROUND(({REV_SQL}) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               CAST(SUM(CASE WHEN __ph = 0 THEN __cents END) AS DOUBLE) / 100.0
                    AS revenue
-        FROM lineitem
+        FROM src
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        HAVING NOT (grouping(l_returnflag) * 2 + grouping(l_linestatus) < 3
+                    AND SUM(1 - __ph) = 0)
     """)
 
 

@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import Catalog, load_table
-from ..functions.exact import money_sum, money_avg, MONEY_SUM_SQL, MONEY_AVG_SQL
+from ..functions.exact import (money_sum, money_avg, MONEY_SUM_SQL,
+                               MONEY_AVG_SQL, cents as cents_f)
 from . import query
 
 def REVENUE():
@@ -35,6 +36,22 @@ def REVENUE():
 
 
 REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _with_phantom(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Union ONE all-NULL ``__ph = 1`` row onto ``df`` — the
+    single-scan device that makes grouping-set aggregates total over
+    the empty relation (ANSI: the ``()`` set is a global aggregate
+    and yields a row even over zero input rows; Spark's
+    Expand+HashAggregate yields nothing). Aggregates must be
+    phantom-blind (``WHEN __ph = 0``) and phantom-only detail groups
+    (``n = 0`` outside the all-grouped set) filtered — a real group
+    always has ≥ 1 row, so the filter can never drop real output."""
+    phantom = spark.range(1).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name)
+          for f in df.schema.fields],
+        F.lit(1).alias("__ph"))
+    return df.withColumn("__ph", F.lit(0)).unionByName(phantom)
 
 
 # ---------------------------------------------------------------------------
@@ -227,15 +244,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP with grouping id (disambiguates subtotal rows from NULL
     group keys). Catalyst expands grouping sets map-side; the shuffle
-    carries one partial per (set, keys) — still tiny at any SF."""
+    carries one partial per (set, keys) — still tiny at any SF.
+
+    Empty-input semantics (the empty_sweep class): ANSI says the
+    ``()`` grouping set is a GLOBAL aggregate and yields one row
+    (COUNT=0, SUM NULL) even over the empty relation — DuckDB and
+    Postgres do; Spark's Expand+HashAggregate emits nothing. Fixed
+    single-scan with a phantom row: one all-NULL ``__ph=1`` row
+    unions into the input so every grouping set materializes, every
+    aggregate is phantom-blind (``WHEN __ph = 0``), and phantom-only
+    DETAIL groups (n=0, gid<3 — impossible for real data, every real
+    group has ≥1 row) are filtered. No second scan, no extra
+    exchange; the () row's values are exact."""
     li = Catalog(spark, sf_dir).lineitem
+    src = _with_phantom(
+        spark,
+        li.select("l_returnflag", "l_linestatus",
+                  cents_f(REVENUE()).alias("__cents")))
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        src.rollup("l_returnflag", "l_linestatus")
         .agg(
             (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int").alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            money_sum(REVENUE()).alias("revenue"),
+            F.sum(1 - F.col("__ph")).alias("n"),
+            (F.sum(F.when(F.col("__ph") == 0, F.col("__cents")))
+             .cast("double") / 100.0).alias("revenue"),
         )
+        .filter(~((F.col("gid") < 3) & (F.col("n") == 0)))
         .select("l_returnflag", "l_linestatus", "gid", "n", "revenue")
     )
 
@@ -251,15 +285,23 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two low-cardinality dimensions."""
+    """CUBE over two low-cardinality dimensions. Same phantom-row
+    empty-input fix as :func:`agg_rollup` — the ``()`` set must
+    yield its global-aggregate row even over an empty relation."""
     o = Catalog(spark, sf_dir).orders
+    src = _with_phantom(
+        spark,
+        o.select("o_orderstatus", "o_orderpriority",
+                 cents_f(F.col("o_totalprice")).alias("__cents")))
     return (
-        o.cube("o_orderstatus", "o_orderpriority")
+        src.cube("o_orderstatus", "o_orderpriority")
         .agg(
             (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("int").alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            money_sum(F.col("o_totalprice")).alias("total"),
+            F.sum(1 - F.col("__ph")).alias("n"),
+            (F.sum(F.when(F.col("__ph") == 0, F.col("__cents")))
+             .cast("double") / 100.0).alias("total"),
         )
+        .filter(~((F.col("gid") < 3) & (F.col("n") == 0)))
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
     )
 
