@@ -1059,12 +1059,17 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "running",
         F.sum("delta").over(
             W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)))
+    # No sessions -> no peak ROW (the oracle's grouped tail yields
+    # nothing over an empty relation, the global agg here yields one
+    # all-NULL row — the empty_sweep class). n_sessions is NULL only
+    # in that zero-input case, so the filter never drops real output.
     return (r.agg(F.sum("n_starts").alias("n_sessions"),
                   F.max(F.struct(F.col("running"), (-F.col("t")).alias("negt")))
                   .alias("m"))
             .select(F.col("n_sessions").cast("long").alias("n_sessions"),
                     F.col("m.running").cast("long").alias("peak_concurrent"),
-                    (-F.col("m.negt")).cast("long").alias("peak_at_us")))
+                    (-F.col("m.negt")).cast("long").alias("peak_at_us"))
+            .where(F.col("n_sessions").isNotNull()))
 
 
 @query(

@@ -431,20 +431,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_asset_dedup",
     oracle="""
     WITH h AS (
-        SELECT sha256(text) AS hash,
+        SELECT 'text' AS media_type, sha256(text) AS hash,
                octet_length(encode(text)) AS n_bytes
         FROM documents
     ), per AS (
-        SELECT hash, COUNT(*) AS n, any_value(n_bytes) AS nb
-        FROM h GROUP BY hash
+        SELECT media_type, hash, COUNT(*) AS n, any_value(n_bytes) AS nb
+        FROM h GROUP BY media_type, hash
     )
-    SELECT 'text' AS media_type,
+    SELECT media_type,
            CAST(SUM(n) AS BIGINT) AS n_assets,
            CAST(COUNT(*) AS BIGINT) AS n_distinct,
            CAST(SUM(n - 1) AS BIGINT) AS n_dup_losers,
            CAST(SUM(n * nb) AS BIGINT) AS bytes_total,
            CAST(SUM((n - 1) * nb) AS BIGINT) AS bytes_dedupable
     FROM per
+    GROUP BY media_type
     """,
 )
 def multimodal_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,8 +25,12 @@ from . import query
 def _checks_to_rows(df: DataFrame, **rules) -> DataFrame:
     """One scan: aggregate every rule's violation count + the row
     count, then explode to (check, n_bad, n_checked) rows."""
+    # coalesce: a violation COUNT over an empty batch is 0, but SUM
+    # over zero rows is NULL (the empty_sweep class) — the audit must
+    # report 0 violations, not an unknown.
     aggs = [F.count(F.lit(1)).alias("__n")]
-    aggs += [F.sum(c.cast("long")).alias(k) for k, c in rules.items()]
+    aggs += [F.coalesce(F.sum(c.cast("long")), F.lit(0)).alias(k)
+             for k, c in rules.items()]
     one = df.agg(*aggs)
     pairs = F.array(*[
         F.struct(F.lit(k).alias("check"), F.col(k).alias("n_bad"))
@@ -40,22 +44,22 @@ def _checks_to_rows(df: DataFrame, **rules) -> DataFrame:
     "dq_constraint_audit",
     oracle="""
     SELECT 'lineitem_discount_range' AS check,
-           CAST(COUNT_IF(l_discount < 0 OR l_discount > 0.1) AS BIGINT) AS n_bad,
+           CAST(COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS BIGINT) AS n_bad,
            CAST(COUNT(*) AS BIGINT) AS n_checked
     FROM lineitem
     UNION ALL
     SELECT 'lineitem_positive_measures',
-           CAST(COUNT_IF(l_quantity <= 0 OR l_extendedprice <= 0 OR l_tax < 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (l_quantity <= 0 OR l_extendedprice <= 0 OR l_tax < 0) AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'orders_totalprice_positive',
-           CAST(COUNT_IF(o_totalprice <= 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'orders_orderdate_not_null',
-           CAST(COUNT_IF(o_orderdate IS NULL) AS BIGINT),
+           CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM orders
     UNION ALL
@@ -119,7 +123,8 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_custkey")
         .join(F.broadcast(cust.select(F.col("c_custkey").alias("__ck")).distinct()),
               F.col("o_custkey") == F.col("__ck"), "left")
-        .agg(F.sum(F.col("__ck").isNull().cast("long")).alias("n_bad"),
+        .agg(F.coalesce(F.sum(F.col("__ck").isNull().cast("long")),
+                        F.lit(0)).alias("n_bad"),
              F.count(F.lit(1)).alias("n_checked"))
         .select(F.lit("orders_fk_customer").alias("check"), "n_bad", "n_checked")
     )
@@ -127,7 +132,8 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey")
         .join(orders.select(F.col("o_orderkey").alias("__ok")).distinct(),
               F.col("l_orderkey") == F.col("__ok"), "left")
-        .agg(F.sum(F.col("__ok").isNull().cast("long")).alias("n_bad"),
+        .agg(F.coalesce(F.sum(F.col("__ok").isNull().cast("long")),
+                        F.lit(0)).alias("n_bad"),
              F.count(F.lit(1)).alias("n_checked"))
         .select(F.lit("lineitem_fk_orders").alias("check"), "n_bad", "n_checked")
     )
@@ -135,8 +141,9 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row count (sum of group sizes).
     dup_cust = (
         cust.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("k"))
-        .agg(F.sum((F.col("k") > 1).cast("long")).alias("n_bad"),
-             F.sum("k").alias("n_checked"))
+        .agg(F.coalesce(F.sum((F.col("k") > 1).cast("long")),
+                        F.lit(0)).alias("n_bad"),
+             F.coalesce(F.sum("k"), F.lit(0)).alias("n_checked"))
         .select(F.lit("customer_pk_unique").alias("check"), "n_bad", "n_checked")
     )
     return (li_rows.unionByName(ord_rows).unionByName(orphan_orders)
@@ -181,36 +188,40 @@ def dq_null_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(c).alias("col"),
                  (F.col("__n") - F.col(c)).alias("n_null"))
         for c in cols])
+    # try_divide: over an EMPTY batch n_rows = 0 and ANSI division
+    # throws; DuckDB's x/0 is NULL, so the ratio is NULL-on-empty on
+    # both engines (the empty_sweep class — an ingest gate must
+    # survive an empty arrival).
     return (agg.select(F.explode(pairs).alias("p"), F.col("__n").alias("n_rows"))
             .select("p.col", "p.n_null", "n_rows",
-                    (F.col("p.n_null").cast("double") / F.col("n_rows"))
-                    .alias("null_ratio")))
+                    F.try_divide(F.col("p.n_null").cast("double"),
+                                 F.col("n_rows")).alias("null_ratio")))
 
 
 @query(
     "dq_accepted_values",
     oracle="""
     SELECT 'lineitem_returnflag_domain' AS check,
-           CAST(COUNT_IF(l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+           CAST(COUNT(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
                AS n_bad,
            CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
            CAST(COUNT(*) AS BIGINT) AS n_checked
     FROM lineitem
     UNION ALL
     SELECT 'lineitem_linestatus_domain',
-           CAST(COUNT_IF(l_linestatus NOT IN ('O', 'F')) AS BIGINT),
+           CAST(COUNT(*) FILTER (l_linestatus NOT IN ('O', 'F')) AS BIGINT),
            CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'orders_orderstatus_domain',
-           CAST(COUNT_IF(o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+           CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
            CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'events_event_type_domain',
-           CAST(COUNT_IF(event_type NOT IN
+           CAST(COUNT(*) FILTER (event_type NOT IN
                 ('click', 'view', 'purchase', 'signup'))
                 AS BIGINT),
            CAST(COUNT(DISTINCT event_type) AS BIGINT),
@@ -232,9 +243,13 @@ def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def table_row(df, check, col, domain):
         dom = [F.lit(v) for v in domain]
+        # coalesce: 0 violations over an empty batch, not a NULL SUM
+        # (the empty_sweep class — both engines previously "agreed"
+        # on the wrong NULL, the vacuous-agreement lesson).
         return df.agg(
             F.lit(check).alias("check"),
-            F.sum((~F.col(col).isin(*dom)).cast("long")).alias("n_bad"),
+            F.coalesce(F.sum((~F.col(col).isin(*dom)).cast("long")),
+                       F.lit(0)).alias("n_bad"),
             F.countDistinct(col).alias("n_distinct"),
             F.count(F.lit(1)).alias("n_checked"))
 
@@ -268,10 +283,10 @@ def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o JOIN line_sums ls ON ls.l_orderkey = o.o_orderkey
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(COUNT_IF(diff_cents = 0) AS BIGINT) AS n_exact,
-           CAST(COUNT_IF(diff_cents > 0 AND diff_cents <= 100) AS BIGINT)
+           CAST(COUNT(*) FILTER (diff_cents = 0) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) FILTER (diff_cents > 0 AND diff_cents <= 100) AS BIGINT)
                AS n_within_dollar,
-           CAST(COUNT_IF(diff_cents > 100) AS BIGINT) AS n_beyond_dollar,
+           CAST(COUNT(*) FILTER (diff_cents > 100) AS BIGINT) AS n_beyond_dollar,
            CAST(max(diff_cents) AS BIGINT) AS max_diff_cents
     FROM recon
     """,
@@ -303,14 +318,18 @@ def order_line_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon = (cat.orders.select("o_orderkey", "o_totalprice")
              .join(line_sums, F.col("l_orderkey") == F.col("o_orderkey"))
              .select(diff.alias("diff_cents")))
+    # coalesce: the tolerance buckets are COUNTS — 0 over an empty
+    # close, not NULL SUMs (the empty_sweep class); max stays
+    # NULL-on-empty on both engines.
     return recon.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum((F.col("diff_cents") == 0).cast("long")).alias("n_exact"),
-        F.sum(((F.col("diff_cents") > 0)
-               & (F.col("diff_cents") <= 100)).cast("long"))
-        .alias("n_within_dollar"),
-        F.sum((F.col("diff_cents") > 100).cast("long"))
-        .alias("n_beyond_dollar"),
+        F.coalesce(F.sum((F.col("diff_cents") == 0).cast("long")),
+                   F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum(((F.col("diff_cents") > 0)
+                          & (F.col("diff_cents") <= 100)).cast("long")),
+                   F.lit(0)).alias("n_within_dollar"),
+        F.coalesce(F.sum((F.col("diff_cents") > 100).cast("long")),
+                   F.lit(0)).alias("n_beyond_dollar"),
         F.max("diff_cents").alias("max_diff_cents"))
 
 
@@ -787,7 +806,7 @@ Bucket enumeration comes from the key RANGE
     )
     SELECT m.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT_IF(m.x IS NULL) AS BIGINT) AS n_imputed,
+           CAST(COUNT(*) FILTER (m.x IS NULL) AS BIGINT) AS n_imputed,
            CAST(any_value(d.median_cents) AS BIGINT) AS median_cents,
            CAST(CAST(SUM(COALESCE(m.x, d.median_cents)) AS BIGINT)
                 AS BIGINT) AS imputed_sum_cents

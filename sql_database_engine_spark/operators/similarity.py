@@ -1005,16 +1005,17 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_recall_contract",
     oracle="""
-    SELECT * FROM (VALUES
-        ('ivf',              CAST(10 AS BIGINT), CAST(3 AS BIGINT),
-         CAST(1 AS BIGINT)),
-        ('lsh_multiprobe',   CAST(10 AS BIGINT), CAST(3 AS BIGINT),
-         CAST(1 AS BIGINT)),
-        ('multiprobe_vs_single', CAST(10 AS BIGINT), CAST(3 AS BIGINT),
-         CAST(1 AS BIGINT)),
-        ('pq_rerank',        CAST(10 AS BIGINT), CAST(3 AS BIGINT),
-         CAST(1 AS BIGINT)))
-        AS t(method, n_queries, k, passed)
+    WITH nq AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+        FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
+    )
+    SELECT t.method, nq.n_queries, t.k, t.passed
+    FROM (VALUES
+        ('ivf',              CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        ('lsh_multiprobe',   CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        ('multiprobe_vs_single', CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        ('pq_rerank',        CAST(3 AS BIGINT), CAST(1 AS BIGINT)))
+        AS t(method, k, passed), nq
     ORDER BY method
     """,
 )
@@ -1100,20 +1101,30 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_hits = l2hits(ann_ivf_topk(spark, sf_dir))
     pq_hits = l2hits(ann_pq_topk(spark, sf_dir))
 
-    def row(name: str, h: DataFrame, ok) -> DataFrame:
-        return h.select(
-            F.lit(name).alias("method"),
-            F.lit(10).cast("long").alias("n_queries"),
-            F.lit(3).cast("long").alias("k"),
-            ok.cast("long").alias("passed"))
+    # Floors scale with the ACTUAL query count (n_q*3 exact slots):
+    # at n_q = 10 the original absolute floors are unchanged, and
+    # over an empty corpus (n_q = 0, the empty_sweep class) the
+    # contract is vacuously satisfied — 0 >= 0 — instead of flipping
+    # to a spurious failure against the oracle's passed = 1.
+    nq = (e.filter(F.col("vec_id") < 10)
+          .agg(F.count(F.lit(1)).alias("n_q")))
 
-    ivf = row("ivf", ivf_hits, F.col("n_hits") * 2 >= 30)
-    mp = row("lsh_multiprobe", mp_hits, F.col("n_hits") * 10 >= 30)
-    pqr = row("pq_rerank", pq_hits, F.col("n_hits") * 3 >= 30)
+    def row(name: str, h: DataFrame, ok) -> DataFrame:
+        return (h.crossJoin(F.broadcast(nq)).select(
+            F.lit(name).alias("method"),
+            F.col("n_q").cast("long").alias("n_queries"),
+            F.lit(3).cast("long").alias("k"),
+            ok.cast("long").alias("passed")))
+
+    ivf = row("ivf", ivf_hits, F.col("n_hits") * 2 >= F.col("n_q") * 3)
+    mp = row("lsh_multiprobe", mp_hits,
+             F.col("n_hits") * 10 >= F.col("n_q") * 3)
+    pqr = row("pq_rerank", pq_hits, F.col("n_hits") * 3 >= F.col("n_q") * 3)
     rel = (mp_hits.select(F.col("n_hits").alias("mp_hits"))
            .crossJoin(F.broadcast(single_hits))
+           .crossJoin(F.broadcast(nq))
            .select(F.lit("multiprobe_vs_single").alias("method"),
-                   F.lit(10).cast("long").alias("n_queries"),
+                   F.col("n_q").cast("long").alias("n_queries"),
                    F.lit(3).cast("long").alias("k"),
                    (F.col("mp_hits") >= F.col("n_hits")).cast("long")
                    .alias("passed")))
@@ -1288,11 +1299,16 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = scored.agg(F.max(F.struct(
             F.col("mmr_score"), (-F.col("vec_id")).alias("negid"),
             F.col("qsim"))).alias("t"))
+        # No candidates -> no pick ROW: the global struct-max over an
+        # empty step yields one all-NULL row where the oracle's
+        # LIMIT 1 yields nothing (the empty_sweep class; also covers
+        # a pool smaller than k). Real picks always have a vec_id.
         return top.select(
             F.lit(step).cast("long").alias("step"),
             (-F.col("t.negid")).cast("long").alias("vec_id"),
             F.col("t.qsim").alias("qsim"),
-            F.col("t.mmr_score").alias("mmr_score"))
+            F.col("t.mmr_score").alias("mmr_score")).where(
+                F.col("vec_id").isNotNull())
 
     selected = argmax(cand.withColumn("mmr_score", F.col("qsim")), 1)
     for k in (2, 3, 4):

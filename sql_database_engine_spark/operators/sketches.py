@@ -531,12 +531,19 @@ def hll_setop_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.hll_sketch_agg(uid).alias("sk"),
                F.count_distinct("user_id").alias("exact")))
     # Pivot the 2-row sketch relation into one row: the set-op lane.
+    # coalesce: an absent audience (no clicks, or nothing at all — the
+    # empty_sweep class) is a COUNT of zero users, not unknown; the
+    # oracle's scalar subqueries likewise count 0. Same for the union
+    # estimate of zero sketches.
     one = sk.agg(
-        F.max(F.when(F.col("event_type") == "click", F.col("exact")))
-        .alias("exact_a"),
-        F.max(F.when(F.col("event_type") == "purchase", F.col("exact")))
-        .alias("exact_b"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"))
+        F.coalesce(
+            F.max(F.when(F.col("event_type") == "click", F.col("exact"))),
+            F.lit(0)).alias("exact_a"),
+        F.coalesce(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("exact"))),
+            F.lit(0)).alias("exact_b"),
+        F.coalesce(F.hll_sketch_estimate(F.hll_union_agg("sk")),
+                   F.lit(0)).alias("est_union"))
     exact_union = (e.filter(F.col("event_type")
                             .isin("click", "purchase"))
                    .agg(F.count_distinct("user_id")

@@ -2995,15 +2995,21 @@ def minhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = (minhash_lsh_neardup(spark, sf_dir)
            .select("doc_a", "doc_b", F.lit(1).alias("in_l")))
     j = truth.join(lsh, ["doc_a", "doc_b"], "full_outer")
-    return (j.agg(F.sum("in_t").alias("n_truth"),
-                  F.sum("in_l").alias("n_lsh"),
-                  F.sum(F.col("in_t") * F.col("in_l")).alias("n_tp"))
+    # coalesce + guarded div: over an empty corpus the pair counts
+    # are 0 (not NULL-SUMs) and the ratios are undefined (NULL) — the
+    # empty_sweep class; ANSI `div` would throw on the 0 denominator.
+    return (j.agg(F.coalesce(F.sum("in_t"), F.lit(0)).alias("n_truth"),
+                  F.coalesce(F.sum("in_l"), F.lit(0)).alias("n_lsh"),
+                  F.coalesce(F.sum(F.col("in_t") * F.col("in_l")),
+                             F.lit(0)).alias("n_tp"))
             .select(F.col("n_truth").cast("long").alias("n_truth"),
                     F.col("n_lsh").cast("long").alias("n_lsh"),
                     F.col("n_tp").cast("long").alias("n_tp"),
-                    F.expr("n_tp * 1000000L div n_truth")
+                    F.expr("CASE WHEN n_truth = 0 THEN NULL "
+                           "ELSE n_tp * 1000000L div n_truth END")
                     .alias("recall_micros"),
-                    F.expr("n_tp * 1000000L div n_lsh")
+                    F.expr("CASE WHEN n_lsh = 0 THEN NULL "
+                           "ELSE n_tp * 1000000L div n_lsh END")
                     .alias("precision_at08_micros")))
 
 

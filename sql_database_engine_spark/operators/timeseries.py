@@ -1163,12 +1163,18 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (arr.select("ts_us", F.max("ts_us").over(w).alias("max_seen_us"))
             .select((F.col("max_seen_us") - F.col("ts_us")).alias("late_us")))
 
+    # coalesce: these sums are COUNTS of late rows, and a count over
+    # an empty replay is 0, not NULL (SUM's empty-input value — the
+    # empty_sweep class; DuckDB's COUNT(*) FILTER is 0). max_late_us
+    # stays NULL-on-empty on both engines.
     def dropped(us: int, name: str):
-        return F.sum((F.col("late_us") > us).cast("long")).alias(name)
+        return F.coalesce(F.sum((F.col("late_us") > us).cast("long")),
+                          F.lit(0)).alias(name)
 
     return late.agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum((F.col("late_us") > 0).cast("long")).alias("n_out_of_order"),
+        F.coalesce(F.sum((F.col("late_us") > 0).cast("long")),
+                   F.lit(0)).alias("n_out_of_order"),
         dropped(1_800_000_000, "dropped_at_30m"),
         dropped(3_600_000_000, "dropped_at_1h"),
         dropped(7_200_000_000, "dropped_at_2h"),
