@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog import Catalog, load_table
+from ..catalog import Catalog
 from ..functions.exact import (money_sum, money_avg, MONEY_SUM_SQL,
                                MONEY_AVG_SQL, cents as cents_f)
 from . import query
@@ -647,13 +647,12 @@ def clustered_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     once-paid pass) and times this scan; the oracle runs the same
     predicate over the unclustered table, proving layout changes
     results not at all and cost a lot."""
-    from ..sources.clustering import ensure_clustered_lineitem
+    from ..sources.clustering import ensure_clustered_lineitem, read_clustered
     path = ensure_clustered_lineitem(spark, sf_dir)
-    # Explicit schema: the clustered copy is a row-reordering of the
-    # source, and inference over a data-less dir (empty source wrote
-    # only _SUCCESS) throws UNABLE_TO_INFER_SCHEMA.
-    li = spark.read.schema(
-        load_table(spark, sf_dir, "lineitem").schema).parquet(path)
+    # Sidecar-schema read: total over an empty clustered copy (zero
+    # data files -> inference would throw UNABLE_TO_INFER_SCHEMA),
+    # and no per-query source-footer re-read.
+    li = read_clustered(spark, path)
     return (
         li.filter((F.col("l_orderkey") < 10000)
                   & (F.col("l_extendedprice") >= 20000.0)

@@ -22,6 +22,8 @@ no driver-side data path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 #: Bits per dimension: 8 → 65,536 Z-cells, plenty to order files by;
@@ -135,14 +137,32 @@ def ensure_clustered_lineitem(spark, sf_dir: str, files: int = 16) -> str:
         os.path.abspath(__file__))))
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
     path = os.path.join(repo_root, "spark-warehouse", "clustered",
-                        f"lineitem_hilbert_{tag}")
+                        f"lineitem_hilbert_v2_{tag}")  # v2: _schema.json sidecar
 
     def build(tmp: str) -> None:
         from ..catalog import load_table
-        hilbert_write(load_table(spark, sf_dir, "lineitem"), tmp,
-                      ("l_orderkey", "l_extendedprice"), files=files)
+        df = load_table(spark, sf_dir, "lineitem")
+        hilbert_write(df, tmp, ("l_orderkey", "l_extendedprice"),
+                      files=files)
+        # Schema sidecar (underscore-prefixed: parquet readers skip
+        # it): readers stay total over an EMPTY clustered copy (zero
+        # data files) without re-reading the source footer per query.
+        with open(os.path.join(tmp, "_schema.json"), "w") as f:
+            f.write(df.schema.json())
 
     from ..scratch import stage_atomic
     # rename-commit: concurrent sessions never overwrite files a
     # rival is scanning (the bucketed.py race class).
     return stage_atomic(path, build, marker="_SUCCESS")
+
+
+def read_clustered(spark, path: str):
+    """Read a clustered layout via its schema sidecar — no inference
+    (fails on an empty copy), no per-query source-footer read."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(path, "_schema.json")) as f:
+        schema = StructType.fromJson(json.loads(f.read()))
+    return spark.read.schema(schema).parquet(path)
