@@ -733,8 +733,12 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_q = F.round(F.col("l_quantity") * 100).cast("long")
     q = F.col("q")
     n = F.count(F.lit(1))
-    var = ((n * F.sum(q * q) - F.sum(q) * F.sum(q)).cast("double")
-           / (n * (n - F.lit(1))) / 10000.0)
+    # try_divide: sample variance is undefined at n = 1 (the n-1
+    # denominator) — NULL like DuckDB's x/0, not an ANSI throw (the
+    # empty_sweep singleton tier).
+    var = (F.try_divide((n * F.sum(q * q) - F.sum(q) * F.sum(q))
+                        .cast("double"),
+                        n * (n - F.lit(1))) / 10000.0)
     return li.select("l_returnflag", cents_q.alias("q")).groupBy("l_returnflag").agg(
         n.alias("n"),
         var.alias("var_qty"),
@@ -861,10 +865,15 @@ def corr_value_hour_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                - F.col("sx").cast("double") * F.col("sy").cast("double"))
     vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
     vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    # try_divide at each stage: with n = 1 both variances and the
+    # n(n-1) denominator are zero — correlation/covariance are
+    # undefined (NULL on both engines), not an ANSI throw.
     return s.select(
         "event_type", "n",
-        (cov_num / F.sqrt(vx) / F.sqrt(vy)).alias("corr_value_hour"),
-        (cov_num / (nd * (nd - F.lit(1.0))) / 100.0).alias("cov_value_hour"),
+        F.try_divide(F.try_divide(cov_num, F.sqrt(vx)), F.sqrt(vy))
+        .alias("corr_value_hour"),
+        (F.try_divide(cov_num, nd * (nd - F.lit(1.0))) / 100.0)
+        .alias("cov_value_hour"),
     )
 
 
@@ -1487,7 +1496,9 @@ def zscore_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("s").cast("double") / F.col("n")
     sdn = F.col("sd").cast("double") / F.col("n")
     var = F.col("sdd").cast("double") / F.col("n") - sdn * sdn
-    z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
+    # try_divide: a single-row (or constant) group has zero variance
+    # and no defined z — NULL like DuckDB's x/0, not an ANSI throw.
+    z = F.try_divide(F.col("cents").cast("double") - mean, F.sqrt(var))
     return (c.join(F.broadcast(s1), "event_type")
             .join(F.broadcast(s2), "event_type")
             .select("event_id", "event_type", z.alias("z")))
@@ -3352,9 +3363,14 @@ def ab_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sxb") * F.col("na") - F.col("sxa") * F.col("nb"))
         .alias("dx_num"),
         (F.col("na") * F.col("nb")).alias("nprod"))
+    # Degenerate-input guards (empty_sweep singleton tier): with one
+    # user, Var(X) = 0 so theta is undefined, and a single-arm
+    # assignment makes na*nb = 0 so the deltas are undefined — NULL
+    # like DuckDB's // 0, not an ANSI throw.
     sgn = lambda c: F.when(c < 0, -1).otherwise(1)  # noqa: E731
     theta_micros = (sgn(F.col("theta_num"))
-                    * F.expr("abs(theta_num) * 1000000 div theta_den"))
+                    * F.expr("CASE WHEN theta_den = 0 THEN NULL ELSE"
+                             " abs(theta_num) * 1000000 div theta_den END"))
     s = d.withColumn("theta_micros", theta_micros)
     cuped_num = (F.col("dy_num") * F.lit(1_000_000).cast(dec)
                  - F.col("theta_micros") * F.col("dx_num"))
@@ -3363,9 +3379,11 @@ def ab_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("long").alias("n_b"),
         F.col("theta_micros").cast("long").alias("theta_micros"),
         (sgn(F.col("dy_num"))
-         * F.expr("abs(dy_num) * 100 div nprod")).cast("long")
+         * F.expr("CASE WHEN nprod = 0 THEN NULL ELSE"
+                  " abs(dy_num) * 100 div nprod END")).cast("long")
         .alias("delta_raw_centicents"),
         (sgn(cuped_num)
-         * F.expr("abs(dy_num * 1000000 - theta_micros * dx_num) * 100 "
-                  "div (nprod * 1000000)")).cast("long")
+         * F.expr("CASE WHEN nprod = 0 THEN NULL ELSE"
+                  " abs(dy_num * 1000000 - theta_micros * dx_num) * 100 "
+                  "div (nprod * 1000000) END")).cast("long")
         .alias("delta_cuped_centicents"))

@@ -155,8 +155,13 @@ def source_tvd_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.round(F.col("n").cast("double") * PSCALE / F.col("n_src"))
             .cast("long").alias("p"),
-            F.round((F.col("n_tot") - F.col("n")).cast("double") * PSCALE
-                    / (F.col("t") - F.col("n_src")))
+            # try_divide: with a SINGLE source the leave-one-out
+            # reference corpus is empty (t = n_src) and q is
+            # undefined — NULL like DuckDB's x/0, not an ANSI throw
+            # (empty_sweep singleton tier).
+            F.round(F.try_divide(
+                (F.col("n_tot") - F.col("n")).cast("double") * PSCALE,
+                F.col("t") - F.col("n_src")))
             .cast("long").alias("q")))
     return (scaled.groupBy("source")
             .agg(F.sum(F.abs(F.col("p") - F.col("q"))).alias("sad"),

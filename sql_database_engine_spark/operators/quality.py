@@ -591,10 +591,14 @@ def score_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("r1_x2 - n_pos * (n_pos + 1)").alias("u_pos_x2"),
         # 128-bit lane: U*2 ~ 2*n_pos*n_neg, so the 10^6 scaling
         # passes int64 once a (fold's) corpus holds ~4M documents.
-        F.expr("CAST(CAST(r1_x2 - n_pos * (n_pos + 1)"
+        # One-class guard: AUC is undefined without both classes
+        # (n_pos or n_neg = 0) — NULL like DuckDB's // 0, not an
+        # ANSI throw (empty_sweep singleton tier).
+        F.expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE"
+               " CAST(CAST(r1_x2 - n_pos * (n_pos + 1)"
                " AS DECIMAL(38,0)) * 1000000"
                " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
-               " AS BIGINT)").alias("auc_micros"))
+               " AS BIGINT) END").alias("auc_micros"))
 
 
 @query(

@@ -797,9 +797,13 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("p_ts") >= F.col("c_ts"))
                   & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")))
            .agg(F.count(F.lit(1)).alias("actual_pairs")))
+    # try_divide: an estimate of 0 pairs (no user has both event
+    # types) makes selectivity undefined — NULL like DuckDB's x/0,
+    # not an ANSI throw (empty_sweep singleton tier).
     return (est.crossJoin(act)
             .select("est_pairs", "actual_pairs",
-                    (F.col("actual_pairs").cast("double") / F.col("est_pairs"))
+                    F.try_divide(F.col("actual_pairs").cast("double"),
+                                 F.col("est_pairs"))
                     .alias("range_selectivity")))
 
 

@@ -696,9 +696,14 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dim0", "v"))
     stats = e.groupBy("dim0").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     j = e.join(F.broadcast(stats), "dim0")
+    # try_divide: a constant dimension (mx = mn — guaranteed when the
+    # corpus is a single vector) has zero range; DuckDB's 0/0 is NULL
+    # and both engines' greatest() then clamps NULL -> 0, so the cell
+    # quantizes to code 0 instead of ANSI-throwing.
     qv = F.least(
         F.greatest(
-            F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+            F.floor(F.try_divide(F.col("v") - F.col("mn"),
+                                 F.col("mx") - F.col("mn"))
                     * 255.0 + 0.5).cast("long"),
             F.lit(0)),
         F.lit(255))
@@ -1101,25 +1106,33 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_hits = l2hits(ann_ivf_topk(spark, sf_dir))
     pq_hits = l2hits(ann_pq_topk(spark, sf_dir))
 
-    # Floors scale with the ACTUAL query count (n_q*3 exact slots):
-    # at n_q = 10 the original absolute floors are unchanged, and
-    # over an empty corpus (n_q = 0, the empty_sweep class) the
-    # contract is vacuously satisfied — 0 >= 0 — instead of flipping
-    # to a spurious failure against the oracle's passed = 1.
+    # Floors scale with the ACHIEVABLE hit count — the number of rows
+    # in each method's own exact-anchor top-k set (30 on the shipped
+    # testdata: 10 queries x 3 slots, so the original absolute floors
+    # are unchanged there). Over a degenerate corpus the anchor set
+    # shrinks or vanishes (0 slots at zero/one vectors — the
+    # empty_sweep empty and singleton tiers) and the contract is
+    # vacuously satisfied instead of flipping to a spurious failure
+    # against the oracle's passed = 1.
     nq = (e.filter(F.col("vec_id") < 10)
           .agg(F.count(F.lit(1)).alias("n_q")))
+    ne_cos = exact.agg(F.count(F.lit(1)).alias("n_slots"))
+    ne_l2 = exact_l2.agg(F.count(F.lit(1)).alias("n_slots"))
 
-    def row(name: str, h: DataFrame, ok) -> DataFrame:
-        return (h.crossJoin(F.broadcast(nq)).select(
-            F.lit(name).alias("method"),
-            F.col("n_q").cast("long").alias("n_queries"),
-            F.lit(3).cast("long").alias("k"),
-            ok.cast("long").alias("passed")))
+    def row(name: str, h: DataFrame, slots: DataFrame, ok) -> DataFrame:
+        return (h.crossJoin(F.broadcast(nq))
+                .crossJoin(F.broadcast(slots)).select(
+                    F.lit(name).alias("method"),
+                    F.col("n_q").cast("long").alias("n_queries"),
+                    F.lit(3).cast("long").alias("k"),
+                    ok.cast("long").alias("passed")))
 
-    ivf = row("ivf", ivf_hits, F.col("n_hits") * 2 >= F.col("n_q") * 3)
-    mp = row("lsh_multiprobe", mp_hits,
-             F.col("n_hits") * 10 >= F.col("n_q") * 3)
-    pqr = row("pq_rerank", pq_hits, F.col("n_hits") * 3 >= F.col("n_q") * 3)
+    ivf = row("ivf", ivf_hits, ne_l2,
+              F.col("n_hits") * 2 >= F.col("n_slots"))
+    mp = row("lsh_multiprobe", mp_hits, ne_cos,
+             F.col("n_hits") * 10 >= F.col("n_slots"))
+    pqr = row("pq_rerank", pq_hits, ne_l2,
+              F.col("n_hits") * 3 >= F.col("n_slots"))
     rel = (mp_hits.select(F.col("n_hits").alias("mp_hits"))
            .crossJoin(F.broadcast(single_hits))
            .crossJoin(F.broadcast(nq))

@@ -328,10 +328,18 @@ def kll_merge_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(ranks, "week")
         .select(
             "week", "n_values", "exact_p50", "exact_p90",
+            # Tolerance floor of ONE rank position (n vs 20 in the
+            # x20 lane): sub-1-rank error is unattainable, so the 5%
+            # normalized-rank contract is impossible for n < 20 — a
+            # 1-value week (empty_sweep singleton tier) has only
+            # ranks 0 and 1. Identical to the plain 5% rule at
+            # n >= 20.
             (F.abs(20 * F.col("rank50") - 10 * F.col("n_values"))
-             <= F.col("n_values")).cast("long").alias("p50_rank_ok"),
+             <= F.greatest(F.col("n_values"), F.lit(20)))
+            .cast("long").alias("p50_rank_ok"),
             (F.abs(20 * F.col("rank90") - 18 * F.col("n_values"))
-             <= F.col("n_values")).cast("long").alias("p90_rank_ok"))
+             <= F.greatest(F.col("n_values"), F.lit(20)))
+            .cast("long").alias("p90_rank_ok"))
     )
 
 

@@ -737,14 +737,19 @@ def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (wide("n") * wide("sxy") - wide("sx") * wide("sy"))
     den_x = (wide("n") * wide("sxx") - wide("sx") * wide("sx"))
     den_y = (wide("n") * wide("syy") - wide("sy") * wide("sy"))
-    slope = num.cast("double") / den_x.cast("double")
+    # try_divide: a single observed day has zero x-variance — slope,
+    # intercept, and R² are undefined (NULL on both engines, DuckDB's
+    # x/0), not an ANSI throw (empty_sweep singleton tier).
+    slope = F.try_divide(num.cast("double"), den_x.cast("double"))
     return s.select(
         F.col("n").alias("n_days"),
         slope.alias("slope_per_day"),
         ((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"))
         .alias("intercept"),
-        (num.cast("double") * num.cast("double")
-         / den_x.cast("double") / den_y.cast("double")).alias("r_squared"))
+        F.try_divide(
+            F.try_divide(num.cast("double") * num.cast("double"),
+                         den_x.cast("double")),
+            den_y.cast("double")).alias("r_squared"))
 
 
 @query(

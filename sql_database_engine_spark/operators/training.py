@@ -963,9 +963,13 @@ def kfold_crossval_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum("n_chars").alias("sum_chars")))
     tot = folds.agg(F.sum("n_docs").alias("n_all"),
                     F.sum("sum_chars").alias("chars_all"))
-    loo = F.round((F.col("chars_all") - F.col("sum_chars")).cast("double")
-                  * 1000000.0 / (F.col("n_all") - F.col("n_docs"))
-                  ).cast("long")
+    # try_divide: with every document in one fold (a 1-doc corpus)
+    # the leave-one-out complement is empty — its mean is NULL on
+    # both engines, not an ANSI throw (empty_sweep singleton tier).
+    loo = F.round(F.try_divide(
+        (F.col("chars_all") - F.col("sum_chars")).cast("double")
+        * 1000000.0,
+        F.col("n_all") - F.col("n_docs"))).cast("long")
     return (folds.crossJoin(F.broadcast(tot))
             .select("fold", "n_docs", "sum_chars",
                     loo.alias("loo_mean_chars_micros")))
@@ -1692,10 +1696,13 @@ def kfold_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fold").cast("long").alias("fold"), "n_pos", "n_neg",
         # 128-bit lane: U*2 ~ 2*n_pos*n_neg, so the 10^6 scaling
         # passes int64 once a (fold's) corpus holds ~4M documents.
-        F.expr("CAST(CAST(r1_x2 - n_pos * (n_pos + 1)"
+        # One-class guard: a fold without both classes has no AUC —
+        # NULL like DuckDB's // 0, not an ANSI throw.
+        F.expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE"
+               " CAST(CAST(r1_x2 - n_pos * (n_pos + 1)"
                " AS DECIMAL(38,0)) * 1000000"
                " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
-               " AS BIGINT)").alias("auc_micros"))
+               " AS BIGINT) END").alias("auc_micros"))
         .orderBy("fold"))
 
 

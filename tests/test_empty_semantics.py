@@ -38,6 +38,18 @@ def empty_facts_dir(tmp_path_factory):
     return d
 
 
+@pytest.fixture(scope="module")
+def single_row_dir(tmp_path_factory):
+    """Every table truncated to exactly ONE row — the n-1=0 /
+    zero-variance / one-class boundary the empty tiers short-circuit
+    past."""
+    d = str(tmp_path_factory.mktemp("single_row"))
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SF_SMOKE, t + ".parquet"))
+        pq.write_table(tbl.slice(0, 1), os.path.join(d, t + ".parquet"))
+    return d
+
+
 def _rows(spark, name, sf_dir):
     from sql_database_engine_spark import operators
     operators.load_all()
@@ -143,3 +155,46 @@ def test_quantize_handles_null_stats():
 
     col = _quantize(F.lit(None), None, None, 8)
     assert col is not None  # Column built without raising
+
+
+def test_undefined_statistics_are_null_at_n1(spark, single_row_dir):
+    """Sample variance, correlation, OLS trend, and z-scores are
+    undefined over a single observation (n-1 = 0, zero variance) —
+    NULL like DuckDB's x/0, never an ANSI DIVIDE_BY_ZERO throw."""
+    v = _rows(spark, "agg_variance_exact", single_row_dir)
+    assert [(r["n"], r["var_qty"], r["stddev_qty"]) for r in v] \
+        == [(1, None, None)]
+    ols = _rows(spark, "trend_daily_revenue_ols", single_row_dir)[0]
+    assert (ols["n_days"], ols["slope_per_day"], ols["r_squared"]) \
+        == (1, None, None)
+    z = _rows(spark, "zscore_event_values", single_row_dir)
+    assert [r["z"] for r in z] == [None]
+    corr = _rows(spark, "corr_value_hour_exact", single_row_dir)[0]
+    assert corr["corr_value_hour"] is None
+
+
+def test_auc_is_null_with_one_class(spark, single_row_dir):
+    """AUC needs both classes; a one-class score set yields NULL
+    (DuckDB's // 0), not a crash — the single-label ingest batch
+    every eval pipeline eventually receives."""
+    r = _rows(spark, "score_auc_exact", single_row_dir)[0]
+    assert (r["n_pos"] == 0 or r["n_neg"] == 0)
+    assert r["auc_micros"] is None
+
+
+def test_quant_clamps_zero_range_dimension(spark, single_row_dir):
+    """A constant dimension (single-vector corpus: mx = mn) has no
+    quantization range; both engines' greatest() clamps the NULL
+    ratio to code 0 instead of throwing."""
+    rows = _rows(spark, "embedding_int8_quant_error", single_row_dir)
+    assert len(rows) == 1
+    assert rows[0]["n_saturated"] == rows[0]["n_dims"]  # all code 0
+
+
+def test_rank_contract_tolerance_floors_at_one_position(
+        spark, single_row_dir):
+    """The KLL rank contract's 5% tolerance is unattainable below
+    n = 20 (rank error is integral); the floor of one rank position
+    keeps the contract meaningful at every n."""
+    r = _rows(spark, "kll_merge_quantile_contract", single_row_dir)[0]
+    assert (r["n_values"], r["p50_rank_ok"], r["p90_rank_ok"]) == (1, 1, 1)

@@ -54,10 +54,18 @@ import time
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-#: tier -> tables staged with zero rows (others copied as-is).
+_FACTS = {"orders", "lineitem", "events", "documents", "embeddings"}
+
+#: tier -> {table: target row count}; tables absent copy as-is.
+#: ``single`` is the OTHER sharp boundary: one row per table reaches
+#: the n-1=0 sample-variance denominators, LAG/LEAD-over-one-row,
+#: single-point interpolation, and no-pair joins that the zero-row
+#: tiers short-circuit past (an operator guarded for n=0 is not
+#: thereby guarded for n=1).
 TIERS = {
-    "all": set(TABLES),
-    "facts": {"orders", "lineitem", "events", "documents", "embeddings"},
+    "all": {t: 0 for t in TABLES},
+    "facts": {t: 0 for t in _FACTS},
+    "single": {t: 1 for t in TABLES},
 }
 
 #: Queries whose docstring declares a non-empty-input contract; the
@@ -78,22 +86,22 @@ def stage_replica(sf_dir: str, tier: str, root: str) -> tuple[str, dict]:
     key = "|".join(source_fingerprint(sf_dir, t + ".parquet")
                    for t in TABLES)
     replica = scratch_dir("empty_replica", sf_dir,
-                          version=f"v1|{tier}|" + key)
-    emptied = TIERS[tier]
+                          version=f"v2|{tier}|" + key)
+    targets = TIERS[tier]
     proof: dict = {}
     for t in TABLES:
         src = os.path.join(sf_dir, t + ".parquet")
         dst = os.path.join(replica, t + ".parquet")
         tbl = pq.read_table(src)
         if not os.path.exists(dst):
-            out = tbl.slice(0, 0) if t in emptied else tbl
+            out = tbl.slice(0, targets[t]) if t in targets else tbl
             tmp = dst + f".tmp.{os.getpid()}"
             pq.write_table(out, tmp)
             os.rename(tmp, dst)
         proof[t] = {
             "rows_src": tbl.num_rows,
             "rows_dst": pq.read_table(dst).num_rows,
-            "emptied": t in emptied,
+            "target": targets.get(t),
         }
     return replica, proof
 
@@ -128,8 +136,8 @@ def main() -> int:
 
     replica, proof = stage_replica(args.sf, args.tier, root)
     perturbed = all(
-        (p["rows_dst"] == 0 and p["rows_src"] > 0) if p["emptied"]
-        else p["rows_dst"] == p["rows_src"]
+        p["rows_dst"] == p["rows_src"] if p["target"] is None
+        else (p["rows_dst"] == p["target"] and p["rows_src"] > p["target"])
         for p in proof.values())
     print(f"replica: {replica}", flush=True)
     print(f"perturbation proof -> {'OK' if perturbed else 'VACUOUS'}",
