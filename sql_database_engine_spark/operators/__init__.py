@@ -86,24 +86,12 @@ def _driver_checked() -> set[str]:
     # queries rewritten since their last driver row must re-enter the
     # prefix so the hard signal covers the code that actually ships.
     # Curated per round; clear entries once the next CORRECTNESS file
-    # shows their fresh green row. (Round 5: merge_upsert_latest_state,
-    # pagerank_brand_graph, triangle_count_brands and
-    # basket_brand_pair_lift all re-sampled green in
-    # CORRECTNESS_r04.json — cleared. table_diff_user_state and
-    # bfs_brand_distances did NOT land in the r4 sample window, so
-    # their rewrites still lack a post-fix driver row and they stay.)
-    rewritten_since_sampled: set[str] = {
-        "table_diff_user_state",  # CDC _SPLIT fix (r4), not yet re-sampled
-        "bfs_brand_distances",    # scan-audit rewrite (188->1), ditto
-        # r5: IVF anchor moved to exact-L2 when the ann_ivf/ann_pq
-        # demos converted to integer lanes — the r3 green row
-        # verified the cosine-anchored contract, not this one.
-        "ann_recall_contract",
-        # r5 vacuity audit: the r1 green row was a 0-vs-0 hash match
-        # (result empty at the gate SF); rewritten with a price
-        # threshold so both anti-join directions carry rows.
-        "join_anti",
-    }
+    # shows their fresh green row. (Round 6: all four round-5 entries
+    # — table_diff_user_state, bfs_brand_distances,
+    # ann_recall_contract, join_anti — sampled hash-green in
+    # CORRECTNESS_r05.json, so the carve-out is empty again and every
+    # prefix slot goes to the never-checked backlog.)
+    rewritten_since_sampled: set[str] = set()
     return seen - rewritten_since_sampled
 
 
@@ -126,45 +114,20 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Deterministic: dict insertion order + fixed import order + the
     committed correctness files, no hashing.
     """
-    # Round-5 prefix head (VERDICT r4 items 2, 3, 6): these names are
-    # emitted FIRST, in this order, regardless of family or prior
-    # rows, so the driver's sample window is guaranteed to contain
-    # them. Composition:
-    #   - the six scan-audit graph rewrites still without a post-
-    #     rewrite driver row (item 2: kcore's transient plus the five
-    #     rewritten siblings);
-    #   - table_diff_user_state (CDC split fix, missed the r4 window);
-    #   - ann_ivf_staged_topk (item 3: the staged-index probe path,
-    #     new this round);
-    #   - clustered_range_scan / join_bucketed_colocated (item 6;
-    #     both DO have green rows — r2 and r1 respectively — but the
-    #     verdict asked for fresh prefix slots, so they are deliberate
-    #     re-entries, documented in ROUND5_NOTES);
-    #   - dup_span_trim_corpus (the one r4 bench regression, never
-    #     driver-sampled — its row doubles as the post-investigation
-    #     check);
-    #   - the four late-r5 rows-only -> full-oracle conversions
-    #     (ann_lsh x2, ann_ivf, ann_pq): all never driver-sampled, so
-    #     these pins cost no first-time slots, and the brand-new
-    #     oracle replay code gets its first driver hash row this
-    #     round instead of waiting its family-queue turn.
+    # Round-6 prefix head (VERDICT r5 items 1, 5): round 5's 18 pins
+    # all sampled hash-green in CORRECTNESS_r05.json, so they are
+    # cleared and the prefix is back in pure drain mode. The only r6
+    # pins are the streaming-family queries the verdict's item 5 asks
+    # to land driver rows for (the backlog-sized drain work the r5
+    # perf story rests on) — all never driver-sampled, so these pins
+    # cost no first-time slots, they just guarantee the streaming
+    # family is inside the sample window instead of waiting its
+    # family-queue turn.
     prefix_head = [
-        "kcore_decomposition", "bfs_brand_distances",
-        "link_prediction_common_neighbors",
-        "label_propagation_communities", "community_modularity",
-        "graph_eccentricity_diameter",
-        "table_diff_user_state",
-        "ann_ivf_staged_topk", "ann_ivf_staged_append_probe",
-        "clustered_range_scan", "join_bucketed_colocated",
-        "dup_span_trim_corpus",
-        "ann_lsh_topk", "ann_lsh_multiprobe_topk",
-        "ann_ivf_topk", "ann_pq_topk",
-        # third conversion wave: the winnowing recursive-CTE oracle
-        # (never driver-sampled either — costs no first-time slots).
-        "doc_winnowing_fingerprints",
-        # r5 vacuity-audit fix: re-entry whose r1 row was 0-vs-0
-        # vacuous; the rewritten non-empty form needs a real row.
-        "join_anti",
+        "stream_sliding_counts", "stream_dedup_events",
+        "stream_user_event_type_sets", "stream_session_windows",
+        "stream_hourly_topk_drain", "stream_session_intent_drain",
+        "stream_distinct_users_hourly", "stream_user_profiles",
     ]
     # Flagship representatives (one per capability the judge grades
     # first-class) jump the within-family queue so they are guaranteed
@@ -543,11 +506,20 @@ def _register_streaming() -> None:
                 .filter(matched | settled_click | settled_purchase)
                 .drop("cutoff"))
 
-    # rows-only: the null-extended subset depends on watermark-eviction
-    # boundaries (see click_purchase_left_join docstring), which a SQL
-    # oracle cannot pin portably.
-    QUERIES.setdefault("stream_click_purchase_full_join",
-                       stream_click_purchase_full_join)
+    # RETIRED from the registry (round 6, VERDICT r5 item 4): the
+    # unrestricted outer-emission variants
+    # (stream_click_purchase_{full,left}_join) were rows-only because
+    # the null-extended subset depends on watermark-eviction
+    # boundaries a SQL oracle cannot pin portably. Their _settled
+    # siblings drain the IDENTICAL streaming plan (same join, same
+    # watermark, same state sizing) and then restrict to the region
+    # where availableNow emission is provably complete — so the
+    # siblings hash-verify everything the unsettled variants
+    # exercised, and the unsettled registry rows verified nothing
+    # extra. The builders (click_purchase_{left,full}_join in
+    # streaming/events_stream.py) remain, covered by
+    # tests/test_streaming.py's eviction-behavior tests.
+    _ = (stream_click_purchase_full_join, stream_click_purchase_left_join)
     QUERIES.setdefault("stream_click_purchase_full_join_settled",
                        stream_click_purchase_full_join_settled)
     ORACLES.setdefault("stream_click_purchase_full_join_settled", """
@@ -577,8 +549,6 @@ def _register_streaming() -> None:
        OR (p.purchase_id IS NULL AND c.click_ts <= cut.cutoff)
        OR (c.click_id IS NULL AND p.purchase_ts <= cut.cutoff)
     """)
-    QUERIES.setdefault("stream_click_purchase_left_join",
-                       stream_click_purchase_left_join)
     QUERIES.setdefault("stream_click_purchase_left_join_settled",
                        stream_click_purchase_left_join_settled)
     QUERIES.setdefault("stream_click_purchase_join", stream_click_purchase_join)
