@@ -51,8 +51,40 @@ def stage_atomic(artifact_dir: str, build, marker: str | None = None) -> str:
         return artifact_dir
     parent = os.path.dirname(artifact_dir)
     os.makedirs(parent, exist_ok=True)
-    if os.path.exists(artifact_dir):  # legacy partial write: clear it
-        shutil.rmtree(artifact_dir, ignore_errors=True)
+    if os.path.exists(artifact_dir):
+        # Legacy partial write (reachable only with a marker: without
+        # one, any existing dir counted as committed above). Never
+        # rmtree in place — between the marker check and the delete, a
+        # rival can rename ITS build into artifact_dir, and the rmtree
+        # would destroy a committed artifact out from under readers
+        # (the exact race this function exists to close). Instead:
+        # atomically rename the dir aside, re-check the marker INSIDE
+        # the renamed dir, and if a rival's commit got swept up in the
+        # rename, put it straight back.
+        aside = tempfile.mkdtemp(
+            prefix=os.path.basename(artifact_dir) + ".aside.", dir=parent)
+        swept = os.path.join(aside, "d")
+        try:
+            os.rename(artifact_dir, swept)
+        except OSError:
+            # A rival moved/cleared it first; fall through to the
+            # normal build-and-commit race below.
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            if os.path.exists(os.path.join(swept, marker)):
+                # Commit won the race: restore it. If ANOTHER rival
+                # committed at artifact_dir in the interim, both dirs
+                # hold valid commits of the same deterministic build —
+                # keep theirs, discard the swept copy.
+                try:
+                    os.rename(swept, artifact_dir)
+                    shutil.rmtree(aside, ignore_errors=True)
+                    return artifact_dir
+                except OSError:
+                    pass
+            shutil.rmtree(aside, ignore_errors=True)
+        if os.path.exists(committed):  # rival committed meanwhile
+            return artifact_dir
     tmp = tempfile.mkdtemp(
         prefix=os.path.basename(artifact_dir) + ".tmp.", dir=parent)
     try:

@@ -28,7 +28,7 @@ import re
 from pyspark.sql import SparkSession
 
 from ..catalog import load_table
-from ..scratch import stage_atomic
+from ..scratch import source_fingerprint, stage_atomic
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WAREHOUSE = os.path.join(_REPO_ROOT, "spark-warehouse", "bucketed")
@@ -59,7 +59,15 @@ def ensure_bucketed_facts(spark: SparkSession, sf_dir: str,
     """
     names: dict[str, str] = {}
     for table, key in FACTS:
-        name = f"{table}_bkt_{_tag(sf_dir)}"
+        # ADVICE r5: the artifact identity must include the SOURCE
+        # fingerprint, not just the sf_dir path — write-once staging
+        # keyed on path alone serves stale bucketed data (and a
+        # mismatched CREATE TABLE schema) forever after the testdata
+        # is regenerated in place. Same keying as _ivf_stage and
+        # ensure_clustered_lineitem.
+        fp = re.sub(r"\W+", "_",
+                    source_fingerprint(sf_dir, table + ".parquet"))
+        name = f"{table}_bkt_{_tag(sf_dir)}_{fp}"
         names[table] = name
         if spark.catalog.tableExists(name):
             continue

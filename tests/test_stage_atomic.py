@@ -109,3 +109,98 @@ def test_marker_guards_legacy_garbage(tmp_path):
         raise AssertionError("rebuilt despite marker")
 
     stage_atomic(art, rebuild, marker="_SUCCESS")
+
+
+def test_toctou_rival_commit_between_check_and_sweep(tmp_path, monkeypatch):
+    """ADVICE r5: between the committed-marker check and the
+    legacy-partial sweep, a rival can rename its finished build into
+    the artifact path. The old ``shutil.rmtree`` then destroyed that
+    committed artifact (readers holding its file list get
+    FileNotFoundException). Pin: the swept dir's marker is re-checked
+    after the rename-aside and a swept-up commit is restored intact —
+    the build callback must never run and no rival byte may be lost.
+
+    The race window is simulated deterministically by making the FIRST
+    marker-existence probe read stale (as if the rival's commit landed
+    a microsecond after it)."""
+    import sql_database_engine_spark.scratch as scratch
+
+    art = str(tmp_path / "artifact")
+    os.makedirs(art)
+    _write(art, "_SUCCESS", "")
+    _write(art, "data", "rival-commit")
+
+    real_exists = os.path.exists
+    lied = []
+
+    def stale_first_read(p):
+        if not lied and p == os.path.join(art, "_SUCCESS"):
+            lied.append(True)
+            return False
+        return real_exists(p)
+
+    monkeypatch.setattr(scratch.os.path, "exists", stale_first_read)
+
+    def build(d):  # pragma: no cover — must not run
+        raise AssertionError("rebuilt over a rival's commit")
+
+    out = scratch.stage_atomic(art, build, marker="_SUCCESS")
+    assert out == art
+    assert open(os.path.join(art, "data")).read() == "rival-commit"
+    assert real_exists(os.path.join(art, "_SUCCESS"))
+    # no aside/tmp siblings left behind
+    assert os.listdir(tmp_path) == ["artifact"]
+
+
+def _race_worker(args):
+    """One racing session: stage the shared artifact (slow build with
+    real fsync-scale latency), then act as a READER — list the
+    committed files and re-open every one. Returns what it observed;
+    any FileNotFoundError mid-read is the regression."""
+    art, wid = args
+    import time
+
+    from sql_database_engine_spark.scratch import stage_atomic
+
+    def build(d):
+        for i in range(5):
+            with open(os.path.join(d, f"part-{i}"), "w") as f:
+                f.write(f"builder={wid}")
+            time.sleep(0.01)
+        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    try:
+        out = stage_atomic(art, build, marker="_SUCCESS")
+        seen = sorted(n for n in os.listdir(out) if n.startswith("part-"))
+        bodies = set()
+        for _ in range(20):  # probe loop: re-read while rivals race
+            for n in seen:
+                with open(os.path.join(out, n)) as f:
+                    bodies.add(f.read())
+            time.sleep(0.002)
+        return ("ok", sorted(bodies), seen)
+    except Exception as e:  # noqa: BLE001 — the test asserts on this
+        return ("err", type(e).__name__, str(e))
+
+
+def test_concurrent_sessions_build_and_probe_one_commit(tmp_path):
+    """VERDICT r5 item 6: the two-session staging race, pinned as a
+    real multi-process test. Eight processes concurrently stage the
+    SAME artifact dir and then probe it like readers. Contract: every
+    session succeeds, exactly one build's files are ever visible (one
+    rename wins; no torn mixes of two builds), and no reader observes
+    a missing file. The legacy overwrite-in-place stager fails this
+    with FileNotFoundError / torn multi-builder contents."""
+    import multiprocessing as mp
+
+    art = str(tmp_path / "artifact")
+    with mp.get_context("spawn").Pool(8) as pool:
+        results = pool.map(_race_worker, [(art, w) for w in range(8)])
+    errs = [r for r in results if r[0] != "ok"]
+    assert not errs, f"racing sessions failed: {errs}"
+    winners = {b for _, bodies, _ in results for b in bodies}
+    assert len(winners) == 1, f"torn artifact: files from {winners}"
+    assert all(seen == [f"part-{i}" for i in range(5)]
+               for _, _, seen in results)
+    assert os.path.exists(os.path.join(art, "_SUCCESS"))
