@@ -236,11 +236,21 @@ def main() -> None:
     _ivf_stage(spark, sf_dir)
     _ivf_stage_incremental(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        timings[name] = run(name)
+    # Median-of-N per query (VERDICT r5 item 3): a single-pass timing
+    # conflates plan cost with host variance — r5's 13 flagged
+    # "regressions" on untouched queries were exactly that. N full
+    # passes over the whole list (pass-interleaved, so a transient
+    # slow episode hits each query in at most one rep rather than one
+    # query in all reps) and the per-query MEDIAN is the citable
+    # number; all reps land in the sidecar for diagnosis.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    bench = [n for n in HEADLINE if n in qs]
+    samples: dict[str, list[float]] = {n: [] for n in bench}
+    for _ in range(reps):
+        for name in bench:
+            samples[name].append(run(name))
+    timings: dict[str, float] = {
+        n: sorted(ts)[len(ts) // 2] for n, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
     subset = [n for n in HEADLINE[:24] if n in timings]
@@ -287,6 +297,8 @@ def main() -> None:
             regressions.append({"query": n, "prev_s": p, "now_s": t,
                                 "ratio": round(t / p, 2)})
     full["regressions"] = sorted(regressions, key=lambda r: -r["ratio"])
+    full["reps"] = reps
+    full["samples"] = samples
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
