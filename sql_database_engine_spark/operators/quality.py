@@ -1091,3 +1091,132 @@ def churn_window_sensitivity(spark: SparkSession,
                     F.expr("n_churned * 1000000L div n_users")
                     .alias("churn_micros"))
             .orderBy("window_days"))
+
+
+@query(
+    "dq_nonfinite_audit",
+    oracle="""
+    SELECT 'events.value' AS source,
+           CAST(COUNT(*) FILTER (WHERE isnan(value)) AS BIGINT) AS n_nan,
+           CAST(COUNT(*) FILTER (WHERE value = 'infinity'::DOUBLE)
+                AS BIGINT) AS n_pos_inf,
+           CAST(COUNT(*) FILTER (WHERE value = '-infinity'::DOUBLE)
+                AS BIGINT) AS n_neg_inf,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    UNION ALL
+    SELECT 'orders.o_totalprice',
+           CAST(COUNT(*) FILTER (WHERE isnan(o_totalprice)) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_totalprice = 'infinity'::DOUBLE)
+                AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_totalprice = '-infinity'::DOUBLE)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_extendedprice',
+           CAST(COUNT(*) FILTER (WHERE isnan(l_extendedprice)) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice = 'infinity'::DOUBLE)
+                AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice = '-infinity'::DOUBLE)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_discount',
+           CAST(COUNT(*) FILTER (WHERE isnan(l_discount)) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_discount = 'infinity'::DOUBLE)
+                AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_discount = '-infinity'::DOUBLE)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'embeddings.embedding',
+           CAST(COUNT(*) FILTER (WHERE COALESCE(len(list_filter(embedding,
+                x -> isnan(x))), 0) > 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE COALESCE(len(list_filter(embedding,
+                x -> x = 'infinity'::FLOAT)), 0) > 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE COALESCE(len(list_filter(embedding,
+                x -> x = '-infinity'::FLOAT)), 0) > 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM embeddings
+    ORDER BY source
+    """,
+)
+def dq_nonfinite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-finite-measure census: NaN / +Inf / -Inf counts per double
+    lane plus vectors containing any non-finite embedding component —
+    the gate a training pipeline runs BEFORE the engine's
+    exact-integer money/measure lanes, whose ANSI casts (``cents``,
+    micros) deliberately THROW on non-finite input rather than
+    silently poisoning an aggregate. Neither engine can express "sum
+    of money with a NaN in it" deterministically (NaN ordering and
+    propagation diverge between runtimes), so detection is a
+    first-class operator and finiteness is the documented contract of
+    every downstream lane.
+
+    One scan per table with every rule fused into the aggregate
+    (the `_checks_to_rows` policy): lineitem's two lanes share one
+    pass, and the embedding check runs inside `F.exists` — a
+    JVM-side lambda over the array, no explode, so the scan stays
+    O(corpus) with no row multiplication. At 100 TB each branch is a
+    column-pruned scan feeding a one-row aggregate; nothing shuffles
+    but the five single-row partials.
+
+    The shipped fixtures are all-finite at every SF, so every count
+    is zero on clean data; the NaN/Inf branches are force-exercised
+    against an injected-non-finite replica in
+    ``tests/test_nonfinite.py`` (the vacuous-branch lesson — the
+    audit's positive control lives in CI, the clean-data zeros are
+    the production assertion).
+    """
+    cat = Catalog(spark, sf_dir)
+    PINF, NINF = float("inf"), float("-inf")
+
+    def census(df: DataFrame, table: str, cols: list[str]) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [
+                F.coalesce(F.sum(F.isnan(F.col(c)).cast("long")),
+                           F.lit(0)).alias(f"{c}__nan"),
+                F.coalesce(F.sum((F.col(c) == PINF).cast("long")),
+                           F.lit(0)).alias(f"{c}__pinf"),
+                F.coalesce(F.sum((F.col(c) == NINF).cast("long")),
+                           F.lit(0)).alias(f"{c}__ninf"),
+            ]
+        one = df.agg(*aggs)
+        rows = F.array(*[
+            F.struct(F.lit(f"{table}.{c}").alias("source"),
+                     F.col(f"{c}__nan").alias("n_nan"),
+                     F.col(f"{c}__pinf").alias("n_pos_inf"),
+                     F.col(f"{c}__ninf").alias("n_neg_inf"))
+            for c in cols])
+        return (one.select(F.explode(rows).alias("r"),
+                           F.col("__n").alias("n_rows"))
+                .select("r.source", "r.n_nan", "r.n_pos_inf",
+                        "r.n_neg_inf", "n_rows"))
+
+    def vec_pred(test):
+        # exists() is NULL for a NULL array: a missing vector is not a
+        # non-finite one (the null-census is dq_null_ratio_profile's
+        # job), so coalesce to false.
+        return F.coalesce(F.exists(F.col("embedding"), test), F.lit(False))
+
+    emb = (cat.embeddings.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(vec_pred(lambda x: F.isnan(x)).cast("long")),
+                   F.lit(0)).alias("n_nan"),
+        F.coalesce(F.sum(vec_pred(lambda x: x == PINF).cast("long")),
+                   F.lit(0)).alias("n_pos_inf"),
+        F.coalesce(F.sum(vec_pred(lambda x: x == NINF).cast("long")),
+                   F.lit(0)).alias("n_neg_inf"))
+        .select(F.lit("embeddings.embedding").alias("source"),
+                "n_nan", "n_pos_inf", "n_neg_inf", "n_rows"))
+
+    return (census(cat.events, "events", ["value"])
+            .unionByName(census(cat.orders, "orders", ["o_totalprice"]))
+            .unionByName(census(cat.lineitem, "lineitem",
+                                ["l_extendedprice", "l_discount"]))
+            .unionByName(emb)
+            .orderBy("source"))
