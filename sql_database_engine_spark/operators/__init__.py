@@ -123,12 +123,25 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cost no first-time slots, they just guarantee the streaming
     # family is inside the sample window instead of waiting its
     # family-queue turn.
+    #
+    # SELF-CLEARING (round 6, ending the per-round stale-pin chore):
+    # a pin is emitted only while the query still lacks a driver row.
+    # Once its green row lands in the next CORRECTNESS file, the pin
+    # evaporates on its own and the slot returns to the drain — no
+    # round-opening commit required, and the
+    # test_prefix_prioritizes_never_checked_queries invariant can no
+    # longer trip on converted pins. Deliberate RE-entries (a query
+    # whose old row no longer vouches for rewritten code) are NOT
+    # listed here: they go through rewritten_since_sampled above,
+    # which removes them from "seen" and thereby keeps their pin
+    # alive until the fresh row lands — the two mechanisms compose.
     prefix_head = [
         "stream_sliding_counts", "stream_dedup_events",
         "stream_user_event_type_sets", "stream_session_windows",
         "stream_hourly_topk_drain", "stream_session_intent_drain",
         "stream_distinct_users_hourly", "stream_user_profiles",
     ]
+    prefix_head = [n for n in prefix_head if n not in _driver_checked()]
     # Flagship representatives (one per capability the judge grades
     # first-class) jump the within-family queue so they are guaranteed
     # inside any plausible sample window.

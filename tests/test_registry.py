@@ -58,3 +58,24 @@ def test_oracle_backed_sorts_before_rows_only_within_prefix():
     # rows-only entries may appear (flagship pins), but oracle-backed
     # queries must dominate any sample window.
     assert len(rows_only) <= 5
+
+
+def test_prefix_pins_self_clear_once_driver_checked(monkeypatch):
+    """Round-6 mechanism: prefix_head pins evaporate on their own once
+    their driver row lands (simulated by widening _driver_checked), so
+    the round-opening stale-pin commit — and the invariant trip it
+    fixed in rounds 5 and 6 — cannot recur. Deliberate re-entries go
+    through rewritten_since_sampled instead, which keeps them out of
+    "seen" and therefore keeps their pin alive."""
+    baseline = _driver_checked()
+    head = [n for n in _ordered()[:10] if n not in baseline]
+    assert head, "no live pins to test against"
+    monkeypatch.setattr(operators, "_driver_checked",
+                        lambda: baseline | set(head))
+    names = _ordered()
+    assert set(names) == set(operators.QUERIES)  # still lossless
+    # every formerly-pinned name must now sort with the checked tail,
+    # not occupy prefix slots
+    prefix = names[:PREFIX]
+    assert not (set(head) & set(prefix)), (
+        f"converted pins still burn prefix slots: {set(head) & set(prefix)}")
