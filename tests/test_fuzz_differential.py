@@ -156,3 +156,86 @@ def test_fuzzed_join_agg_agrees(seed, spark, duck):
     got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
     want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
     assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_setop_agrees(seed, spark, duck):
+    """Fuzzed set operations: UNION / INTERSECT / EXCEPT (set and ALL
+    bag semantics) between two fuzz-predicated projections of the same
+    relation — same SQL text to both engines. The bag variants are the
+    sharp edge: duplicate multiplicity arithmetic (m - n, min(m, n))
+    diverges immediately if either engine's operator isn't truly
+    multiset-correct."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(17000 + seed)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+                     "EXCEPT", "EXCEPT ALL"])
+    cols = "l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS q"
+    a, b = _predicate(rng), _predicate(rng)
+    sql = (f"SELECT {cols} FROM lineitem WHERE {a} "
+           f"{op} "
+           f"SELECT {cols} FROM lineitem WHERE {b}")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_subquery_agrees(seed, spark, duck):
+    """Fuzzed membership subqueries: EXISTS / NOT EXISTS (correlated on
+    the natural key) and IN / NOT IN (uncorrelated) with fuzzed inner
+    predicates — same SQL text to both engines. The fuzzed columns are
+    all non-null, so NOT IN's three-valued-logic trap cannot fire
+    spuriously; what IS exercised is each engine's decorrelation
+    (semi/anti join rewrite) against the other's."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem", "orders"))
+    rng = random.Random(21000 + seed)
+    inner = _predicate(rng)
+    form = rng.randrange(4)
+    if form == 0:
+        where = (f"EXISTS (SELECT 1 FROM lineitem WHERE "
+                 f"l_orderkey = o_orderkey AND ({inner}))")
+    elif form == 1:
+        where = (f"NOT EXISTS (SELECT 1 FROM lineitem WHERE "
+                 f"l_orderkey = o_orderkey AND ({inner}))")
+    elif form == 2:
+        where = (f"o_orderkey IN (SELECT l_orderkey FROM lineitem "
+                 f"WHERE {inner})")
+    else:
+        where = (f"o_orderkey NOT IN (SELECT l_orderkey FROM lineitem "
+                 f"WHERE {inner})")
+    sql = (f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n "
+           f"FROM orders WHERE {where} GROUP BY o_orderstatus")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_outer_join_agrees(seed, spark, duck):
+    """Fuzzed outer joins: LEFT / FULL orders-lineitem joins where the
+    fuzzed predicate is pushed into the JOIN CONDITION (not WHERE), so
+    null-extension genuinely varies per seed — the classic
+    on-clause-vs-where-clause outer-join semantics both engines must
+    agree on. Null-extended measure columns flow through an integer
+    aggregate with explicit COALESCE."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem", "orders"))
+    rng = random.Random(25000 + seed)
+    jt = rng.choice(["LEFT", "FULL"])
+    on_extra = _predicate(rng)
+    sql = (
+        f"SELECT o_orderstatus, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COUNT(l_orderkey) AS BIGINT) AS n_matched, "
+        f"CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)"
+        f" AS sq "
+        f"FROM orders {jt} JOIN lineitem "
+        f"ON o_orderkey = l_orderkey AND ({on_extra}) "
+        f"GROUP BY o_orderstatus"
+    )
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
