@@ -86,12 +86,11 @@ def _driver_checked() -> set[str]:
     # queries rewritten since their last driver row must re-enter the
     # prefix so the hard signal covers the code that actually ships.
     # Curated per round; clear entries once the next CORRECTNESS file
-    # shows their fresh green row. (Round 6: all four round-5 entries
-    # — table_diff_user_state, bfs_brand_distances,
-    # ann_recall_contract, join_anti — sampled hash-green in
-    # CORRECTNESS_r05.json, so the carve-out is empty again and every
-    # prefix slot goes to the never-checked backlog.)
-    rewritten_since_sampled: set[str] = set()
+    # shows their fresh green row. (Round 7: pack_sequences_greedy's
+    # r6 row is RED — the oracle-side HUGEINT bin column, fixed by the
+    # one-line BIGINT cast at training.py:118 (VERDICT r6 item 1) —
+    # so it re-enters the prefix to convert the red row to green.)
+    rewritten_since_sampled: set[str] = {"pack_sequences_greedy"}
     return seen - rewritten_since_sampled
 
 
@@ -136,6 +135,14 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # which removes them from "seen" and thereby keeps their pin
     # alive until the fresh row lands — the two mechanisms compose.
     prefix_head = [
+        # Round 7 (VERDICT r6 item 1): the two oracle-type fixes must
+        # land driver-verified — the red-row re-entry (whose pin stays
+        # alive via rewritten_since_sampled above until its fresh green
+        # row lands) and the latent DECIMAL(38,0) sibling fixed before
+        # the driver ever sampled it.
+        "pack_sequences_greedy", "t_closeness_audit",
+        # Round-6 pins, self-clearing (all eight sampled hash-green in
+        # CORRECTNESS_r06.json, so these lines are already inert).
         "stream_sliding_counts", "stream_dedup_events",
         "stream_user_event_type_sets", "stream_session_windows",
         "stream_hourly_topk_drain", "stream_session_intent_drain",

@@ -115,7 +115,7 @@ PACK_BUDGET = 2048
                  0) AS cum_before
         FROM t
     )
-    SELECT lang, cum_before // {PACK_BUDGET} AS bin,
+    SELECT lang, CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_toks) AS BIGINT) AS total_tokens
     FROM c GROUP BY lang, bin ORDER BY lang, bin
@@ -1898,9 +1898,9 @@ def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_nationkey, bal_band,
            CAST(n_members AS BIGINT) AS n_members,
-           CAST(present_num
+           CAST(CAST(present_num
                 + CAST(n_total - present_seg_total AS HUGEINT) * n_members
-                AS DECIMAL(38, 0)) AS tvd_num,
+                AS HUGEINT) AS VARCHAR) AS tvd_num,
            CAST(10 * (present_num
                       + CAST(n_total - present_seg_total AS HUGEINT)
                         * n_members)
@@ -1967,7 +1967,12 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grp.select(
         "c_nationkey", "bal_band",
         F.col("n_members").cast("long").alias("n_members"),
-        tvd_num.cast(dec).alias("tvd_num"),
+        # The 128-bit numerator crosses the driver boundary as a
+        # STRING: DuckDB HUGEINT and Spark DECIMAL(38,0) canonicalize
+        # to different pandas dtypes (float64 vs Decimal objects —
+        # lossy past 2^53 on the float side), while their decimal
+        # string forms are identical and exact at any corpus size.
+        tvd_num.cast(dec).cast("string").alias("tvd_num"),
         (F.lit(10).cast(dec) * tvd_num
          <= F.lit(7).cast(dec) * F.col("n_members") * F.col("n_total"))
         .cast("long").alias("t_ok")))

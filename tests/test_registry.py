@@ -60,6 +60,34 @@ def test_oracle_backed_sorts_before_rows_only_within_prefix():
     assert len(rows_only) <= 5
 
 
+def test_oracle_output_types_survive_pandas_canonicalization():
+    """Bind-time type gate (VERDICT r6 item 2): every oracle's output
+    columns must be types whose pandas materialization matches the
+    Spark side's. DuckDB HUGEINT / UHUGEINT / DECIMAL wider than int64
+    all become float64 (lossy past 2^53) while Spark's LONG / DECIMAL
+    stay int64 / Decimal objects — equal values, different canonical
+    reprs, red driver row (the `pack_sequences_greedy` class). Binding
+    is lazy — the whole registry audits in seconds with no execution."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from oracle_type_audit import bind_gate
+
+    con = duckdb.connect()
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    violations, errors = bind_gate(con, operators.ORACLES)
+    assert not errors, f"oracles failed to bind: {errors}"
+    assert not violations, (
+        "oracle output columns too wide for the driver's pandas "
+        f"canonicalization (cast to BIGINT or VARCHAR): {violations}")
+
+
 def test_prefix_pins_self_clear_once_driver_checked(monkeypatch):
     """Round-6 mechanism: prefix_head pins evaporate on their own once
     their driver row lands (simulated by widening _driver_checked), so
