@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -243,7 +244,7 @@ def main() -> None:
     # slow episode hits each query in at most one rep rather than one
     # query in all reps) and the per-query MEDIAN is the citable
     # number; all reps land in the sidecar for diagnosis.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Wall-clock budget (pass-granular): a pathologically slow host
     # must still produce the one JSON line the driver records — better
     # a median-of-2 (or single-pass) result than a killed run with no
@@ -259,8 +260,11 @@ def main() -> None:
         for name in bench:
             samples[name].append(run(name))
     reps_done = len(samples[bench[0]]) if bench else 0
+    # statistics.median, not sorted(ts)[len//2]: a budget-truncated
+    # 2-rep run would otherwise take the LARGER sample, biasing the
+    # citable number high (ADVICE r6).
     timings: dict[str, float] = {
-        n: sorted(ts)[len(ts) // 2] for n, ts in samples.items()}
+        n: statistics.median(ts) for n, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
     subset = [n for n in HEADLINE[:24] if n in timings]

@@ -64,6 +64,19 @@ def stage_atomic(artifact_dir: str, build, marker: str | None = None) -> str:
         aside = tempfile.mkdtemp(
             prefix=os.path.basename(artifact_dir) + ".aside.", dir=parent)
         swept = os.path.join(aside, "d")
+        # Re-check the marker at the last instant before the
+        # rename-aside: a rival may have committed since the
+        # top-of-function check, and skipping the rename entirely is
+        # strictly better than sweep-then-restore. A commit landing
+        # between THIS check and the rename is still swept and put
+        # back below — during that restore the committed path is
+        # briefly absent, the one residual visibility gap
+        # rename-as-commit cannot close (a reader that re-opens by
+        # path in that window must tolerate one retry; readers that
+        # already hold file handles are unaffected).
+        if os.path.exists(committed):
+            shutil.rmtree(aside, ignore_errors=True)
+            return artifact_dir
         try:
             os.rename(artifact_dir, swept)
         except OSError:

@@ -41,6 +41,30 @@ def _tag(sf_dir: str) -> str:
     return re.sub(r"\W+", "_", sf_dir.strip("/"))
 
 
+def _gc_stale_generations(table: str, sf_dir: str, current: str) -> None:
+    """Drop superseded bucket generations (ADVICE r6): fingerprint-
+    keyed names mean every in-place testdata regeneration strands the
+    previous ``{table}_bkt_{tag}_*`` directory forever — unbounded
+    disk growth. Swept lazily AFTER the new generation commits: any
+    reader of an old generation keyed on the old fingerprint, i.e. it
+    fingerprinted before the in-place regen — a session already
+    reading retracted data, so reclaiming its files loses nothing the
+    regen didn't already invalidate. In-flight ``.tmp.`` / ``.aside.``
+    siblings contain dots and never match the committed-name pattern,
+    so rival builds of the CURRENT generation are never touched."""
+    import shutil
+
+    prefix = f"{table}_bkt_{_tag(sf_dir)}_"
+    pat = re.compile(re.escape(prefix) + r"\d+_\d+$")
+    try:
+        entries = os.listdir(WAREHOUSE)
+    except OSError:
+        return
+    for d in entries:
+        if d != current and pat.fullmatch(d):
+            shutil.rmtree(os.path.join(WAREHOUSE, d), ignore_errors=True)
+
+
 def ensure_bucketed_facts(spark: SparkSession, sf_dir: str,
                           buckets: int = 16) -> dict[str, str]:
     """Materialize lineitem/orders bucketed on orderkey — write-once
@@ -85,6 +109,7 @@ def ensure_bucketed_facts(spark: SparkSession, sf_dir: str,
             spark.sql(f"DROP TABLE `{build_name}`")
 
         stage_atomic(path, build, marker="_SUCCESS")
+        _gc_stale_generations(table, sf_dir, name)
         # Schema from the SOURCE table, not inference over the staged
         # files: an empty source writes zero data files (just
         # _SUCCESS), and inference over a data-less dir throws

@@ -63,11 +63,30 @@ def main() -> None:
             lines.append(f"| `{n}` | {mark} | "
                          f"{first_sentence(ops.QUERIES[n].__doc__)} |")
         lines.append("")
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "QUERIES.md")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(root, "QUERIES.md")
     with open(out, "w") as fh:
         fh.write("\n".join(lines))
     print(f"wrote {out}: {len(ops.QUERIES)} queries")
+
+    # SURVEY §8's narrated totals must match the registry mechanically
+    # (VERDICT r6 item 4: the counts drifted by one when a mid-round
+    # addition was invisible in the notes). The newest "Registry
+    # **...**" line in SURVEY.md must state exactly the live counts.
+    import re
+
+    with open(os.path.join(root, "SURVEY.md")) as fh:
+        survey = fh.read()
+    claims = re.findall(
+        r"Registry \*\*(?:\d+ → )?(\d+) queries \((\d+) oracle-checked, "
+        r"(\d+) rows-only\)\*\*", survey)
+    assert claims, "SURVEY.md §8 has no machine-checkable Registry line"
+    got = tuple(int(x) for x in claims[-1])
+    want = (len(ops.QUERIES), n_oracle, len(ops.QUERIES) - n_oracle)
+    assert got == want, (
+        f"SURVEY.md §8 registry counts {got} != live registry {want} — "
+        "update the newest 'Registry **N queries (...)**' line")
+    print(f"SURVEY §8 registry line verified: {want}")
 
 
 if __name__ == "__main__":

@@ -66,6 +66,11 @@ def main() -> int:
     oracles = contract.oracle_sql()
     names = ([n for n in args.only.split(",") if n] if args.only else
              [n for n in WATCH if n in oracles])
+    # Validate up front (ADVICE r6): a typo in --only otherwise
+    # crashes mid-run with a bare KeyError at oracles[n].
+    unknown = [n for n in names if n not in oracles]
+    if unknown:
+        ap.error(f"unknown query (not in the oracle registry): {unknown}")
 
     sf_dirs = args.sfs.split(",")
     results: dict[str, dict] = {n: {} for n in names}
@@ -83,9 +88,15 @@ def main() -> int:
     def sf_of(d: str) -> float:
         import re
         m = re.search(r"sf([0-9.]+)", d)
-        return float(m.group(1)) if m else 1.0
+        if not m:
+            ap.error(f"no sfN segment in {d!r} — the growth exponent "
+                     "needs two directories with parseable SFs")
+        return float(m.group(1))
 
     scale = sf_of(hi) / sf_of(lo)
+    if scale <= 1:
+        ap.error(f"--sfs must go small,large (got scale {scale:g}; "
+                 "a growth exponent needs scale > 1)")
     over = []
     rows = []
     for n in names:

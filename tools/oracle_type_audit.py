@@ -86,32 +86,48 @@ def _obj_class(series):
     return "<all-null>"
 
 
-def dtype_pairs(spark_pdf, duck_pdf):
-    """Per-column (spark_dtype, duck_dtype[, value-class]) asymmetries."""
-    import pandas as pd  # noqa: F401 — dtype comparison context
+#: Dtype families whose per-value canonical strings are identical —
+#: calibrated against driver-GREEN queries (gapfill_daily_interpolate,
+#: cohort_ltv_curve, … are hash-green with object(date)-vs-datetime64
+#: pairs, and integer widths stringify identically), so only pairs
+#: that cross FAMILIES are the failure surface (int-vs-float was the
+#: pack_sequences_greedy red row; object(Decimal)-vs-float the
+#: t_closeness_audit latent).
+def _family(dtype_str: str, series) -> str:
+    s = dtype_str.lower()
+    if s.startswith(("int", "uint")) or s in ("int64", "int32", "int16",
+                                              "int8") or s.startswith("Int"):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s.startswith("bool"):
+        return "bool"
+    if s == "object":
+        cls = _obj_class(series)
+        # date/datetime objects canonicalize like datetime64 cells
+        # (driver-green calibration above)
+        if cls in ("date", "datetime", "Timestamp"):
+            return "datetime"
+        return f"object:{cls}"
+    return s
 
+
+def dtype_pairs(spark_pdf, duck_pdf):
+    """Per-column canonicalization-family asymmetries (spark vs duck)."""
     asym = []
     for col in sorted(set(spark_pdf.columns) | set(duck_pdf.columns)):
         if col not in spark_pdf.columns or col not in duck_pdf.columns:
             asym.append({"col": col, "kind": "missing-column"})
             continue
         s, d = str(spark_pdf[col].dtype), str(duck_pdf[col].dtype)
-        # Exact-dtype agreement is the base requirement; datetime
-        # units (ns vs us) canonicalize identically through str(), so
-        # any datetime64 pairing is symmetric for the driver's hash.
-        if s == d or (s.startswith("datetime64") and d.startswith("datetime64")):
-            if s == "object" and d == "object":
-                cs, cd = _obj_class(spark_pdf[col]), _obj_class(duck_pdf[col])
-                if (cs != cd and "<all-null>" not in (cs, cd)):
-                    asym.append({"col": col, "kind": "object-class",
-                                 "spark": cs, "duck": cd})
+        fs = _family(s, spark_pdf[col])
+        fd = _family(d, duck_pdf[col])
+        if fs == fd or "object:<all-null>" in (fs, fd):
             continue
-        # int64 vs Int64 (nullable) stringify identically per value;
-        # everything else (int-vs-float, object-vs-numeric, bool-vs-int)
-        # is the failure surface.
-        if {s.lower(), d.lower()} == {"int64"}:
-            continue
-        asym.append({"col": col, "kind": "dtype", "spark": s, "duck": d})
+        asym.append({"col": col, "kind": "family", "spark": f"{s}({fs})",
+                     "duck": f"{d}({fd})"})
     return asym
 
 
