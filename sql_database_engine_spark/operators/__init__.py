@@ -141,6 +141,10 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row lands) and the latent DECIMAL(38,0) sibling fixed before
         # the driver ever sampled it.
         "pack_sequences_greedy", "t_closeness_audit",
+        # Round 7 (VERDICT r6 item 6): the two ex-rows-only codec
+        # stubs, freshly converted to full hex-replay oracles — the
+        # conversion must land driver-verified, not just cert-swept.
+        "multimodal_byte_features", "multimodal_frame_stub_sample",
         # Round-6 pins, self-clearing (all eight sampled hash-green in
         # CORRECTNESS_r06.json, so these lines are already inert).
         "stream_sliding_counts", "stream_dedup_events",

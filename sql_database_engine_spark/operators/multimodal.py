@@ -111,13 +111,50 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_byte_features")  # rows-only: the byte stub is engine-private
+@query(
+    "multimodal_byte_features",
+    # Full replay oracle (round 7, ending this query's rows-only
+    # tier): the stub feature is the mean BYTE value of the utf-8
+    # payload, and DuckDB can recover the exact byte stream from
+    # hex(encode(text)) — each hex pair parsed back to its byte via
+    # strpos arithmetic (this DuckDB build has no blob subscript /
+    # blob sha256, so hex is the byte-level lens). sha256(VARCHAR)
+    # hashes the string's utf-8 bytes, which IS the payload.
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, text, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL
+    ), s AS (
+        SELECT h.doc_id,
+               CAST(SUM((strpos('0123456789ABCDEF',
+                                substr(h.hx, 2 * t.i - 1, 1)) - 1) * 16
+                        + strpos('0123456789ABCDEF',
+                                 substr(h.hx, 2 * t.i, 1)) - 1)
+                    AS BIGINT) AS byte_sum
+        FROM h, LATERAL unnest(generate_series(1, h.n)) AS t(i)
+        GROUP BY h.doc_id
+    )
+    SELECT h.doc_id, 'text' AS media_type,
+           CAST(h.n AS BIGINT) AS n_bytes,
+           sha256(h.text) AS content_hash,
+           CASE WHEN h.n = 0 THEN 0.0e0
+                ELSE CAST(s.byte_sum AS DOUBLE) / CAST(h.n AS DOUBLE)
+           END AS feat_mean,
+           CAST(CASE WHEN h.n = 0 THEN 0 ELSE 8 END AS INT) AS feat_dim
+    FROM h LEFT JOIN s USING (doc_id)
+    """,
+)
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic multimodal pipeline shape: binary table → mapInPandas
     decode/featurize (Arrow batches) → typed feature rows. The decode
     here is the byte-stat stub (module docstring) standing in for
     codec-bound media types; ``multimodal_features`` below is the REAL
-    decode over a codec-free format.
+    decode over a codec-free format. The stub's arithmetic is still a
+    deterministic function of the payload bytes, so since round 7 the
+    oracle replays it exactly (hex-pair byte parse + IEEE division) —
+    the mapInPandas plumbing this query exists to exercise is now
+    hash-verified end to end instead of rows-only.
     """
     b = binary_table(spark, sf_dir).select("doc_id", "payload", "media_type")
     return b.mapInPandas(featurize_batches, schema=FEATURE_SCHEMA)
@@ -282,6 +319,12 @@ def sample_frames(batches):
     stub slices the payload into `duration_s` pseudo-frames and keeps
     every 5th — the batch shapes, explode-like fan-out, and schema are
     exactly what the real kernel produces.
+
+    The frame fingerprint hashes the chunk's lowercase-HEX form, not
+    the raw bytes: byte-identical content, but expressible on the
+    oracle side (DuckDB's sha256 takes VARCHAR only, and hex is the
+    one byte-exact VARCHAR encoding both engines share) — which is
+    what moved this query off the rows-only tier in round 7.
     """
     import hashlib
     for pdf in batches:
@@ -293,21 +336,52 @@ def sample_frames(batches):
             n_frames = max(int(duration), 1)
             step = max(len(payload) // n_frames, 1)
             for idx in range(0, n_frames, 5):  # sample every 5th frame
-                chunk = payload[idx * step:(idx + 1) * step]
+                chunk = bytes(payload[idx * step:(idx + 1) * step])
                 rows["doc_id"].append(doc_id)
                 rows["frame_idx"].append(idx)
                 rows["frame_hash"].append(
-                    hashlib.sha256(bytes(chunk)).hexdigest()[:16])
+                    hashlib.sha256(chunk.hex().encode()).hexdigest()[:16])
         yield pd.DataFrame(rows)
 
 
-@query("multimodal_frame_stub_sample")  # rows-only: slicing stub is engine-private
+@query(
+    "multimodal_frame_stub_sample",
+    # Full replay oracle (round 7): the video rows are doc_id%4==2
+    # (typed_media_table's 1-based element_at over [image, audio,
+    # video, text]), the pseudo-frame step is byte arithmetic over
+    # octet_length, and the chunk fingerprint is sha256 of the
+    # chunk's lowercase-hex form — all byte-exact through
+    # hex(encode(text)) + substr. Out-of-range slices are '' on both
+    # engines (python slice past len / substr past length).
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS n,
+               doc_id % 30 + 1 AS duration_s
+        FROM documents
+        WHERE doc_id % 4 = 2 AND text IS NOT NULL
+    ), f AS (
+        SELECT doc_id, hx,
+               greatest(n // duration_s, 1) AS step,
+               CAST(t.i AS INT) AS frame_idx
+        FROM v, LATERAL unnest(generate_series(0, duration_s - 1, 5))
+                    AS t(i)
+    )
+    SELECT doc_id, frame_idx,
+           left(sha256(substr(hx, frame_idx * step * 2 + 1, step * 2)),
+                16) AS frame_hash
+    FROM f
+    """,
+)
 def multimodal_frame_stub_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video pipeline over the codec-bound stub: filter to video rows
     (pushed-down discriminator predicate), repartition by doc_id so
     one worker owns one asset's frames, then Arrow-batched frame
     sampling. The REAL frame decode lives in
-    ``multimodal_frame_sample`` below over the raw-frame format."""
+    ``multimodal_frame_sample`` below over the raw-frame format; this
+    query's distinct value is the MIXED-modality table contract
+    (discriminator predicate + typed meta struct) feeding the kernel,
+    now hash-verified end to end via the hex-replay oracle."""
     media = typed_media_table(spark, sf_dir)
     videos = (media.filter(F.col("media_type") == "video")
               .select("doc_id", "payload", F.col("meta.duration_s").alias("duration_s")))
