@@ -60,6 +60,23 @@ def duck_rows(con, sql):
             [cols[i] for i in order])
 
 
+def dtype_asymmetries(sdf, con, sql):
+    """The driver canonicalizes through PANDAS dtypes, and this
+    harness's raw-Python canon() was provably blinder (VERDICT r6
+    item 3: the HUGEINT bin column stringified identically here and
+    hash-failed there). Every sweep therefore also materializes both
+    sides to pandas and compares per-column dtype FAMILIES via
+    oracle_type_audit — a value-equal pair in a family-asymmetric
+    column (int-vs-float, Decimal-vs-float) now FAILS the cert."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oracle_type_audit import dtype_pairs
+
+    return dtype_pairs(sdf.toPandas(), con.sql(sql).df())
+
+
 def value_hash(rows) -> str:
     h = hashlib.sha256()
     for r in rows:
@@ -78,6 +95,11 @@ def main() -> int:
                     help="comma-separated query names (default: all oracled)")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    ap.add_argument("--skip-dtypes", action="store_true",
+                    help="skip the pandas dtype-family check (it "
+                         "re-executes the oracle once; worth skipping "
+                         "only on sf0.1+ sweeps dominated by the heavy "
+                         "replay oracles)")
     ap.add_argument("--prove-capture", action="store_true",
                     help="run one query against a deliberately corrupted "
                          "oracle and verify the failure artifact persists — "
@@ -121,16 +143,24 @@ def main() -> int:
             rec: dict = {"query": name, "sf": args.sf}
             t0 = time.time()
             try:
-                a, a_cols = spark_rows(
-                    operators.QUERIES[name](spark, args.sf))
+                sdf = operators.QUERIES[name](spark, args.sf)
+                if not args.skip_dtypes:
+                    sdf = sdf.cache()  # one Spark execution feeds both reads
+                a, a_cols = spark_rows(sdf)
                 b, b_cols = duck_rows(con, operators.ORACLES[name])
+                asym = ([] if args.skip_dtypes else
+                        dtype_asymmetries(sdf, con, operators.ORACLES[name]))
+                if not args.skip_dtypes:
+                    sdf.unpersist()
                 rec.update(
                     spark_rows=len(a), oracle_rows=len(b),
                     spark_cols=a_cols, oracle_cols=b_cols,
                     spark_hash=value_hash(a), oracle_hash=value_hash(b),
+                    dtype_asymmetries=asym,
                     elapsed_s=round(time.time() - t0, 3))
                 ok = (a_cols == b_cols and len(a) == len(b)
-                      and rec["spark_hash"] == rec["oracle_hash"])
+                      and rec["spark_hash"] == rec["oracle_hash"]
+                      and not asym)
                 rec["status"] = "PASS" if ok else "FAIL"
                 if not ok:
                     pair_diffs = [
