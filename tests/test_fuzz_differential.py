@@ -159,6 +159,141 @@ def test_fuzzed_join_agg_agrees(seed, spark, duck):
 
 
 @pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_grouping_sets_agrees(seed, spark, duck):
+    """Fuzzed multi-grain aggregation: ROLLUP / CUBE / explicit
+    GROUPING SETS over random key subsets with per-key GROUPING()
+    discriminators — same SQL text to both engines. This guards the
+    Expand-operator grain arithmetic (which subtotal rows exist, and
+    with which keys nulled) the registered rollup operators rely on.
+
+    Empty-input grain is deliberately excluded: over zero input rows
+    Spark SQL omits the () global-aggregate row where DuckDB emits it
+    — a known engine deviation the OPERATORS fix with the phantom-row
+    plan (round 5); raw SQL text cannot carry that fix, so an
+    all-rows-filtered seed is skipped rather than reported as a fuzz
+    catch."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(29000 + seed)
+    keys = rng.sample(_GROUP_COLS, k=rng.randrange(2, 4))
+    where = _predicate(rng)
+    form = rng.randrange(3)
+    klist = ", ".join(keys)
+    if form == 0:
+        grouping = f"ROLLUP ({klist})"
+    elif form == 1:
+        grouping = f"CUBE ({klist})"
+    else:
+        subsets = [klist, keys[0], ""]
+        grouping = ("GROUPING SETS (" +
+                    ", ".join(f"({s})" for s in subsets) + ")")
+    if spark.sql(f"SELECT COUNT(*) FROM lineitem WHERE {where}"
+                 ).first()[0] == 0:
+        pytest.skip("empty input: () row divergence is a documented "
+                    "engine deviation, fixed operator-side only")
+    gcols = ", ".join(f"CAST(GROUPING({k}) AS BIGINT) AS g_{k}"
+                      for k in keys)
+    sql = (
+        f"SELECT {klist}, {gcols}, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq "
+        f"FROM lineitem WHERE {where} GROUP BY {grouping}"
+    )
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+def _int_expr(rng: random.Random) -> str:
+    """Random integer scalar expression with exact cross-engine
+    semantics (no division, no floats — overflow-safe small lanes)."""
+    kind = rng.randrange(5)
+    a, b = rng.choice(_NUM_COLS), rng.choice(_NUM_COLS)
+    if kind == 0:
+        return f"{a} + {b} * {rng.randrange(1, 4)}"
+    if kind == 1:
+        return f"abs({a} - {rng.randrange(0, 3000)})"
+    if kind == 2:
+        return f"greatest({a}, {b})" if rng.random() < 0.5 else \
+               f"least({a}, {b})"
+    if kind == 3:
+        return (f"CASE WHEN {_atom(rng)} THEN {a} "
+                f"ELSE {rng.randrange(0, 100)} END")
+    return f"coalesce(nullif({a}, {rng.randrange(1, 8)}), -1)"
+
+
+def _str_expr(rng: random.Random) -> str:
+    """Random string scalar expression over the low-cardinality ASCII
+    flag columns (multibyte semantics live in unicode_sweep; this
+    class pins the function surface itself)."""
+    col = rng.choice(list(_STR_COLS))
+    kind = rng.randrange(5)
+    if kind == 0:
+        return f"upper({col}) || lower({col})"
+    if kind == 1:
+        return f"substr({col} || '{rng.choice('XYZ')}', 1, 2)"
+    if kind == 2:
+        return f"trim(' ' || {col} || ' ')"
+    if kind == 3:
+        return f"concat({col}, '-', CAST(l_linenumber AS VARCHAR))"
+    return f"nullif({col}, '{rng.choice(_STR_COLS[col])}')"
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzzed_scalar_expr_agrees(seed, spark, duck):
+    """Fuzzed scalar expressions in the projection: CASE / COALESCE /
+    NULLIF / abs / greatest / least integer lanes plus string-function
+    chains (upper, lower, substr, trim, ||, concat) — same SQL text to
+    both engines. NULLIF injects genuine NULLs into otherwise
+    non-null columns, so null propagation through each function is
+    exercised, not just the happy path."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(33000 + seed)
+    where = _predicate(rng)
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST({_int_expr(rng)} AS BIGINT) AS x, "
+        f"{_str_expr(rng)} AS s "
+        f"FROM lineitem WHERE {where}"
+    )
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_having_agrees(seed, spark, duck):
+    """Fuzzed HAVING: aggregate-level predicates (count floors,
+    integer-sum ceilings, conjunctions over both) applied after a
+    fuzzed row-level WHERE — the filter-above-aggregate placement both
+    engines must resolve identically, including aggregates referenced
+    in HAVING but absent from the SELECT list."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(37000 + seed)
+    keys = rng.sample(_GROUP_COLS, k=rng.randrange(1, 3))
+    where = _predicate(rng)
+    floor_n = rng.randrange(1, 20)
+    ceil_sq = rng.randrange(100, 20000)
+    having = rng.choice([
+        f"COUNT(*) >= {floor_n}",
+        f"SUM(CAST(l_quantity AS BIGINT)) < {ceil_sq}",
+        f"COUNT(*) >= {floor_n} AND "
+        f"SUM(CAST(l_quantity AS BIGINT)) < {ceil_sq}",
+        f"MAX(l_linenumber) > {rng.randrange(1, 7)}",
+    ])
+    sql = (
+        f"SELECT {', '.join(keys)}, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem WHERE {where} "
+        f"GROUP BY {', '.join(keys)} HAVING {having}"
+    )
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
 def test_fuzzed_setop_agrees(seed, spark, duck):
     """Fuzzed set operations: UNION / INTERSECT / EXCEPT (set and ALL
     bag semantics) between two fuzz-predicated projections of the same
