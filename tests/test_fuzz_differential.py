@@ -294,6 +294,66 @@ def test_fuzzed_having_agrees(seed, spark, duck):
 
 
 @pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_order_limit_agrees(seed, spark, duck):
+    """Fuzzed ORDER BY ... LIMIT: per-column random sort directions
+    over a projection that equals the full sort tuple, so rows tied
+    at the LIMIT boundary are identical as values and the returned
+    MULTISET is deterministic on both engines — the top-k contract
+    (TakeOrdered on the Spark side) without relying on any engine's
+    tie-break."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(41000 + seed)
+    where = _predicate(rng)
+    k = rng.choice([1, 5, 20, 100])
+    cols = ["l_returnflag", "l_orderkey", "l_linenumber", "q"]
+    order = ", ".join(
+        f"{c} {rng.choice(['ASC', 'DESC'])}" for c in cols)
+    sql = (
+        f"SELECT l_returnflag, l_orderkey, l_linenumber, "
+        f"CAST(l_quantity AS BIGINT) AS q "
+        f"FROM lineitem WHERE {where} ORDER BY {order} LIMIT {k}"
+    )
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_date_functions_agree(seed, spark, duck):
+    """Fuzzed temporal functions: EXTRACT parts, date_trunc grains,
+    and interval arithmetic over the midnight-aligned ship timestamps
+    — same SQL text to both engines, aggregated so the comparison is
+    over the derived calendar keys. Restricted to the parts/grains
+    whose semantics the engines share (year/quarter/month/day/hour,
+    ISO-Monday week deliberately excluded along with DOW numbering,
+    which differ by convention — those live as documented pins, not
+    fuzz targets). date_trunc's RESULT TYPE is itself an engine
+    difference the first run of this class caught — DuckDB returns
+    DATE for date-grain truncs where Spark returns TIMESTAMP — so
+    the grain column is CAST to DATE on both sides (lossless here:
+    every grain used is date-aligned on midnight-aligned inputs)."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(45000 + seed)
+    where = _predicate(rng)
+    part = rng.choice(["quarter", "month", "day", "hour"])
+    grain = rng.choice(["year", "month", "day"])
+    shift = rng.randrange(1, 45)
+    sql = (
+        f"SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) AS y, "
+        f"CAST(extract({part} FROM l_shipdate) AS BIGINT) AS p, "
+        f"CAST(date_trunc('{grain}', l_shipdate + INTERVAL {shift} DAY) "
+        f"AS DATE) AS g, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem WHERE {where} GROUP BY 1, 2, 3"
+    )
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
 def test_fuzzed_setop_agrees(seed, spark, duck):
     """Fuzzed set operations: UNION / INTERSECT / EXCEPT (set and ALL
     bag semantics) between two fuzz-predicated projections of the same
