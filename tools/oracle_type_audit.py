@@ -95,8 +95,7 @@ def _obj_class(series):
 #: t_closeness_audit latent).
 def _family(dtype_str: str, series) -> str:
     s = dtype_str.lower()
-    if s.startswith(("int", "uint")) or s in ("int64", "int32", "int16",
-                                              "int8") or s.startswith("Int"):
+    if s.startswith(("int", "uint")):  # covers nullable Int64 via lower()
         return "int"
     if s.startswith("float"):
         return "float"
