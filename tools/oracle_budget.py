@@ -39,6 +39,12 @@ WATCH = [
     "ann_ivf_topk",               # in-plan build, same Lloyd chain
     "ann_pq_topk",                # per-subspace codebook replay
     "doc_winnowing_fingerprints",  # recursive-CTE window walk
+    # round-7 hex-replay conversions: the byte-sum oracle LATERAL-
+    # unnests one row per corpus byte — linear by construction, but
+    # it is the registry's largest constant-factor unnest, so it
+    # earns a standing budget row.
+    "multimodal_byte_features",
+    "multimodal_frame_stub_sample",
 ]
 
 
