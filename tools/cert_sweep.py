@@ -71,7 +71,9 @@ def dtype_asymmetries(sdf, con, sql):
     import os
     import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:  # once per process, not once per query
+        sys.path.insert(0, here)
     from oracle_type_audit import dtype_pairs
 
     return dtype_pairs(sdf.toPandas(), con.sql(sql).df())
@@ -142,6 +144,7 @@ def main() -> int:
         for i, name in enumerate(names):
             rec: dict = {"query": name, "sf": args.sf}
             t0 = time.time()
+            sdf = None
             try:
                 sdf = operators.QUERIES[name](spark, args.sf)
                 if not args.skip_dtypes:
@@ -150,8 +153,6 @@ def main() -> int:
                 b, b_cols = duck_rows(con, operators.ORACLES[name])
                 asym = ([] if args.skip_dtypes else
                         dtype_asymmetries(sdf, con, operators.ORACLES[name]))
-                if not args.skip_dtypes:
-                    sdf.unpersist()
                 rec.update(
                     spark_rows=len(a), oracle_rows=len(b),
                     spark_cols=a_cols, oracle_cols=b_cols,
@@ -181,6 +182,14 @@ def main() -> int:
                            # repr(Py4JJavaError) hides
                            error=f"{type(exc).__name__}: {exc}"[:4000],
                            elapsed_s=round(time.time() - t0, 3))
+            finally:
+                # A failing query must not pin its cached partitions
+                # in executor memory for the remaining sweep.
+                if sdf is not None and not args.skip_dtypes:
+                    try:
+                        sdf.unpersist()
+                    except Exception:  # noqa: BLE001 — cleanup only
+                        pass
             if rec["status"] == "PASS":
                 n_pass += 1
             else:
