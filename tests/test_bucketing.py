@@ -73,3 +73,36 @@ def test_registered_bucketed_query_plan_and_oracle_shape(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_stale_generation_gc_sweeps_only_committed_pattern(tmp_path, monkeypatch):
+    """ADVICE r6: fingerprint-keyed bucket names strand the previous
+    generation on every in-place testdata regeneration. The GC must
+    sweep exactly the committed-name pattern for the same
+    (table, sf_dir) with a DIFFERENT fingerprint — never the current
+    generation, never in-flight .tmp./.aside. siblings, never another
+    table's or another sf_dir's generations."""
+    import os
+
+    from sql_database_engine_spark.sources import bucketed as b
+
+    wh = tmp_path / "bucketed"
+    wh.mkdir()
+    monkeypatch.setattr(b, "WAREHOUSE", str(wh))
+    tag = b._tag("/data/sfX")
+    current = f"lineitem_bkt_{tag}_111_222"
+    keep = [
+        current,                                 # the new generation
+        f"lineitem_bkt_{tag}_111_222.tmp.ab12",  # rival build in flight
+        f"lineitem_bkt_{tag}_111_222.aside.cd3",  # rename-aside in flight
+        f"orders_bkt_{tag}_999_888",             # other table
+        f"lineitem_bkt_{b._tag('/data/sfY')}_999_888",  # other sf_dir
+    ]
+    sweep = [f"lineitem_bkt_{tag}_999_888",      # superseded generation
+             f"lineitem_bkt_{tag}_3_4"]
+    for d in keep + sweep:
+        (wh / d).mkdir()
+        (wh / d / "part-0.parquet").write_bytes(b"x")
+    b._gc_stale_generations("lineitem", "/data/sfX", current)
+    left = set(os.listdir(wh))
+    assert left == set(keep), f"GC swept wrongly: left={sorted(left)}"
