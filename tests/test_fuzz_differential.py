@@ -353,6 +353,191 @@ def test_fuzzed_date_functions_agree(seed, spark, duck):
     assert got == want, f"disagreement for: {sql}"
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_window_frame_agrees(seed, spark, duck):
+    """Fuzzed window FRAMES: RANGE BETWEEN value offsets and bounded
+    ROWS BETWEEN k PRECEDING AND m FOLLOWING — the frame-boundary
+    arithmetic the running-sum class (UNBOUNDED PRECEDING only) never
+    exercises. Determinism under ties: RANGE frames are value-
+    determined (every peer row gets the identical frame regardless of
+    within-tie order), and the ROWS variant sorts by (l_orderkey,
+    l_linenumber, l_quantity) where tied rows are identical in every
+    projected column AND the summand, so the output multiset is
+    permutation-invariant."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(49000 + seed)
+    where = _predicate(rng)
+    key = rng.choice(["l_returnflag", "l_linestatus"])
+    if rng.random() < 0.5:
+        lo = rng.randrange(1, 500)
+        hi = rng.randrange(0, 500)
+        frame = (f"RANGE BETWEEN {lo} PRECEDING AND "
+                 + (f"{hi} FOLLOWING" if rng.random() < 0.5
+                    else "CURRENT ROW"))
+        order = "l_orderkey"
+    else:
+        lo = rng.randrange(0, 4)
+        hi = rng.randrange(0, 4)
+        frame = f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING"
+        order = "l_orderkey, l_linenumber, l_quantity"
+    sql = (
+        f"SELECT {key} AS k, l_orderkey, "
+        f"CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS fs, "
+        f"CAST(COUNT(*) OVER w AS BIGINT) AS fn "
+        f"FROM lineitem WHERE {where} "
+        f"WINDOW w AS (PARTITION BY {key} ORDER BY {order} {frame})")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_nulls_ordering_agrees(seed, spark, duck):
+    """Fuzzed explicit NULLS FIRST / NULLS LAST under ORDER BY + LIMIT,
+    with NULLs synthesized via nullif on an otherwise non-null key.
+    The engines' DEFAULTS genuinely differ (Spark ASC = NULLS FIRST,
+    DuckDB ASC = NULLS LAST), so only the explicit forms are fuzzable
+    — which is exactly what every registered operator emits. The
+    projection equals the full sort tuple, so the multiset at the
+    LIMIT boundary is deterministic on both engines."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(53000 + seed)
+    where = _predicate(rng)
+    k = rng.choice([1, 5, 20])
+    nl = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    d = rng.choice(["ASC", "DESC"])
+    sql = (
+        f"SELECT nullif(l_suppkey, {rng.randrange(1, 10)}) AS nk, "
+        f"l_returnflag, l_orderkey, l_linenumber, "
+        f"CAST(l_quantity AS BIGINT) AS q "
+        f"FROM lineitem WHERE {where} "
+        f"ORDER BY nk {d} {nl}, l_returnflag, l_orderkey, l_linenumber, q "
+        f"LIMIT {k}")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_filter_clause_agrees(seed, spark, duck):
+    """Fuzzed aggregate FILTER clauses mixed with multiple DISTINCT
+    aggregates in one SELECT — the combination that exercises Spark's
+    Expand-based distinct rewrite against DuckDB's. COUNT FILTER over
+    an empty filtered set must be 0; SUM FILTER must be NULL (made
+    comparable via COALESCE); a FILTERed DISTINCT count rides both
+    mechanisms at once."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(57000 + seed)
+    where = _predicate(rng)
+    p1, p2 = _atom(rng), _atom(rng)
+    key = rng.choice(["l_returnflag", "l_linestatus"])
+    dcol = rng.choice(_NUM_COLS)
+    sql = (
+        f"SELECT {key} AS k, "
+        f"CAST(COUNT(*) FILTER (WHERE {p1}) AS BIGINT) AS fc, "
+        f"CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)) "
+        f"FILTER (WHERE {p2}), 0) AS BIGINT) AS fsum, "
+        f"CAST(COUNT(DISTINCT {dcol}) AS BIGINT) AS nd1, "
+        f"CAST(COUNT(DISTINCT l_linenumber) FILTER (WHERE {p1}) "
+        f"AS BIGINT) AS nd2, "
+        f"CAST(MAX(l_orderkey) FILTER (WHERE {p2}) AS BIGINT) AS fmax "
+        f"FROM lineitem WHERE {where} GROUP BY {key}")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_scalar_subquery_agrees(seed, spark, duck):
+    """Fuzzed CORRELATED SCALAR subqueries in the projection (the
+    membership class covers EXISTS/IN): COUNT / SUM / MAX over a
+    fuzz-predicated correlated slice. The sharp edge is the empty
+    correlated group — COUNT must surface 0 (the classic
+    decorrelation-to-outer-join bug turns it into NULL) while SUM and
+    MAX must surface NULL; both engines' rewrites have to agree on
+    every orderkey including those with no matching lineitem rows."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem", "orders"))
+    rng = random.Random(61000 + seed)
+    inner = _predicate(rng)
+    form = rng.randrange(3)
+    if form == 0:
+        sub = (f"(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem "
+               f"WHERE l_orderkey = o_orderkey AND ({inner}))")
+    elif form == 1:
+        sub = (f"(SELECT CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0)"
+               f" AS BIGINT) FROM lineitem "
+               f"WHERE l_orderkey = o_orderkey AND ({inner}))")
+    else:
+        sub = (f"(SELECT CAST(MAX(l_linenumber) AS BIGINT) FROM lineitem "
+               f"WHERE l_orderkey = o_orderkey AND ({inner}))")
+    sql = (f"SELECT o_orderkey, o_orderstatus, {sub} AS sv "
+           f"FROM orders WHERE o_orderkey < 1000")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_like_patterns_agree(seed, spark, duck):
+    """Fuzzed LIKE / NOT LIKE / ILIKE / NOT ILIKE with % and _
+    wildcards over a concatenated haystack — pattern-match semantics
+    both engines must share character-for-character (ILIKE's case
+    folding included). Counted via FILTER so every group reports its
+    match count next to its total."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(65000 + seed)
+    where = _predicate(rng)
+    hay = ("l_returnflag || '-' || l_linestatus || '-' || "
+           "CAST(l_linenumber AS STRING)")
+    pats = ["A-%", "%-O-%", "_-F-%", "%1", "R-_-2", "N%", "%-%-%",
+            "_-_-_"]
+    pat = rng.choice(pats)
+    op = rng.choice(["LIKE", "NOT LIKE", "ILIKE", "NOT ILIKE"])
+    if "ILIKE" in op and rng.random() < 0.5:
+        pat = pat.lower()
+    sql = (
+        f"SELECT l_returnflag, l_linestatus, "
+        f"CAST(COUNT(*) FILTER (WHERE ({hay}) {op} '{pat}') AS BIGINT)"
+        f" AS m, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem WHERE {where} GROUP BY l_returnflag, l_linestatus")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_mod_sign_agrees(seed, spark, duck):
+    """Fuzzed mod / % / sign over NEGATIVE operands (column
+    differences and negated columns): both engines use truncated
+    division, so the result's sign follows the dividend — the
+    convention every hash-bucketing and cyclic-assignment operator in
+    the registry relies on."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(69000 + seed)
+    where = _predicate(rng)
+    a, b = rng.choice(_NUM_COLS), rng.choice(_NUM_COLS)
+    k = rng.randrange(2, 9)
+    e = rng.choice([
+        f"mod({a} - {b}, {k})",
+        f"sign({a} - {b})",
+        f"abs({a} - {b}) % {k}",
+        f"mod(-{a}, {k})",
+    ])
+    sql = (f"SELECT l_returnflag, CAST({e} AS BIGINT) AS x, "
+           f"CAST(COUNT(*) AS BIGINT) AS n "
+           f"FROM lineitem WHERE {where} GROUP BY 1, 2")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_fuzzed_setop_agrees(seed, spark, duck):
     """Fuzzed set operations: UNION / INTERSECT / EXCEPT (set and ALL
