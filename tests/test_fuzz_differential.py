@@ -538,6 +538,67 @@ def test_fuzzed_mod_sign_agrees(seed, spark, duck):
     assert got == want, f"disagreement for: {sql}"
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_document_string_fns_agree(seed, spark, duck):
+    """Fuzzed string functions over REAL variable-length text (the
+    documents corpus) rather than the 1-char flag columns: length /
+    replace / instr / contains / trim+substr / left+right chains.
+    Multibyte inputs live in the unicode sweep; this class pins the
+    function surface on data where offsets, needle positions, and
+    empty-result edges genuinely vary per row."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("documents",))
+    rng = random.Random(73000 + seed)
+    k = rng.randrange(1, 30)
+    e = rng.choice([
+        "CAST(length(text) AS BIGINT)",
+        f"CAST(length(replace(text, "
+        f"'{rng.choice(['a', 'table', 'query', ' '])}', '')) AS BIGINT)",
+        f"CAST(instr(text, "
+        f"'{rng.choice(['spark', 'value', 'zz', 'row '])}') AS BIGINT)",
+        f"CAST(CASE WHEN contains(text, "
+        f"'{rng.choice(['merge', 'scan', 'qqq'])}') THEN 1 ELSE 0 END "
+        f"AS BIGINT)",
+        f"CAST(length(trim(substr(text, {k}, {rng.randrange(1, 40)}))) "
+        f"AS BIGINT)",
+        f"CAST(length(left(text, {k})) + "
+        f"length(right(text, {rng.randrange(1, 20)})) AS BIGINT)",
+    ])
+    pred = rng.choice([
+        f"n_chars > {rng.randrange(50, 400)}",
+        f"lang = '{rng.choice(['en', 'de', 'fr'])}'",
+        f"source < 'src{rng.randrange(1, 9)}'",
+    ])
+    sql = (f"SELECT lang, source, doc_id, {e} AS x "
+           f"FROM documents WHERE {pred}")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_in_subquery_nulls_agree(seed, spark, duck):
+    """Fuzzed IN / NOT IN where the inner projection INJECTS NULLs via
+    nullif — the three-valued-logic edge the plain membership class
+    deliberately avoids. With any NULL in the inner set, NOT IN must
+    return UNKNOWN (no rows) for every non-matching outer key on BOTH
+    engines; IN must stay unaffected for matching keys."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem", "orders"))
+    rng = random.Random(77000 + seed)
+    x = rng.randrange(1, 3000)
+    inner_col = rng.choice([f"nullif(l_orderkey, {x})", "l_orderkey"])
+    inner_pred = f"l_quantity <= {rng.randrange(1, 51)}"
+    op = rng.choice(["IN", "NOT IN"])
+    sql = (f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n "
+           f"FROM orders WHERE o_orderkey {op} "
+           f"(SELECT {inner_col} FROM lineitem WHERE {inner_pred}) "
+           f"GROUP BY o_orderstatus")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_fuzzed_setop_agrees(seed, spark, duck):
     """Fuzzed set operations: UNION / INTERSECT / EXCEPT (set and ALL
