@@ -71,6 +71,18 @@ def register_views(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def register_duck_views(con, sf_dir: str,
+                        names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Register the driver's testdata tables as DuckDB views — the
+    oracle-side twin of :func:`register_views`, shared by every
+    differential harness (cert sweeps, regime sweeps, driver_sim,
+    registry tests) so adding an eleventh source table is ONE edit,
+    not a dozen synchronized copies of the view-bootstrap loop."""
+    for name in names:
+        con.sql(f"CREATE VIEW {name} AS "
+                f"SELECT * FROM '{sf_dir}/{name}.parquet'")
+
+
 class Catalog:
     """Thin per-(session, sf_dir) table cache used by operators.
 

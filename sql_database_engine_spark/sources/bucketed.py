@@ -51,9 +51,27 @@ def _gc_stale_generations(table: str, sf_dir: str, current: str) -> None:
     reading retracted data, so reclaiming its files loses nothing the
     regen didn't already invalidate. In-flight ``.tmp.`` / ``.aside.``
     siblings contain dots and never match the committed-name pattern,
-    so rival builds of the CURRENT generation are never touched."""
+    so rival builds of the CURRENT generation are never touched.
+
+    Sweep authority is re-checked at sweep time: a builder that
+    fingerprinted BEFORE an in-place regen can commit its (now stale)
+    generation after a rival already committed the newer one — "every
+    sibling but mine is older" is exactly inverted for that builder,
+    and sweeping would delete the current generation out from under
+    the rival's registered table. So only a builder whose own name
+    still matches a fresh fingerprint of the live source may sweep.
+    The residual window (a regen landing between this re-check and
+    the rmtree) is the same unavoidable minimum documented at
+    ``scratch.stage_atomic``."""
     import shutil
 
+    try:
+        fp_now = re.sub(r"\W+", "_",
+                        source_fingerprint(sf_dir, table + ".parquet"))
+    except OSError:
+        return  # no live source to authorize a sweep
+    if current != f"{table}_bkt_{_tag(sf_dir)}_{fp_now}":
+        return  # source changed since we fingerprinted: WE are stale
     prefix = f"{table}_bkt_{_tag(sf_dir)}_"
     pat = re.compile(re.escape(prefix) + r"\d+_\d+$")
     try:

@@ -23,9 +23,9 @@ def spark():
 def duck():
     """DuckDB connection with the same views the driver pre-registers."""
     import duckdb
+
+    from sql_database_engine_spark.catalog import register_duck_views
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
+    register_duck_views(con, SF_ORACLE)
     yield con
     con.close()

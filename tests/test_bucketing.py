@@ -103,6 +103,43 @@ def test_stale_generation_gc_sweeps_only_committed_pattern(tmp_path, monkeypatch
     for d in keep + sweep:
         (wh / d).mkdir()
         (wh / d / "part-0.parquet").write_bytes(b"x")
+    # The sweeping builder's own name matches a fresh fingerprint of
+    # the live source — the authority condition for sweeping at all.
+    monkeypatch.setattr(b, "source_fingerprint", lambda *_: "111-222")
     b._gc_stale_generations("lineitem", "/data/sfX", current)
     left = set(os.listdir(wh))
     assert left == set(keep), f"GC swept wrongly: left={sorted(left)}"
+
+
+def test_stale_builder_never_sweeps_newer_generation(tmp_path, monkeypatch):
+    """The cross-generation race: a builder that fingerprinted BEFORE
+    an in-place regen commits its stale generation after a rival
+    committed the newer (current-source) one. 'Everything but mine is
+    older' is inverted for that builder — it must sweep NOTHING, or it
+    deletes the current generation out from under the rival's
+    registered table. Authority is a sweep-time re-fingerprint; a
+    vanished source likewise grants no authority."""
+    import os
+
+    from sql_database_engine_spark.sources import bucketed as b
+
+    wh = tmp_path / "bucketed"
+    wh.mkdir()
+    monkeypatch.setattr(b, "WAREHOUSE", str(wh))
+    tag = b._tag("/data/sfX")
+    mine_stale = f"lineitem_bkt_{tag}_111_222"   # pre-regen fingerprint
+    rival_new = f"lineitem_bkt_{tag}_333_444"    # current-source build
+    for d in (mine_stale, rival_new):
+        (wh / d).mkdir()
+        (wh / d / "part-0.parquet").write_bytes(b"x")
+    # Live source now fingerprints to the RIVAL's generation.
+    monkeypatch.setattr(b, "source_fingerprint", lambda *_: "333-444")
+    b._gc_stale_generations("lineitem", "/data/sfX", mine_stale)
+    assert set(os.listdir(wh)) == {mine_stale, rival_new}, \
+        "stale builder swept a newer generation"
+    # No live source at all: no sweep authority either.
+    def _raises(*_):
+        raise FileNotFoundError("source gone")
+    monkeypatch.setattr(b, "source_fingerprint", _raises)
+    b._gc_stale_generations("lineitem", "/data/sfX", mine_stale)
+    assert set(os.listdir(wh)) == {mine_stale, rival_new}

@@ -76,11 +76,11 @@ def test_oracle_output_types_survive_pandas_canonicalization():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from oracle_type_audit import bind_gate
 
+    from sql_database_engine_spark.catalog import register_duck_views
+
     con = duckdb.connect()
     sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    register_duck_views(con, sf)
     violations, errors = bind_gate(con, operators.ORACLES)
     assert not errors, f"oracles failed to bind: {errors}"
     assert not violations, (

@@ -122,10 +122,9 @@ def main() -> int:
     spark = get_spark("cert-sweep", cpus=args.cpus)
 
     import duckdb
+    from sql_database_engine_spark.catalog import register_duck_views
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    register_duck_views(con, args.sf)
 
     if args.prove_capture:
         # Corrupt one oracle (drop a row) so the sweep MUST fail and
@@ -151,7 +150,17 @@ def main() -> int:
                     sdf = sdf.cache()  # one Spark execution feeds both reads
                 a, a_cols = spark_rows(sdf)
                 b, b_cols = duck_rows(con, operators.ORACLES[name])
-                asym = ([] if args.skip_dtypes else
+                # The duck side deliberately executes twice in default
+                # mode: a DuckDB result can only be fetched once, and
+                # the two lanes need DIFFERENT native conversions —
+                # fetchall (raw Python values, the historical value
+                # lane) vs .df() (the driver's pandas dtype lane).
+                # --skip-dtypes exists for sweeps where the replay
+                # oracles make that second execution expensive.
+                # A skipped check records None, never [] — an artifact
+                # reader must be able to tell "checked clean" from
+                # "not checked" (review r7).
+                asym = (None if args.skip_dtypes else
                         dtype_asymmetries(sdf, con, operators.ORACLES[name]))
                 rec.update(
                     spark_rows=len(a), oracle_rows=len(b),

@@ -56,10 +56,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     import duckdb
+    from sql_database_engine_spark.catalog import register_duck_views
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    register_duck_views(con, args.sf)
 
     import __spark_entry__ as entry
     from cert_sweep import duck_rows, spark_rows, value_hash

@@ -78,19 +78,13 @@ def main() -> int:
     if unknown:
         ap.error(f"unknown query (not in the oracle registry): {unknown}")
 
+    from sql_database_engine_spark.catalog import register_duck_views
+
     sf_dirs = args.sfs.split(",")
-    results: dict[str, dict] = {n: {} for n in names}
-    for sf_dir in sf_dirs:
-        con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        for n in names:
-            results[n][sf_dir] = round(time_oracle(con, oracles[n]), 3)
-        con.close()
 
-    lo, hi = sf_dirs[0], sf_dirs[-1]
-
+    # Validate --sfs up front too (review r7): these checks used to
+    # run AFTER the full two-SF timing loop, so a reversed or
+    # unparseable --sfs spent the entire run before erroring.
     def sf_of(d: str) -> float:
         import re
         m = re.search(r"sf([0-9.]+)", d)
@@ -99,17 +93,27 @@ def main() -> int:
                      "needs two directories with parseable SFs")
         return float(m.group(1))
 
-    scale = sf_of(hi) / sf_of(lo)
+    scale = sf_of(sf_dirs[-1]) / sf_of(sf_dirs[0])
     if scale <= 1:
         ap.error(f"--sfs must go small,large (got scale {scale:g}; "
                  "a growth exponent needs scale > 1)")
+
+    results: dict[str, dict] = {n: {} for n in names}
+    for sf_dir in sf_dirs:
+        con = duckdb.connect()
+        register_duck_views(con, sf_dir)
+        for n in names:
+            results[n][sf_dir] = round(time_oracle(con, oracles[n]), 3)
+        con.close()
+
+    lo, hi = sf_dirs[0], sf_dirs[-1]
     over = []
     rows = []
     for n in names:
         a, b = results[n][lo], results[n][hi]
-        # growth exponent e such that cost ~ SF^e
-        exp = (math.log(max(b, 1e-3) / max(a, 1e-3)) / math.log(scale)
-               if scale > 1 else float("nan"))
+        # growth exponent e such that cost ~ SF^e (scale > 1 is
+        # guaranteed by the up-front --sfs validation)
+        exp = math.log(max(b, 1e-3) / max(a, 1e-3)) / math.log(scale)
         ok = b <= args.budget_s
         if not ok:
             over.append(n)

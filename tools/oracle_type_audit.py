@@ -154,10 +154,9 @@ def main() -> int:
     operators.load_all()
 
     import duckdb
+    from sql_database_engine_spark.catalog import register_duck_views
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    register_duck_views(con, args.sf)
 
     t0 = time.time()
     violations, errors = bind_gate(con, operators.ORACLES)
