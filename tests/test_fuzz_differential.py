@@ -599,6 +599,71 @@ def test_fuzzed_in_subquery_nulls_agree(seed, spark, duck):
     assert got == want, f"disagreement for: {sql}"
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_navigation_fns_agree(seed, spark, duck):
+    """Fuzzed navigation window functions: lead / lag with explicit
+    offsets and defaults (frameless — Spark rejects frames on them),
+    and nth_value / first_value over an explicit positional ROWS
+    frame. IGNORE NULLS is untestable as shared text (DuckDB puts it
+    inside the call parens, Spark after them) — the registry's
+    operators use the DataFrame API for that. Ties on the sort tuple
+    are identical in every projected column, so the output multiset
+    is permutation-invariant."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(89000 + seed)
+    where = _predicate(rng)
+    key = rng.choice(["l_returnflag", "l_linestatus"])
+    off = rng.randrange(1, 4)
+    n = rng.randrange(1, 5)
+    fn = rng.randrange(4)
+    frame = ""
+    if fn == 0:
+        e = f"lead(l_orderkey, {off}, {rng.randrange(0, 100)}) OVER w"
+    elif fn == 1:
+        e = f"lag(l_orderkey, {off}, {rng.randrange(0, 100)}) OVER w"
+    elif fn == 2:
+        e = f"nth_value(l_orderkey, {n}) OVER w"
+        frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    else:
+        e = f"first_value(l_orderkey) OVER w"
+        frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, l_quantity, "
+        f"CAST({e} AS BIGINT) AS v "
+        f"FROM lineitem WHERE {where} "
+        f"WINDOW w AS (PARTITION BY {key} "
+        f"ORDER BY l_orderkey, l_linenumber, l_quantity{frame})")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_cte_reuse_agrees(seed, spark, duck):
+    """Fuzzed CTE referenced TWICE (once aggregated, once row-level,
+    rejoined): Spark re-derives the unpersisted subtree per reference
+    while DuckDB may materialize it — the results must be identical
+    either way. This is the engine-behavior twin of the repo's
+    one-explode / checkpoint rules: correctness never depends on
+    whether a common subexpression is shared."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(85000 + seed)
+    where = _predicate(rng)
+    agg_key = rng.choice(["l_returnflag", "l_linestatus"])
+    sql = (
+        f"WITH base AS (SELECT {agg_key} AS k, l_orderkey, "
+        f"CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE {where}), "
+        f"tot AS (SELECT k, CAST(SUM(q) AS BIGINT) AS sq, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY k) "
+        f"SELECT b.k, b.l_orderkey, b.q, t.sq, t.n "
+        f"FROM base b JOIN tot t ON b.k = t.k WHERE b.q * t.n >= t.sq")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_fuzzed_setop_agrees(seed, spark, duck):
     """Fuzzed set operations: UNION / INTERSECT / EXCEPT (set and ALL
