@@ -664,6 +664,54 @@ def test_fuzzed_cte_reuse_agrees(seed, spark, duck):
     assert got == want, f"disagreement for: {sql}"
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_null_safe_comparison_agrees(seed, spark, duck):
+    """Fuzzed IS DISTINCT FROM / IS NOT DISTINCT FROM with
+    nullif-injected NULLs on either or both sides (including a bare
+    NULL literal) — the null-safe equality both engines must evaluate
+    to TRUE/FALSE, never UNKNOWN, in exactly the same cells of the
+    3x3 (value, other value, NULL) matrix."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(93000 + seed)
+    where = _predicate(rng)
+    x, y = rng.randrange(1, 8), rng.randrange(1, 8)
+    op = rng.choice(["IS DISTINCT FROM", "IS NOT DISTINCT FROM"])
+    lhs = f"nullif(l_linenumber, {x})"
+    rhs = rng.choice([f"nullif(l_suppkey % 7, {y})", "NULL", str(y)])
+    sql = (f"SELECT l_returnflag, "
+           f"CAST(COUNT(*) FILTER (WHERE {lhs} {op} {rhs}) AS BIGINT)"
+           f" AS m, "
+           f"CAST(COUNT(*) AS BIGINT) AS n "
+           f"FROM lineitem WHERE {where} GROUP BY l_returnflag")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_setop_type_coercion_agrees(seed, spark, duck):
+    """Fuzzed set operations between branches of DIFFERENT numeric
+    types (INTEGER vs BIGINT vs DOUBLE lanes of the same logical
+    value): both engines must widen to a common type BEFORE comparing
+    rows, so INTERSECT/EXCEPT match across the type boundary and the
+    result is cast back to one comparable lane."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(97000 + seed)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    a = (f"SELECT CAST(l_linenumber AS INTEGER) AS v FROM lineitem "
+         f"WHERE l_quantity >= {rng.randrange(1, 40)}")
+    wide = rng.choice(["BIGINT", "DOUBLE"])
+    b = (f"SELECT CAST(l_linenumber AS {wide}) AS v FROM lineitem "
+         f"WHERE l_quantity < {rng.randrange(10, 51)}")
+    sql = (f"SELECT CAST(v AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT)"
+           f" AS n FROM ({a} {op} {b}) GROUP BY v")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_fuzzed_setop_agrees(seed, spark, duck):
     """Fuzzed set operations: UNION / INTERSECT / EXCEPT (set and ALL
