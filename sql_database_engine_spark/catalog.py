@@ -79,8 +79,11 @@ def register_duck_views(con, sf_dir: str,
     registry tests) so adding an eleventh source table is ONE edit,
     not a dozen synchronized copies of the view-bootstrap loop."""
     for name in names:
-        con.sql(f"CREATE VIEW {name} AS "
-                f"SELECT * FROM '{sf_dir}/{name}.parquet'")
+        # SQL-escape the directory (doubled quotes): this helper is fed
+        # arbitrary --sf CLI values, and a path containing ' would
+        # otherwise break the statement.
+        path = f"{sf_dir}/{name}.parquet".replace("'", "''")
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
 
 
 class Catalog:

@@ -18,8 +18,8 @@ import pytest
 
 from tests.conftest import SF_ORACLE
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+from sql_database_engine_spark.catalog import (
+    TABLE_NAMES as TABLES, register_duck_views)
 
 #: table -> (pk expr, [double lanes to poison]). The md5-hex rule maps
 #: ~3/16 of rows to NaN, ~2/16 to +Inf, ~2/16 to -Inf per lane.
@@ -92,9 +92,7 @@ def test_nonfinite_audit_counts_and_cross_engine_agreement(spark, tmp_path):
     a = sorted(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
 
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"'{replica}/{t}.parquet'")
+    register_duck_views(con, replica)
     res = con.sql(operators.ORACLES["dq_nonfinite_audit"])
     order = sorted(range(len(res.columns)), key=lambda i: res.columns[i])
     b = sorted(tuple(_canon(r[i]) for i in order) for r in res.fetchall())

@@ -72,11 +72,10 @@ def replica():
 def duck_replica(replica):
     import duckdb
 
+    from sql_database_engine_spark.catalog import register_duck_views
+
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"'{replica}/{t}.parquet'")
+    register_duck_views(con, replica)
     yield con
     con.close()
 

@@ -210,6 +210,11 @@ def main() -> int:
                   f"{rec.get('elapsed_s')}s", flush=True)
     summary = {"tag": tag, "sf": args.sf, "n_queries": len(names),
                "n_pass": n_pass, "n_fail": n_fail,
+               # the summary must carry the same checked-vs-skipped
+               # distinction as the per-query records: a citation of
+               # "cert passed with the dtype gate active" has to be
+               # checkable from the artifact alone
+               "dtype_gate": "skipped" if args.skip_dtypes else "on",
                "total_s": round(time.time() - t_start, 1)}
     with open(summary_path, "w") as f:
         json.dump(summary, f, indent=1)

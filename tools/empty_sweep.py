@@ -51,8 +51,9 @@ import os
 import sys
 import time
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sql_database_engine_spark.catalog import (  # noqa: E402
+    TABLE_NAMES as TABLES, register_duck_views)
 
 _FACTS = {"orders", "lineitem", "events", "documents", "embeddings"}
 
@@ -146,9 +147,7 @@ def main() -> int:
     spark = get_spark("empty-sweep", cpus=args.cpus)
     import duckdb
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"'{replica}/{t}.parquet'")
+    register_duck_views(con, replica)
 
     names = (args.only.split(",") if args.only
              else list(operators.ordered_queries()))

@@ -40,8 +40,9 @@ import os
 import sys
 import time
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sql_database_engine_spark.catalog import (  # noqa: E402
+    TABLE_NAMES as TABLES)
 N_PARTS = 3
 
 #: Queries whose VALUES are documented as physical-order/merge-order

@@ -78,8 +78,9 @@ INJECT["full"]["documents"][1].append("text")
 INJECT["full"]["embeddings"][1].append("embedding")
 INJECT["full"]["events"][1].append("user_id")
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sql_database_engine_spark.catalog import (  # noqa: E402
+    TABLE_NAMES as TABLES, register_duck_views)
 
 #: Queries documented as requiring non-null input on specific columns
 #: (docstring contract) — the sweep still runs them and records the
@@ -189,9 +190,7 @@ def main() -> int:
     spark = get_spark("null-sweep", cpus=args.cpus)
     import duckdb
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"'{replica}/{t}.parquet'")
+    register_duck_views(con, replica)
 
     names = (args.only.split(",") if args.only
              else list(operators.ordered_queries()))

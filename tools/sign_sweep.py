@@ -52,8 +52,9 @@ FLIP = {
     "supplier": ("s_suppkey", ["s_acctbal"]),
 }
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sql_database_engine_spark.catalog import (  # noqa: E402
+    TABLE_NAMES as TABLES, register_duck_views)
 
 #: Queries whose docstring declares a positive-measure contract; the
 #: sweep still runs them and records the divergence without failing
@@ -156,9 +157,7 @@ def main() -> int:
     spark = get_spark("sign-sweep", cpus=args.cpus)
     import duckdb
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"'{replica}/{t}.parquet'")
+    register_duck_views(con, replica)
 
     names = (args.only.split(",") if args.only
              else list(operators.ordered_queries()))
