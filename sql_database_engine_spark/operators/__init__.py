@@ -50,48 +50,110 @@ def load_all() -> None:
     _register_streaming()
 
 
-def _driver_checked() -> set[str]:
-    """Query names that already have a hard-signal row in any prior
-    round's ``CORRECTNESS_r*.json`` (committed at the repo root).
-
-    The driver samples a PREFIX of the registry each round, so queries
-    it has already checked should yield their prefix slots to queries
-    it has never seen — this is what converts local-suite green into
-    driver-verified green across rounds. Missing/unreadable files are
-    simply skipped (round 1 had none)."""
+def _correctness_rows() -> dict[int, dict]:
+    """Round number -> parsed ``CORRECTNESS_r{N}.json`` (committed at
+    the repo root). Missing/unreadable/odd-shaped files are simply
+    skipped (round 1 had none; driver output formats have changed
+    between rounds before and must never crash the ordering)."""
     import json
+    import re
     from pathlib import Path
 
-    seen: set[str] = set()
+    out: dict[int, dict] = {}
     root = Path(__file__).resolve().parents[2]
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if not m:
+            continue
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        if not isinstance(rows, dict):
-            # Driver output formats have changed between rounds
-            # before; an unexpected shape must never crash the
-            # registry ordering.
-            continue
+        if isinstance(rows, dict):
+            out[int(m.group(1))] = rows
+    return out
+
+
+def _sampled_rounds() -> dict[str, int]:
+    """Query name -> latest round with ANY driver row.
+
+    A rows-only row ("no_oracle") does NOT count for a query that has
+    an oracle NOW: it was upgraded since that sample and deserves a
+    real hash-checked row."""
+    sampled: dict[str, int] = {}
+    for rnd, rows in _correctness_rows().items():
         for name, row in rows.items():
-            # A rows-only row ("no_oracle") does NOT retire a query
-            # that has an oracle NOW: it was upgraded since that
-            # sample and deserves a real hash-checked row.
             if (isinstance(row, dict) and row.get("err") == "no_oracle"
                     and name in ORACLES):
                 continue
-            seen.add(name)
-    # A green row retires the QUERY AS SAMPLED, not its name forever:
-    # queries rewritten since their last driver row must re-enter the
-    # prefix so the hard signal covers the code that actually ships.
-    # Curated per round; clear entries once the next CORRECTNESS file
-    # shows their fresh green row. (Round 7: pack_sequences_greedy's
-    # r6 row is RED — the oracle-side HUGEINT bin column, fixed by the
-    # one-line BIGINT cast at training.py:118 (VERDICT r6 item 1) —
-    # so it re-enters the prefix to convert the red row to green.)
-    rewritten_since_sampled: set[str] = {"pack_sequences_greedy"}
-    return seen - rewritten_since_sampled
+            sampled[name] = max(sampled.get(name, 0), rnd)
+    return sampled
+
+
+def _green_in_round(rnd: int) -> set[str]:
+    """Names whose row in round ``rnd`` is hash-green (used by
+    tools/gen_query_fingerprints.py to stamp only verified code)."""
+    rows = _correctness_rows().get(rnd, {})
+    return {name for name, row in rows.items()
+            if isinstance(row, dict) and row.get("hash_match") is True}
+
+
+def query_fingerprint(name: str) -> str:
+    """sha256 over (implementing function source, oracle SQL) — the
+    identity a driver row vouches for. Shared helpers are NOT covered
+    (documented approximation, tools/gen_query_fingerprints.py)."""
+    import hashlib
+    import inspect
+
+    fn = QUERIES[name]
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # source unavailable (e.g. frozen)
+        src = f"{fn.__module__}.{fn.__qualname__}"
+    return hashlib.sha256(
+        (src + "\x00" + ORACLES.get(name, "")).encode()).hexdigest()
+
+
+def _fingerprint_stamps() -> dict[str, str]:
+    """Committed ``QUERY_FINGERPRINTS.json``: name -> fingerprint at
+    the last tree whose driver row verified it (round-open --stamp
+    cadence, see tools/gen_query_fingerprints.py)."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parents[2] / "QUERY_FINGERPRINTS.json"
+    try:
+        d = json.loads(p.read_text())
+    except (OSError, ValueError):
+        return {}
+    return d if isinstance(d, dict) else {}
+
+
+def _driver_checked() -> set[str]:
+    """Query names whose CURRENT code already has a hard-signal driver
+    row.
+
+    The driver samples a PREFIX of the registry each round, so queries
+    it has already checked should yield their prefix slots to queries
+    it has never seen — this is what converts local-suite green into
+    driver-verified green across rounds.
+
+    A green row retires the QUERY AS SAMPLED, not its name forever:
+    since round 8 that invariant is mechanical (VERDICT r7 item 4) —
+    any sampled query whose current :func:`query_fingerprint` differs
+    from its committed stamp re-enters the prefix automatically, with
+    no round-opening curation. The manual set below remains ONLY as
+    the escape hatch for shared-helper edits the per-function
+    fingerprint cannot see; it is empty in the steady state.
+    (Round 8: pack_sequences_greedy's r7 re-entry landed hash-green in
+    CORRECTNESS_r07.json, so the r7 carve-out is cleared.)"""
+    seen = set(_sampled_rounds())
+    stamps = _fingerprint_stamps()
+    drifted = {n for n in seen
+               if n in QUERIES and n in stamps
+               and stamps[n] != query_fingerprint(n)}
+    rewritten_since_sampled: set[str] = set()
+    return seen - drifted - rewritten_since_sampled
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -182,7 +244,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cluster_assignment",
         "events_asof_join", "events_tumbling_window",
         "map_column_ops", "sketch_percentile_drift",
-        "agg_sketch_percentiles", "table_sample",
+        "table_sample",
         "train_val_test_split_hash", "stratified_sample_exact",
         "train_shard_manifest",
         "stream_tumbling_counts", "stream_click_purchase_join",
@@ -259,10 +321,11 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries first, then never-checked rows-only ones, then the
     # already-checked tail. Rows-only queries can never earn a
     # hash-green row, so they must not burn a prefix slot while ANY
-    # oracle-backed query still lacks one — the two legacy non-green
-    # rows (agg_sketch_percentiles, cms_token_count_estimates) are
-    # exactly that cost, paid once and not again (VERDICT r3 item 5;
-    # their contract twins are the driver surface, see QUERIES.md).
+    # oracle-backed query still lacks one (VERDICT r3 item 5). As of
+    # round 8 the tier is EMPTY — the last rows-only query
+    # (agg_sketch_percentiles) was retired per VERDICT r7 item 3 —
+    # but the tier stays in the ordering for any future genuinely
+    # non-SQL-expressible registration.
     #
     # Tier-1 ordering (round 5, VERDICT r4 item 1): one breadth pass
     # (a single query per family, so any prefix still spans the
@@ -292,13 +355,37 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 out[name] = QUERIES[name]
                 if not queues[fam]:
                     del queues[fam]
-        else:
+        elif i == 1:
             qlist = [queues[f] for f in sorted(queues)]
             while any(qlist):
                 for q in qlist:
                     if q:
                         name = q.pop(0)
                         out[name] = QUERIES[name]
+        else:
+            # Staleness rotation (round 8, VERDICT r7 item 4): once the
+            # never-sampled backlog is smaller than the driver's sample
+            # window, the leftover prefix slots must do verification
+            # work too — they go to the queries whose green rows are
+            # OLDEST (most rounds of code/testdata churn since last
+            # re-verified). Group the checked tail by last-sampled
+            # round ascending; within a round-group keep the family
+            # interleave so any prefix still spans the operator
+            # surface. Queries re-entered by fingerprint drift never
+            # reach this tier (they are tier 1 by construction).
+            rounds = _sampled_rounds()
+            by_round: dict[int, dict[str, list[str]]] = {}
+            for fam, names in queues.items():
+                for n in names:
+                    by_round.setdefault(rounds.get(n, 0), {}) \
+                        .setdefault(fam, []).append(n)
+            for rnd in sorted(by_round):
+                qlist = [by_round[rnd][f] for f in sorted(by_round[rnd])]
+                while any(qlist):
+                    for q in qlist:
+                        if q:
+                            name = q.pop(0)
+                            out[name] = QUERIES[name]
     return out
 
 

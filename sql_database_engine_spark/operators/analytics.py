@@ -746,25 +746,19 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketch_percentiles")  # rows-only: sketch internals are engine-private
-def agg_sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles via the KLL-style sketch
-    (approx_percentile): one pass, fixed memory, mergeable partials —
-    the 100 TB replacement for exact percentile's per-group sort.
-    No oracle: DuckDB's approx_quantile uses t-digest (different
-    sketch, different error). Output is one scalar double per
-    percentile — never an array column, which the external
-    canonicalizer cannot hash."""
-    li = Catalog(spark, sf_dir).lineitem
-    pct = li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-        .alias("ps"))
-    return pct.select(
-        "l_returnflag",
-        F.col("ps")[0].alias("p50_price"),
-        F.col("ps")[1].alias("p90_price"),
-        F.col("ps")[2].alias("p99_price"),
-    )
+# RETIRED (round 8, VERDICT r7 item 3): `agg_sketch_percentiles` — the
+# registry's last rows-only query — followed the stream-join-retirement
+# precedent (SURVEY §8). Its raw KLL estimates are genuinely
+# unoracleable (DuckDB's approx_quantile is a t-digest: different
+# sketch, different error, and QuantileSummaries merge order is
+# partition-dependent — the fixture_shape_sweep's one documented
+# divergence), so its only possible driver record was the permanently
+# stale r2 `no_oracle` artifact. The capability is untouched:
+# `sketch_percentile_drift` below runs the same one-pass
+# approx_percentile kernel and hash-verifies its rank-error CONTRACT
+# against the exact nearest-rank answer — the driver-checkable form of
+# the same 100 TB claim (mergeable partials, fixed memory, no per-group
+# sort).
 
 
 @query(

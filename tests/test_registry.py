@@ -28,12 +28,28 @@ def test_ordering_is_lossless_and_deterministic():
 
 
 def test_prefix_spans_operator_families():
-    import sys
+    """The sample window must span the operator surface — but the
+    bound has to be ADAPTIVE (VERDICT r7 item 2): while >PREFIX
+    queries are still unchecked, every slot rightly goes to the
+    never-sampled backlog, which late in the drain survives in only a
+    few families (r7 close: 71 queries across 11 families), so a fixed
+    `>= 12` fails the moment the driver's own new CORRECTNESS file
+    lands. Once the drain converges the prefix mixes in the rotating
+    checked tail and the full 12-family bar applies again."""
+    def fam(n):
+        return operators.QUERIES[n].__module__.rsplit(".", 1)[-1]
 
-    prefix = _ordered()[:PREFIX]
-    fams = {sys.modules[operators.QUERIES[n].__module__]
-            .__name__.rsplit(".", 1)[-1] for n in prefix}
-    assert len(fams) >= 12, f"prefix covers only families {sorted(fams)}"
+    names = _ordered()
+    prefix = names[:PREFIX]
+    fams = {fam(n) for n in prefix}
+    seen = _driver_checked()
+    unchecked = [n for n in names if n not in seen]
+    if len(unchecked) >= PREFIX:
+        bound = min(12, len({fam(n) for n in unchecked}))
+    else:
+        bound = 12
+    assert len(fams) >= bound, (
+        f"prefix covers only families {sorted(fams)} (bound {bound})")
 
 
 def test_prefix_prioritizes_never_checked_queries():
@@ -107,3 +123,55 @@ def test_prefix_pins_self_clear_once_driver_checked(monkeypatch):
     prefix = names[:PREFIX]
     assert not (set(head) & set(prefix)), (
         f"converted pins still burn prefix slots: {set(head) & set(prefix)}")
+
+
+def test_checked_tail_rotates_by_staleness(monkeypatch):
+    """Post-drain regime (round 8, VERDICT r7 item 4): once every
+    query is driver-checked, prefix slots re-verify the STALEST green
+    rows first — the ordering's checked tier must be non-decreasing in
+    last-sampled round. Simulated converged state: all queries
+    checked, rounds assigned synthetically."""
+    names_all = list(operators.QUERIES)
+    rounds = {n: (i % 5) + 1 for i, n in enumerate(sorted(names_all))}
+    monkeypatch.setattr(operators, "_sampled_rounds", lambda: dict(rounds))
+    monkeypatch.setattr(operators, "_driver_checked",
+                        lambda: set(names_all))
+    ordered = list(operators.ordered_queries())
+    assert set(ordered) == set(names_all)  # rotation stays lossless
+    seq = [rounds[n] for n in ordered]
+    assert seq == sorted(seq), (
+        "checked tail is not ordered oldest-sampled-first")
+
+
+def test_fingerprint_drift_reenters_prefix(monkeypatch):
+    """The mechanical rewritten-since-sampled invariant: corrupting a
+    checked query's committed fingerprint stamp (simulating a code or
+    oracle edit after its green row landed) must drop it from
+    _driver_checked() and move it into the never-checked tier of the
+    ordering."""
+    baseline = _driver_checked()
+    stamps = operators._fingerprint_stamps()
+    victim = sorted(n for n in baseline
+                    if n in operators.QUERIES and n in stamps)[0]
+    assert stamps[victim] == operators.query_fingerprint(victim), (
+        "shipped tree must have zero drift for this test's premise")
+    bad = dict(stamps)
+    bad[victim] = "0" * 64
+    monkeypatch.setattr(operators, "_fingerprint_stamps", lambda: bad)
+    now = operators._driver_checked()
+    assert victim not in now
+    ordered = list(operators.ordered_queries())
+    n_unchecked = sum(n not in now for n in ordered)
+    assert ordered.index(victim) < n_unchecked, (
+        "drifted query did not re-enter the unchecked tier")
+
+
+def test_fingerprint_stamps_describe_registered_queries():
+    """Every committed stamp names a live registered query (retired
+    names are pruned by --stamp) and is a sha256 hex digest."""
+    stamps = operators._fingerprint_stamps()
+    assert stamps, "QUERY_FINGERPRINTS.json missing or empty"
+    unknown = sorted(set(stamps) - set(operators.QUERIES))
+    assert not unknown, f"stamps for unregistered queries: {unknown}"
+    assert all(len(v) == 64 and set(v) <= set("0123456789abcdef")
+               for v in stamps.values())

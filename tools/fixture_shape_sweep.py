@@ -55,9 +55,12 @@ N_PARTS = 3
 #: this one query (one p50 cell moved 53219.57 -> 53221.42, within the
 #: kll_merge_quantile_contract's pinned error bound) — the audit
 #: detecting the one declared-weak query is its positive control.
-ALLOWED_ORDER_DEPENDENT = {
-    "agg_sketch_percentiles",  # Spark approx_percentile QuantileSummaries
-}
+ALLOWED_ORDER_DEPENDENT: set = set()
+# (Empty since round 8: the set's one entry, `agg_sketch_percentiles`
+# — Spark approx_percentile QuantileSummaries, whose compression is
+# merge-order-sensitive — was retired from the registry, VERDICT r7
+# item 3. The historical positive control stands: the first sf0.01
+# sweep caught exactly that declared-weak query and nothing else.)
 
 
 def stage_replica(spark, sf_dir: str) -> tuple[str, dict]:

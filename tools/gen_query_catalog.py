@@ -41,14 +41,17 @@ def main() -> None:
         "",
         "Rows-only queries are inherently oracle-free (sketch-value",
         "internals, probabilistic index contents, watermark-buffered",
-        "stream state, environment stubs) and each is flanked by an",
-        "oracle-checked contract twin or pytest pin — e.g.",
-        "`agg_sketch_percentiles` / `cms_token_count_estimates` are",
-        "driver-surfaced through `sketch_percentile_drift` /",
-        "`cms_error_contract`. The registry ordering sorts every",
-        "rows-only query behind all never-driver-checked oracle-backed",
-        "ones, so they never occupy a correctness-sample slot an",
-        "oracle-backed query could use.",
+        "stream state, environment stubs); any such registration must",
+        "be flanked by an oracle-checked contract twin or pytest pin",
+        "(e.g. `cms_error_contract`, `sketch_percentile_drift`). The",
+        "registry ordering sorts every rows-only query behind all",
+        "never-driver-checked oracle-backed ones, so they never occupy",
+        "a correctness-sample slot an oracle-backed query could use.",
+        "As of round 8 the tier is empty: the last rows-only query",
+        "(`agg_sketch_percentiles`) was retired — its raw KLL estimates",
+        "are merge-order-dependent and unoracleable, and its",
+        "approx_percentile kernel is driver-verified through",
+        "`sketch_percentile_drift`'s exact-rank contract (SURVEY §8).",
         "",
     ]
     for fam in sorted(fams):
