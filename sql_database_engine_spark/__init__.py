@@ -28,5 +28,26 @@ AQE re-plan skew at runtime. Local-mode tests only verify correctness.
 
 __version__ = "0.1.0"
 
-from .session import get_spark, tune  # noqa: F401
-from .catalog import Catalog, load_table, register_views  # noqa: F401
+# PEP 562 lazy re-exports: the package namespace keeps its historical
+# surface (`from sql_database_engine_spark import Catalog`, ...) but
+# importing the package no longer pulls pyspark eagerly, so Spark-free
+# submodules (``tables.py``) are importable by DuckDB-only tools
+# without JVM-adjacent import cost (ADVICE r7).
+_LAZY = {
+    "get_spark": "session", "tune": "session",
+    "Catalog": "catalog", "load_table": "catalog",
+    "register_views": "catalog",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module("." + _LAZY[name], __name__),
+                       name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

@@ -30,8 +30,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import schemas
 from .session import tune
+from .tables import TABLE_NAMES, register_duck_views  # noqa: F401  (re-export)
 
-TABLE_NAMES = tuple(schemas.TESTDATA_SCHEMAS)
+# The Spark-free literal in tables.py and the authoritative StructType
+# registry must name the same tables in the same order — drift would
+# desynchronize every DuckDB-side harness from the Spark side.
+assert TABLE_NAMES == tuple(schemas.TESTDATA_SCHEMAS), (
+    "tables.TABLE_NAMES out of sync with schemas.TESTDATA_SCHEMAS")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -71,19 +76,8 @@ def register_views(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def register_duck_views(con, sf_dir: str,
-                        names: tuple[str, ...] = TABLE_NAMES) -> None:
-    """Register the driver's testdata tables as DuckDB views — the
-    oracle-side twin of :func:`register_views`, shared by every
-    differential harness (cert sweeps, regime sweeps, driver_sim,
-    registry tests) so adding an eleventh source table is ONE edit,
-    not a dozen synchronized copies of the view-bootstrap loop."""
-    for name in names:
-        # SQL-escape the directory (doubled quotes): this helper is fed
-        # arbitrary --sf CLI values, and a path containing ' would
-        # otherwise break the statement.
-        path = f"{sf_dir}/{name}.parquet".replace("'", "''")
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+# register_duck_views moved to tables.py (Spark-free, ADVICE r7) and
+# re-exported above so existing import sites keep working.
 
 
 class Catalog:

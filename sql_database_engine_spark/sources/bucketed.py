@@ -63,14 +63,25 @@ def _gc_stale_generations(table: str, sf_dir: str, current: str) -> None:
     The residual window (a regen landing between this re-check and
     the rmtree) is the same unavoidable minimum documented at
     ``scratch.stage_atomic``."""
+    import logging
     import shutil
 
+    log = logging.getLogger(__name__)
     try:
         fp_now = re.sub(r"\W+", "_",
                         source_fingerprint(sf_dir, table + ".parquet"))
     except OSError:
-        return  # no live source to authorize a sweep
+        # No live source to authorize a sweep. Logged (ADVICE r7) so
+        # operators can tell "sweep refused, stale generations remain
+        # until a current-generation build runs" from "nothing to
+        # sweep" when chasing warehouse disk growth.
+        log.debug("bucketed GC: sweep declined for %s (%s): source "
+                  "unreadable — no authority", table, sf_dir)
+        return
     if current != f"{table}_bkt_{_tag(sf_dir)}_{fp_now}":
+        log.debug("bucketed GC: sweep declined for %s (%s): source "
+                  "re-fingerprinted to a newer generation — this "
+                  "builder is the stale one", table, sf_dir)
         return  # source changed since we fingerprinted: WE are stale
     prefix = f"{table}_bkt_{_tag(sf_dir)}_"
     pat = re.compile(re.escape(prefix) + r"\d+_\d+$")

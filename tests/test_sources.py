@@ -92,3 +92,52 @@ def test_json_corrupt_records_quarantined(spark, tmp_path):
     assert bad.count() == 1
     assert "not json" in bad.collect()[0]["_corrupt_record"]
     back.unpersist()
+
+
+def test_tables_module_is_spark_free():
+    """ADVICE r7: DuckDB-only harnesses must be able to import the
+    view bootstrap without pyspark. Subprocess with pyspark imports
+    blocked proves tables.py (and the lazy package __init__) stay
+    Spark-free."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import builtins\n"
+        "real = builtins.__import__\n"
+        "def guard(name, *a, **k):\n"
+        "    if name == 'pyspark' or name.startswith('pyspark.'):\n"
+        "        raise ImportError('pyspark blocked')\n"
+        "    return real(name, *a, **k)\n"
+        "builtins.__import__ = guard\n"
+        "from sql_database_engine_spark.tables import (TABLE_NAMES,\n"
+        "    register_duck_views)\n"
+        "import duckdb\n"
+        "con = duckdb.connect()\n"
+        "register_duck_views(con, '/root/testdata/sf0.001')\n"
+        "assert con.sql('SELECT count(*) FROM region').fetchone()[0] == 5\n"
+        "print('SPARKFREE_OK', len(TABLE_NAMES))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd=root,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "SPARKFREE_OK 10" in out.stdout
+
+
+def test_register_duck_views_rejects_bad_identifier():
+    """ADVICE r7: the shared view bootstrap must not interpolate a
+    caller-supplied name verbatim into CREATE VIEW."""
+    import duckdb
+    import pytest
+
+    from sql_database_engine_spark.tables import register_duck_views
+
+    con = duckdb.connect()
+    with pytest.raises(ValueError, match="invalid table identifier"):
+        register_duck_views(con, "/root/testdata/sf0.001",
+                            names=("region; DROP TABLE x; --",))
+    with pytest.raises(ValueError, match="invalid table identifier"):
+        register_duck_views(con, "/root/testdata/sf0.001",
+                            names=('re"gion',))

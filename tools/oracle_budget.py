@@ -78,7 +78,12 @@ def main() -> int:
     if unknown:
         ap.error(f"unknown query (not in the oracle registry): {unknown}")
 
-    from sql_database_engine_spark.catalog import register_duck_views
+    # Spark-free import (ADVICE r7): the view bootstrap lives in
+    # tables.py, so this DuckDB-only tool's own machinery never pulls
+    # pyspark. (Loading the oracle REGISTRY via __spark_entry__ above
+    # still does — the oracles are registered alongside their Spark
+    # query builders — but --help and arg validation stay instant.)
+    from sql_database_engine_spark.tables import register_duck_views
 
     sf_dirs = args.sfs.split(",")
 
