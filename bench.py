@@ -82,10 +82,18 @@ HEADLINE = [
     "cep_click_purchase_no_error",  # sequence pattern via window carry
     "training_manifest_end_to_end", # capstone dedup->split->shard plan
     # round-3 additions (prior sets unchanged for round-over-round
-    # comparability; clamped_running_balance above now times the
-    # Lindley window closed form — its applyInPandas twin is timed
-    # here as the UDF-tier price)
-    "clamped_running_balance_kernel",  # applyInPandas stateful loop
+    # comparability; clamped_running_balance above times the Lindley
+    # window closed form).
+    # BENCH POLICY (round 8, VERDICT r7 item 6):
+    # clamped_running_balance_kernel — the applyInPandas per-user
+    # sequential-loop twin — is no longer in the timed headline set.
+    # It exists precisely to demonstrate the UDF-tier price vs the
+    # window-algebra production path (13x at sf0.1, the single most
+    # expensive headline entry), and that price tag lives in PERF.md
+    # as a standing measurement; re-paying ~6.7 s x 3 reps per bench
+    # run timed nothing new. The query stays registered,
+    # oracle-checked (hash-green driver row), and pytest-pinned —
+    # same treatment as sql_recursive_bfs above.
     "q2_min_cost_supplier",         # decorrelated window-MIN (TPC-H Q2)
     "q16_supplier_part_counts",     # anti-join + COUNT(DISTINCT) (Q16)
     "multimodal_features",          # real WAV-PCM mapInPandas decode
