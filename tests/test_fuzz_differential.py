@@ -793,3 +793,150 @@ def test_fuzzed_outer_join_agrees(seed, spark, duck):
     got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
     want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
     assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_greatest_least_agrees(seed, spark, duck):
+    """Fuzzed GREATEST/LEAST with nullif-injected NULL arguments and
+    mixed integer/BIGINT lanes (prototyped: both engines follow the
+    Postgres rule — NULL arguments are IGNORED, the result is NULL
+    only when every argument is NULL — and coerce mixed numeric
+    arguments to a common type before comparing; string GREATEST
+    compares binary-collated in both). The all-NULL lane is forced in
+    every seed via a doubled nullif(col, col)."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(101000 + seed)
+    where = _predicate(rng)
+    fn = rng.choice(["GREATEST", "LEAST"])
+    x = rng.randrange(1, 8)
+    lit = rng.randrange(0, 6)
+    args = (f"NULLIF(l_linenumber, {x}), "
+            f"CAST(l_quantity AS BIGINT), {lit}")
+    sql = (
+        f"SELECT l_returnflag, "
+        f"CAST({fn}({args}) AS BIGINT) AS g, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COUNT(*) FILTER (WHERE {fn}(NULLIF(l_linenumber, "
+        f"l_linenumber), NULLIF(l_suppkey, l_suppkey)) IS NULL) "
+        f"AS BIGINT) AS all_null "
+        f"FROM lineitem WHERE {where} GROUP BY 1, 2")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_exists_nonequi_self_agrees(seed, spark, duck):
+    """Fuzzed NON-EQUI correlated EXISTS/NOT EXISTS on a self-join:
+    the correlation predicate is an inequality over a second column
+    (is there a later line / a larger quantity within my order?), so
+    the decorrelation each engine picks is a non-equi semi/anti join
+    — a different rewrite shape from test_fuzzed_subquery_agrees'
+    natural-key correlation."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(105000 + seed)
+    where = _predicate(rng)
+    form = rng.choice(["EXISTS", "NOT EXISTS"])
+    comp_col = rng.choice(["l_linenumber", "l_quantity", "l_extendedprice"])
+    op = rng.choice([">", "<", ">="])
+    sql = (
+        f"SELECT a.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem a WHERE ({where.replace('l_', 'a.l_')}) AND "
+        f"{form} (SELECT 1 FROM lineitem b WHERE "
+        f"b.l_orderkey = a.l_orderkey AND "
+        f"b.{comp_col} {op} a.{comp_col}) "
+        f"GROUP BY a.l_returnflag")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_between_3vl_agrees(seed, spark, duck):
+    """Fuzzed BETWEEN / NOT BETWEEN with nullif-injected NULLs in the
+    operand or a bound, plus inverted (empty) bound pairs: BETWEEN
+    desugars to two comparisons under three-valued logic, so a NULL
+    anywhere makes the predicate UNKNOWN (row dropped) in BOTH the
+    positive and the NOT form — the same 3VL trap as NOT IN, on a
+    different syntax surface."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(109000 + seed)
+    where = _predicate(rng)
+    neg = rng.choice(["", "NOT "])
+    lo, hi = sorted((rng.randrange(1, 30), rng.randrange(10, 51)))
+    if rng.random() < 0.25:
+        lo, hi = hi, lo  # inverted bounds: empty range, still 3VL
+    operand, lob = "l_quantity", str(lo)
+    which = rng.randrange(3)
+    if which == 0:
+        operand = f"NULLIF(l_quantity, {rng.randrange(1, 51)})"
+    elif which == 1:
+        lob = f"NULLIF(l_linenumber, {rng.randrange(1, 8)})"
+    sql = (
+        f"SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem WHERE ({where}) AND "
+        f"{operand} {neg}BETWEEN {lob} AND {hi} "
+        f"GROUP BY l_returnflag")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_floor_ceil_round_agrees(seed, spark, duck):
+    """Fuzzed FLOOR/CEIL/CEILING/ROUND-to-integer over shifted
+    discount/quantity lanes crossing zero. Shared-text caveats found
+    while prototyping, both canonicalized with one CAST: Spark's
+    FLOOR/CEIL on DOUBLE returns BIGINT while DuckDB returns DOUBLE
+    (including a ``-0.0`` lane), so the shared text casts to BIGINT;
+    numeric TRUNC is untestable as shared text (Spark's trunc is
+    date-only). Argless ROUND on exactly-representable halves rounds
+    away from zero in both engines (prototyped on ±0.5/±1.5/2.5)."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(113000 + seed)
+    where = _predicate(rng)
+    fn = rng.choice(["FLOOR", "CEIL", "CEILING", "ROUND"])
+    k = rng.choice([10, 100])
+    shift = rng.randrange(0, 60)
+    lane = rng.choice([f"l_discount * {k} - {shift}",
+                       f"l_quantity - {shift}",
+                       f"(0.5e0 - l_discount) * {k}"])
+    sql = (
+        f"SELECT CAST({fn}({lane}) AS BIGINT) AS v, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem WHERE {where} GROUP BY 1")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_minby_maxby_agrees(seed, spark, duck):
+    """Fuzzed MIN_BY / MAX_BY (argmin/argmax aggregates, same spelling
+    in both engines) where the ordering expression is made UNIQUE per
+    group by folding in the primary key — ties would be
+    engine-arbitrary, unique keys make the selected row
+    deterministic; the value expression then proves the whole ROW
+    followed the arg, not just the extremum."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(117000 + seed)
+    where = _predicate(rng)
+    fn = rng.choice(["MIN_BY", "MAX_BY"])
+    key = rng.choice(["l_returnflag", "l_linestatus"])
+    # unique per (orderkey, linenumber): pk folded into the arg
+    arg = (f"CAST(l_quantity AS BIGINT) * 100000000 + "
+           f"l_orderkey * 10 + l_linenumber")
+    sql = (
+        f"SELECT {key}, "
+        f"CAST({fn}(l_orderkey, {arg}) AS BIGINT) AS picked, "
+        f"CAST({fn}(l_linenumber, {arg}) AS BIGINT) AS picked_ln, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem WHERE {where} GROUP BY {key}")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
