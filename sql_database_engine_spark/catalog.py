@@ -34,9 +34,15 @@ from .tables import TABLE_NAMES, register_duck_views  # noqa: F401  (re-export)
 
 # The Spark-free literal in tables.py and the authoritative StructType
 # registry must name the same tables in the same order — drift would
-# desynchronize every DuckDB-side harness from the Spark side.
-assert TABLE_NAMES == tuple(schemas.TESTDATA_SCHEMAS), (
-    "tables.TABLE_NAMES out of sync with schemas.TESTDATA_SCHEMAS")
+# desynchronize every DuckDB-side harness from the Spark side. An
+# explicit raise, not `assert`: asserts are stripped under `python -O`
+# and this check must survive any interpreter flags (ADVICE r8). A
+# pytest pin (tests/test_sources.py) enforces the same invariant on
+# the Spark-free import path that never executes this module.
+if TABLE_NAMES != tuple(schemas.TESTDATA_SCHEMAS):
+    raise ImportError(
+        "tables.TABLE_NAMES out of sync with schemas.TESTDATA_SCHEMAS: "
+        f"{TABLE_NAMES} != {tuple(schemas.TESTDATA_SCHEMAS)}")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

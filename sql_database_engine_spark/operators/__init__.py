@@ -374,10 +374,20 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # surface. Queries re-entered by fingerprint drift never
             # reach this tier (they are tier 1 by construction).
             rounds = _sampled_rounds()
+            # A checked-but-unrounded name defaults to the NEWEST
+            # round, not 0: in the real flow "seen" derives from
+            # _sampled_rounds so every checked name has a round, but
+            # if the two are ever sourced differently (a monkeypatched
+            # simulation did exactly this in r8 and turned the default
+            # into stalest-possible, rotating fresh names straight
+            # back into the prefix — tests/test_registry.py history),
+            # an unknown-round name must be treated as freshly
+            # verified, never as infinitely stale (VERDICT r8 item 7).
+            newest = max(rounds.values(), default=0)
             by_round: dict[int, dict[str, list[str]]] = {}
             for fam, names in queues.items():
                 for n in names:
-                    by_round.setdefault(rounds.get(n, 0), {}) \
+                    by_round.setdefault(rounds.get(n, newest), {}) \
                         .setdefault(fam, []).append(n)
             for rnd in sorted(by_round):
                 qlist = [by_round[rnd][f] for f in sorted(by_round[rnd])]

@@ -127,16 +127,34 @@ def test_oracle_output_types_survive_pandas_canonicalization():
 
 def test_prefix_pins_self_clear_once_driver_checked(monkeypatch):
     """Round-6 mechanism: prefix_head pins evaporate on their own once
-    their driver row lands (simulated by widening _driver_checked), so
-    the round-opening stale-pin commit — and the invariant trip it
-    fixed in rounds 5 and 6 — cannot recur. Deliberate re-entries go
-    through rewritten_since_sampled instead, which keeps them out of
-    "seen" and therefore keeps their pin alive."""
-    baseline = _driver_checked()
+    their driver row lands, so the round-opening stale-pin commit —
+    and the invariant trip it fixed in rounds 5 and 6 — cannot recur.
+
+    Two hardenings from the r8 trip (VERDICT r8 item 1): the
+    simulation must widen _sampled_rounds ALONGSIDE _driver_checked —
+    widening only the latter left the converted names unrounded, and
+    the old `rounds.get(n, 0)` default sorted them stalest-possible,
+    straight back into the prefix. And the live-pin supply must not
+    depend on the drain state: the NEWEST committed correctness round
+    is hidden first, so its queries become live never-checked names
+    again even after the drain converges."""
+    real = operators._correctness_rows()
+    assert real, "committed CORRECTNESS files are this test's premise"
+    newest = max(real)
+    hidden = {r: rows for r, rows in real.items() if r != newest}
+    monkeypatch.setattr(operators, "_correctness_rows", lambda: hidden)
+    baseline = operators._driver_checked()
     head = [n for n in _ordered()[:10] if n not in baseline]
-    assert head, "no live pins to test against"
+    assert head, "hiding the newest round must expose live pins"
+    # Simulate their green rows landing the way the REAL flow does:
+    # checked AND sampled in the newest round — never one without the
+    # other (the r8 incompleteness).
+    sim_rounds = dict(operators._sampled_rounds(),
+                      **{n: newest for n in head})
     monkeypatch.setattr(operators, "_driver_checked",
                         lambda: baseline | set(head))
+    monkeypatch.setattr(operators, "_sampled_rounds",
+                        lambda: dict(sim_rounds))
     names = _ordered()
     assert set(names) == set(operators.QUERIES)  # still lossless
     # every formerly-pinned name must now sort with the checked tail,
@@ -144,6 +162,61 @@ def test_prefix_pins_self_clear_once_driver_checked(monkeypatch):
     prefix = names[:PREFIX]
     assert not (set(head) & set(prefix)), (
         f"converted pins still burn prefix slots: {set(head) & set(prefix)}")
+    # and within the checked tail they sort by RECENCY: every checked
+    # name with a strictly older round precedes every converted pin
+    # (they carry the newest round by construction).
+    checked_pos = {n: i for i, n in enumerate(names)
+                   if n in baseline | set(head)}
+    oldest_pin_pos = min(checked_pos[n] for n in head)
+    staler = [n for n in checked_pos
+              if sim_rounds.get(n, newest) < newest]
+    late_staler = [n for n in staler if checked_pos[n] > oldest_pin_pos]
+    assert not late_staler, (
+        f"converted pins outrank staler checked names: {late_staler[:5]}")
+
+
+def test_rotation_defaults_unrounded_checked_names_to_freshest(monkeypatch):
+    """VERDICT r8 item 7: a checked-but-unrounded name (unreachable in
+    the real flow, but exactly what an incomplete simulation produces)
+    must be treated as freshly verified — sorted into the NEWEST
+    round-group of the rotation — never as infinitely stale."""
+    names_all = sorted(operators.QUERIES)
+    orphan = names_all[0]
+    rounds = {n: (i % 5) + 1 for i, n in enumerate(names_all)}
+    del rounds[orphan]  # checked, but no sampled round on record
+    monkeypatch.setattr(operators, "_sampled_rounds", lambda: dict(rounds))
+    monkeypatch.setattr(operators, "_driver_checked",
+                        lambda: set(names_all))
+    ordered = list(operators.ordered_queries())
+    assert set(ordered) == set(names_all)
+    newest = max(rounds.values())
+    first_newest = min(i for i, n in enumerate(ordered)
+                       if rounds.get(n) == newest)
+    assert ordered.index(orphan) >= first_newest, (
+        "unrounded checked name sorted stale-first instead of freshest")
+
+
+def test_registry_survives_next_round_artifact(monkeypatch):
+    """The class-killer for the failure mode that cost a red pytest in
+    rounds 7 AND 8: an ordering invariant that silently goes stale the
+    moment the driver's NEXT CORRECTNESS file lands. Inject a
+    synthetic next-round artifact (the current prefix, all green — the
+    expected steady-state outcome) and re-run every live ordering
+    invariant under it. This runs in the normal suite, so the close
+    gate exercises next-round state by construction."""
+    real = operators._correctness_rows()
+    nxt = max(real, default=0) + 1
+    green_row = {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None}
+    synthetic = dict(real)
+    synthetic[nxt] = {n: dict(green_row) for n in _ordered()[:PREFIX]}
+    monkeypatch.setattr(operators, "_correctness_rows",
+                        lambda: dict(synthetic))
+    test_ordering_is_lossless_and_deterministic()
+    test_prefix_spans_operator_families()
+    test_prefix_prioritizes_never_checked_queries()
+    test_oracle_backed_sorts_before_rows_only_within_prefix()
+    test_prefix_pins_self_clear_once_driver_checked(monkeypatch)
 
 
 def test_checked_tail_rotates_by_staleness(monkeypatch):

@@ -94,6 +94,18 @@ def test_json_corrupt_records_quarantined(spark, tmp_path):
     back.unpersist()
 
 
+def test_table_names_sync_with_schema_registry():
+    """ADVICE r8: the Spark-free TABLE_NAMES literal and the
+    authoritative StructType registry must agree, enforced by a test
+    (not only catalog.py's import-time raise, which the Spark-free
+    import path never executes and which `python -O` used to strip
+    when it was an assert)."""
+    from sql_database_engine_spark import schemas
+    from sql_database_engine_spark.tables import TABLE_NAMES
+
+    assert TABLE_NAMES == tuple(schemas.TESTDATA_SCHEMAS)
+
+
 def test_tables_module_is_spark_free():
     """ADVICE r7: DuckDB-only harnesses must be able to import the
     view bootstrap without pyspark. Subprocess with pyspark imports

@@ -21,9 +21,11 @@ lands and BEFORE any code edit — at that moment the working tree IS
 the tree the driver sampled, so stamping current fingerprints is
 sound. ``--stamp`` (a) re-stamps every query with a green row in the
 newest correctness file, (b) stamps any sampled-but-unstamped name
-(bootstrap/new-row case), and (c) never touches stamps of queries
-without new rows, so a stamp always describes code that actually
-earned a green row.
+that was hash-GREEN in its own latest sampled round (bootstrap case;
+red or errored rows stay unstamped so the query keeps re-entering the
+prefix until a green row lands — ADVICE r8), and (c) never touches
+stamps of queries without new rows, so a stamp always describes code
+that actually earned a green row.
 
 Known approximation: the fingerprint covers the registered function's
 own source plus its oracle SQL, not shared helpers it calls. An edit
@@ -85,7 +87,7 @@ def main() -> None:
 
     newest = max(sampled.values(), default=0)
     green = ops._green_in_round(newest) if newest else set()
-    restamped, added = [], []
+    restamped, added, skipped_red = [], [], []
     for n in sorted(sampled):
         if n not in ops.QUERIES:
             continue
@@ -94,14 +96,26 @@ def main() -> None:
                 restamped.append(n)
             stamps[n] = current[n]
         elif n not in stamps:
-            stamps[n] = current[n]
-            added.append(n)
+            # Bootstrap branch: stamp only names that were hash-GREEN
+            # in their own latest sampled round. A red/errored row must
+            # NOT be stamped (ADVICE r8): the stamp's meaning is "this
+            # code earned a green row", and stamping a red-rowed query
+            # would stop it from mechanically re-entering the prefix
+            # after a shared-helper fix that leaves its own source
+            # unchanged.
+            if n in ops._green_in_round(sampled[n]):
+                stamps[n] = current[n]
+                added.append(n)
+            else:
+                skipped_red.append(n)
     with open(STAMP_PATH, "w") as fh:
         json.dump(dict(sorted(stamps.items())), fh, indent=1)
         fh.write("\n")
+    detail = f": {skipped_red}" if skipped_red else ""
     print(f"wrote {STAMP_PATH}: {len(stamps)} stamps "
           f"({len(restamped)} re-stamped from round {newest}, "
-          f"{len(added)} newly stamped)")
+          f"{len(added)} newly stamped, "
+          f"{len(skipped_red)} left unstamped as red-rowed{detail})")
 
 
 if __name__ == "__main__":
