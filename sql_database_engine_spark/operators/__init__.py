@@ -156,6 +156,30 @@ def _driver_checked() -> set[str]:
     return seen - drifted - rewritten_since_sampled
 
 
+# Explicit prefix pins (module-level so tools/gen_prefix_report.py can
+# name a re-entry's reason from the same list the ordering consumes).
+# A pin is emitted only while the query still lacks a driver row — see
+# the SELF-CLEARING note inside ordered_queries().
+PREFIX_HEAD = (
+    # Round 7 (VERDICT r6 item 1): the two oracle-type fixes must
+    # land driver-verified — the red-row re-entry (whose pin stays
+    # alive via rewritten_since_sampled until its fresh green row
+    # lands) and the latent DECIMAL(38,0) sibling fixed before the
+    # driver ever sampled it.
+    "pack_sequences_greedy", "t_closeness_audit",
+    # Round 7 (VERDICT r6 item 6): the two ex-rows-only codec
+    # stubs, freshly converted to full hex-replay oracles — the
+    # conversion must land driver-verified, not just cert-swept.
+    "multimodal_byte_features", "multimodal_frame_stub_sample",
+    # Round-6 pins, self-clearing (all eight sampled hash-green in
+    # CORRECTNESS_r06.json, so these lines are already inert).
+    "stream_sliding_counts", "stream_dedup_events",
+    "stream_user_event_type_sets", "stream_session_windows",
+    "stream_hourly_topk_drain", "stream_session_intent_drain",
+    "stream_distinct_users_hourly", "stream_user_profiles",
+)
+
+
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry reordered so ANY prefix spans the operator surface.
 
@@ -196,25 +220,7 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # listed here: they go through rewritten_since_sampled above,
     # which removes them from "seen" and thereby keeps their pin
     # alive until the fresh row lands — the two mechanisms compose.
-    prefix_head = [
-        # Round 7 (VERDICT r6 item 1): the two oracle-type fixes must
-        # land driver-verified — the red-row re-entry (whose pin stays
-        # alive via rewritten_since_sampled above until its fresh green
-        # row lands) and the latent DECIMAL(38,0) sibling fixed before
-        # the driver ever sampled it.
-        "pack_sequences_greedy", "t_closeness_audit",
-        # Round 7 (VERDICT r6 item 6): the two ex-rows-only codec
-        # stubs, freshly converted to full hex-replay oracles — the
-        # conversion must land driver-verified, not just cert-swept.
-        "multimodal_byte_features", "multimodal_frame_stub_sample",
-        # Round-6 pins, self-clearing (all eight sampled hash-green in
-        # CORRECTNESS_r06.json, so these lines are already inert).
-        "stream_sliding_counts", "stream_dedup_events",
-        "stream_user_event_type_sets", "stream_session_windows",
-        "stream_hourly_topk_drain", "stream_session_intent_drain",
-        "stream_distinct_users_hourly", "stream_user_profiles",
-    ]
-    prefix_head = [n for n in prefix_head if n not in _driver_checked()]
+    prefix_head = [n for n in PREFIX_HEAD if n not in _driver_checked()]
     # Flagship representatives (one per capability the judge grades
     # first-class) jump the within-family queue so they are guaranteed
     # inside any plausible sample window.

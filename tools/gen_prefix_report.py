@@ -56,8 +56,12 @@ def main() -> None:
     first_time = [n for n in prefix if n not in history]
     reentries = [n for n in prefix if n in history]
     # Reasons: the registry's carve-out names the rewritten queries;
-    # anything else re-entering is an explicit prefix_head pin.
+    # a checked name re-entering is either an explicit prefix_head pin
+    # or (round 8+) a staleness-rotation slot re-verifying an old
+    # green row once the never-sampled backlog no longer fills the
+    # window.
     seen_now = operators._driver_checked()
+    rounds_now = operators._sampled_rounds()
     print(f"Prefix composition (mechanical, `tools/gen_prefix_report.py`):")
     print(f"- prefix size audited: {args.prefix}")
     print(f"- first-time slots (no row in any committed CORRECTNESS file): "
@@ -71,8 +75,11 @@ def main() -> None:
                        "rows-only, first hash check pending")
             else:
                 why = "rewritten-since-sampled carve-out"
-        else:
+        elif n in operators.PREFIX_HEAD:
             why = "explicit prefix_head pin"
+        else:
+            why = (f"staleness-rotation slot (last sampled "
+                   f"r{rounds_now.get(n, 0):02d}, oldest-first re-verify)")
         print(f"  - `{n}` (previously sampled {', '.join(history[n])}; {why})")
     rows_only = [n for n in prefix if n not in operators.ORACLES]
     print(f"- rows-only queries in prefix: {len(rows_only)}"
