@@ -3381,3 +3381,49 @@ def ab_cuped_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                   " abs(dy_num * 1000000 - theta_micros * dx_num) * 100 "
                   "div (nprod * 1000000) END")).cast("long")
         .alias("delta_cuped_centicents"))
+
+
+@query(
+    "grouping_sets_source_quality",
+    oracle="""
+    SELECT source, lang,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+)
+def grouping_sets_source_quality(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Corpus-quality report at three grains in one pass — per
+    (source, lang), per source, and the corpus total — via GROUPING
+    SETS with GROUPING() discriminators, so a curation dashboard
+    reads every rollup level from a single relation without
+    re-scanning. Exact integer measures (doc count, total chars).
+
+    Same phantom-row empty-input fix as ``grouping_sets_explicit``
+    (the ANSI ``()`` row must exist over an empty relation; Spark
+    drops it, DuckDB keeps it): one all-NULL ``__ph = 1`` row unions
+    into the source, aggregates are phantom-blind, and phantom-only
+    non-() groups are dropped in HAVING. One scan, one
+    Expand+Aggregate — the multi-grain shuffle is paid once.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        WITH src AS (
+            SELECT source, lang, n_chars, 0 AS __ph FROM documents
+            UNION ALL
+            SELECT NULL, NULL, NULL, 1
+        )
+        SELECT source, lang,
+               CAST(grouping(source) * 2 + grouping(lang) AS INT) AS gid,
+               CAST(COUNT(CASE WHEN __ph = 0 THEN 1 END) AS BIGINT)
+                   AS n_docs,
+               CAST(SUM(CASE WHEN __ph = 0 THEN n_chars END) AS BIGINT)
+                   AS total_chars
+        FROM src
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        HAVING NOT (grouping(source) * 2 + grouping(lang) < 3
+                    AND SUM(1 - __ph) = 0)
+    """)

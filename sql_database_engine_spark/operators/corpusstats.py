@@ -26,7 +26,7 @@ cross join ever materializes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import Catalog
 from . import query
@@ -476,3 +476,76 @@ def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                " AS BIGINT)").alias("gini_micros"),
         F.expr("1000000 * max_key div total")
         .alias("max_key_share_micros"))
+
+
+@query(
+    "docs_language_mix_shift",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang FROM documents WHERE doc_id IS NOT NULL
+    ), mid AS (
+        SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM d
+    ), per AS (
+        SELECT lang,
+               CAST(SUM(CASE WHEN doc_id <= mid THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt1,
+               CAST(SUM(CASE WHEN doc_id > mid THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt2
+        FROM d CROSS JOIN mid GROUP BY lang
+    ), pert AS (
+        SELECT lang, cnt1, cnt2,
+               CAST(SUM(cnt1) OVER () AS BIGINT) AS tot1,
+               CAST(SUM(cnt2) OVER () AS BIGINT) AS tot2
+        FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
+           MIN(tot1) AS docs_first,
+           MIN(tot2) AS docs_second,
+           CAST(SUM(ABS(cnt1 * tot2 - cnt2 * tot1)) AS BIGINT) AS tvd_num,
+           CAST(CAST(SUM(ABS(cnt1 * tot2 - cnt2 * tot1)) AS BIGINT)
+                AS DOUBLE)
+               / CAST(2 * MIN(tot1) * MIN(tot2) AS DOUBLE) AS tvd
+    FROM pert
+    """,
+)
+def docs_language_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the language-ID distributions
+    of the corpus's first and second halves (split at the doc_id
+    midpoint) — the drift alarm for "did the crawl's language mix
+    change?". Module policy arithmetic: the TVD numerator is the
+    exact integer sum |cnt1*tot2 - cnt2*tot1| over languages (common
+    denominator tot1*tot2), and the only float op is ONE final
+    division — bit-reproducible everywhere.
+
+    One broadcast scalar (the midpoint) and one groupBy on lang: the
+    shuffle carries O(languages) rows whatever the corpus size, the
+    half totals ride a global window over that language-grain
+    relation (so `per` is derived once — the crossJoin-with-its-own-
+    aggregate form re-scans documents twice, scan_audit class), and
+    nothing joins on the doc grain.
+    """
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("doc_id").isNotNull())
+         .select("doc_id", "lang"))
+    mid = d.agg(F.expr("(MIN(doc_id) + MAX(doc_id)) div 2").alias("mid"))
+    per = (d.crossJoin(F.broadcast(mid))
+           .groupBy("lang")
+           .agg(F.sum(F.when(F.col("doc_id") <= F.col("mid"), 1)
+                      .otherwise(0)).cast("long").alias("cnt1"),
+                F.sum(F.when(F.col("doc_id") > F.col("mid"), 1)
+                      .otherwise(0)).cast("long").alias("cnt2")))
+    wall = (W.partitionBy()
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    pert = (per.withColumn("tot1", F.sum("cnt1").over(wall).cast("long"))
+            .withColumn("tot2", F.sum("cnt2").over(wall).cast("long")))
+    num = F.sum(F.abs(F.col("cnt1") * F.col("tot2")
+                      - F.col("cnt2") * F.col("tot1"))).cast("long")
+    g = pert.agg(F.count(F.lit(1)).cast("long").alias("n_langs"),
+                 F.min("tot1").alias("docs_first"),
+                 F.min("tot2").alias("docs_second"),
+                 num.alias("tvd_num"))
+    return g.select(
+        "n_langs", "docs_first", "docs_second", "tvd_num",
+        (F.col("tvd_num").cast("double")
+         / (F.lit(2) * F.col("docs_first") * F.col("docs_second"))
+         .cast("double")).alias("tvd"))

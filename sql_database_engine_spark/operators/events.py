@@ -1332,3 +1332,150 @@ def cart_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .otherwise(F.lit(0)).cast("long")
                     .alias("abandonment_micros"))
             .orderBy("day"))
+
+
+@query(
+    "events_session_entropy",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                   AS session_idx
+        FROM ordered
+    ), counts AS (
+        SELECT user_id, session_idx, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sess GROUP BY user_id, session_idx, event_type
+    ), terms AS (
+        SELECT user_id, session_idx, cnt,
+               CAST(ROUND((-((cnt / n) * LN(cnt / n))) * 1e9) AS BIGINT)
+                   AS nano
+        FROM (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY user_id,
+                                            session_idx) AS BIGINT) AS n
+              FROM counts) t
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(SUM(nano) AS BIGINT) AS h_nanounits
+    FROM terms GROUP BY user_id, session_idx
+    """,
+)
+def events_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session event-type entropy — how varied a session's
+    behavior is (one-action sessions score 0; uniform mixes score
+    ln(k)) — the engagement-diversity feature behind bot filtering
+    and intent models. Sessionization is the shared 30-minute-gap
+    rule.
+
+    Exactness: H = -sum p*ln(p) is order-dependent in floats, so each
+    term is computed through an IDENTICAL expression dag in both
+    engines and pre-rounded to integer NANO-UNITS; the per-session
+    sum is then an exact integer add under any accumulation order
+    (the pagerank fixed-point precedent). Output is h_nanounits
+    BIGINT — exactly 1e9 * H as both engines compute it.
+
+    One shuffle on user_id for the session walk; the entropy runs on
+    (session x event_type) grain, a bounded multiple of the session
+    count; state per partition stays user-bounded at 100 TB.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros(F.col("ts"))
+              - F.lag(F.unix_micros(F.col("ts"))).over(w))
+    sess = (ev.withColumn("new_session",
+                          F.when(gap_us > 30 * 60 * 1_000_000, 1)
+                          .otherwise(0))
+            .withColumn("session_idx",
+                        F.sum("new_session")
+                        .over(w.rowsBetween(W.unboundedPreceding, 0))))
+    counts = (sess.groupBy("user_id", "session_idx", "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    n = (F.sum("cnt").over(W.partitionBy("user_id", "session_idx"))
+         .cast("long"))
+    p = F.col("cnt") / F.col("n")
+    nano = F.round((-(p * F.log(p))) * F.lit(1.0e9)).cast("long")
+    return (counts.withColumn("n", n)
+            .withColumn("nano", nano)
+            .groupBy("user_id",
+                     F.col("session_idx").cast("long").alias("session_idx"))
+            .agg(F.sum("cnt").cast("long").alias("n_events"),
+                 F.sum("nano").cast("long").alias("h_nanounits")))
+
+
+@query(
+    "events_pattern_funnel_strict_order",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               MIN(CASE WHEN event_type = 'signup'
+                        THEN CAST(ts AS TIMESTAMP) END)
+                   OVER (PARTITION BY user_id) AS signup_ts
+        FROM events
+    ), w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > signup_ts
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS click_ts
+        FROM w1
+    ), w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > click_ts
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS purchase_ts
+        FROM w2
+    )
+    SELECT user_id, MIN(signup_ts) AS signup_ts,
+           MIN(click_ts) AS click_ts, MIN(purchase_ts) AS purchase_ts,
+           CAST(CASE WHEN MIN(purchase_ts) IS NOT NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS completed
+    FROM w3 GROUP BY user_id
+    """,
+)
+def events_pattern_funnel_strict_order(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Strict-ordered signup -> click -> purchase funnel by SEQUENTIAL
+    matching: the click must strictly follow the user's first signup,
+    and the purchase must strictly follow THAT click — the
+    MATCH_RECOGNIZE-style pattern, distinct from the global-firsts
+    funnel (funnel_signup_click_purchase), which admits a purchase
+    that precedes the matched click. Implemented as a window carry
+    replay: each step's earliest qualifying timestamp is a
+    conditional MIN over the user partition referencing the previous
+    step's carry.
+
+    All three window passes share one user_id partitioning — a single
+    exchange, three Window operators, then the per-user collapse
+    reuses the same partitioning. No self-joins, no per-user state
+    beyond three timestamps at 100 TB.
+    """
+    ev = Catalog(spark, sf_dir).events
+    wp = W.partitionBy("user_id")
+    step1 = ev.withColumn(
+        "signup_ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .over(wp))
+    step2 = step1.withColumn(
+        "click_ts",
+        F.min(F.when((F.col("event_type") == "click")
+                     & (F.col("ts") > F.col("signup_ts")), F.col("ts")))
+        .over(wp))
+    step3 = step2.withColumn(
+        "purchase_ts",
+        F.min(F.when((F.col("event_type") == "purchase")
+                     & (F.col("ts") > F.col("click_ts")), F.col("ts")))
+        .over(wp))
+    return (step3.groupBy("user_id")
+            .agg(F.min("signup_ts").alias("signup_ts"),
+                 F.min("click_ts").alias("click_ts"),
+                 F.min("purchase_ts").alias("purchase_ts"))
+            .withColumn("completed",
+                        F.when(F.col("purchase_ts").isNotNull(), 1)
+                        .otherwise(0).cast("long")))

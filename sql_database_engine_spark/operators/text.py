@@ -3181,3 +3181,65 @@ def lsh_banding_tradeoff_sweep(spark: SparkSession,
     for x in rows[1:]:
         out = out.unionByName(x)
     return out.orderBy("config")
+
+
+@query(
+    "docs_vocab_growth_heaps",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id IS NOT NULL) t
+        WHERE w <> ''
+    ), firsts AS (
+        SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w
+    ), nw AS (
+        SELECT first_doc // 100 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS new_words
+        FROM firsts GROUP BY 1
+    ), tk AS (
+        SELECT doc_id // 100 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY 1
+    ), base AS (
+        SELECT DISTINCT doc_id // 100 AS bucket
+        FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT bucket,
+           CAST(SUM(COALESCE(n_tokens, 0)) OVER ob AS BIGINT)
+               AS cum_tokens,
+           CAST(SUM(COALESCE(new_words, 0)) OVER ob AS BIGINT)
+               AS cum_vocab
+    FROM base LEFT JOIN tk USING (bucket) LEFT JOIN nw USING (bucket)
+    WINDOW ob AS (ORDER BY bucket)
+    """,
+)
+def docs_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct vocabulary vs
+    cumulative token count, walked in doc_id order at a 100-doc bucket
+    grain — the curve that tells a corpus builder whether more data
+    still buys new vocabulary. Exact integers throughout: a word's
+    first occurrence is min(doc_id), attributed to that doc's bucket.
+
+    One explode feeds two aggregates (first-occurrence per word,
+    tokens per bucket); the cumulative window runs over the BUCKET
+    grain — corpus_size/100 rows, never the corpus itself — so the
+    global ordered walk is metadata-sized at 100 TB while all
+    per-token work stays distributed.
+    """
+    d = (Catalog(spark, sf_dir).documents
+         .filter(F.col("doc_id").isNotNull()))
+    toks = (d.select("doc_id", F.explode(_tokens()).alias("w"))
+            .filter(F.col("w") != ""))
+    bucket = F.expr("doc_id div 100").alias("bucket")
+    nw = (toks.groupBy("w").agg(F.min("doc_id").alias("doc_id"))
+          .groupBy(bucket).agg(F.count(F.lit(1)).alias("new_words")))
+    tk = toks.groupBy(bucket).agg(F.count(F.lit(1)).alias("n_tokens"))
+    base = d.select(bucket).distinct()
+    ob = W.orderBy("bucket")
+    return (base.join(tk, "bucket", "left").join(nw, "bucket", "left")
+            .select("bucket",
+                    F.sum(F.coalesce("n_tokens", F.lit(0))).over(ob)
+                    .cast("long").alias("cum_tokens"),
+                    F.sum(F.coalesce("new_words", F.lit(0))).over(ob)
+                    .cast("long").alias("cum_vocab")))

@@ -2779,3 +2779,55 @@ def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_closed").cast("long").alias("n_closed"),
                      run.cast("long").alias("backlog"))
             .orderBy("day"))
+
+
+#: K=20-truncated EWMA weights with dyadic alpha = 1/2: the k-th lag's
+#: weight is 2^-(k+1); scaling everything by 2^20 makes every term an
+#: exact BIGINT product (y_{d-k} * 2^(19-k)), the bounded 20-term sum
+#: an exact integer add regardless of order, and the final /2^20 a
+#: pure exponent shift (no rounding) — the design that lets an EWMA
+#: carry a bit-exact cross-engine oracle at all. An untruncated
+#: exponential smoothing has no order-independent float form.
+_EWMA_K = 20
+_EWMA_TERMS_SQL = " + ".join(
+    ["COALESCE(y, 0) * 524288"]
+    + [f"COALESCE(LAG(y, {k}) OVER w, 0) * {1 << (_EWMA_K - 1 - k)}"
+       for k in range(1, _EWMA_K)])
+
+
+@query(
+    "ewma_k20_daily_revenue",
+    oracle=f"""
+    WITH {_DAILY_REVENUE_SQL}
+    SELECT d, y,
+           CAST({_EWMA_TERMS_SQL} AS BIGINT) AS ewma_scaled,
+           CAST({_EWMA_TERMS_SQL} AS BIGINT) / 1048576e0 AS ewma
+    FROM daily
+    WINDOW w AS (ORDER BY d)
+    """,
+)
+def ewma_k20_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue,
+    truncated at K=20 lags with dyadic alpha=1/2 (see _EWMA_TERMS_SQL
+    for why this is the exactly-oracleable EWMA): the smoothing curve
+    behind revenue dashboards, with missing leading lags contributing
+    zero (truncation at series start) and a NULL day's revenue
+    treated as zero on both engines.
+
+    The series is day-grain — bounded by the calendar (a few thousand
+    rows at ANY corpus scale), so the global ordered window is
+    metadata-sized; the only big-data work is the one groupBy
+    producing the daily series. The 20 lags evaluate in a single
+    Window operator over one sort.
+    """
+    daily = _daily_revenue(Catalog(spark, sf_dir))
+    w = W.orderBy("d")
+    scaled = F.coalesce(F.col("y"), F.lit(0)) * F.lit(1 << (_EWMA_K - 1))
+    for k in range(1, _EWMA_K):
+        scaled = scaled + (F.coalesce(F.lag("y", k).over(w), F.lit(0))
+                           * F.lit(1 << (_EWMA_K - 1 - k)))
+    return daily.select(
+        "d", "y",
+        scaled.cast("long").alias("ewma_scaled"),
+        (scaled.cast("long").cast("double") / F.lit(float(1 << _EWMA_K)))
+        .alias("ewma"))
