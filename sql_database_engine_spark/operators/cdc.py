@@ -956,3 +956,85 @@ def bitemporal_as_believed(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .eqNullSafe(F.col("cents_believed_now")))
                     .cast("long").alias("corrected"))
             .orderBy("user_id"))
+
+
+@query(
+    "scd2_merge_batch",
+    oracle=f"""
+    WITH hist AS (
+        SELECT user_id, event_id AS version_id,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+               value,
+               CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                    AS INT) AS is_current
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, version_id, valid_from, valid_to, value, is_current,
+           CAST(CASE WHEN valid_from >= TIMESTAMP '{_SPLIT}' THEN 2
+                     WHEN valid_to >= TIMESTAMP '{_SPLIT}' THEN 1
+                     ELSE 0 END AS INT) AS merge_lane
+    FROM hist
+    """,
+)
+def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MAINTENANCE: merge a change batch (purchases >= _SPLIT)
+    into an existing SCD2 dimension (built from purchases < _SPLIT)
+    without rebuilding history — the nightly warehouse operation,
+    replayed as three union lanes: (0) non-current and untouched
+    current rows carried verbatim, (1) each merged user's current row
+    CLOSED at the batch's first change, (2) batch rows chained among
+    themselves and appended. The oracle is the full-history REBUILD:
+    the hash match proves the incremental merge is exactly
+    rebuild-equivalent, which is the whole correctness obligation of
+    SCD2 MERGE (lane labels are derivable from the timestamps, so the
+    rebuild can label them too).
+
+    Every lane is co-partitioned on user_id (the dimension's merge
+    key): one shuffle each for the two window passes and the
+    first-change join — no fact-grain recomputation, which is the
+    point of merging instead of rebuilding at 100 TB.
+    """
+    ev = Catalog(spark, sf_dir).events
+    split = F.lit(_SPLIT).cast("timestamp")
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "event_id", "ts", "value"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def scd2(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id", F.col("event_id").alias("version_id"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"), "value",
+            F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0)
+            .cast("int").alias("is_current"))
+
+    dim = scd2(pur.filter(F.col("ts") < split))
+    batch = pur.filter(F.col("ts") >= split)
+    first_b = batch.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+
+    # One pass over the whole dimension handles both the carried and
+    # the closed lanes (splitting them into two filtered branches
+    # re-derives the dimension and doubles the events scan count —
+    # scan_audit class). Null-safe merge-key match: the rebuild's
+    # window treats the NULL user_id as ONE partition, so the merge
+    # must close its current row too — a plain equi-join silently
+    # skips NULL keys (caught by the full-tier null sweep at this
+    # query's gate).
+    closes = (F.col("is_current") == 1) & F.col("first_ts").isNotNull()
+    merged_dim = (
+        dim.join(first_b.withColumnRenamed("user_id", "b_user"),
+                 F.col("user_id").eqNullSafe(F.col("b_user")), "left")
+        .select("user_id", "version_id", "valid_from",
+                F.when(closes, F.col("first_ts")).otherwise(F.col("valid_to"))
+                .alias("valid_to"),
+                "value",
+                F.when(closes, 0).otherwise(F.col("is_current"))
+                .cast("int").alias("is_current"),
+                F.when(closes, 1).otherwise(0).cast("int")
+                .alias("merge_lane")))
+    inserted = (scd2(batch)
+                .withColumn("merge_lane", F.lit(2).cast("int")))
+    return merged_dim.unionByName(inserted)

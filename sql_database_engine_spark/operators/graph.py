@@ -27,7 +27,7 @@ O(d_max²).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import Catalog
 from . import query
@@ -1207,3 +1207,111 @@ def graph_eccentricity_diameter(spark: SparkSession,
     return (ecc.crossJoin(F.broadcast(diam))
             .select("brand", "eccentricity", "n_reached", "diameter")
             .orderBy("brand"))
+
+
+@query(
+    "scc_mutual_reach_brands",
+    oracle="""
+    WITH RECURSIVE ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), pairs AS (
+        SELECT o_orderkey AS ok_a,
+               LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate NULLS LAST,
+                                               o_orderkey) AS ok_b
+        FROM orders
+    ), raw AS (
+        SELECT x.p_brand AS src, y.p_brand AS dst,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs JOIN ob x ON pairs.ok_a = x.l_orderkey
+                   JOIN ob y ON pairs.ok_b = y.l_orderkey
+        WHERE x.p_brand <> y.p_brand
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY n DESC, dst) AS rk
+            FROM raw) WHERE rk <= 2
+    ), reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), nodes AS (
+        SELECT src AS b FROM edges UNION SELECT dst FROM edges
+    ), mutual AS (
+        SELECT b, b AS other FROM nodes
+        UNION
+        SELECT r1.src, r1.dst
+        FROM reach r1 JOIN reach r2
+          ON r1.src = r2.dst AND r1.dst = r2.src
+    ), scc AS (
+        SELECT b, MIN(other) AS scc_id FROM mutual GROUP BY b
+    )
+    SELECT b AS brand, scc_id,
+           CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+    FROM scc
+    """,
+)
+def scc_mutual_reach_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly-connected components of the DIRECTED brand-transition
+    graph: an edge src -> dst means customers who bought src in one
+    order bought dst in their NEXT order, kept only for each brand's
+    top-2 follow-ups (non-vacuity checked at design time on all three
+    SFs: one 3-6-brand cycle plus singletons — the co-occurrence
+    graph is symmetric, where SCC would degenerate to CC). A brand's
+    SCC id is the MIN brand among its mutually-reachable set; the
+    oracle recomputes it via a recursive-CTE transitive closure.
+
+    Spark side: the transition edges come from one LEAD pass over
+    orders (no self-join) joined to the basket brands; the closure
+    then runs ~log2(|brands|) = 5 DOUBLING rounds (R := R union R∘R,
+    reaching all paths up to length 32 > 25 brands) on the
+    checkpointed, metadata-sized edge relation — bounded shuffle
+    rounds with no driver feedback, the pointer-jumping discipline of
+    ``neardup_cluster_assignment``.
+    """
+    cat = Catalog(spark, sf_dir)
+    ob = (cat.lineitem.select("l_orderkey", "l_partkey")
+          .join(F.broadcast(cat.part.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_orderkey", "p_brand").distinct())
+    wseq = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
+    pairs = (cat.orders
+             .select(F.col("o_orderkey").alias("ok_a"),
+                     F.lead("o_orderkey").over(wseq).alias("ok_b"))
+             .filter(F.col("ok_b").isNotNull()))
+    x = ob.select(F.col("l_orderkey").alias("ok_a"),
+                  F.col("p_brand").alias("src"))
+    y = ob.select(F.col("l_orderkey").alias("ok_b"),
+                  F.col("p_brand").alias("dst"))
+    raw = (pairs.join(x, "ok_a").join(y, "ok_b")
+           .filter(F.col("src") != F.col("dst"))
+           .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    rk = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("n").desc(), "dst"))
+    edges = (raw.withColumn("rk", rk).filter(F.col("rk") <= 2)
+             .select("src", "dst").localCheckpoint(eager=False))
+    reach = edges
+    for _ in range(5):  # doubling: path length 2^5 = 32 > 25 brands
+        step = (reach.alias("r").join(reach.alias("e"),
+                                      F.col("r.dst") == F.col("e.src"))
+                .select(F.col("r.src").alias("src"),
+                        F.col("e.dst").alias("dst")))
+        reach = (reach.unionByName(step).distinct()
+                 .localCheckpoint(eager=False))
+    rev = reach.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"))
+    mutual = (reach.join(rev, ["src", "dst"], "left_semi")
+              .select(F.col("src").alias("b"), F.col("dst").alias("other")))
+    nodes = (edges.select(F.col("src").alias("b"))
+             .unionByName(edges.select(F.col("dst").alias("b")))
+             .distinct())
+    allm = mutual.unionByName(
+        nodes.select("b", F.col("b").alias("other"))).distinct()
+    scc = allm.groupBy("b").agg(F.min("other").alias("scc_id"))
+    size = F.count(F.lit(1)).over(W.partitionBy("scc_id"))
+    return scc.select(F.col("b").alias("brand"), "scc_id",
+                      size.cast("long").alias("scc_size"))

@@ -3243,3 +3243,73 @@ def docs_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("cum_tokens"),
                     F.sum(F.coalesce("new_words", F.lit(0))).over(ob)
                     .cast("long").alias("cum_vocab")))
+
+
+@query(
+    "tokenizer_fertility_eval",
+    oracle=f"""
+    WITH words AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY tok
+    ), w0 AS (
+        SELECT tok,
+               trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS spaced,
+               wn
+        FROM words
+    ),{_bpe_round_sql('w0', 'm1', 'w1', carry='tok')},
+    {_bpe_round_sql('w1', 'm2', 'w2', carry='tok')},
+    {_bpe_round_sql('w2', 'm3', 'w3', carry='tok')},
+    per_lang AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY lang, tok
+    ), agg AS (
+        SELECT lang,
+               CAST(SUM(cnt) AS BIGINT) AS total_words,
+               CAST(SUM(cnt * len(string_split(w3.spaced, ' ')))
+                    AS BIGINT) AS total_pieces
+        FROM per_lang JOIN w3 USING (tok)
+        GROUP BY lang
+    )
+    SELECT lang, total_words, total_pieces,
+           CAST(total_pieces AS DOUBLE) / CAST(total_words AS DOUBLE)
+               AS fertility
+    FROM agg
+    """,
+)
+def tokenizer_fertility_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — pieces emitted per
+    whitespace word when the corpus-trained BPE tokenizer (the shared
+    ``_bpe_rounds`` pipeline, so the merges cannot drift from the
+    trainer's) is applied to each language's text. Fertility
+    disparity is the standard multilingual-tokenizer equity metric: a
+    tokenizer trained on a skewed mix fragments low-resource
+    languages into more pieces, inflating their effective compute
+    cost per word. Counts are exact BIGINTs; fertility is ONE double
+    division of those integers.
+
+    Same factoring as ``bpe_apply_token_counts``: tokenization runs
+    on the VOCABULARY (broadcast-sized), the corpus contributes one
+    (lang, tok) aggregate, and the fertility table is O(languages).
+    """
+    w3, _ = _bpe_rounds(_bpe_word_table(spark, sf_dir, carry_tok=True))
+    vocab = w3.select(
+        "tok", F.size(F.split(F.col("spaced"), " ")).alias("n_syms"))
+    d = Catalog(spark, sf_dir).documents
+    per_lang = (d.select("lang",
+                         F.explode(F.split(F.col("text"), " ")).alias("tok"))
+                .where(F.col("tok") != "")
+                .groupBy("lang", "tok")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    agg = (per_lang.join(F.broadcast(vocab), "tok")
+           .groupBy("lang")
+           .agg(F.sum("cnt").alias("total_words"),
+                F.sum(F.col("cnt") * F.col("n_syms"))
+                .alias("total_pieces")))
+    return agg.select(
+        "lang", "total_words", "total_pieces",
+        (F.col("total_pieces").cast("double")
+         / F.col("total_words").cast("double")).alias("fertility"))

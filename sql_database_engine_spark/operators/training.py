@@ -1976,3 +1976,95 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(10).cast(dec) * tvd_num
          <= F.lit(7).cast(dec) * F.col("n_members") * F.col("n_total"))
         .cast("long").alias("t_ok")))
+
+
+#: Per-epoch token budget unit for ``mix_epoch_schedule``: epoch e
+#: gets a budget of e * this many tokens (a simple warm-up ramp; the
+#: apportionment math is budget-shape-agnostic).
+EPOCH_TOKEN_UNIT = 1_000_000
+N_EPOCHS = 4
+
+
+@query(
+    "mix_epoch_schedule",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_toks
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT source, n_toks,
+               CAST(SUM(n_toks) OVER () AS BIGINT) AS n_total
+        FROM counts
+    ), g AS (
+        SELECT source, n_toks, n_total, epoch,
+               CAST({EPOCH_TOKEN_UNIT} * epoch AS BIGINT) AS budget
+        FROM tot CROSS JOIN
+             (SELECT UNNEST([1, 2, 3, 4]) AS epoch) e
+    ), q AS (
+        SELECT source, epoch, budget,
+               budget * n_toks // NULLIF(n_total, 0) AS base,
+               (budget * n_toks) % NULLIF(n_total, 0) AS rem
+        FROM g
+    ), r AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY epoch
+                   ORDER BY rem DESC NULLS LAST, source NULLS LAST)
+                    AS BIGINT) AS rk,
+               budget - CAST(SUM(base) OVER (PARTITION BY epoch)
+                             AS BIGINT) AS leftover
+        FROM q
+    )
+    SELECT source, CAST(epoch AS BIGINT) AS epoch,
+           CAST(budget AS BIGINT) AS epoch_budget,
+           CAST(base AS BIGINT) AS base_tokens,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM r
+    """,
+)
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, epoch) token allocation by LARGEST-REMAINDER
+    (Hamilton) apportionment: each epoch's integer budget splits
+    across sources proportionally to their token mass, floors are
+    assigned exactly (BIGINT quotient/remainder — no float anywhere),
+    and the leftover tokens go one each to the largest remainders
+    (ties broken by source name). Guarantees sum(alloc) == budget per
+    epoch and |alloc - exact quota| < 1 — the schedule a token-
+    budgeted multi-epoch training mix actually needs, where naive
+    rounding over- or under-spends the budget.
+
+    One groupBy on source; everything after runs on the sources x
+    epochs grid (metadata-sized at any corpus scale). NULLIF guards
+    the all-null-token degenerate corpus (NULL allocations on both
+    engines rather than a division error).
+    """
+    d = Catalog(spark, sf_dir).documents
+    counts = d.groupBy("source").agg(
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long")
+        .alias("n_toks"))
+    wall = W.partitionBy()
+    tot = counts.withColumn("n_total",
+                            F.sum("n_toks").over(wall).cast("long"))
+    epochs = (spark.range(1, N_EPOCHS + 1)
+              .select(F.col("id").alias("epoch")))
+    g = (tot.crossJoin(F.broadcast(epochs))
+         .withColumn("budget",
+                     (F.lit(EPOCH_TOKEN_UNIT) * F.col("epoch"))
+                     .cast("long")))
+    q = g.select(
+        "source", "epoch", "budget",
+        F.expr("budget * n_toks div NULLIF(n_total, 0)").alias("base"),
+        F.expr("(budget * n_toks) % NULLIF(n_total, 0)").alias("rem"))
+    wr = W.partitionBy("epoch").orderBy(F.col("rem").desc_nulls_last(),
+                                        F.col("source").asc_nulls_last())
+    we = W.partitionBy("epoch")
+    r = (q.withColumn("rk", F.row_number().over(wr).cast("long"))
+         .withColumn("leftover",
+                     F.col("budget") - F.sum("base").over(we).cast("long")))
+    return r.select(
+        "source", F.col("epoch").cast("long").alias("epoch"),
+        F.col("budget").alias("epoch_budget"),
+        F.col("base").alias("base_tokens"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1)
+         .otherwise(0)).cast("long").alias("alloc_tokens"))
