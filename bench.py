@@ -186,6 +186,26 @@ HEADLINE = [
     "ann_ivf_staged_topk",          # probe-only IVF against staged index
     "ann_ivf_staged_append_probe",  # probe over incrementally refreshed index
     "doc_winnowing_fingerprints",   # byte-level winnowing kernel (>2s rule)
+    # BENCH POLICY (round 9, VERDICT r8 item 6): ann_ivf_topk (line
+    # above in the r01 subset) STAYS timed even though it measures
+    # codebook BUILD + probe in one plan: it sits inside the
+    # r01-comparable 24-subset, so staging its build untimed would
+    # change the one composition-stable instrument this repo has. Its
+    # probe-only twin ann_ivf_staged_topk is timed right above, so
+    # the build/probe split is directly readable from the two lines
+    # (PERF.md round-9 section records it); treat ann_ivf_topk's
+    # number as "what a cold index costs", not the serving path.
+    # round-9 additions (prior sets unchanged): the growth wave
+    "ewma_k20_daily_revenue",       # 20-lag dyadic EWMA, one window
+    "docs_vocab_growth_heaps",      # explode -> first-occurrence curve
+    "events_session_entropy",       # sessionize + nano-unit entropy
+    "events_pattern_funnel_strict_order",  # 3-step window carry funnel
+    "grouping_sets_source_quality", # multi-grain Expand aggregate
+    "docs_language_mix_shift",      # two-half TVD, O(langs) shuffle
+    "scd2_merge_batch",             # SCD2 merge == rebuild lanes
+    "mix_epoch_schedule",           # largest-remainder apportionment
+    "tokenizer_fertility_eval",     # BPE fertility by language
+    "scc_mutual_reach_brands",      # doubling-closure SCC
 ]
 
 
@@ -277,6 +297,13 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     subset = [n for n in HEADLINE[:24] if n in timings]
     subset_total = round(sum(timings[n] for n in subset), 3)
+    # Noise-floor line (VERDICT r8 item 5): the 24-subset total built
+    # from each query's MINIMUM across reps. The median is the citable
+    # number; the min-floor is the host-variance separator — if the
+    # median drifts round-over-round while the floor matches the prior
+    # round's floor, the host degraded, not a plan.
+    subset_min_floor = round(
+        sum(min(samples[n]) for n in subset if samples[n]), 3)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -285,6 +312,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "r01_subset_24": subset_total,
+        "subset24_min_floor": subset_min_floor,
     }
     # The driver records only a bounded TAIL of stdout (~2.2 kB), and
     # the full per-query map outgrew it in round 3 (BENCH_r03.json
@@ -332,6 +360,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "r01_subset_24": subset_total,
+        "subset24_min_floor": subset_min_floor,
         "n_regressions": len(regressions),
         "queries": {n: timings[n] for n in subset},
     }))
