@@ -1212,23 +1212,23 @@ def graph_eccentricity_diameter(spark: SparkSession,
 @query(
     "scc_mutual_reach_brands",
     oracle="""
-    WITH RECURSIVE ob AS (
+    WITH RECURSIVE ob AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, p_brand
         FROM lineitem JOIN part ON l_partkey = p_partkey
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT o_orderkey AS ok_a,
                LEAD(o_orderkey) OVER (PARTITION BY o_custkey
                                       ORDER BY o_orderdate NULLS LAST,
                                                o_orderkey) AS ok_b
         FROM orders
-    ), raw AS (
+    ), raw AS MATERIALIZED (
         SELECT x.p_brand AS src, y.p_brand AS dst,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM pairs JOIN ob x ON pairs.ok_a = x.l_orderkey
                    JOIN ob y ON pairs.ok_b = y.l_orderkey
         WHERE x.p_brand <> y.p_brand
         GROUP BY 1, 2
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT src, dst FROM (
             SELECT src, dst,
                    ROW_NUMBER() OVER (PARTITION BY src
@@ -1262,7 +1262,10 @@ def scc_mutual_reach_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SFs: one 3-6-brand cycle plus singletons — the co-occurrence
     graph is symmetric, where SCC would degenerate to CC). A brand's
     SCC id is the MIN brand among its mutually-reachable set; the
-    oracle recomputes it via a recursive-CTE transitive closure.
+    oracle recomputes it via a recursive-CTE transitive closure (its
+    pre-closure CTEs are AS MATERIALIZED: DuckDB otherwise re-inlines
+    the whole edge-derivation chain into every recursive iteration —
+    measured 13.5 s -> 0.34 s at sf0.01, identical result).
 
     Spark side: the transition edges come from one LEAD pass over
     orders (no self-join) joined to the basket brands; the closure

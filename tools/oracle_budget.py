@@ -45,6 +45,12 @@ WATCH = [
     # earns a standing budget row.
     "multimodal_byte_features",
     "multimodal_frame_stub_sample",
+    # round-9: the recursive-CTE closure oracle whose pre-closure
+    # CTEs must stay AS MATERIALIZED (DuckDB re-inlines the edge
+    # derivation into every recursive iteration otherwise — measured
+    # 13.5 s -> 0.34 s at sf0.01); a standing row catches the
+    # regression if the hint is ever lost.
+    "scc_mutual_reach_brands",
 ]
 
 

@@ -66,6 +66,12 @@ COHORT = [
     # quadratically by construction — not an overflow signal.)
     "t_closeness_audit",
     "ab_srm_check",
+    # round-9 additions: cnt*tot cross products (TVD numerator grows
+    # FACTOR^2 under replication), budget*n_toks quotient lanes, and
+    # the y*2^19 EWMA headroom (y grows FACTOR-fold).
+    "docs_language_mix_shift",
+    "mix_epoch_schedule",
+    "ewma_k20_daily_revenue",
 ]
 
 #: Dedup-family cohort (VERDICT r4 item 5). Naive key-offset
