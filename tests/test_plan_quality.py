@@ -1322,3 +1322,72 @@ def test_ann_ivf_staged_probe_plan_is_probe_only(spark, name):
         "an embeddings scan is not the pushed query batch")
     assert any("PartitionFilters" in l and "cid" in l and " IN " in l
                for l in plan.splitlines()), "no static probed-bucket filter"
+
+
+def test_ewma_single_window_operator(spark):
+    """All 20 EWMA lags share one window spec, so Catalyst must
+    evaluate them in ONE Window operator over one sort — 20 separate
+    Window passes over the day series would be the regression."""
+    plan = _plan(spark, "ewma_k20_daily_revenue")
+    assert plan.count("Window") == 1, "EWMA lags split across Window ops"
+    assert "Join" not in plan  # pure scan -> agg -> window pipeline
+
+
+def test_strict_funnel_single_user_exchange(spark):
+    """The three carry windows and the per-user collapse all partition
+    on user_id: one hash exchange, reused by every pass; no joins."""
+    plan = _plan(spark, "events_pattern_funnel_strict_order")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, (
+        "user_id partitioning not reused across the carry windows")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_session_entropy_no_joins(spark):
+    """Entropy is windows + aggregates only — a join (e.g. counts
+    back to totals) would add a shuffle the window form avoids."""
+    plan = _plan(spark, "events_session_entropy")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_language_mix_shift_no_doc_grain_join(spark):
+    """The TVD plan may only join broadcast scalars (the midpoint);
+    a sort-merge join would mean doc-grain co-partitioning leaked in."""
+    plan = _plan(spark, "docs_language_mix_shift")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mix_epoch_schedule_broadcasts_epoch_grid(spark):
+    """The sources x epochs grid rides a broadcast of the 4-row epoch
+    range — never a shuffled join."""
+    plan = _plan(spark, "mix_epoch_schedule")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_merge_no_cartesian(spark):
+    """The merge lanes join only on the dimension key (null-safe) —
+    no cross products, and the batch first-change join stays a hash
+    join on user_id."""
+    plan = _plan(spark, "scd2_merge_batch")
+    assert "CartesianProduct" not in plan
+
+
+def test_scc_broadcasts_part_dim(spark):
+    """The basket derivation broadcasts the bounded part dimension
+    projection; the closure itself runs on a checkpointed edge
+    relation, so the plan of the final query must not re-derive the
+    lineitem join per doubling round (localCheckpoint truncates it)."""
+    plan = _plan(spark, "scc_mutual_reach_brands")
+    assert "CartesianProduct" not in plan
+    # the closure output plan reads scanned RDDs, not lineitem 5x over
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_fertility_broadcasts_vocab(spark):
+    """Tokenization factors through the vocabulary: the per-lang
+    corpus aggregate joins the vocab via broadcast, never a shuffled
+    join on tok."""
+    plan = _plan(spark, "tokenizer_fertility_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
