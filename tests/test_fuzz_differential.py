@@ -940,3 +940,100 @@ def test_fuzzed_minby_maxby_agrees(seed, spark, duck):
     got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
     want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
     assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_case_chain_agrees(seed, spark, duck):
+    """Searched-CASE chains (random branch predicates, optional ELSE,
+    so a missing ELSE exercises the implicit NULL bucket) used both as
+    a grouping key and inside integer-exact aggregates — same SQL text
+    to both engines. CASE evaluation order is ANSI-fixed, so the
+    bucket assignment is deterministic."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(20000 + seed)
+    branches = []
+    for _ in range(rng.randrange(2, 5)):
+        col = rng.choice(["l_orderkey", "l_suppkey", "l_linenumber"])
+        branches.append(
+            f"WHEN {col} {rng.choice(['<', '<=', '>', '>=', '='])} "
+            f"{rng.randrange(0, 3000)} THEN {rng.randrange(0, 10)}")
+    case = ("CASE " + " ".join(branches)
+            + (f" ELSE {rng.randrange(0, 10)} END"
+               if rng.random() < 0.7 else " END"))
+    sql = (f"SELECT CAST({case} AS BIGINT) AS bucket, "
+           f"CAST(COUNT(*) AS BIGINT) AS n, "
+           f"CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq "
+           f"FROM lineitem GROUP BY 1")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_extract_interval_agrees(seed, spark, duck):
+    """EXTRACT grouping keys under timestamp + INTERVAL arithmetic in
+    the predicate — same SQL text to both engines. Field pool is
+    YEAR/QUARTER/MONTH/DAY/HOUR only: EXTRACT(DOW) is a shared-text
+    IMPOSSIBILITY found while prototyping this class (the two engines
+    number weekdays differently), same class as r8's numeric TRUNC."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(21000 + seed)
+    field = rng.choice(["YEAR", "MONTH", "DAY", "QUARTER", "HOUR"])
+    n = rng.randrange(1, 40)
+    unit = rng.choice(["DAY", "HOUR"])
+    sql = (f"SELECT CAST(EXTRACT({field} FROM l_shipdate) AS BIGINT) AS f, "
+           f"CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+           f"WHERE l_shipdate + INTERVAL {n} {unit} "
+           f"< TIMESTAMP '1998-06-01' GROUP BY 1")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_order_limit_offset_agrees(seed, spark, duck):
+    """Global ORDER BY ... LIMIT/OFFSET with a unique total-order
+    tiebreak — the one class compared as an ORDERED LIST, not a
+    multiset, so it pins both engines' sort direction, null placement,
+    AND offset slicing byte-for-byte. (No VARCHAR casts: Spark's CAST
+    AS VARCHAR demands a length — found while prototyping.)"""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(22000 + seed)
+    col = rng.choice(["l_quantity", "l_suppkey", "l_shipdate"])
+    d = rng.choice(["ASC", "DESC"])
+    k = rng.randrange(5, 40)
+    off = rng.randrange(0, 20)
+    sql = (f"SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
+           f"ORDER BY {col} {d} NULLS LAST, l_orderkey, l_linenumber, "
+           f"l_partkey LIMIT {k} OFFSET {off}")
+    got = [tuple(str(v) for v in r) for r in spark.sql(sql).collect()]
+    want = [tuple(str(v) for v in r) for r in duck.sql(sql).fetchall()]
+    assert got == want, f"ordered disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_coalesce_nullif_agrees(seed, spark, duck):
+    """Random COALESCE(NULLIF(...), ...) trees over integer columns as
+    grouping keys — NULLIF injects data-dependent NULLs so COALESCE's
+    first-non-null walk is exercised on real null lanes, not just
+    literals. Same SQL text to both engines."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(23000 + seed)
+
+    def tree(depth=0):
+        if depth >= 2 or rng.random() < 0.4:
+            col = rng.choice(["l_orderkey", "l_suppkey", "l_linenumber"])
+            if rng.random() < 0.5:
+                return f"NULLIF({col}, {rng.randrange(0, 50)})"
+            return col
+        return f"COALESCE({tree(depth + 1)}, {tree(depth + 1)})"
+
+    sql = (f"SELECT CAST({tree()} AS BIGINT) AS v, "
+           f"CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
