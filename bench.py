@@ -206,6 +206,10 @@ HEADLINE = [
     "mix_epoch_schedule",           # largest-remainder apportionment
     "tokenizer_fertility_eval",     # BPE fertility by language
     "scc_mutual_reach_brands",      # doubling-closure SCC
+    # round-9 second wave (appended; prior sets unchanged)
+    "window_rolling_median_7d",     # bounded-frame exact median
+    "survival_km_signup_to_purchase",  # Kaplan-Meier log-nano lanes
+    "knn_regression_eval",          # numeric-target kNN eval
 ]
 
 

@@ -2955,3 +2955,71 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("vec_id").cast("long").alias("vec_id"),
                     F.col("d").cast("long").alias("dist2_micros"))
             .orderBy("q_id", "dist2_micros"))
+
+
+@query(
+    "knn_regression_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label
+        FROM embeddings WHERE vec_id < 50 AND label IS NOT NULL
+    ), scored AS (
+        SELECT q.qid, q.label AS true_label, e.vec_id, e.label,
+               ROUND({COSINE_SQL.format(a='e.embedding', b='q.qv')}, 6)
+                   AS cos6
+        FROM embeddings e, q
+        WHERE e.vec_id >= 50 AND e.label IS NOT NULL
+    ), ranked AS (
+        SELECT qid, true_label, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos6 DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, CAST(true_label AS INT) AS true_label,
+           CAST(SUM(label) AS BIGINT) AS sum_labels,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(ABS(CAST(COUNT(*) AS BIGINT) * true_label
+                    - CAST(SUM(label) AS BIGINT)) AS BIGINT)
+               AS abs_err_xn
+    FROM ranked WHERE rn <= 3
+    GROUP BY qid, true_label
+    """,
+)
+def knn_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN REGRESSION eval — the numeric-target twin of
+    ``knn_confusion_matrix``: each held-out query's value is predicted
+    as the mean label of its exact cosine top-3, and the readout is
+    the per-query L1 error kept EXACT by scaling through the common
+    denominator (abs_err_xn = |n*true - sum_labels|, so the mean
+    absolute error is sum(abs_err_xn)/(n*queries) with zero float in
+    the stored rows). Labels are ordinal integers in the fixture,
+    which is precisely when label-mean regression and majority-vote
+    classification disagree — the two evals catch different
+    retrieval-quality failures.
+
+    Same plan skeleton as the classification twin: broadcast query
+    batch, one corpus scan, window top-3 at query grain.
+    """
+    e = Catalog(spark, sf_dir).embeddings
+    q = (e.filter((F.col("vec_id") < 50) & F.col("label").isNotNull())
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv"),
+                 F.col("label").alias("true_label")))
+    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    scored = (e.filter((F.col("vec_id") >= 50)
+                       & F.col("label").isNotNull())
+              .crossJoin(F.broadcast(q))
+              .select("qid", "true_label", "vec_id", "label",
+                      F.round(sim, 6).alias("cos6")))
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos6").desc(), "vec_id"))
+    return (scored.withColumn("rn", rn)
+            .filter(F.col("rn") <= 3)
+            .groupBy("qid", F.col("true_label").cast("int")
+                     .alias("true_label"))
+            .agg(F.sum("label").cast("long").alias("sum_labels"),
+                 F.count(F.lit(1)).cast("long").alias("n_neighbors"))
+            .withColumn(
+                "abs_err_xn",
+                F.abs(F.col("n_neighbors") * F.col("true_label")
+                      - F.col("sum_labels")).cast("long")))

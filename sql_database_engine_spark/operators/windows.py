@@ -534,3 +534,49 @@ def window_rank_functions_suite(spark: SparkSession,
         F.ntile(4).over(w).cast("long").alias("bal_quartile"),
         F.nth_value(cents, 2).over(full).cast("long")
         .alias("second_highest_cents"))
+
+
+@query(
+    "window_rolling_median_7d",
+    oracle=f"""
+    WITH {_DAILY_REVENUE_SQL}, win AS (
+        SELECT d, y,
+               list_sort(list_filter(
+                   [y, LAG(y, 1) OVER w, LAG(y, 2) OVER w,
+                    LAG(y, 3) OVER w, LAG(y, 4) OVER w,
+                    LAG(y, 5) OVER w, LAG(y, 6) OVER w],
+                   x -> x IS NOT NULL)) AS vals
+        FROM daily WINDOW w AS (ORDER BY d)
+    )
+    SELECT d, y, CAST(len(vals) AS BIGINT) AS n_window,
+           CAST(vals[(len(vals) + 1) // 2] AS BIGINT) AS median7
+    FROM win
+    """,
+)
+def window_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-point EXACT median of daily revenue — the robust
+    smoother a spike-heavy series needs where the rolling mean (and
+    the EWMA) chase outliers. No approx_percentile: the frame is
+    bounded at 7 rows, so the median is literal order-statistic
+    selection — collect the frame's lags into an array, drop NULLs
+    (series head and NULL-revenue days shrink the window on both
+    engines identically), sort, take the lower-median element. Exact
+    BIGINTs end to end; nearest-rank (lower) convention.
+
+    One Window operator materializes all 7 lags over one sort of the
+    day-grain series (calendar-bounded rows at any corpus scale); the
+    array sort is per-row constant work. The same shape scales to any
+    bounded frame; an unbounded-frame exact median is a different
+    operator (exact_median_two_pass).
+    """
+    daily = _daily_revenue(Catalog(spark, sf_dir))
+    w = W.orderBy("d")
+    arr = F.array(*[F.lag("y", k).over(w) for k in range(0, 7)])
+    present = "filter(arr, x -> x IS NOT NULL)"
+    return (daily.withColumn("arr", arr)
+            .select("d", "y",
+                    F.expr(f"size({present})").cast("long")
+                    .alias("n_window"),
+                    F.expr(f"element_at(array_sort({present}),"
+                           f" CAST((size({present}) + 1) div 2 AS INT))")
+                    .cast("long").alias("median7")))
