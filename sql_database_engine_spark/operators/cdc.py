@@ -969,7 +969,7 @@ def bitemporal_as_believed(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END
                     AS INT) AS is_current
         FROM events
-        WHERE event_type = 'purchase'
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, version_id, valid_from, valid_to, value, is_current,
@@ -999,7 +999,13 @@ def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = Catalog(spark, sf_dir).events
     split = F.lit(_SPLIT).cast("timestamp")
-    pur = (ev.filter(F.col("event_type") == "purchase")
+    # A NULL ts has no place on an SCD2 validity timeline: it is
+    # neither < split nor >= split, so the lane split would silently
+    # drop it while the oracle's rebuild windows it NULLS LAST
+    # (ADVICE r9). Exclude it SYMMETRICALLY on both sides — the
+    # rebuild-equivalence contract is over rows with a valid_from.
+    pur = (ev.filter((F.col("event_type") == "purchase")
+                     & F.col("ts").isNotNull())
            .select("user_id", "event_id", "ts", "value"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
 

@@ -560,8 +560,12 @@ def window_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded at 7 rows, so the median is literal order-statistic
     selection — collect the frame's lags into an array, drop NULLs
     (series head and NULL-revenue days shrink the window on both
-    engines identically), sort, take the lower-median element. Exact
-    BIGINTs end to end; nearest-rank (lower) convention.
+    engines identically), sort, take the lower-median element. An
+    all-NULL frame (possible under null-injection: NULL-revenue days
+    keep NULL y) yields NULL, matching DuckDB's out-of-range list
+    index — Spark's element_at raises on index 0, so the empty frame
+    is guarded explicitly (ADVICE r9). Exact BIGINTs end to end;
+    nearest-rank (lower) convention.
 
     One Window operator materializes all 7 lags over one sort of the
     day-grain series (calendar-bounded rows at any corpus scale); the
@@ -577,6 +581,9 @@ def window_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("d", "y",
                     F.expr(f"size({present})").cast("long")
                     .alias("n_window"),
-                    F.expr(f"element_at(array_sort({present}),"
-                           f" CAST((size({present}) + 1) div 2 AS INT))")
+                    F.expr(f"CASE WHEN size({present}) = 0"
+                           f" THEN CAST(NULL AS BIGINT)"
+                           f" ELSE element_at(array_sort({present}),"
+                           f" CAST((size({present}) + 1) div 2 AS INT))"
+                           f" END")
                     .cast("long").alias("median7")))

@@ -94,3 +94,101 @@ def test_null_class_pin(spark, duck_replica, replica, name):
     assert a_cols == b_cols, f"{name}: column mismatch"
     assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
     assert value_hash(a) == value_hash(b), f"{name}: value hash mismatch"
+
+
+def _write_parquet(pdf, path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(path))
+
+
+def test_rolling_median_all_null_frame(spark, tmp_path):
+    """ADVICE r9 (medium): a 7-frame whose every value is NULL must
+    yield a NULL median7 — matching DuckDB's out-of-range list index —
+    not Spark's INVALID_INDEX_OF_ZERO crash from element_at(arr, 0).
+    The shipped fixtures and the null-injected replica cannot
+    guarantee 7 CONSECUTIVE all-null-price days, so this synthesizes
+    them directly."""
+    import duckdb
+    import pandas as pd
+
+    from cert_sweep import spark_rows, value_hash
+    from sql_database_engine_spark import operators
+    operators.load_all()
+
+    days = ([(f"1995-01-{i + 1:02d}", None) for i in range(10)]
+            + [(f"1995-02-{i + 1:02d}", 1000.0 * (i + 1))
+               for i in range(5)])
+    pdf = pd.DataFrame(
+        {"o_orderkey": range(1, len(days) + 1),
+         "o_custkey": [1] * len(days),
+         "o_orderstatus": ["O"] * len(days),
+         "o_totalprice": [p for _, p in days],
+         "o_orderdate": pd.to_datetime([d for d, _ in days])
+         .astype("datetime64[us]"),
+         "o_orderpriority": ["1-URGENT"] * len(days)})
+    _write_parquet(pdf, tmp_path / "orders.parquet")
+
+    df = operators.QUERIES["window_rolling_median_7d"](
+        spark, str(tmp_path))
+    a, a_cols = spark_rows(df)  # must not raise INVALID_INDEX_OF_ZERO
+    assert sum(r[a_cols.index("median7")] == "<NULL>" for r in a) >= 4, (
+        "expected all-NULL frames to produce NULL medians")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path / 'orders.parquet'}')")
+    from cert_sweep import duck_rows
+    b, b_cols = duck_rows(
+        con, operators.ORACLES["window_rolling_median_7d"])
+    con.close()
+    assert a_cols == b_cols
+    assert len(a) == len(b)
+    assert value_hash(a) == value_hash(b)
+
+
+def test_scd2_merge_batch_null_ts_symmetric(spark, tmp_path):
+    """ADVICE r9 (low): purchases with NULL ts were dropped by the
+    Spark lane split (NULL is neither < split nor >= split) while the
+    oracle's full-history rebuild windowed them NULLS LAST. Both sides
+    now exclude them symmetrically — a NULL valid_from has no place on
+    an SCD2 validity timeline. Synthetic events: per-user purchase
+    chains straddling the merge split, plus NULL-ts rows that must
+    influence NEITHER side."""
+    import duckdb
+    import pandas as pd
+
+    from cert_sweep import duck_rows, spark_rows, value_hash
+    from sql_database_engine_spark import operators
+    operators.load_all()
+
+    rows = []
+    eid = 0
+    for uid in range(1, 6):
+        for k, day in enumerate(("2024-01-10", "2024-01-20",
+                                 "2024-02-05", "2024-02-20")):
+            eid += 1
+            rows.append((eid, pd.Timestamp(day), uid, "purchase",
+                         float(100 * uid + k), "{}"))
+    for uid in (2, 4):  # the ADVICE scenario: NULL ts purchases
+        eid += 1
+        rows.append((eid, pd.NaT, uid, "purchase", 999.0, "{}"))
+    eid += 1
+    rows.append((eid, pd.Timestamp("2024-01-15"), 1, "click", 1.0, "{}"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    _write_parquet(pdf, tmp_path / "events.parquet")
+
+    a, a_cols = spark_rows(
+        operators.QUERIES["scd2_merge_batch"](spark, str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path / 'events.parquet'}')")
+    b, b_cols = duck_rows(con, operators.ORACLES["scd2_merge_batch"])
+    con.close()
+    assert a_cols == b_cols
+    assert len(a) == len(b) == 20, "NULL-ts rows must appear on NEITHER side"
+    assert value_hash(a) == value_hash(b)

@@ -4,6 +4,8 @@ are contracts, not accidents — pin them."""
 
 from __future__ import annotations
 
+import pytest
+
 from sql_database_engine_spark import operators
 
 operators.load_all()
@@ -130,27 +132,38 @@ def test_prefix_pins_self_clear_once_driver_checked(monkeypatch):
     their driver row lands, so the round-opening stale-pin commit —
     and the invariant trip it fixed in rounds 5 and 6 — cannot recur.
 
-    Two hardenings from the r8 trip (VERDICT r8 item 1): the
-    simulation must widen _sampled_rounds ALONGSIDE _driver_checked —
-    widening only the latter left the converted names unrounded, and
-    the old `rounds.get(n, 0)` default sorted them stalest-possible,
-    straight back into the prefix. And the live-pin supply must not
-    depend on the drain state: the NEWEST committed correctness round
-    is hidden first, so its queries become live never-checked names
-    again even after the drain converges."""
+    Hardening lineage: the r8 trip (VERDICT r8 item 1) taught that the
+    simulation must widen _sampled_rounds ALONGSIDE _driver_checked.
+    The r9 trip (VERDICT r9 item 1) taught that the live-pin SUPPLY
+    must be drain-state-independent: r8's "hide the newest round" only
+    exposes live pins while that round contains FIRST-TIME rows — after
+    the drain converges (round 9: all 413 queries green) every round is
+    pure re-entries, so hiding one exposes nothing and the premise
+    assertion fails. Manufacture never-checked names in a way no drain
+    state can defeat: pick victims and delete their rows from EVERY
+    round in the simulated view."""
     real = operators._correctness_rows()
     assert real, "committed CORRECTNESS files are this test's premise"
-    newest = max(real)
-    hidden = {r: rows for r, rows in real.items() if r != newest}
-    monkeypatch.setattr(operators, "_correctness_rows", lambda: hidden)
+    checked_now = sorted(operators._driver_checked())
+    assert len(checked_now) >= 8, "premise: a mostly-checked registry"
+    # spread the victims across the checked set so the family-span and
+    # rotation invariants see a realistic mix, not 8 neighbours
+    step = max(1, len(checked_now) // 8)
+    victims = set(checked_now[::step][:8])
+    hidden = {r: {n: row for n, row in rows.items() if n not in victims}
+              for r, rows in real.items()}
+    monkeypatch.setattr(operators, "_correctness_rows",
+                        lambda: {r: dict(v) for r, v in hidden.items()})
     baseline = operators._driver_checked()
+    assert not (victims & baseline), "victims must read as never-checked"
     head = [n for n in _ordered()[:10] if n not in baseline]
-    assert head, "hiding the newest round must expose live pins"
+    assert head, "deleting names from every round must expose live pins"
     # Simulate their green rows landing the way the REAL flow does:
-    # checked AND sampled in the newest round — never one without the
-    # other (the r8 incompleteness).
+    # checked AND sampled in a strictly newer round — never one without
+    # the other (the r8 incompleteness).
+    nxt = max(real) + 1
     sim_rounds = dict(operators._sampled_rounds(),
-                      **{n: newest for n in head})
+                      **{n: nxt for n in head})
     monkeypatch.setattr(operators, "_driver_checked",
                         lambda: baseline | set(head))
     monkeypatch.setattr(operators, "_sampled_rounds",
@@ -169,7 +182,7 @@ def test_prefix_pins_self_clear_once_driver_checked(monkeypatch):
                    if n in baseline | set(head)}
     oldest_pin_pos = min(checked_pos[n] for n in head)
     staler = [n for n in checked_pos
-              if sim_rounds.get(n, newest) < newest]
+              if sim_rounds.get(n, nxt) < nxt]
     late_staler = [n for n in staler if checked_pos[n] > oldest_pin_pos]
     assert not late_staler, (
         f"converted pins outrank staler checked names: {late_staler[:5]}")
@@ -196,22 +209,34 @@ def test_rotation_defaults_unrounded_checked_names_to_freshest(monkeypatch):
         "unrounded checked name sorted stale-first instead of freshest")
 
 
-def test_registry_survives_next_round_artifact(monkeypatch):
+@pytest.mark.parametrize("shape", ["reentries", "first_time"])
+def test_registry_survives_next_round_artifact(monkeypatch, shape):
     """The class-killer for the failure mode that cost a red pytest in
-    rounds 7 AND 8: an ordering invariant that silently goes stale the
-    moment the driver's NEXT CORRECTNESS file lands. Inject a
-    synthetic next-round artifact (the current prefix, all green — the
-    expected steady-state outcome) and re-run every live ordering
-    invariant under it. This runs in the normal suite, so the close
-    gate exercises next-round state by construction."""
+    rounds 7, 8 AND 9: an ordering invariant that silently goes stale
+    the moment the driver's NEXT CORRECTNESS file lands. Inject a
+    synthetic next-round artifact (the current prefix, all green) and
+    re-run every live ordering invariant under it. Parameterized over
+    BOTH round shapes (VERDICT r9 item 1): ``reentries`` is the
+    converged-drain steady state (every row a staleness-rotation
+    re-verify of an already-green name — what every real future round
+    looks like); ``first_time`` strips the prefix names from all
+    committed rounds first so the synthetic round is their first row
+    (the pre-convergence shape). The r9 trip happened because the test
+    only ever exercised one of these shapes at a time."""
     real = operators._correctness_rows()
     nxt = max(real, default=0) + 1
     green_row = {"rows_match": True, "schema_match": True,
                  "hash_match": True, "err": None}
-    synthetic = dict(real)
-    synthetic[nxt] = {n: dict(green_row) for n in _ordered()[:PREFIX]}
+    prefix_names = set(_ordered()[:PREFIX])
+    if shape == "first_time":
+        synthetic = {r: {n: row for n, row in rows.items()
+                         if n not in prefix_names}
+                     for r, rows in real.items()}
+    else:
+        synthetic = {r: dict(rows) for r, rows in real.items()}
+    synthetic[nxt] = {n: dict(green_row) for n in sorted(prefix_names)}
     monkeypatch.setattr(operators, "_correctness_rows",
-                        lambda: dict(synthetic))
+                        lambda: {r: dict(v) for r, v in synthetic.items()})
     test_ordering_is_lossless_and_deterministic()
     test_prefix_spans_operator_families()
     test_prefix_prioritizes_never_checked_queries()
