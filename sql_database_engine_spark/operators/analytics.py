@@ -710,13 +710,17 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(CAST(COUNT(*) AS BIGINT) * CAST(SUM(q * q) AS BIGINT)
-                - CAST(SUM(q) AS BIGINT) * CAST(SUM(q) AS BIGINT) AS DOUBLE)
-           / (CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) - 1))
+           CAST(CAST(COUNT(*) AS HUGEINT) * CAST(SUM(q * q) AS HUGEINT)
+                - CAST(SUM(q) AS HUGEINT) * CAST(SUM(q) AS HUGEINT)
+                AS DOUBLE)
+           / CAST(CAST(COUNT(*) AS HUGEINT)
+                  * (CAST(COUNT(*) AS HUGEINT) - 1) AS DOUBLE)
            / 10000.0 AS var_qty,
-           sqrt(CAST(CAST(COUNT(*) AS BIGINT) * CAST(SUM(q * q) AS BIGINT)
-                - CAST(SUM(q) AS BIGINT) * CAST(SUM(q) AS BIGINT) AS DOUBLE)
-           / (CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) - 1))
+           sqrt(CAST(CAST(COUNT(*) AS HUGEINT) * CAST(SUM(q * q) AS HUGEINT)
+                - CAST(SUM(q) AS HUGEINT) * CAST(SUM(q) AS HUGEINT)
+                AS DOUBLE)
+           / CAST(CAST(COUNT(*) AS HUGEINT)
+                  * (CAST(COUNT(*) AS HUGEINT) - 1) AS DOUBLE)
            / 10000.0) AS stddev_qty
     FROM c GROUP BY l_returnflag
     """,
@@ -727,18 +731,30 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     back at the end. Built-in var_samp accumulates doubles (Welford)
     whose partial-merge order differs between engines; the integer
     formulation is order-independent, hence cluster-deterministic and
-    oracle-reproducible. Bounds: cents² ≤ 25e6, × 6e6 rows at sf=1
-    stays ≪ 2^63."""
+    oracle-reproducible.
+
+    The moment products run in 128-bit lanes (DECIMAL(38,0) here,
+    HUGEINT in the oracle): the round-10 overflow sweep proved the
+    original int64 lanes wrong — n·Σq² with q ≤ 5000 cents exceeds
+    2^63 already at ~2M rows per group (10x sf0.1), i.e. below sf1,
+    despite the original docstring's bound claim. Both engines
+    convert the exact 128-bit integers to double once, then divide."""
     li = Catalog(spark, sf_dir).lineitem
     cents_q = F.round(F.col("l_quantity") * 100).cast("long")
     q = F.col("q")
     n = F.count(F.lit(1))
+    dec = "decimal(38,0)"
+    # q*q ≤ 25e6 per row is long-safe; the SUM and the n· product are
+    # not — accumulate and multiply in 128-bit.
+    sq2 = F.sum((q * q).cast(dec))
+    sq1 = F.sum(q.cast(dec))
+    num = (n.cast(dec) * sq2 - sq1 * sq1).cast("double")
     # try_divide: sample variance is undefined at n = 1 (the n-1
     # denominator) — NULL like DuckDB's x/0, not an ANSI throw (the
     # empty_sweep singleton tier).
-    var = (F.try_divide((n * F.sum(q * q) - F.sum(q) * F.sum(q))
-                        .cast("double"),
-                        n * (n - F.lit(1))) / 10000.0)
+    var = (F.try_divide(num,
+                        (n.cast(dec) * (n - F.lit(1)).cast(dec))
+                        .cast("double")) / 10000.0)
     return li.select("l_returnflag", cents_q.alias("q")).groupBy("l_returnflag").agg(
         n.alias("n"),
         var.alias("var_qty"),

@@ -145,6 +145,80 @@ def gapfill_daily_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_recursive_date_spine_gapfill",
+    oracle=f"""
+    WITH RECURSIVE gen(i, p) AS (
+        SELECT 0, 1
+        UNION ALL
+        SELECT i + b * p, p * 2
+        FROM gen, (SELECT 0 AS b UNION ALL SELECT 1) t
+        WHERE p < 4096
+    ), {_DAILY_REVENUE_SQL}, bounds AS (
+        SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily
+    ), spine AS (
+        SELECT d0 + i AS day
+        FROM gen CROSS JOIN bounds
+        WHERE p = 4096 AND i <= date_diff('day', d0, d1)
+    )
+    SELECT s.day, CAST(COALESCE(dy.y, 0) AS BIGINT) AS revenue,
+           CAST(CASE WHEN dy.d IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM spine s LEFT JOIN daily dy ON s.day = dy.d
+    """,
+)
+def sql_recursive_date_spine_gapfill(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE through the SQL FRONT DOOR — the registry's
+    graph/closure operators iterate DataFrame-side (with recursive-CTE
+    oracles); this is the first ``WITH RECURSIVE`` executed by Spark
+    itself (Spark 4 recursive CTEs, UNION ALL form), proving a
+    SQL-only session can run iterative SQL against this engine. The
+    payload is the warehouse date-spine densification: generate the
+    calendar via a BINARY-DOUBLING recursive generator (each level
+    doubles the integer range, so 4096 spine days cost 12 recursion
+    levels — not 4096, which would blow Spark's recursion-depth limit
+    of 100 and is the same O(log n) shape as the SCC doubling
+    closure), clip it to the observed [min, max] day span, and
+    zero-fill the revenue series with an ``is_gap`` marker.
+
+    Spark's recursive CTE currently supports only UNION ALL (no
+    fixpoint UNION — verified: UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
+    so cyclic closures stay DataFrame-side; the doubling generator is
+    acyclic by construction and each level's cardinality is exact
+    (2^k rows at level k), so no duplicate paths exist to dedup. The
+    :cap parameter bounds the spine (documented horizon 4096 days >
+    the fixture's ~2.4k-day order span); scale-out is by widening cap
+    — depth grows logarithmically.
+    """
+    from ..catalog import register_views
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE gen(i, p) AS (
+            SELECT 0, 1
+            UNION ALL
+            SELECT i + b * p, p * 2
+            FROM gen JOIN (SELECT 0 AS b UNION ALL SELECT 1) ON true
+            WHERE p < :cap
+        ), daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS y
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+        ), bounds AS (
+            SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily
+        ), spine AS (
+            SELECT DATE_ADD(d0, i) AS day
+            FROM gen CROSS JOIN bounds
+            WHERE p = :cap AND i <= DATEDIFF(d1, d0)
+        )
+        SELECT s.day, CAST(COALESCE(dy.y, 0) AS BIGINT) AS revenue,
+               CAST(CASE WHEN dy.d IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS is_gap
+        FROM spine s LEFT JOIN daily dy ON s.day = dy.d
+        """,
+        args={"cap": 4096})
+
+
+@query(
     "retention_weekly_cohorts",
     oracle="""
     WITH firsts AS (

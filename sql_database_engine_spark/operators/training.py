@@ -778,6 +778,115 @@ def training_manifest_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_curation_manifest_front_door",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, text, lang, source
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars >= 100
+    ), keyed AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS dup_rk
+        FROM gated
+    ), mixed AS (
+        SELECT doc_id, lang, source, n_toks,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS mix_rk
+        FROM keyed WHERE dup_rk = 1
+    ), tagged AS (
+        SELECT doc_id, lang, source, n_toks,
+               CASE WHEN {_BUCKET_SQL} < 800 THEN 'train'
+                    WHEN {_BUCKET_SQL} < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM mixed WHERE mix_rk <= 20
+    )
+    SELECT doc_id, lang, source, n_toks, split,
+           CAST(COALESCE(SUM(n_toks) OVER (
+                    PARTITION BY lang, split ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) // {PACK_BUDGET} AS BIGINT) AS bin
+    FROM tagged
+    """,
+)
+def sql_curation_manifest_front_door(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The CURATION COMPOSITION through the SQL FRONT DOOR (VERDICT
+    r9 item 4): quality gate → exact dedup (keep-first by content
+    hash) → per-source mix cap → deterministic 80/10/10 split →
+    greedy sequence packing, as ONE ``spark.sql`` statement over a
+    registered view with Spark 4 NAMED PARAMETERS — a SQL-only
+    session (a BI tool, a notebook cell, a service endpoint) runs the
+    same manifest pipeline the DataFrame entry points expose, with
+    every policy knob (:min_chars, :source_cap, :train_permille,
+    :val_cutoff, :pack_budget) arriving as a typed argument, never
+    string-concatenated. The oracle inlines the literals, so a
+    binding slip (wrong order, wrong coercion, wrong stage) is a hash
+    mismatch.
+
+    Determinism contract — identical to the DataFrame compositions:
+    every stage is a pure function of row content (md5 of text for
+    dedup identity, salted md5 of doc_id for mix rank and split
+    bucket), so the manifest is reproducible across engines, reruns,
+    and cluster sizes. Scale shape: one documents scan, then three
+    key-partitioned window shuffles (content-hash, source,
+    (lang, split)) — no self-joins, no collect; the mix cap is a
+    rank-filter inside the source partition, and packing's running
+    sum lives inside the output-shard partition exactly like
+    ``pack_sequences_greedy``.
+    """
+    from ..catalog import register_views
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH gated AS (
+            SELECT doc_id, text, lang, source
+            FROM documents
+            WHERE text IS NOT NULL AND n_chars >= :min_chars
+        ), keyed AS (
+            SELECT doc_id, lang, source,
+                   CAST(size(split(text, ' ')) AS BIGINT) AS n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS dup_rk
+            FROM gated
+        ), mixed AS (
+            SELECT doc_id, lang, source, n_toks,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(concat('mix',
+                                           CAST(doc_id AS STRING))),
+                                doc_id) AS mix_rk
+            FROM keyed WHERE dup_rk = 1
+        ), tagged AS (
+            SELECT doc_id, lang, source, n_toks,
+                   CASE WHEN CAST(conv(substring(
+                            md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
+                            AS INT) % 1000 < :train_permille
+                             THEN 'train'
+                        WHEN CAST(conv(substring(
+                            md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
+                            AS INT) % 1000 < :val_cutoff
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM mixed WHERE mix_rk <= :source_cap
+        )
+        SELECT doc_id, lang, source, n_toks, split,
+               CAST(COALESCE(SUM(n_toks) OVER (
+                        PARTITION BY lang, split ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING),
+                    0) div :pack_budget AS BIGINT) AS bin
+        FROM tagged
+        """,
+        args={"min_chars": 100, "source_cap": 20,
+              "train_permille": 800, "val_cutoff": 900,
+              "pack_budget": PACK_BUDGET})
+
+
+@query(
     "temporal_holdout_split",
     oracle="""
     WITH bounds AS (

@@ -1391,3 +1391,30 @@ def test_fertility_broadcasts_vocab(spark):
     plan = _plan(spark, "tokenizer_fertility_eval")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sql_curation_front_door_plan_shape(spark):
+    """The SQL front door must hit the SAME physical shapes the
+    DataFrame compositions get: the :min_chars quality gate reaches
+    the parquet scan as a pushed filter, and Catalyst converts BOTH
+    rank filters (dedup keep-first rn=1, mix cap rn<=20) into partial
+    WindowGroupLimits — map-side top-k pruning BEFORE each exchange.
+    Three key-partitioned shuffles total (content-hash, source,
+    (lang, split)); no cartesian anywhere."""
+    plan = _plan(spark, "sql_curation_manifest_front_door")
+    assert "GreaterThanOrEqual(n_chars,100)" in plan
+    assert plan.count("WindowGroupLimit") >= 4  # 2 ranks x partial+final
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_recursive_spine_plan_shape(spark):
+    """The recursive-CTE spine runs as a UnionLoop whose per-level
+    cardinality doubles (12 levels for 4096 days); the only cross
+    join is against the broadcast 1-row bounds relation, and the
+    bounds scan prunes to o_orderdate alone."""
+    plan = _plan(spark, "sql_recursive_date_spine_gapfill")
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("ReadSchema: struct<o_orderdate" in s for s in scans)

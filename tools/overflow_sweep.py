@@ -72,6 +72,19 @@ COHORT = [
     "docs_language_mix_shift",
     "mix_epoch_schedule",
     "ewma_k20_daily_revenue",
+    # round-10 additions (VERDICT r9 item 6): r1/r2-era integer lanes
+    # designed before the 128-bit-moment conventions, re-verified at
+    # 10x as the rotation re-samples them. agg_variance_exact and
+    # token_simpson_diversity carry n*sum(x^2) - sum(x)^2 /
+    # sum(n*n) quadratic moments in int64; the others are money-cents
+    # sum lanes whose headroom claims were written at sf0.1.
+    "agg_variance_exact",
+    "token_simpson_diversity",
+    "pricing_summary",
+    "window_running_total",
+    "source_tvd_shift",
+    "q14_promo_revenue",
+    "events_ohlc_hourly",
 ]
 
 #: Dedup-family cohort (VERDICT r4 item 5). Naive key-offset
