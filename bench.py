@@ -210,6 +210,9 @@ HEADLINE = [
     "window_rolling_median_7d",     # bounded-frame exact median
     "survival_km_signup_to_purchase",  # Kaplan-Meier log-nano lanes
     "knn_regression_eval",          # numeric-target kNN eval
+    # round-10 additions (prior sets unchanged)
+    "sql_curation_manifest_front_door",  # curation via spark.sql params
+    "sql_recursive_date_spine_gapfill",  # WITH RECURSIVE doubling spine
 ]
 
 

@@ -1037,3 +1037,107 @@ def test_fuzzed_coalesce_nullif_agrees(seed, spark, duck):
     got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
     want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
     assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_bitwise_ops_agree(seed, spark, duck):
+    """Random bitwise &, |, <<, >> chains over non-negative integer
+    keys — same SQL text to both engines. `^` is a documented
+    shared-text impossibility: Spark reads it as XOR, DuckDB as
+    POWER, so it never appears here (prototyped round 10); shifts are
+    kept in [0, 8] so no lane approaches the sign bit."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(24000 + seed)
+
+    def term():
+        col = rng.choice(["l_orderkey", "l_suppkey", "l_linenumber"])
+        k = rng.randrange(0, 256)
+        op = rng.choice(["&", "|"])
+        e = f"({col} {op} {k})"
+        if rng.random() < 0.5:
+            e = f"({e} {rng.choice(['<<', '>>'])} {rng.randrange(0, 9)})"
+        return e
+
+    sql = (f"SELECT CAST({term()} AS BIGINT) AS a, "
+           f"CAST({term()} AS BIGINT) AS b, "
+           f"CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_pad_repeat_reverse_agree(seed, spark, duck):
+    """LPAD/RPAD/REPEAT/REVERSE composition over the flag/status
+    strings — identical names and semantics in both engines (padding
+    truncates to the target length, repeat of 0 yields '', reverse is
+    codepoint-wise). Same SQL text to both engines."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(25000 + seed)
+    col = rng.choice(["l_returnflag", "l_linestatus"])
+    inner = f"REPEAT({col}, {rng.randrange(0, 4)})"
+    if rng.random() < 0.5:
+        inner = f"REVERSE({inner} || '{rng.choice(['q', 'zz'])}')"
+    fn = rng.choice(["LPAD", "RPAD"])
+    expr = f"{fn}({inner}, {rng.randrange(0, 9)}, '{rng.choice(['*', 'xy'])}')"
+    sql = (f"SELECT {expr} AS s, CAST(COUNT(*) AS BIGINT) AS n "
+           f"FROM lineitem GROUP BY 1")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_try_cast_agrees(seed, spark, duck):
+    """TRY_CAST of string expressions to BIGINT — NULL-on-failure in
+    both engines for garbage and for empty strings. Decimal-looking
+    strings are a documented shared-text impossibility (prototyped
+    round 10: DuckDB TRY_CAST('3.5' AS BIGINT) rounds to 4, Spark
+    yields NULL), so the generator only emits integral or
+    non-numeric strings."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(26000 + seed)
+    base = rng.choice([
+        "CAST(l_suppkey AS STRING)",
+        "l_returnflag",
+        "CAST(l_orderkey AS STRING) || l_linestatus",
+        "'' || CAST(l_linenumber AS STRING)",
+        "TRIM('  ' || CAST(l_partkey AS STRING))",
+    ])
+    sql = (f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+           f"CAST(SUM(COALESCE(TRY_CAST({base} AS BIGINT), -1)) AS BIGINT)"
+           f" AS s FROM lineitem")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzzed_recursive_cte_agrees(seed, spark, duck):
+    """WITH RECURSIVE as SHARED TEXT (round 10: Spark 4 executes
+    recursive CTEs natively) — the binary-doubling integer generator
+    at a random power-of-two cap, aggregated and joined back against
+    lineitem keys, runs verbatim on both engines. UNION ALL form only
+    (fixpoint UNION is a documented Spark limitation,
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE)."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(27000 + seed)
+    cap = 2 ** rng.randrange(3, 8)
+    mod = rng.randrange(2, 7)
+    sql = (
+        f"WITH RECURSIVE g(i, p) AS ("
+        f" SELECT 0, 1 UNION ALL"
+        f" SELECT i + b * p, p * 2"
+        f" FROM g, (SELECT 0 AS b UNION ALL SELECT 1) t WHERE p < {cap})"
+        f" SELECT CAST(g.i % {mod} AS BIGINT) AS r,"
+        f" CAST(COUNT(*) AS BIGINT) AS n,"
+        f" CAST(SUM(l.l_linenumber) AS BIGINT) AS s"
+        f" FROM g JOIN lineitem l ON g.i = l.l_suppkey"
+        f" WHERE g.p = {cap} GROUP BY 1")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
