@@ -23,6 +23,12 @@ Classes covered (one query each):
 - missing-text contract (curation gates) ............. curation_gate_report
 - pandas-kernel null-in/null-out ..................... pandas_udf_token_count
 - stateful-kernel NaN/None handling .................. stream_user_profiles
+
+Two further pins (round 10, ADVICE r9) synthesize their own parquet
+fixtures instead of using the injected replica, because the replica
+cannot guarantee their trigger shapes: an all-NULL 7-day window run
+(window_rolling_median_7d) and NULL-ts purchases straddling the SCD2
+merge split (scd2_merge_batch).
 """
 
 from __future__ import annotations
