@@ -212,3 +212,75 @@ def test_lindley_closed_form_equals_sequential_recurrence(deltas):
         cf_max = max(cf_max, s - run_min)
     cf_bal = s - run_min
     assert (bal, clamps, maxb) == (cf_bal, cf_clamps, cf_max)
+
+
+def test_sql_curation_manifest_invariants(spark):
+    """Semantic invariants of the SQL-front-door curation manifest
+    that the oracle hash asserts only indirectly: every surviving doc
+    clears the quality gate, no content hash appears twice (the dedup
+    stage's whole contract), no source exceeds the mix cap, split
+    labels are exactly the md5-permille function of doc_id, and per
+    (lang, split) the bins are non-decreasing in doc_id with every
+    non-final bin's cumulative tokens reaching its boundary."""
+    from sql_database_engine_spark import operators
+    from sql_database_engine_spark.catalog import Catalog
+    operators.load_all()
+    name = "sql_curation_manifest_front_door"
+    rows = operators.QUERIES[name](spark, SF_ORACLE).collect()
+    assert rows, "manifest must be non-empty on the fixtures"
+    docs = {r["doc_id"]: r for r in
+            Catalog(spark, SF_ORACLE).documents.collect()}
+    import hashlib
+    seen_hashes = set()
+    per_source = {}
+    for r in rows:
+        d = docs[r["doc_id"]]
+        assert d["n_chars"] >= 100, r["doc_id"]
+        h = hashlib.md5(d["text"].encode()).hexdigest()
+        assert h not in seen_hashes, f"dup content survived: {r['doc_id']}"
+        seen_hashes.add(h)
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+        bucket = int(hashlib.md5(str(r["doc_id"]).encode())
+                     .hexdigest()[:4], 16) % 1000
+        want = "train" if bucket < 800 else ("val" if bucket < 900
+                                             else "test")
+        assert r["split"] == want, (r["doc_id"], bucket, r["split"])
+    assert max(per_source.values()) <= 20
+    by_part = {}
+    for r in rows:
+        by_part.setdefault((r["lang"], r["split"]), []).append(r)
+    for part, rs in by_part.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["bin"] == cum // 2048, (part, r["doc_id"])
+            cum += r["n_toks"]
+
+
+def test_sql_recursive_spine_invariants(spark):
+    """The spine is a COMPLETE consecutive calendar over the observed
+    span (that is the densification contract): first day = min order
+    date, last = max, no holes, no duplicates; is_gap=0 exactly on
+    days with at least one dated order, and revenue is 0 on gap
+    days."""
+    import datetime
+
+    from sql_database_engine_spark import operators
+    from sql_database_engine_spark.catalog import Catalog
+    operators.load_all()
+    rows = operators.QUERIES["sql_recursive_date_spine_gapfill"](
+        spark, SF_ORACLE).collect()
+    days = sorted(r["day"] for r in rows)
+    assert len(days) == len(set(days))
+    assert (days[-1] - days[0]).days + 1 == len(days), "holes in spine"
+    order_days = {
+        r["d"] for r in Catalog(spark, SF_ORACLE).orders
+        .filter("o_orderdate IS NOT NULL")
+        .selectExpr("CAST(o_orderdate AS DATE) AS d").distinct().collect()}
+    assert days[0] == min(order_days) and days[-1] == max(order_days)
+    for r in rows:
+        if r["is_gap"]:
+            assert r["day"] not in order_days
+            assert r["revenue"] == 0
+        else:
+            assert r["day"] in order_days
