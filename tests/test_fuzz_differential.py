@@ -1141,3 +1141,33 @@ def test_fuzzed_recursive_cte_agrees(seed, spark, duck):
     got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
     want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
     assert got == want, f"disagreement for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_string_locate_slice_agrees(seed, spark, duck):
+    """POSITION(x IN y) / SPLIT_PART / TRANSLATE / LEFT / RIGHT
+    composition over flag/status strings — identical names and
+    semantics in both engines (POSITION is 1-based with 0 for
+    absent; SPLIT_PART past the last field yields ''; padding
+    semantics already covered by the pad class). NEGATIVE lengths
+    are a documented shared-text impossibility (prototyped round 10:
+    Spark LEFT(s, -2) = '' while DuckDB reads it as all-but-last-2),
+    so the generator emits only non-negative lengths."""
+    from sql_database_engine_spark.catalog import register_views
+    register_views(spark, SF_ORACLE, ("lineitem",))
+    rng = random.Random(28000 + seed)
+    col = rng.choice(["l_returnflag", "l_linestatus"])
+    base = f"({col} || ',' || {col} || 'q')"
+    expr = rng.choice([
+        f"CAST(POSITION('{rng.choice(['A', 'N', 'q', ','])}' IN {base})"
+        f" AS BIGINT)",
+        f"SPLIT_PART({base}, ',', {rng.randrange(1, 5)})",
+        f"TRANSLATE({base}, 'ANq', '{rng.choice(['xyz', '__.'])}')",
+        f"LEFT({base}, {rng.randrange(0, 6)})",
+        f"RIGHT({base}, {rng.randrange(0, 6)})",
+    ])
+    sql = (f"SELECT {expr} AS v, CAST(COUNT(*) AS BIGINT) AS n "
+           f"FROM lineitem GROUP BY 1")
+    got = sorted(tuple(str(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(str(v) for v in r) for r in duck.sql(sql).fetchall())
+    assert got == want, f"disagreement for: {sql}"
