@@ -23,6 +23,75 @@ _DAILY_REVENUE_SQL = """daily AS (
     )"""
 
 
+#: Hard horizon of the recursive date spine (2^12 days ≈ 11.2 years,
+#: well above the fixture's ~2.4k-day order span). The generator's
+#: ``WHERE p < cap`` bounds BOTH engines identically, so a wider span
+#: would otherwise truncate the calendar SILENTLY — instead both query
+#: texts now raise in-query when the observed span reaches the cap
+#: (ADVICE r10). Widen here (and only here) to extend the horizon;
+#: recursion depth grows as log2(cap).
+SPINE_CAP_DAYS = 4096
+
+#: Spark text of the recursive spine (module-level so the overflow
+#: guard can be driven directly by tests against a synthetic wide-span
+#: ``orders`` view, without the operator's register_views step).
+_SPINE_SQL = """
+        WITH RECURSIVE gen(i, p) AS (
+            SELECT 0, 1
+            UNION ALL
+            SELECT i + b * p, p * 2
+            FROM gen JOIN (SELECT 0 AS b UNION ALL SELECT 1) ON true
+            WHERE p < :cap
+        ), daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS y
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+        ), bounds AS (
+            SELECT MIN(d) AS d0, MAX(d) AS d1,
+                   ASSERT_TRUE(DATEDIFF(MAX(d), MIN(d)) < :cap,
+                               'date spine span exceeds cap')
+                       AS overflow
+            FROM daily
+        ), spine AS (
+            SELECT DATE_ADD(d0, i) AS day
+            FROM gen CROSS JOIN bounds
+            WHERE p = :cap AND i <= DATEDIFF(d1, d0)
+                  AND overflow IS NULL
+        )
+        SELECT s.day, CAST(COALESCE(dy.y, 0) AS BIGINT) AS revenue,
+               CAST(CASE WHEN dy.d IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS is_gap
+        FROM spine s LEFT JOIN daily dy ON s.day = dy.d
+        """
+
+#: DuckDB twin of the overflow guard + spine, shared by the oracle and
+#: the wide-span regression test.
+_SPINE_ORACLE_SQL = f"""
+    WITH RECURSIVE gen(i, p) AS (
+        SELECT 0, 1
+        UNION ALL
+        SELECT i + b * p, p * 2
+        FROM gen, (SELECT 0 AS b UNION ALL SELECT 1) t
+        WHERE p < {SPINE_CAP_DAYS}
+    ), {_DAILY_REVENUE_SQL}, bounds AS (
+        SELECT MIN(d) AS d0, MAX(d) AS d1,
+               CASE WHEN date_diff('day', MIN(d), MAX(d))
+                         >= {SPINE_CAP_DAYS}
+                    THEN error('date spine span exceeds cap')
+               END AS overflow
+        FROM daily
+    ), spine AS (
+        SELECT d0 + i AS day
+        FROM gen CROSS JOIN bounds
+        WHERE p = {SPINE_CAP_DAYS} AND i <= date_diff('day', d0, d1)
+              AND overflow IS NULL
+    )
+    SELECT s.day, CAST(COALESCE(dy.y, 0) AS BIGINT) AS revenue,
+           CAST(CASE WHEN dy.d IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM spine s LEFT JOIN daily dy ON s.day = dy.d
+    """
+
+
 def _daily_revenue(cat: Catalog) -> DataFrame:
     """Spark twin of ``_DAILY_REVENUE_SQL``.
 
@@ -146,24 +215,7 @@ def gapfill_daily_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_recursive_date_spine_gapfill",
-    oracle=f"""
-    WITH RECURSIVE gen(i, p) AS (
-        SELECT 0, 1
-        UNION ALL
-        SELECT i + b * p, p * 2
-        FROM gen, (SELECT 0 AS b UNION ALL SELECT 1) t
-        WHERE p < 4096
-    ), {_DAILY_REVENUE_SQL}, bounds AS (
-        SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily
-    ), spine AS (
-        SELECT d0 + i AS day
-        FROM gen CROSS JOIN bounds
-        WHERE p = 4096 AND i <= date_diff('day', d0, d1)
-    )
-    SELECT s.day, CAST(COALESCE(dy.y, 0) AS BIGINT) AS revenue,
-           CAST(CASE WHEN dy.d IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
-    FROM spine s LEFT JOIN daily dy ON s.day = dy.d
-    """,
+    oracle=_SPINE_ORACLE_SQL,
 )
 def sql_recursive_date_spine_gapfill(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
@@ -185,37 +237,14 @@ def sql_recursive_date_spine_gapfill(spark: SparkSession,
     so cyclic closures stay DataFrame-side; the doubling generator is
     acyclic by construction and each level's cardinality is exact
     (2^k rows at level k), so no duplicate paths exist to dedup. The
-    :cap parameter bounds the spine (documented horizon 4096 days >
-    the fixture's ~2.4k-day order span); scale-out is by widening cap
-    — depth grows logarithmically.
+    :cap parameter (``SPINE_CAP_DAYS``) bounds the spine; a span at or
+    over the cap RAISES in both engines ('date spine span exceeds
+    cap', ADVICE r10) instead of silently truncating the calendar.
+    Scale-out is by widening the cap — depth grows logarithmically.
     """
     from ..catalog import register_views
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(
-        """
-        WITH RECURSIVE gen(i, p) AS (
-            SELECT 0, 1
-            UNION ALL
-            SELECT i + b * p, p * 2
-            FROM gen JOIN (SELECT 0 AS b UNION ALL SELECT 1) ON true
-            WHERE p < :cap
-        ), daily AS (
-            SELECT CAST(o_orderdate AS DATE) AS d,
-                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS y
-            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
-        ), bounds AS (
-            SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily
-        ), spine AS (
-            SELECT DATE_ADD(d0, i) AS day
-            FROM gen CROSS JOIN bounds
-            WHERE p = :cap AND i <= DATEDIFF(d1, d0)
-        )
-        SELECT s.day, CAST(COALESCE(dy.y, 0) AS BIGINT) AS revenue,
-               CAST(CASE WHEN dy.d IS NULL THEN 1 ELSE 0 END AS INT)
-                   AS is_gap
-        FROM spine s LEFT JOIN daily dy ON s.day = dy.d
-        """,
-        args={"cap": 4096})
+    return spark.sql(_SPINE_SQL, args={"cap": SPINE_CAP_DAYS})
 
 
 @query(

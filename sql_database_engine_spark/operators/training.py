@@ -99,6 +99,12 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bpe-ish regex variant is ``text.token_count_bpe_regex``).
 PACK_BUDGET = 2048
 
+#: Quality-gate threshold of the SQL curation front door — the ONE
+#: definition shared by the Spark :min_chars binding, the inlined
+#: oracle literal, and the plan-shape test's pushed-filter assertion
+#: (ADVICE r10: the test must not duplicate the literal).
+CURATION_MIN_CHARS = 100
+
 
 @query(
     "pack_sequences_greedy",
@@ -783,7 +789,7 @@ def training_manifest_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gated AS (
         SELECT doc_id, text, lang, source
         FROM documents
-        WHERE text IS NOT NULL AND n_chars >= 100
+        WHERE text IS NOT NULL AND n_chars >= {CURATION_MIN_CHARS}
     ), keyed AS (
         SELECT doc_id, lang, source,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
@@ -881,7 +887,7 @@ def sql_curation_manifest_front_door(spark: SparkSession,
                     0) div :pack_budget AS BIGINT) AS bin
         FROM tagged
         """,
-        args={"min_chars": 100, "source_cap": 20,
+        args={"min_chars": CURATION_MIN_CHARS, "source_cap": 20,
               "train_permille": 800, "val_cutoff": 900,
               "pack_budget": PACK_BUDGET})
 

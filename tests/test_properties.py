@@ -284,3 +284,34 @@ def test_sql_recursive_spine_invariants(spark):
             assert r["revenue"] == 0
         else:
             assert r["day"] in order_days
+
+
+def test_sql_recursive_spine_span_overflow_raises(spark):
+    """A span at or over SPINE_CAP_DAYS must RAISE in BOTH engines —
+    not silently truncate the calendar below MAX(o_orderdate)
+    (ADVICE r10: oracle parity would hide identical truncation). Both
+    query texts carry an in-query guard; drive them against a
+    synthetic two-order table spanning cap+1 days."""
+    import duckdb
+    import pytest
+
+    from sql_database_engine_spark.operators import timeseries as ts
+
+    spark.createDataFrame(
+        [("1992-01-01", 10.0), ("2005-01-01", 20.0)],
+        "o_orderdate string, o_totalprice double",
+    ).createOrReplaceTempView("orders")
+    try:
+        with pytest.raises(Exception, match="date spine span exceeds cap"):
+            spark.sql(ts._SPINE_SQL,
+                      args={"cap": ts.SPINE_CAP_DAYS}).collect()
+    finally:
+        spark.catalog.dropTempView("orders")
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW orders AS SELECT * FROM (VALUES "
+                "(DATE '1992-01-01', 10.0), (DATE '2005-01-01', 20.0)) "
+                "AS t(o_orderdate, o_totalprice)")
+    with pytest.raises(Exception, match="date spine span exceeds cap"):
+        con.execute(ts._SPINE_ORACLE_SQL).fetchall()
+    con.close()

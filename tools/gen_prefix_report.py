@@ -69,18 +69,21 @@ def main() -> None:
     print(f"- re-entries: {len(reentries)}")
     for n in reentries:
         if n not in seen_now and n in history:
+            # Every name in this loop is a re-entry (n in history), so
+            # this branch captures ALL unchecked names — including any
+            # PREFIX_HEAD pin, whose pin only fires while the name is
+            # unchecked anyway.  The carve-out label (why the row went
+            # stale) is the informative one; a separate
+            # "explicit prefix_head pin" branch after this one was
+            # unreachable and has been dropped (ADVICE r10).
             if (n in operators.ORACLES
                     and rows_only_history.get(n) == history[n]):
                 why = ("oracle-upgrade carve-out: every prior row was "
                        "rows-only, first hash check pending")
             else:
                 why = "rewritten-since-sampled carve-out"
-        elif n in operators.PREFIX_HEAD and n not in seen_now:
-            # ordered_queries() filters driver-checked names OUT of the
-            # pin path, so a checked PREFIX_HEAD name re-entering via
-            # the staleness rotation must be labeled by the rotation,
-            # not the (inert) pin (ADVICE r9).
-            why = "explicit prefix_head pin"
+                if n in operators.PREFIX_HEAD:
+                    why += " (also an explicit prefix_head pin)"
         else:
             why = (f"staleness-rotation slot (last sampled "
                    f"r{rounds_now.get(n, 0):02d}, oldest-first re-verify)")
