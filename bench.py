@@ -213,6 +213,8 @@ HEADLINE = [
     # round-10 additions (prior sets unchanged)
     "sql_curation_manifest_front_door",  # curation via spark.sql params
     "sql_recursive_date_spine_gapfill",  # WITH RECURSIVE doubling spine
+    # round-11 addition (prior sets unchanged)
+    "sql_ann_ivf_staged_front_door",  # staged-IVF probe via spark.sql + DPP
 ]
 
 

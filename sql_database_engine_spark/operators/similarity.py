@@ -2498,6 +2498,128 @@ def ann_ivf_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("q_id", "rank"))
 
 
+#: Spark text of the SQL-front-door staged-IVF probe (module-level so
+#: the plan test can reference the one definition).
+_IVF_FRONT_DOOR_SQL = """
+    WITH q AS (
+        SELECT vec_id AS q_id,
+               transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                   AS qe
+        FROM embeddings
+        WHERE vec_id >= :q_lo AND vec_id < :q_hi
+              AND embedding IS NOT NULL
+    ), scored_cents AS (
+        SELECT q.q_id, q.qe, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                   aggregate(zip_with(q.qe, c.c,
+                                      (x, y) -> (x - y) * (x - y)),
+                             0L, (acc, v) -> acc + v), c.cid) AS rn
+        FROM q JOIN ivf_centroids c ON true
+    ), probes AS (
+        SELECT q_id, qe, cid FROM scored_cents WHERE rn <= :nprobe
+    ), cand AS (
+        SELECT p.q_id, a.vec_id,
+               aggregate(zip_with(p.qe, a.e,
+                                  (x, y) -> (x - y) * (x - y)),
+                         0L, (acc, v) -> acc + v) AS d
+        FROM ivf_assignments a JOIN probes p ON a.cid = p.cid
+        WHERE a.vec_id <> p.q_id
+    ), ranked AS (
+        SELECT q_id, vec_id, d,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY d, vec_id) AS rank
+        FROM cand
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(d AS BIGINT) AS dist2_micros,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= :k
+    ORDER BY q_id, rank
+    """
+
+
+@query(
+    "sql_ann_ivf_staged_front_door",
+    oracle=f"""
+    WITH {_kmeans_base_sql()},
+    {_kmeans_round_sql('c3', 'a4', 'c4')},
+    q AS (
+        SELECT vec_id AS q_id, e AS qe FROM e
+        WHERE vec_id >= 10 AND vec_id < 22
+    ), probes AS (
+        SELECT q_id, qe, cid FROM (
+            SELECT q.q_id, q.qe, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                       list_sum([ (q.qe[i] - c.c[i]) * (q.qe[i] - c.c[i])
+                                  for i in range(1, 65) ]), c.cid) AS rn
+            FROM q, c3 c
+        ) WHERE rn <= 2
+    ), cand AS (
+        SELECT p.q_id, a.vec_id,
+               list_sum([ (p.qe[i] - a.ev[i]) * (p.qe[i] - a.ev[i])
+                          for i in range(1, 65) ]) AS d
+        FROM probes p JOIN a4 a ON a.cid = p.cid
+        WHERE a.vec_id <> p.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(d AS BIGINT) AS dist2_micros,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT q_id, vec_id, d,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY d, vec_id) AS rn
+          FROM cand)
+    WHERE rn <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def sql_ann_ivf_staged_front_door(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """STAGED-IVF vector search through the SQL FRONT DOOR (VERDICT
+    r10 item 5, the round-10 curation-manifest precedent applied to
+    the serving path): the persisted cid-partitioned index from
+    :func:`_ivf_stage` is registered as two views (``ivf_centroids``,
+    ``ivf_assignments``) and the probe-only top-k runs as ONE
+    ``spark.sql`` statement with Spark 4 named parameters — a
+    SQL-only session (a BI tool, a service endpoint) serves vector
+    search against this engine with every serving knob (:q_lo/:q_hi
+    query batch, :nprobe, :k) arriving as a typed argument.
+
+    The scale contract is the same as ``ann_ivf_staged_topk`` — the
+    measured plan must NOT rebuild the index and must NOT scan
+    unprobed buckets — but where the DataFrame path collects the
+    probed cids and pushes a STATIC partition filter, the SQL path
+    has no driver step, so bucket pruning must come from Catalyst's
+    DYNAMIC PARTITION PRUNING: the probes subquery is broadcast-sized
+    (queries × k centroids, rank-filtered to nprobe), and the join
+    ``ivf_assignments a JOIN probes p ON a.cid = p.cid`` reuses that
+    broadcast as a dynamicpruningexpression on the partitioned scan's
+    PartitionFilters (plan-pinned in test_plan_quality) — the staged
+    layout's directory pruning survives the SQL path with zero
+    procedural glue. Query batch (vec_id in [10, 22)), nprobe=2 of
+    k=4 buckets, top-5 — deliberately distinct bindings from the
+    DataFrame twin so the two rows exercise different parameters.
+
+    The oracle replays build AND probe from the base table through
+    the shared ``_kmeans_base_sql`` chain (same assurance shape as
+    the DataFrame twin): the staged index content is hash-verified,
+    and the approximate answer is exact-by-replay.
+    """
+    from ..catalog import register_views
+    from ..scratch import read_staged_parquet
+
+    stage = _ivf_stage(spark, sf_dir)
+    register_views(spark, sf_dir, ("embeddings",))
+    read_staged_parquet(spark, stage, "centroids") \
+        .createOrReplaceTempView("ivf_centroids")
+    read_staged_parquet(spark, stage, "assignments") \
+        .createOrReplaceTempView("ivf_assignments")
+    return spark.sql(_IVF_FRONT_DOOR_SQL,
+                     args={"q_lo": 10, "q_hi": 22, "nprobe": 2, "k": 5})
+
+
 def _ivf_stage_incremental(spark: SparkSession, sf_dir: str) -> str:
     """Incremental-maintenance staging for the IVF index: the
     codebook is trained on the BASE corpus only (vec_id % 10 < 8 —

@@ -1324,6 +1324,31 @@ def test_ann_ivf_staged_probe_plan_is_probe_only(spark, name):
                for l in plan.splitlines()), "no static probed-bucket filter"
 
 
+def test_sql_ann_ivf_front_door_plan_shape(spark):
+    """The SQL-front-door staged-IVF probe must keep the serving
+    contract WITHOUT the DataFrame path's driver-side collect: no
+    Lloyd rebuild in-plan, the embeddings scans are the pushed query
+    batch only, and the cid-partitioned assignments scan is pruned by
+    Catalyst's DYNAMIC partition pruning (the broadcast probes side
+    reused as a dynamicpruningexpression) — the SQL path's substitute
+    for the static probed-bucket filter."""
+    plan = _plan(spark, "sql_ann_ivf_staged_front_door")
+    assert "s63" not in plan and "s0#" not in plan, "index build in probe plan"
+    emb_scans = [l for l in plan.splitlines()
+                 if "FileScan parquet" in l and "embeddings" in l
+                 and "ivf_index" not in l]
+    # Query-batch scan, possibly duplicated inside the DPP subquery —
+    # every copy must carry the pushed [10, 22) batch bounds.
+    assert 1 <= len(emb_scans) <= 2, f"embeddings scanned {len(emb_scans)}x"
+    assert all("GreaterThanOrEqual(vec_id,10)" in l
+               and "LessThan(vec_id,22)" in l for l in emb_scans), (
+        "an embeddings scan is not the pushed query batch")
+    assert any("PartitionFilters" in l and "dynamicpruningexpression" in l
+               and "cid" in l for l in plan.splitlines()), (
+        "assignments scan not dynamically pruned to probed buckets")
+    assert "CartesianProduct" not in plan
+
+
 def test_ewma_single_window_operator(spark):
     """All 20 EWMA lags share one window spec, so Catalyst must
     evaluate them in ONE Window operator over one sort — 20 separate

@@ -85,6 +85,21 @@ COHORT = [
     "source_tvd_shift",
     "q14_promo_revenue",
     "events_ohlc_hourly",
+    # round-11 additions (VERDICT r10 item 6): the r02-era rotation
+    # rows with integer sum/count lanes written before the
+    # 128-bit-moment conventions — money-cents sums (q17, the range
+    # frame, the IVM view), count*count cardinality products (the
+    # join estimator's n_l*n_r grows FACTOR^2 under replication),
+    # permille/rank*freq quotient lanes (gate report, Zipf), and the
+    # KLL replay's rank arithmetic.
+    "q17_small_quantity_revenue",
+    "window_time_range_frame",
+    "ivm_append_agg_view",
+    "events_tumbling_window",
+    "join_cardinality_estimate",
+    "curation_gate_report",
+    "zipf_rank_frequency",
+    "sketch_percentile_drift",
 ]
 
 #: Dedup-family cohort (VERDICT r4 item 5). Naive key-offset
