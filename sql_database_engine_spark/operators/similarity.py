@@ -25,10 +25,14 @@ Scale story:
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import (Column, DataFrame, SparkSession,
                          Window as W, functions as F)
+from pyspark.sql.types import DoubleType, LongType
 
 from ..catalog import Catalog
 from . import query
@@ -69,6 +73,175 @@ def _dlit(x: float) -> str:
     return r if "e" in r or "E" in r else r + "e0"
 
 
+# --- Arrow-vectorized scoring kernels -------------------------------
+#
+# The per-pair / per-row vector arithmetic below used to run through
+# Catalyst higher-order functions (zip_with + aggregate). HOF lambdas
+# are evaluated INTERPRETED, one boxed element at a time — profiled at
+# sf0.1 as the dominant cost of every brute-force scoring pass (and a
+# flat 64/1536-term codegen unroll measured worse still: the generated
+# methods blow past the JIT limits and fall back to Volcano eval). The
+# guide-§4.2 shape wins: keep Spark joins/aggregates, hand each Arrow
+# batch to NumPy, preserve the JVM fold's exact IEEE evaluation order:
+#
+#   - products/sums accumulate LEFT-ASSOCIATIVELY starting from 0.0,
+#     exactly like aggregate(zip_with(a, b, x*y), 0.0, acc+x) —
+#     ``_seq_dot`` below is that fold, vectorized across rows;
+#   - float→double casts happen per element before any arithmetic
+#     (float32→float64 widening is bit-exact);
+#   - NULL inputs yield NULL outputs (masked Arrow arrays), NaNs flow
+#     through IEEE comparisons exactly as the JVM's.
+#
+# Integer-lane kernels (squared-L2 over micro-scaled BIGINTs) need no
+# order discipline at all: int64 adds are exact, so any summation
+# order gives the bit-identical result.
+
+#: rows-per-chunk inside a kernel: bounds temporaries (e.g. the
+#: n×k×64 Lloyd distance cube) regardless of Arrow batch size.
+_KERNEL_CHUNK = 2048
+
+
+def _seq_dot(X: "np.ndarray", Y: "np.ndarray") -> "np.ndarray":
+    """Row-wise sequential-fold dot product: ((0.0+p0)+p1)+... — the
+    exact IEEE order of the JVM ``dot`` fold, vectorized over rows."""
+    acc = np.zeros(X.shape[0])
+    for j in range(X.shape[1]):
+        acc = acc + X[:, j] * Y[:, j]
+    return acc
+
+
+def _stack64(series: "pd.Series") -> "np.ndarray":
+    """pd.Series of fixed-width numeric array rows → (n, d) float64."""
+    return np.stack(series.to_numpy()).astype(np.float64)
+
+
+def _masked(vals: "np.ndarray", ok: "np.ndarray") -> "pd.Series":
+    """float64 values + validity mask → pandas nullable Float64 series
+    (Arrow turns masked slots into proper SQL NULLs, never NaNs)."""
+    return pd.Series(pd.arrays.FloatingArray(vals, ~ok))
+
+
+def _plane_code_udf(planes: "np.ndarray"):
+    """Sign-bit hyperplane code as ONE Arrow kernel — the vectorized
+    twin of the per-plane zip_with/aggregate fold: per plane, the dot
+    product accumulates left-associatively in float64 (identical IEEE
+    order, so identical sign bits), and ``proj > 0`` mirrors the
+    ``WHEN proj > 0`` gate (NULL/NaN projections → bit 0, matching
+    the fold's ``otherwise(0)``; a fully NULL vector → code 0)."""
+    planes64 = np.asarray(planes, dtype=np.float64)
+
+    @F.pandas_udf(LongType())
+    def code(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for sv in it:
+            out = np.zeros(len(sv), dtype=np.int64)
+            ok = sv.notna().to_numpy()
+            if ok.any():
+                X = _stack64(sv[ok])
+                c = np.zeros(X.shape[0], dtype=np.int64)
+                for i in range(planes64.shape[0]):
+                    p = planes64[i]
+                    proj = np.zeros(X.shape[0])
+                    for j in range(X.shape[1]):
+                        proj = proj + X[:, j] * p[j]
+                    c = c | ((proj > 0).astype(np.int64) << i)
+                out[ok] = c
+            yield pd.Series(out)
+
+    return code
+
+
+def _make_dot_pair():
+    """Raw sequential dot of two vector columns, row-wise (double)."""
+
+    @F.pandas_udf(DoubleType())
+    def dotp(it: Iterator[Tuple[pd.Series, pd.Series]]
+             ) -> Iterator[pd.Series]:
+        for sa, sb in it:
+            vals = np.zeros(len(sa))
+            ok = (sa.notna() & sb.notna()).to_numpy()
+            if ok.any():
+                vals[ok] = _seq_dot(_stack64(sa[ok]), _stack64(sb[ok]))
+            yield _masked(vals, ok)
+
+    return dotp
+
+
+def _make_cos_pair(dim: int | None = None):
+    """Raw cosine of two vector columns, row-wise: dot(a,b) /
+    (sqrt(dot(a,a)) * sqrt(dot(b,b))) in that exact op order — the
+    JVM ``cosine`` bit for bit (0/0 stays NaN, NULL input stays
+    NULL). ``dim`` scores a prefix slice (matryoshka), equal to the
+    former cosine-over-``slice(...)`` since slice(a,1,d)[j] ≡ a[j]."""
+
+    @F.pandas_udf(DoubleType())
+    def cosp(it: Iterator[Tuple[pd.Series, pd.Series]]
+             ) -> Iterator[pd.Series]:
+        for sa, sb in it:
+            vals = np.zeros(len(sa))
+            ok = (sa.notna() & sb.notna()).to_numpy()
+            if ok.any():
+                X, Y = _stack64(sa[ok]), _stack64(sb[ok])
+                if dim is not None:
+                    X, Y = X[:, :dim], Y[:, :dim]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    vals[ok] = (_seq_dot(X, Y)
+                                / (np.sqrt(_seq_dot(X, X))
+                                   * np.sqrt(_seq_dot(Y, Y))))
+            yield _masked(vals, ok)
+
+    return cosp
+
+
+def _make_l2_pair():
+    """Exact integer squared-L2 of two BIGINT-lane vector columns,
+    row-wise — int64 adds are exact, so no order discipline needed."""
+
+    @F.pandas_udf(LongType())
+    def l2p(it: Iterator[Tuple[pd.Series, pd.Series]]
+            ) -> Iterator[pd.Series]:
+        for sa, sb in it:
+            vals = np.zeros(len(sa), dtype=np.int64)
+            ok = (sa.notna() & sb.notna()).to_numpy()
+            if ok.any():
+                d = (np.stack(sa[ok].to_numpy()).astype(np.int64)
+                     - np.stack(sb[ok].to_numpy()).astype(np.int64))
+                vals[ok] = (d * d).sum(axis=1)
+            yield pd.Series(pd.arrays.IntegerArray(vals, ~ok))
+
+    return l2p
+
+
+def _make_l2d_pair():
+    """Squared L2 over double lanes, row-wise — the float twin of
+    :func:`_make_l2_pair`, with the left-assoc fold order of the JVM
+    ``aggregate(zip_with(a, b, (x-y)*(x-y)), 0.0, acc+x)`` form."""
+
+    @F.pandas_udf(DoubleType())
+    def l2d(it: Iterator[Tuple[pd.Series, pd.Series]]
+            ) -> Iterator[pd.Series]:
+        for sa, sb in it:
+            vals = np.zeros(len(sa))
+            ok = (sa.notna() & sb.notna()).to_numpy()
+            if ok.any():
+                X, Y = _stack64(sa[ok]), _stack64(sb[ok])
+                acc = np.zeros(X.shape[0])
+                for j in range(X.shape[1]):
+                    d = X[:, j] - Y[:, j]
+                    acc = acc + d * d
+                vals[ok] = acc
+            yield _masked(vals, ok)
+
+    return l2d
+
+
+#: Shared kernel singletons (one serialized closure per session).
+_dot_pair = _make_dot_pair()
+_cos_pair = _make_cos_pair()
+_cos_pair16 = _make_cos_pair(dim=16)
+_l2_pair = _make_l2_pair()
+_l2d_pair = _make_l2d_pair()
+
+
 @query(
     "cosine_topk_bruteforce",
     oracle=f"""
@@ -91,7 +264,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     q = (e.filter(F.col("vec_id") == 0)
          .select(F.col("embedding").alias("qv")))
-    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    sim = _cos_pair(F.col("embedding"), F.col("qv"))
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -120,8 +293,9 @@ def embedding_norms_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     have no norm and are excluded on both engines (null_sweep)."""
     e = Catalog(spark, sf_dir).embeddings.filter(
         F.col("embedding").isNotNull())
-    v = _as_double(F.col("embedding"))
-    norm_micros = F.round(F.sqrt(dot(v, v)) * 1_000_000).cast("long")
+    norm_micros = F.round(
+        F.sqrt(_dot_pair(F.col("embedding"), F.col("embedding")))
+        * 1_000_000).cast("long")
     return (
         e.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_vecs"),
@@ -141,19 +315,16 @@ _NEARDUP_BAND_BITS = 6
 _NEARDUP_BAND_MASK = (1 << _NEARDUP_BAND_BITS) - 1
 
 
+#: Arrow kernel computing the 24-plane sign code (was a per-plane
+#: interpreted zip_with/aggregate fold — see the kernel section).
+_neardup_code_kernel = _plane_code_udf(_NEARDUP_PLANES)
+
+
 def _neardup_code(vec: Column) -> Column:
-    """Sign bits of the hyperplane projections (JVM-side fold —
-    same sequential dot product the DuckDB twin folds)."""
-    code = F.lit(0).cast("long")
-    for i, p in enumerate(_NEARDUP_PLANES):
-        proj = F.aggregate(
-            F.zip_with(vec,
-                       F.array(*[F.lit(float(x)) for x in p]),
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-        code = code.bitwiseOR(
-            F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), i))
-    return code
+    """Sign bits of the hyperplane projections — same sequential
+    left-assoc dot product the DuckDB twin folds, evaluated as one
+    Arrow kernel instead of 24 interpreted HOF folds per row."""
+    return _neardup_code_kernel(vec)
 
 
 def _neardup_code_sql(embedding: str = "embedding") -> str:
@@ -206,8 +377,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = Catalog(spark, sf_dir).embeddings.filter(
         F.col("embedding").isNotNull())
-    base = (e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-            .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    base = (e.select("vec_id", F.col("embedding").alias("v"))
+            .withColumn("norm",
+                        F.sqrt(_dot_pair(F.col("v"), F.col("v"))))
             .withColumn("code", _neardup_code(F.col("v"))))
     bands = base.select(
         "vec_id",
@@ -231,7 +403,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("v").alias("v_a"), F.col("norm").alias("n_a"))
     vb = base.select(F.col("vec_id").alias("vec_b"),
                      F.col("v").alias("v_b"), F.col("norm").alias("n_b"))
-    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    sim = (_dot_pair(F.col("v_a"), F.col("v_b"))
+           / (F.col("n_a") * F.col("n_b")))
     return (
         cand.join(va, "vec_a").join(vb, "vec_b")
         .withColumn("cos_sim", F.round(sim, 6))
@@ -246,19 +419,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_PLANES = np.random.RandomState(13).randn(8, 64)
 
 
+#: Arrow kernel for the 8-plane ANN bucket code.
+_ann_bucket_code_kernel = _plane_code_udf(_ANN_PLANES)
+
+
 def _ann_bucket_code(vec: Column) -> Column:
     """Sign-bit bucket code of the 8 ANN hyperplane projections —
-    same JVM-side sequential fold as :func:`_neardup_code`."""
-    code = F.lit(0).cast("long")
-    for i, p in enumerate(_ANN_PLANES):
-        proj = F.aggregate(
-            F.zip_with(vec,
-                       F.array(*[F.lit(float(x)) for x in p]),
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-        code = code.bitwiseOR(
-            F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), i))
-    return code
+    same sequential fold as :func:`_neardup_code`, one Arrow kernel."""
+    return _ann_bucket_code_kernel(vec)
 
 
 def _ann_bucket_sql(embedding: str = "embedding") -> str:
@@ -336,8 +504,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df.join(coded, F.col("q_bucket") == F.col("bucket"))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id",
-                F.round(cosine(_as_double(F.col("q_vec")),
-                               _as_double(F.col("embedding"))), 6).alias("cos_sim"))
+                F.round(_cos_pair(F.col("q_vec"), F.col("embedding")),
+                        6).alias("cos_sim"))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (cands.withColumn("rn", F.row_number().over(w))
@@ -562,8 +730,9 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = Catalog(spark, sf_dir).embeddings.filter(
         F.col("embedding").isNotNull())
-    base = (e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-            .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    base = (e.select("vec_id", F.col("embedding").alias("v"))
+            .withColumn("norm",
+                        F.sqrt(_dot_pair(F.col("v"), F.col("v"))))
             .withColumn("bucket", _ann_bucket_code(F.col("v"))))
     probes = F.array(F.col("bucket"), *[
         F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)])
@@ -575,7 +744,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df.join(base, F.col("probe_bucket") == F.col("bucket"))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id",
-                F.round(dot(F.col("qv"), F.col("v"))
+                F.round(_dot_pair(F.col("qv"), F.col("v"))
                         / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"))
         .distinct()
     )
@@ -897,7 +1066,7 @@ def knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & F.col("embedding").isNotNull())
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
-    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    sim = _cos_pair(F.col("embedding"), F.col("qv"))
     scored = (e.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("qid"))
               .select("qid", "vec_id", F.round(sim, 6).alias("cos_sim")))
@@ -1059,7 +1228,7 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (e.filter(F.col("vec_id") < 10)
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
-    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    sim = _cos_pair(F.col("embedding"), F.col("qv"))
     scored = (e.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("qid"))
               .select("qid", "vec_id", F.round(sim, 6).alias("cos_sim")))
@@ -1080,12 +1249,9 @@ def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # IVF and PQ are L2 quantizers (integer-L2 since their oracle
     # conversion), so their anchor is the exact-L2 top-3.
-    def l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
+    l2 = _l2d_pair  # Arrow kernel, same left-assoc fold order
 
-    basev = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    basev = e.select("vec_id", F.col("embedding").alias("v"))
     ql2 = (basev.filter(F.col("vec_id") < 10)
            .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
     l2_scored = (basev.crossJoin(F.broadcast(ql2))
@@ -1192,7 +1358,7 @@ def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
     filtered = e.filter(F.col("label") == 3)
-    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    sim = _cos_pair(F.col("embedding"), F.col("qv"))
     scored = (filtered.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("qid"))
               .select("qid", "vec_id", "label",
@@ -1283,7 +1449,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     q = (e.filter(F.col("vec_id") == 0)
          .select(F.col("embedding").alias("qv")))
-    qs = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    qs = _cos_pair(F.col("embedding"), F.col("qv"))
     # The greedy steps reference this subtree ~66 times once the
     # unroll compounds, and TakeOrdered is NOT an exchange — exchange
     # reuse does not dedupe it, so without truncation the corpus
@@ -1297,7 +1463,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("qsim").desc(), "vec_id")
             .limit(8)).localCheckpoint(eager=False)
 
-    ps = cosine(_as_double(F.col("ea")), _as_double(F.col("eb")))
+    ps = _cos_pair(F.col("ea"), F.col("eb"))
     pa = pool.select(F.col("vec_id").alias("a"),
                      F.col("embedding").alias("ea"))
     pb = pool.select(F.col("vec_id").alias("b"),
@@ -1392,14 +1558,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norm broadcasts precomputed — ~3x fewer array folds at identical
     # IEEE arithmetic (dot / (sqrt(aa) * sqrt(bb)), same op order).
     corpus = (e.select("vec_id", "label",
-                       _as_double(F.col("embedding")).alias("v"))
-              .withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v")))))
+                       F.col("embedding").alias("v"))
+              .withColumn("nv",
+                          F.sqrt(_dot_pair(F.col("v"), F.col("v")))))
     anchors = (corpus.filter(F.col("vec_id") < 16)
                .select(F.col("vec_id").alias("aid"),
                        F.col("label").alias("alab"),
                        F.col("v").alias("av"),
                        F.col("nv").alias("nav")))
-    sim = dot(F.col("v"), F.col("av")) / (F.col("nv") * F.col("nav"))
+    sim = (_dot_pair(F.col("v"), F.col("av"))
+           / (F.col("nv") * F.col("nav")))
     scored = (corpus.crossJoin(F.broadcast(anchors))
               .filter(F.col("vec_id") != F.col("aid"))
               .select("aid", "alab", "vec_id", "label",
@@ -1473,7 +1641,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("qid"),
                  F.col("label").alias("qlab"),
                  F.col("embedding").alias("qv")))
-    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    sim = _cos_pair(F.col("embedding"), F.col("qv"))
     rn = F.row_number().over(
         W.partitionBy("qid").orderBy(F.round(sim, 6).desc(), "vec_id"))
     ranked = (e.crossJoin(F.broadcast(q))
@@ -1738,7 +1906,7 @@ def vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & F.col("embedding").isNotNull())
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
-    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    sim = _cos_pair(F.col("embedding"), F.col("qv"))
     scored = (e.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("qid"))
               .select("qid", "vec_id",
@@ -1823,10 +1991,10 @@ def matryoshka_prefix_recall(spark: SparkSession,
     q = (e.filter(F.col("vec_id") < 8)
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
-    full_sim = cosine(_as_double(F.col("embedding")),
-                      _as_double(F.col("qv")))
-    pfx_sim = cosine(_as_double(F.slice(F.col("embedding"), 1, 16)),
-                     _as_double(F.slice(F.col("qv"), 1, 16)))
+    full_sim = _cos_pair(F.col("embedding"), F.col("qv"))
+    # prefix cosine: slice(a,1,16)[j] ≡ a[j] for j <= 16, so the
+    # 16-dim kernel scores the identical prefix without the slices
+    pfx_sim = _cos_pair16(F.col("embedding"), F.col("qv"))
     scored = (e.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("qid"))
               .select("qid", "vec_id",
@@ -1931,7 +2099,7 @@ def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv"),
                  F.col("label").alias("qlabel")))
-    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    sim = _cos_pair(F.col("embedding"), F.col("qv"))
     ranked = (e.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("qid"))
               .select("qid",
@@ -2077,17 +2245,44 @@ def _lloyd_round(e: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _lloyd_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (vec_id, e, cid): broadcast the
-    k-row centroid table, exact integer squared-L2, argmin by
-    lexicographic (dist, cid) struct-min."""
-    dist = F.expr("aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
-                  "0L, (acc, v) -> acc + v)")
-    return (e.crossJoin(F.broadcast(cents.select("cid", "c")))
-            .select("vec_id", "e", "cid", dist.alias("d"))
-            .groupBy("vec_id")
-            .agg(F.first("e").alias("e"),
-                 F.min(F.struct("d", "cid")).alias("m"))
-            .select("vec_id", "e", F.col("m.cid").alias("cid")))
+    """Nearest-centroid assignment (vec_id, e, cid).
+
+    The k-row centroid table is COLLECTED to the driver (bounded:
+    k×64 integers — the per-iteration shape of every distributed
+    Lloyd implementation, and this module's codebook-collect census
+    precedent) and assignment runs as ONE Arrow kernel over a single
+    corpus scan: exact integer squared-L2 (int64 — order-free),
+    argmin over centroids sorted ascending by cid so equal distances
+    take the smaller cid — the former lexicographic (dist, cid)
+    struct-min verbatim. This replaces a broadcast crossJoin (k× row
+    blowup, interpreted HOF distance per pair) followed by a
+    corpus-wide groupBy(vec_id) argmin SHUFFLE: the assignment plan
+    is now scan → ArrowEvalPython, with no exchange at all — at
+    100 TB each Lloyd round moves k rows instead of the corpus."""
+    rows = sorted(cents.select("cid", "c").collect(),
+                  key=lambda r: r["cid"])
+    if not rows:
+        # Degenerate seed (e.g. null-poisoned fixtures): no centroid
+        # means no assignment — the crossJoin shape yielded 0 rows.
+        return (e.select("vec_id", "e",
+                         F.lit(None).cast("long").alias("cid"))
+                .where(F.lit(False)))
+    cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["c"]) for r in rows], dtype=np.int64)
+
+    @F.pandas_udf(LongType())
+    def assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for sv in it:
+            out = np.empty(len(sv), dtype=np.int64)
+            for lo in range(0, len(sv), _KERNEL_CHUNK):
+                chunk = sv.iloc[lo:lo + _KERNEL_CHUNK]
+                X = np.stack(chunk.to_numpy()).astype(np.int64)
+                d = X[:, None, :] - cmat[None, :, :]
+                out[lo:lo + len(chunk)] = cids[
+                    np.argmin((d * d).sum(axis=2), axis=1)]
+            yield pd.Series(out)
+
+    return e.select("vec_id", "e", assign("e").alias("cid"))
 
 
 def _micro_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2242,13 +2437,15 @@ def dot_vs_cosine_rank_agreement(spark: SparkSession,
     e = Catalog(spark, sf_dir).embeddings
     anchors = (e.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("anchor_id"),
-                       _as_double(F.col("embedding")).alias("av")))
-    v = _as_double(F.col("embedding"))
+                       F.col("embedding").alias("av")))
+    v = F.col("embedding")
     scored = (e.filter(F.col("vec_id") >= 3)
               .crossJoin(F.broadcast(anchors))
               .select("anchor_id", "vec_id",
-                      F.round(dot(v, F.col("av")), 6).alias("dot6"),
-                      F.round(cosine(v, F.col("av")), 6).alias("cos6")))
+                      F.round(_dot_pair(v, F.col("av")), 6)
+                      .alias("dot6"),
+                      F.round(_cos_pair(v, F.col("av")), 6)
+                      .alias("cos6")))
     wd = W.partitionBy("anchor_id").orderBy(F.col("dot6").desc(),
                                             "vec_id")
     wc = W.partitionBy("anchor_id").orderBy(F.col("cos6").desc(),
@@ -2327,7 +2524,7 @@ def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv"),
                  F.col("label").alias("true_label")))
-    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    sim = _cos_pair(F.col("embedding"), F.col("qv"))
     scored = (e.filter((F.col("vec_id") >= 50)
                        & F.col("label").isNotNull())
               .crossJoin(F.broadcast(q))
@@ -2482,11 +2679,10 @@ def ann_ivf_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns = (read_staged_parquet(spark, stage, "assignments")
                .filter(F.col("cid").cast("long").isin(probed))
                .select("vec_id", "e", F.col("cid").cast("long").alias("cid")))
-    d_qe = F.expr("aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), "
-                  "0L, (acc, v) -> acc + v)")
     cand = (assigns.join(F.broadcast(probes), "cid")
             .filter(F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id", d_qe.alias("d")))
+            .select("q_id", "vec_id",
+                    _l2_pair(F.col("qe"), F.col("e")).alias("d")))
     rnk = F.row_number().over(
         W.partitionBy("q_id").orderBy(F.col("d"), F.col("vec_id")))
     return (cand.withColumn("rank", rnk)
@@ -2775,11 +2971,10 @@ def ann_ivf_staged_append_probe(spark: SparkSession,
     assigns = (read_staged_parquet(spark, stage, "assignments")
                .filter(F.col("cid").cast("long").isin(probed))
                .select("vec_id", "e", F.col("cid").cast("long").alias("cid")))
-    d_qe = F.expr("aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), "
-                  "0L, (acc, v) -> acc + v)")
     cand = (assigns.join(F.broadcast(probes), "cid")
             .filter(F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id", d_qe.alias("d")))
+            .select("q_id", "vec_id",
+                    _l2_pair(F.col("qe"), F.col("e")).alias("d")))
     rnk = F.row_number().over(
         W.partitionBy("q_id").orderBy(F.col("d"), F.col("vec_id")))
     return (cand.withColumn("rank", rnk)
@@ -2890,11 +3085,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("q_id"),
                  F.col("e").alias("qe"),
                  F.col("cid").alias("qcid")))
-    d_qe = F.expr("aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), "
-                  "0L, (acc, v) -> acc + v)")
     cand = (inverted.join(F.broadcast(q), F.col("cid") == F.col("qcid"))
             .filter(F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id", d_qe.alias("d")))
+            .select("q_id", "vec_id",
+                    _l2_pair(F.col("qe"), F.col("e")).alias("d")))
     rnk = F.row_number().over(
         W.partitionBy("q_id").orderBy(F.col("d"), F.col("vec_id")))
     return (cand.withColumn("rank", rnk)
@@ -3015,10 +3209,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(8)])).alias("x")
     ).select("vec_id", "x.s", "x.subv").localCheckpoint(eager=False)
 
-    def l2i(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
+    l2i = _l2_pair  # exact integer squared-L2, Arrow kernel
 
     book0 = (sub.filter(F.col("vec_id") < 16)
              .select(F.col("vec_id").cast("long").alias("cid"),
@@ -3069,7 +3260,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reranked = (shortlist.join(e, "vec_id")
                 .join(F.broadcast(qfull), F.col("q_id") == F.col("rq_id"))
                 .select("q_id", "vec_id",
-                        l2i(F.col("e"), F.col("qe2")).alias("d")))
+                        _l2_pair(F.col("e"), F.col("qe2")).alias("d")))
     w2 = W.partitionBy("q_id").orderBy(F.col("d").asc(), "vec_id")
     return (reranked.withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") <= 3)
@@ -3127,7 +3318,7 @@ def knn_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv"),
                  F.col("label").alias("true_label")))
-    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    sim = _cos_pair(F.col("embedding"), F.col("qv"))
     scored = (e.filter((F.col("vec_id") >= 50)
                        & F.col("label").isNotNull())
               .crossJoin(F.broadcast(q))

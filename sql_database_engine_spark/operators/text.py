@@ -787,18 +787,33 @@ def _winnow_kernel(K: int = _WINNOW_K, WIN: int = _WINNOW_WIN,
                     # RIGHTMOST minimum of the current window. An
                     # equal-hash run thus yields ~1 pick per WIN windows,
                     # not one per position — fingerprint density stays
-                    # ~2/(WIN+1) even on boilerplate text. The scan is a
-                    # per-window loop over precomputed vectorized hashes
-                    # (windows are tiny; the O(n·WIN) bound is fine —
-                    # a segmented-scan vectorization exists if ever hot).
+                    # ~2/(WIN+1) even on boilerplate text. Per-window min
+                    # and rightmost-argmin are precomputed VECTORIZED in
+                    # the same bounded CHUNKs as the hash pass (the old
+                    # loop ran one numpy min() call per byte position —
+                    # ~4 µs/byte, the dominant cost of the whole query
+                    # at sf0.1; guide §4.2); the remaining walk is
+                    # pure-scalar list reads carrying the identical
+                    # recurrence, with (r, h[r]) as explicit state so a
+                    # chunk never needs values outside itself.
+                    swv = np.lib.stride_tricks.sliding_window_view
                     picks = []
-                    r = -1  # position of the current selection
-                    for i in range(len(hashes) - WIN + 1):
-                        w = hashes[i:i + WIN]
-                        m = int(w.min())
-                        if r < i or int(hashes[r]) > m:
-                            r = i + WIN - 1 - int(w[::-1].argmin())
-                            picks.append(r)
+                    r, vr = -1, 0  # current selection: position, value
+                    n_win = len(hashes) - WIN + 1
+                    for s in range(0, n_win, CHUNK):
+                        e = min(s + CHUNK, n_win)
+                        sw = swv(hashes[s:e + WIN - 1], WIN)
+                        mins = sw.min(axis=1).tolist()
+                        # rightmost argmin: first argmin of the reversed
+                        # window, mirrored — the w[::-1].argmin() tie rule
+                        rms = (s + np.arange(e - s, dtype=np.int64)
+                               + (WIN - 1)
+                               - np.argmin(sw[:, ::-1], axis=1)).tolist()
+                        for k, m in enumerate(mins):
+                            if r < s + k or vr > m:
+                                r = rms[k]
+                                vr = int(hashes[r])
+                                picks.append(r)
                 for pos in picks:
                     out["doc_id"].append(doc_id)
                     out["fingerprint"].append(int(hashes[pos]))
@@ -840,6 +855,15 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (Catalog(spark, sf_dir).documents
          .filter(F.col("text").isNotNull())
          .select("doc_id", "text"))
+    # The kernel's per-row cost dwarfs its bytes (same rationale as
+    # setsim_prefix_join's explicit repartitions): a byte-small corpus
+    # arrives as ONE input split, serializing the whole winnowing pass
+    # onto one task. Spread it across the cores only when the scan is
+    # actually starved — at scale the input arrives as many splits and
+    # this branch never fires, so no corpus-wide text shuffle is added.
+    n_par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < n_par:
+        d = d.repartition(n_par, "doc_id")
     return d.mapInPandas(winnow, schema="doc_id long, fingerprint long, position int")
 
 

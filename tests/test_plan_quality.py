@@ -1158,11 +1158,14 @@ def test_per_group_topk_gets_window_group_limit(spark):
     assert "Partial" in plan and "Final" in plan
 
 
-def test_lloyd_round_broadcasts_centroids_no_explode(spark):
-    # The k-means round primitive: assignment joins a BROADCAST k-row
-    # centroid table (never a shuffle join), and the centroid update
-    # is one hash aggregate with 64 sum expressions — no posexplode,
-    # so nothing corpus×64 ever materializes.
+def test_lloyd_round_single_scan_no_join_no_explode(spark):
+    # The k-means round primitive (round-11 shape): the k-row centroid
+    # table is a bounded driver collect, assignment is ONE Arrow
+    # kernel over a single corpus scan (no join of any kind — the old
+    # broadcast crossJoin + corpus-wide groupBy(vec_id) argmin shuffle
+    # is gone), and the centroid update remains one hash aggregate
+    # with 64 sum expressions — no posexplode, so nothing corpus×64
+    # ever materializes and the only exchange moves k partial rows.
     from pyspark.sql import functions as F
     from sql_database_engine_spark.operators.similarity import (
         _lloyd_round)
@@ -1174,10 +1177,11 @@ def test_lloyd_round_broadcasts_centroids_no_explode(spark):
         F.col("vec_id").alias("cid"), F.col("e").alias("c"))
     plan = _lloyd_round(e, cents)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "Broadcast" in plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Join" not in plan  # no broadcast/shuffle join per round
     assert "Generate" not in plan  # no explode anywhere in the round
-    assert "PythonUDF" not in plan
+    assert "ArrowEvalPython" in plan  # the vectorized assignment
+    # one exchange total: the k-row aggregate shuffle, nothing else
+    assert plan.count("Exchange") == 1, plan[:1500]
 
 
 def test_bpe_apply_joins_broadcast_vocabulary(spark):
