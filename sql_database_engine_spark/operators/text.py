@@ -282,8 +282,12 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard divides exact integers → deterministic vs the oracle.
     """
     d = Catalog(spark, sf_dir).documents
+    # One materialized shingle relation for both self-join sides (the
+    # explode+window+distinct pipeline re-derived per side otherwise —
+    # plan audit r11; values unchanged, r4 precedent).
     g = (_word_bigrams(d, "source")
-         .withColumn("n_grams", F.count(F.lit(1)).over(W.partitionBy("doc_id"))))
+         .withColumn("n_grams", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+         .localCheckpoint(eager=False))
     a = g.alias("a")
     b = g.alias("b")
     pairs = (
@@ -461,7 +465,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the shuffle carries at most one partial row per doc per
     # partition) — both faster locally and the right shape at 100 TB.
     N_PERM = _MH_N_PERM
-    signed = _mh_signatures(d)
+    # Materialize the signature relation once (lazy localCheckpoint):
+    # it feeds both band-join sides AND both verify sides — without
+    # the checkpoint the explode+hash+32-min pipeline re-derives 4x
+    # (plan audit r11: 4 documents scans, 0 reused exchanges), a 4x
+    # corpus re-read at 100 TB. Values are unchanged (deterministic
+    # pipeline); the r4 scan-audit precedent.
+    signed = _mh_signatures(d).localCheckpoint(eager=False)
     bands = _mh_bands(signed)
 
     # Candidates dedup on the (doc_a, doc_b) ids alone — hashing two
@@ -1710,6 +1720,10 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = Catalog(spark, sf_dir).documents
     t = 0.8
+    # NOT checkpointed (measured r11): the initial plan shows 12
+    # documents scans, but the heavy repeated subtrees sit under
+    # identical exchanges that AQE's runtime ReusedExchange dedupes —
+    # an explicit localCheckpoint A/B'd ~0.8 s SLOWER at sf0.1.
     g0 = _word_bigrams(d)
     df_tbl = g0.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     # n and pos share ONE doc_id exchange: both window specs hash-
@@ -2862,7 +2876,9 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     g = (_word_bigrams(d, "source")
          .withColumn("n_grams",
-                     F.count(F.lit(1)).over(W.partitionBy("doc_id"))))
+                     F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+         # one materialization for both join sides (r4 precedent)
+         .localCheckpoint(eager=False))
     a = g.alias("a")
     b = g.alias("b")
     pairs = (
