@@ -20,6 +20,8 @@ import statistics
 import sys
 import time
 
+import pandas as pd
+
 
 HEADLINE = [
     # one per operator family — the queries whose plans matter at scale
@@ -240,6 +242,23 @@ def main() -> None:
     # first measured query isn't billed for engine spin-up.
     qs["full_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     qs["flagship_revenue_by_region"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # Warm the Python/Arrow worker pool untimed (same policy as the
+    # streaming warm-up below): daemon + worker fork and Arrow serde
+    # init otherwise bill ~0.5 s to whichever Arrow-kernel query runs
+    # first — engine spin-up, not plan cost. One tiny pandas_udf pass
+    # on every core covers it. (pandas imported at module top: the
+    # type hints must resolve from module globals.)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _warm_udf(s: pd.Series) -> pd.Series:
+        return s
+
+    (spark.range(int(cpus) * 4, numPartitions=int(cpus))
+     .select(_warm_udf("id"))
+     .write.format("noop").mode("overwrite").save())
 
     # Warm the streaming machinery untimed too (state-store provider
     # classes, micro-batch thread pools, checkpoint FS setup,

@@ -1,13 +1,15 @@
 """Vector similarity search over the `embeddings` table.
 
 Embeddings are ``array<float>`` columns; all arithmetic casts to
-double first (float→double widening is bit-exact) and runs through
-JVM-side higher-order functions — ``zip_with`` for the elementwise
-product, ``aggregate`` for the sequential sum. The sequential
-(left-fold) sum over a 64-element array is deterministic, and DuckDB's
-list functions fold the same way, so cosine values round-trip the
-oracle after a guard rounding to 6 decimals — a quantum wide enough
-to absorb the ~1e-12 accumulation differences between our fold and
+double first (float→double widening is bit-exact) and accumulates as
+a sequential left fold — since round 11 evaluated by Arrow/NumPy
+kernels (see the kernel section below) that replicate the former
+JVM ``aggregate(zip_with(...))`` fold's exact IEEE operation order,
+batch-vectorized instead of interpreted per element. The sequential
+sum over a 64-element array is deterministic, and DuckDB's list
+functions fold the same way, so cosine values round-trip the oracle
+after a guard rounding to 6 decimals — a quantum wide enough to
+absorb the ~1e-12 accumulation differences between our fold and
 DuckDB's list kernels; thresholds always compare the ROUNDED value so
 set membership agrees whenever the rounded scores do.
 
@@ -232,6 +234,23 @@ def _make_l2d_pair():
             yield _masked(vals, ok)
 
     return l2d
+
+
+def _l2sq_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Exact integer squared-L2 as a small UNROLLED JVM expression —
+    for tiny fixed dims (PQ's 8-dim subspaces) where whole-stage
+    codegen handles the flat 8-term sum easily and the Arrow kernel's
+    per-batch round trip is pure overhead (measured r11: PQ subspace
+    scoring ~2x faster unrolled than either the interpreted HOF fold
+    or the Arrow kernel; 64+-term unrolls measured WORSE — kernel
+    section note). ``try_element_at`` keeps zip_with's null-padding
+    semantics instead of an ANSI index error."""
+    t = F.try_element_at(a, F.lit(1)) - F.try_element_at(b, F.lit(1))
+    acc: Column = t * t
+    for j in range(2, dim + 1):
+        d = F.try_element_at(a, F.lit(j)) - F.try_element_at(b, F.lit(j))
+        acc = acc + d * d
+    return acc
 
 
 #: Shared kernel singletons (one serialized closure per session).
@@ -3209,7 +3228,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(8)])).alias("x")
     ).select("vec_id", "x.s", "x.subv").localCheckpoint(eager=False)
 
-    l2i = _l2_pair  # exact integer squared-L2, Arrow kernel
+    def l2i(a, b):
+        return _l2sq_unrolled(a, b, dim=8)
 
     book0 = (sub.filter(F.col("vec_id") < 16)
              .select(F.col("vec_id").cast("long").alias("cid"),
