@@ -2793,13 +2793,19 @@ def doc_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; the gram relation is computed once and reused for both
     sides of the join."""
     d = Catalog(spark, sf_dir).documents
-    syms = F.split(F.col("text"), " ")
-    grams = (d.select("doc_id", "source", syms.alias("syms"))
+    # posexplode + window leads instead of the slice/transform HOF:
+    # the lambda ran interpreted once per token (the _word_bigrams
+    # rationale applied to 5-grams); identical gram strings.
+    toks = d.select(
+        "doc_id", "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"))
+    w5 = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w5).alias(f"t{i}") for i in range(1, 5)]
+    grams = (toks.select("doc_id", "source", F.col("tok").alias("t0"),
+                         *leads)
+             .filter(F.col("t4").isNotNull())
              .select("doc_id", "source",
-                     F.explode(F.expr(
-                         "transform(slice(syms, 1, size(syms) - 4),"
-                         " (s, i) -> concat_ws(' ', s, syms[i + 1],"
-                         " syms[i + 2], syms[i + 3], syms[i + 4]))"))
+                     F.concat_ws(" ", "t0", "t1", "t2", "t3", "t4")
                      .alias("gram"))
              .dropDuplicates(["doc_id", "source", "gram"])
              .localCheckpoint(eager=False))
