@@ -54,6 +54,10 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """JVM reference implementation the Arrow kernels replicate —
+    kept as the executable specification;
+    tests/test_arrow_kernels.py pins the kernels bit-exactly
+    against it on the real fixtures."""
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
