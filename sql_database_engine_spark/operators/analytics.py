@@ -1064,27 +1064,37 @@ def basket_brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan grows except the two orderkey-partitioned passes — the pair
     space stays |brands|² bounded.
     """
+    from .graph import _basket_sets, _brand_dim
+
     cat = Catalog(spark, sf_dir)
-    ob = (cat.lineitem.select("l_orderkey", "l_partkey")
-          .join(F.broadcast(cat.part.select("p_partkey", "p_brand")),
-                F.col("l_partkey") == F.col("p_partkey"))
-          .select("l_orderkey", "p_brand")
-          .distinct()
-          .localCheckpoint(eager=False))  # feeds marginals + both pair sides
+    # Basket sets in ONE corpus-grain exchange (collect_set partial-
+    # aggregates map-side), shared by marginals and pair counts via a
+    # lazy checkpoint; pairs come from a per-order k² explode of the
+    # int-id array instead of the former corpus self-join (guide §2.4;
+    # same derivation as the graph family's _pair_counts). bid order ==
+    # brand string order, so sid < did is the same pair set.
+    dim = _brand_dim(cat)
+    sets = _basket_sets(cat).localCheckpoint(eager=False)
     n_orders = (cat.lineitem.agg(
         F.countDistinct("l_orderkey").alias("t")))
-    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"),
-                  F.col("p_brand").alias("brand_b"))
-    pairs = (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
-                    & (F.col("brand_a") < F.col("brand_b")))
-             .groupBy("brand_a", "brand_b")
-             .agg(F.count(F.lit(1)).alias("n_pair")))
-    na = F.broadcast(brand_n.select(F.col("p_brand").alias("brand_a"),
-                                    F.col("n").alias("n_a")))
-    nb = F.broadcast(brand_n.select(F.col("p_brand").alias("brand_b"),
-                                    F.col("n").alias("n_b")))
+    brand_n = (sets.select(F.explode("bs").alias("bid"))
+               .groupBy("bid").agg(F.count(F.lit(1)).alias("n")))
+    ex = (sets.select(F.explode("bs").alias("sid"), "bs")
+          .select("sid", F.explode("bs").alias("did"))
+          .filter(F.col("sid") < F.col("did")))
+    cnt = (ex.groupBy("sid", "did")
+           .agg(F.count(F.lit(1)).alias("n_pair")))
+    pa = F.broadcast(dim.select(F.col("bid").alias("sid"),
+                                F.col("p_brand").alias("brand_a")))
+    pb = F.broadcast(dim.select(F.col("bid").alias("did"),
+                                F.col("p_brand").alias("brand_b")))
+    pairs = (cnt.join(pa, "sid").join(pb, "did")
+             .select("brand_a", "brand_b", "n_pair"))
+    bn = brand_n.join(F.broadcast(dim), "bid").select("p_brand", "n")
+    na = F.broadcast(bn.select(F.col("p_brand").alias("brand_a"),
+                               F.col("n").alias("n_a")))
+    nb = F.broadcast(bn.select(F.col("p_brand").alias("brand_b"),
+                               F.col("n").alias("n_b")))
     return (pairs.join(na, "brand_a").join(nb, "brand_b")
             .crossJoin(F.broadcast(n_orders))
             .select("brand_a", "brand_b", "n_pair", "n_a", "n_b",

@@ -100,19 +100,65 @@ def _basket(cat: Catalog) -> DataFrame:
             .distinct())
 
 
+def _brand_dim(cat: Catalog) -> DataFrame:
+    """The |brands|-row (p_brand, bid) dictionary. Ids are assigned in
+    brand STRING order, so every int comparison (<, MIN, ORDER BY) on
+    bid is order-isomorphic to the same operation on the string — the
+    property that lets the corpus-grain pair derivation run on 4-byte
+    ints and restore strings at the vocabulary-pair grain with no
+    result change. The row_number window is a single-partition sort of
+    a vocabulary-sized relation (25 rows at any SF) — the broadcast-
+    order-statistic pattern, not a data-scaled window."""
+    return (cat.part.select("p_brand").distinct()
+            .select("p_brand",
+                    F.row_number().over(W.orderBy("p_brand")).alias("bid")))
+
+
+def _basket_sets(cat: Catalog) -> DataFrame:
+    """(l_orderkey, bs: sorted array<int> of distinct brand ids) — the
+    whole basket derivation in ONE corpus-grain exchange: collect_set
+    partially aggregates map-side (per-order dedup happens before the
+    shuffle), replacing the former DISTINCT + self-join-on-l_orderkey
+    chain that shuffled corpus-grain rows three times (guide §2.4)."""
+    dim = _brand_dim(cat)
+    pwb = (cat.part.select("p_partkey", "p_brand")
+           .join(F.broadcast(dim), "p_brand")
+           .select("p_partkey", "bid"))
+    ob = (cat.lineitem.select("l_orderkey", "l_partkey")
+          .join(F.broadcast(pwb), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_orderkey", "bid"))
+    return ob.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("bid")).alias("bs"))
+
+
+def _pair_counts(cat: Catalog) -> DataFrame:
+    """(src, dst, n_cooccur) over brand STRINGS with src < dst — the
+    unthresholded co-occurrence relation every graph operator builds
+    on. Pairs are generated per order from the basket-set array (a
+    narrow k² explode of ≤7-element int arrays, whole-stage codegen'd)
+    instead of the corpus self-join; counts aggregate map-side to the
+    |brands|² pair grain, where two broadcast dictionary joins restore
+    the strings. bid order == string order, so src < dst is unchanged."""
+    dim = _brand_dim(cat)
+    sets = _basket_sets(cat)
+    ex = (sets.select(F.explode("bs").alias("sid"), "bs")
+          .select("sid", F.explode("bs").alias("did"))
+          .filter(F.col("sid") < F.col("did")))
+    cnt = ex.groupBy("sid", "did").agg(F.count(F.lit(1)).alias("n_cooccur"))
+    da = F.broadcast(dim.select(F.col("bid").alias("sid"),
+                                F.col("p_brand").alias("src")))
+    db = F.broadcast(dim.select(F.col("bid").alias("did"),
+                                F.col("p_brand").alias("dst")))
+    return (cnt.join(da, "sid").join(db, "did")
+            .select("src", "dst", "n_cooccur"))
+
+
 def _undirected_edges(cat: Catalog) -> DataFrame:
     """(src, dst, n_cooccur) with src < dst, co-occurrence-thresholded.
     The single edge derivation every graph operator builds on; callers
     that don't need the support count just drop it."""
-    ob = _basket(cat)
-    a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"),
-                  F.col("p_brand").alias("dst"))
-    return (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
-                   & (F.col("src") < F.col("dst")))
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("n_cooccur"))
-            .filter(F.col("n_cooccur") >= EDGE_MIN_COOCCUR))
+    return _pair_counts(cat).filter(
+        F.col("n_cooccur") >= EDGE_MIN_COOCCUR)
 
 
 def _directed_edges(cat: Catalog) -> DataFrame:
@@ -194,15 +240,22 @@ def pagerank_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("pr")))
     teleport = F.round(F.lit((1 - DAMPING) * PR_SCALE) / F.col("n")) \
         .cast("long")
+    # Per-round join strategy is chosen deliberately (guide §3.1): the
+    # rank/degree/message relations are vocabulary-sized (|brands| rows
+    # at ANY scale factor — the brand vocabulary is fixed), so they
+    # broadcast onto the edge list instead of shuffling through
+    # SortMergeJoin. Each round is then ONE metadata-grain exchange
+    # (the per-dst message sum); integer adds are order-free, so the
+    # join strategy cannot move a bit.
     for _ in range(PR_ITERS):
-        msgs = (pr.join(deg, "node")
-                .join(edges, pr.node == edges.src)
+        rd = pr.join(F.broadcast(deg), "node")
+        msgs = (edges.join(F.broadcast(rd), F.col("node") == edges.src)
                 .select(
                     F.col("dst").alias("node"),
                     F.round(F.lit(DAMPING) * F.col("pr").cast("double")
                             / F.col("deg")).cast("long").alias("m")))
         msum = msgs.groupBy("node").agg(F.sum("m").alias("msum"))
-        pr = (nodes.join(msum, "node", "left")
+        pr = (nodes.join(F.broadcast(msum), "node", "left")
               .crossJoin(F.broadcast(nn))
               .select("node",
                       (teleport + F.coalesce("msum", F.lit(0)))
@@ -272,14 +325,14 @@ def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = oriented
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = oriented.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
-    tri = (e1.join(e2, e1.dst == e2.b)
-           .join(e3, (F.col("src") == F.col("a3"))
+    tri = (e1.join(F.broadcast(e2), e1.dst == e2.b)
+           .join(F.broadcast(e3), (F.col("src") == F.col("a3"))
                  & (F.col("c") == F.col("c3")))
            .select(F.col("src").alias("a"), F.col("dst").alias("b"),
                    F.col("c")))
     per_node = (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
                 .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
-    return (deg.join(per_node, "node", "left")
+    return (deg.join(F.broadcast(per_node), "node", "left")
             .select(F.col("node").alias("brand"),
                     F.col("deg").alias("degree"),
                     F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
@@ -345,13 +398,18 @@ def bfs_brand_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("node", F.when(F.col("node") == F.col("s"), F.lit(0))
                  .cast("long").alias("dist")))
     for _ in range(BFS_DEPTH):
-        reach = (d.filter(F.col("dist").isNotNull())
-                 .join(edges, d.node == edges.src)
+        reach = (edges.join(F.broadcast(d.filter(F.col("dist").isNotNull())),
+                            F.col("node") == edges.src)
                  .groupBy(F.col("dst").alias("node"))
                  .agg(F.min("dist").alias("reach")))
-        d = (d.join(reach, "node", "left")
+        # Lazy checkpoint per round: d is referenced twice per round
+        # (frontier + relax join), so unchecked lineage DOUBLES per
+        # round. The frontier/relax relations are |V|-sized at any SF,
+        # so they broadcast (guide §3.1 — see the PageRank note).
+        d = (d.join(F.broadcast(reach), "node", "left")
              .select("node", F.least(F.col("dist"),
-                                     F.col("reach") + 1).alias("dist")))
+                                     F.col("reach") + 1).alias("dist"))
+             .localCheckpoint(eager=False))
     return (d.select(F.col("node").alias("brand"),
                      F.col("dist").alias("hops"))
             .orderBy(F.asc_nulls_last("hops"), "brand"))
@@ -496,13 +554,18 @@ def sssp_weighted_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("node", F.when(F.col("node") == F.col("s"), F.lit(0))
                  .cast("long").alias("dist")))
     for _ in range(SSSP_ROUNDS):
-        reach = (d.filter(F.col("dist").isNotNull())
-                 .join(edges, d.node == edges.src)
+        reach = (edges.join(F.broadcast(d.filter(F.col("dist").isNotNull())),
+                            F.col("node") == edges.src)
                  .groupBy(F.col("dst").alias("node"))
                  .agg(F.min(F.col("dist") + F.col("cost")).alias("reach")))
-        d = (d.join(reach, "node", "left")
+        # Same round shape as BFS: per-round lazy checkpoint bounds the
+        # doubly-referenced lineage (the before-plan carried 63
+        # exchanges for 4 rounds); |V|-sized relations broadcast
+        # (guide §3.1 — see the PageRank note).
+        d = (d.join(F.broadcast(reach), "node", "left")
              .select("node",
-                     F.least(F.col("dist"), F.col("reach")).alias("dist")))
+                     F.least(F.col("dist"), F.col("reach")).alias("dist"))
+             .localCheckpoint(eager=False))
     return (d.select(F.col("node").alias("brand"),
                      F.col("dist").alias("path_cost"))
             .orderBy(F.asc_nulls_last("path_cost"), "brand"))
@@ -516,14 +579,7 @@ def _p75_strong_edges(cat: Catalog) -> tuple[DataFrame, DataFrame]:
     edges both directions). Spark twin of ``_P75_EDGES_SQL``."""
     from pyspark.sql import Window as W
 
-    ob = _basket(cat)
-    a = ob.select("l_orderkey", F.col("p_brand").alias("src"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"),
-                  F.col("p_brand").alias("dst"))
-    pairs = (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
-                    & (F.col("src") < F.col("dst")))
-             .groupBy("src", "dst")
-             .agg(F.count(F.lit(1)).alias("n_cooccur")))
+    pairs = _pair_counts(cat)
     ranked = (pairs
               .withColumn("rn", F.row_number().over(
                   W.orderBy("n_cooccur")))
@@ -600,11 +656,12 @@ def link_prediction_common_neighbors(spark: SparkSession,
         F.count(F.lit(1)).alias("deg"))
     e1 = edges.select(F.col("src").alias("w"), F.col("dst").alias("a"))
     e2 = edges.select(F.col("src").alias("w2"), F.col("dst").alias("b"))
-    wedge = (e1.join(e2, (F.col("w") == F.col("w2"))
+    wedge = (e1.join(F.broadcast(e2), (F.col("w") == F.col("w2"))
                      & (F.col("a") < F.col("b")))
              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cn")))
     nonedge = wedge.join(
-        strong, (wedge.a == strong.src) & (wedge.b == strong.dst),
+        F.broadcast(strong),
+        (wedge.a == strong.src) & (wedge.b == strong.dst),
         "left_anti")
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
@@ -656,13 +713,13 @@ def _kcore_peel_round(edges: DataFrame, deg: DataFrame,
     surv = (deg.where(F.col("deg") >= KCORE_K).select("node")
             .localCheckpoint(eager=False))
     new_edges = (edges
-                 .join(surv.withColumnRenamed("node", "src"),
+                 .join(F.broadcast(surv.withColumnRenamed("node", "src")),
                        "src", "semi")
-                 .join(surv.withColumnRenamed("node", "dst"),
+                 .join(F.broadcast(surv.withColumnRenamed("node", "dst")),
                        "dst", "semi"))
     cnt = (new_edges.groupBy(F.col("src").alias("node"))
            .agg(F.count(F.lit(1)).alias("c")))
-    new_deg = (surv.join(cnt, "node", "left")
+    new_deg = (surv.join(F.broadcast(cnt), "node", "left")
                .select("node", F.coalesce(F.col("c"), F.lit(0))
                        .cast("bigint").alias("deg")))
     return rem, surv, new_edges, new_deg
@@ -724,8 +781,8 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rem = removed[0].unionByName(removed[1]).unionByName(removed[2])
     return (d0.select("node", F.col("deg").alias("deg0"))
-            .join(rem, "node", "left")
-            .join(deg_cur.withColumnRenamed("deg", "core_deg"),
+            .join(F.broadcast(rem), "node", "left")
+            .join(F.broadcast(deg_cur.withColumnRenamed("deg", "core_deg")),
                   "node", "left")
             .select("node", "deg0",
                     F.coalesce(F.col("removed_round"), F.lit(0))
@@ -753,7 +810,7 @@ def _lpa_round(edges: DataFrame, lab: DataFrame) -> DataFrame:
     """Spark twin of :func:`_lpa_round_sql`: argmax-count by one
     struct-min aggregate (no window) — min(struct(-count, label))
     is "most frequent, smallest label on ties"."""
-    msg = (edges.join(lab, edges.dst == lab.node)
+    msg = (edges.join(F.broadcast(lab), edges.dst == lab.node)
            .select(edges.src.alias("node"), "label"))
     cnt = msg.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
     best = (cnt.groupBy("node")
@@ -906,7 +963,7 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("e_c")))
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg"))
-    per_comm = (lab.join(deg, "node")
+    per_comm = (lab.join(F.broadcast(deg), "node")
                 .groupBy(F.col("label").alias("community"))
                 .agg(F.count(F.lit(1)).alias("n_nodes"),
                      F.sum("deg").alias("d_c")))
@@ -968,15 +1025,24 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree joins by broadcast, TakeOrdered top-10.
     """
     cat = Catalog(spark, sf_dir)
-    ob = _basket(cat)
-    deg = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"),
-                  F.col("p_brand").alias("brand_b"))
-    pairs = (a.join(b, (F.col("l_orderkey") == F.col("ok_b"))
-                    & (F.col("brand_a") < F.col("brand_b")))
-             .groupBy("brand_a", "brand_b")
-             .agg(F.count(F.lit(1)).alias("n_ab")))
+    # The basket-set relation feeds both the marginals and the pair
+    # counts — checkpoint it so the lineitem⋈part derivation runs once
+    # (different downstream keys: brand vs pair — the r11 rule).
+    dim = _brand_dim(cat)
+    sets = _basket_sets(cat).localCheckpoint(eager=False)
+    deg = (sets.select(F.explode("bs").alias("bid"))
+           .groupBy("bid").agg(F.count(F.lit(1)).alias("n"))
+           .join(F.broadcast(dim), "bid").select("p_brand", "n"))
+    ex = (sets.select(F.explode("bs").alias("sid"), "bs")
+          .select("sid", F.explode("bs").alias("did"))
+          .filter(F.col("sid") < F.col("did")))
+    cnt = ex.groupBy("sid", "did").agg(F.count(F.lit(1)).alias("n_ab"))
+    pa = F.broadcast(dim.select(F.col("bid").alias("sid"),
+                                F.col("p_brand").alias("brand_a")))
+    pb = F.broadcast(dim.select(F.col("bid").alias("did"),
+                                F.col("p_brand").alias("brand_b")))
+    pairs = cnt.join(pa, "sid").join(pb, "did") \
+        .select("brand_a", "brand_b", "n_ab")
     da = F.broadcast(deg.select(F.col("p_brand").alias("brand_a"),
                                 F.col("n").alias("n_a")))
     db = F.broadcast(deg.select(F.col("p_brand").alias("brand_b"),
@@ -1092,6 +1158,10 @@ def personalized_pagerank_brands(spark: SparkSession,
         F.col("seed_node").isNotNull(),
         F.round(F.lit((1 - DAMPING) * PR_SCALE) / PPR_SEEDS)
         .cast("long")).otherwise(F.lit(0).cast("long"))
+    # A/B'd (r12): the PageRank-style per-round broadcast reshape
+    # measured SLOWER here (2.28 → 2.93 s) — PPR's extra seed join
+    # makes it 3 serialized broadcast builds per round; the shuffle
+    # shape lets AQE pipeline the tiny exchanges instead. Kept as-is.
     for _ in range(PR_ITERS):
         msgs = (pr.filter(F.col("pr") != 0)
                 .join(deg, "node")
@@ -1188,14 +1258,16 @@ def graph_eccentricity_diameter(spark: SparkSession,
                  .cast("long").alias("dist")))
     for _ in range(BFS_DEPTH):
         reach = (d.filter(F.col("dist").isNotNull())
-                 .join(edges, d.node == edges.src)
+                 .join(F.broadcast(edges), d.node == edges.src)
                  .groupBy("source", F.col("dst").alias("node"))
                  .agg(F.min("dist").alias("reach")))
         # Lazy checkpoint per round: the |V|² distance relation's
         # lineage otherwise doubles each round and Catalyst re-plans
         # the whole stack at every reference (measured 7.5s at sf0.01,
-        # planning-bound) — the CC/MMR checkpoint discipline.
-        d = (d.join(reach, ["source", "node"], "left")
+        # planning-bound) — the CC/MMR checkpoint discipline. The edge
+        # list and the |V|²-bounded relax relation broadcast (guide
+        # §3.1 — both vocabulary-bounded at any SF).
+        d = (d.join(F.broadcast(reach), ["source", "node"], "left")
              .select("source", "node",
                      F.least(F.col("dist"),
                              F.col("reach") + 1).alias("dist"))
@@ -1299,7 +1371,9 @@ def scc_mutual_reach_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("src", "dst").localCheckpoint(eager=False))
     reach = edges
     for _ in range(5):  # doubling: path length 2^5 = 32 > 25 brands
-        step = (reach.alias("r").join(reach.alias("e"),
+        # The closure relation is |brands|²-bounded at any SF —
+        # broadcast the join side (guide §3.1).
+        step = (reach.alias("r").join(F.broadcast(reach.alias("e")),
                                       F.col("r.dst") == F.col("e.src"))
                 .select(F.col("r.src").alias("src"),
                         F.col("e.dst").alias("dst")))
@@ -1307,7 +1381,7 @@ def scc_mutual_reach_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .localCheckpoint(eager=False))
     rev = reach.select(F.col("dst").alias("src"),
                        F.col("src").alias("dst"))
-    mutual = (reach.join(rev, ["src", "dst"], "left_semi")
+    mutual = (reach.join(F.broadcast(rev), ["src", "dst"], "left_semi")
               .select(F.col("src").alias("b"), F.col("dst").alias("other")))
     nodes = (edges.select(F.col("src").alias("b"))
              .unionByName(edges.select(F.col("dst").alias("b")))

@@ -1725,12 +1725,22 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical exchanges that AQE's runtime ReusedExchange dedupes —
     # an explicit localCheckpoint A/B'd ~0.8 s SLOWER at sf0.1.
     g0 = _word_bigrams(d)
-    df_tbl = g0.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # 64-bit gram keys (VERDICT r11 item 2): the df aggregate and the
+    # prefix self-join run on xxhash64(gram) ints instead of ~20-byte
+    # gram strings (guide §2.3, narrower shuffle keys; no global
+    # vocabulary window needed). Candidate generation stays LOSSLESS:
+    # equal grams always hash equal, so a hash collision can only ADD
+    # a candidate pair — and verification is an exact string-array
+    # intersect, so the emitted rows cannot change. The prefix ORDER
+    # stays keyed on (df, gram) — the string tiebreak keeps the global
+    # gram order collision-proof and deterministic.
+    gk = g0.withColumn("gk", F.xxhash64("gram"))
+    df_tbl = gk.groupBy("gk").agg(F.count(F.lit(1)).alias("df"))
     # n and pos share ONE doc_id exchange: both window specs hash-
     # partition on doc_id, so Catalyst chains them on a single
     # shuffle after the df join (a separate n-window before the join
     # would add a full extra shuffle of the gram rows).
-    ranked = (g0.join(df_tbl, "gram")
+    ranked = (gk.join(df_tbl, "gk")
               .withColumn("n", F.count(F.lit(1)).over(
                   W.partitionBy("doc_id")))
               .withColumn("pos", F.row_number().over(
@@ -1740,11 +1750,13 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (candidate-pair expansion + aggregation) dwarfs its bytes, so
     # AQE's byte-based coalescing would starve it down to ~2 tasks —
     # pin the join's own key at full parallelism instead (the join
-    # then rides this exchange; no extra shuffle).
+    # then rides this exchange; no extra shuffle). Only the int key
+    # and three small ints cross this exchange — the gram string is
+    # projected out before it.
     n_par = spark.sparkContext.defaultParallelism
     p = (ranked.filter(F.col("pos") <= prefix_len)
-         .select("doc_id", "n", "gram", "pos")
-         .repartition(n_par, "gram"))
+         .select("doc_id", "n", "gk", "pos")
+         .repartition(n_par, "gk"))
     a, b = p.alias("a"), p.alias("b")
     # Overlap upper bound from ALL shared prefix grams: the matches
     # themselves plus whatever could follow the last one in either
@@ -1762,7 +1774,7 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(4) * (F.first(F.col("a.n")) + F.first(F.col("b.n")))
          + F.lit(8)) / F.lit(9))
     cand = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+        a.join(b, (F.col("a.gk") == F.col("b.gk"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                & (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n")))
                & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(t))))

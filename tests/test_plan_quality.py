@@ -493,9 +493,10 @@ def test_setsim_repartitions_hold_parallelism(spark):
     plan = _plan(spark, "setsim_prefix_join")
     import re
     # repartition(n, cols) plans as REPARTITION_BY_NUM exchanges; the
-    # prefix join's gram key and the verification's pair key must both
+    # prefix join's 64-bit gram key (r12: xxhash64 int, not the gram
+    # string — guide §2.3) and the verification's pair key must both
     # survive into the physical plan.
-    assert re.search(r"hashpartitioning\(gram#\d+, \d+\), REPARTITION_BY_NUM",
+    assert re.search(r"hashpartitioning\(gk#\d+L, \d+\), REPARTITION_BY_NUM",
                      plan), plan[:2000]
     assert re.search(r"hashpartitioning\(doc_a#\d+L, doc_b#\d+L, \d+\), "
                      r"REPARTITION_BY_NUM", plan), plan[:2000]
