@@ -332,6 +332,12 @@ def main() -> None:
     # round's floor, the host degraded, not a plan.
     subset_min_floor = round(
         sum(min(samples[n]) for n in subset if samples[n]), 3)
+    # Per-query FLOORS next to the medians (VERDICT r11 item 6,
+    # additions-only): when a host stall poisons a median, the floor
+    # map lets regression labels be computed on per-query minimums
+    # instead — the existing contract fields are untouched.
+    floors: dict[str, float] = {
+        n: round(min(ts), 3) for n, ts in samples.items() if ts}
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -341,6 +347,7 @@ def main() -> None:
         "n_queries": len(timings),
         "r01_subset_24": subset_total,
         "subset24_min_floor": subset_min_floor,
+        "queries_min": floors,
     }
     # The driver records only a bounded TAIL of stdout (~2.2 kB), and
     # the full per-query map outgrew it in round 3 (BENCH_r03.json
@@ -391,6 +398,9 @@ def main() -> None:
         "subset24_min_floor": subset_min_floor,
         "n_regressions": len(regressions),
         "queries": {n: timings[n] for n in subset},
+        # additions-only: the same 24 queries' min-across-reps, so a
+        # stall-poisoned median is readable as such from the tail line
+        "queries_min": {n: floors[n] for n in subset if n in floors},
     }))
     spark.stop()
 

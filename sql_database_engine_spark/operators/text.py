@@ -2792,6 +2792,27 @@ def bpe_apply_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _doc_5grams(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, source, gram) 5-gram relation for the novelty
+    audit. r12 shape (VERDICT r11 item 7, guide §2.3/§2.4): 5-grams
+    come from explode(arrays_zip(slice×5)) — a map-side array op — so
+    the token-grain (doc_id, pos) window SHUFFLE+SORT the r11 lead()
+    form paid is gone, and the per-doc dedup partially aggregates
+    map-side before the single remaining exchange. Gram strings are
+    identical (A/B-verified row-for-row at sf0.1); module-level so the
+    pre-checkpoint plan is pinnable (the query body checkpoints it,
+    which truncates the captured lineage)."""
+    toks = F.split(F.col("text"), " ")
+    ln = F.greatest(F.size(toks) - 4, F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, ln).alias(f"t{i}")
+                       for i in range(5)])
+    return (d.select("doc_id", "source", F.explode(z).alias("p"))
+            .select("doc_id", "source",
+                    F.concat_ws(" ", *[F.col(f"p.t{i}") for i in range(5)])
+                    .alias("gram"))
+            .dropDuplicates(["doc_id", "source", "gram"]))
+
+
 @query(
     "doc_novelty_fraction",
     oracle="""
@@ -2842,22 +2863,7 @@ def doc_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; the gram relation is computed once and reused for both
     sides of the join."""
     d = Catalog(spark, sf_dir).documents
-    # posexplode + window leads instead of the slice/transform HOF:
-    # the lambda ran interpreted once per token (the _word_bigrams
-    # rationale applied to 5-grams); identical gram strings.
-    toks = d.select(
-        "doc_id", "source",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"))
-    w5 = W.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", i).over(w5).alias(f"t{i}") for i in range(1, 5)]
-    grams = (toks.select("doc_id", "source", F.col("tok").alias("t0"),
-                         *leads)
-             .filter(F.col("t4").isNotNull())
-             .select("doc_id", "source",
-                     F.concat_ws(" ", "t0", "t1", "t2", "t3", "t4")
-                     .alias("gram"))
-             .dropDuplicates(["doc_id", "source", "gram"])
-             .localCheckpoint(eager=False))
+    grams = _doc_5grams(d).localCheckpoint(eager=False)
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (grams.join(first_seen, "gram")
                .groupBy("doc_id", "source")
