@@ -158,3 +158,58 @@ def test_lloyd_assign_empty_centroids_yields_no_rows(spark):
     out = _lloyd_assign(e, cents)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "e", "cid"]
+
+
+def test_kernels_null_element_inside_vector_matches_fold(spark):
+    """ADVICE r11: a NULL *element* inside a vector reaches the kernel
+    as a NaN lane (Arrow list→float conversion), where the JVM fold
+    returns SQL NULL — unfixed, the kernel's NaN would rank FIRST
+    under ORDER BY DESC (and the int64 L2 kernel would cast NaN to
+    INT64_MIN garbage). Pins every pair kernel against the fold on a
+    frame that actually contains element nulls, plus cosine's 0/0 —
+    legitimately NaN from clean input — which must STAY NaN."""
+    from sql_database_engine_spark.operators.similarity import (
+        _as_double, _cos_pair, _dot_pair, _l2_pair, _l2d_pair, cosine,
+        dot)
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),      # clean
+        (1, [1.0, None, 3.0], [4.0, 5.0, 6.0]),     # element null left
+        (2, [1.0, 2.0, 3.0], [4.0, 5.0, None]),     # element null right
+        (3, None, [4.0, 5.0, 6.0]),                 # whole-vector null
+        (4, [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]),      # cosine 0/0 -> NaN
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<float>, b array<float>")
+    a, b = F.col("a"), F.col("b")
+    ad, bd = _as_double(a), _as_double(b)
+    ref_l2d = F.aggregate(F.zip_with(ad, bd, lambda x, y: (x - y) * (x - y)),
+                          F.lit(0.0), lambda acc, x: acc + x)
+    # ANSI mode makes the JVM fold THROW on the 0/0 row (double
+    # division by zero), so the fold reference only covers rows 0-3;
+    # the kernel's 0/0 row is asserted NaN separately below.
+    out = df.filter(F.col("id") < 4).select(
+        "id",
+        _dot_pair(a, b).alias("kd"), dot(ad, bd).alias("rd"),
+        _cos_pair(a, b).alias("kc"), cosine(ad, bd).alias("rc"),
+        _l2d_pair(a, b).alias("kl"), ref_l2d.alias("rl")).collect()
+    for r in out:
+        for k, ref in (("kd", "rd"), ("kc", "rc"), ("kl", "rl")):
+            assert repr(r[k]) == repr(r[ref]), (r["id"], k, r[k], r[ref])
+    got = {r["id"]: r["kc"] for r in out}
+    assert got[1] is None and got[2] is None and got[3] is None
+    z = (df.filter(F.col("id") == 4)
+         .select(_cos_pair(a, b).alias("kc")).collect()[0]["kc"])
+    assert z != z  # NaN preserved for clean 0/0 input
+
+    idf = spark.createDataFrame(
+        [(0, [1, 2], [3, 4]), (1, [1, None], [3, 4]), (2, None, [3, 4])],
+        "id long, a array<bigint>, b array<bigint>")
+    ref_l2 = F.aggregate(
+        F.zip_with(F.col("a"), F.col("b"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    io = idf.select("id", _l2_pair(F.col("a"), F.col("b")).alias("k"),
+                    ref_l2.alias("r")).collect()
+    for r in io:
+        assert r["k"] == r["r"], (r["id"], r["k"], r["r"])
+    assert io[0]["k"] == 8 and io[1]["k"] is None and io[2]["k"] is None
